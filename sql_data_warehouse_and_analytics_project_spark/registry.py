@@ -1,0 +1,46 @@
+"""Central query registry.
+
+Every implemented operator/query registers here with an optional DuckDB
+oracle; ``__spark_entry__.py`` exposes the registry to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False):
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    # import side-effect modules that register queries
+    from . import analytics  # noqa: F401
+    from .operators import etl_queries, text, dedup, similarity  # noqa: F401
+    from .streaming import batch_views  # noqa: F401
+
+    return dict(_REGISTRY)

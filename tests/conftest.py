@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sql_data_warehouse_and_analytics_project_spark.session import get_spark  # noqa: E402
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("pytest")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in tpch.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    # Decimal / date / timestamp → canonical string
+    type_name = type(v).__name__
+    if type_name in ("Decimal",):
+        return float(v)
+    if type_name in ("date", "datetime", "Timestamp"):
+        return str(v)
+    return v
+
+
+def assert_query_matches_oracle(spark, duck, name: str, sf_dir: str = SF_DIR, exact_floats: bool = True):
+    """Local replica of the driver's t2 check: run the Spark query and the
+    DuckDB oracle, sort columns by name, compare as sorted row multisets
+    with exact value equality (floats bitwise)."""
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    rq = all_queries()[name]
+    sdf = rq.fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
+
+    assert rq.oracle is not None, f"{name} has no oracle"
+    res = duck.execute(rq.oracle)
+    duck_cols_raw = [d[0] for d in res.description]
+    order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
+    duck_cols = [duck_cols_raw[i] for i in order]
+    duck_rows = [tuple(_norm(r[i]) for i in order) for r in res.fetchall()]
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    skey = sorted(spark_rows, key=repr)
+    dkey = sorted(duck_rows, key=repr)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(skey, dkey)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
