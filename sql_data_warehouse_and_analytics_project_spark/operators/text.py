@@ -1,1 +1,243 @@
-"""Text-analysis operators over the ``documents`` table (filled in task 5)."""
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline primitives (no reference counterpart — the
+north-star extension per BASELINE.json): token statistics, quality scoring,
+language identification, and document fingerprinting. All are pure
+``pyspark.sql.functions`` column expressions (JVM-side, whole-stage codegen,
+no Python UDFs) so they scan-scale linearly to 100 TB: each is a single
+narrow projection over the documents scan with no shuffle at all except the
+final ORDER BY for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+# --- tokenization ----------------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len({SQL_TOKENS}) AS DOUBLE) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_token_stats", oracle=_TOKEN_STATS_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, average token
+    length — the basic budget/length metrics of a training-data pipeline."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)
+           / len({SQL_TOKENS}) AS ttr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio, ttr,
+       CASE WHEN n_tokens >= 20 AND alpha_ratio > 0.6 AND ttr > 0.2 THEN 'high'
+            WHEN n_tokens >= 10 AND alpha_ratio > 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: character-class ratios +
+    type-token ratio, bucketed into high/medium/low — the classic
+    pre-training filter (C4/Gopher-style length & symbol heuristics)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+
+    def class_ratio(pattern: str) -> Column:
+        return F.length(F.regexp_replace(F.col("text"), pattern, "")).cast("double") / n_chars
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        class_ratio(r"[^a-zA-Z]").alias("alpha_ratio"),
+        class_ratio(r"[^0-9]").alias("digit_ratio"),
+        class_ratio(r"[^.!?,;:]").alias("punct_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") > 0.6) & (F.col("ttr") > 0.2), "high"
+        )
+        .when((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") > 0.4), "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+# --- language id -----------------------------------------------------------
+
+# tiny per-language stopword marker lists for the n-gram/stopword-voting
+# heuristic; padded-space matching approximates word boundaries
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "fr": [" le ", " la ", " et ", " est "],
+    "es": [" el ", " los ", " y ", " es "],
+}
+
+
+def _occurrences(padded: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via length-delta —
+    pure string ops, identical semantics in every engine."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_scores_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = []
+    for lang, markers in _LANG_MARKERS.items():
+        total = " + ".join(_sql_occurrences(padded, m) for m in markers)
+        terms.append(f"({total}) AS score_{lang}")
+    return ",\n         ".join(terms)
+
+
+_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_scores_sql()}
+  FROM documents
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+                 AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+            WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+            WHEN score_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang,
+       score_en, score_de, score_fr, score_es
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_lang_id", oracle=_LANG_ID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-marker voting (n-gram heuristic):
+    count per-language marker occurrences, argmax with a deterministic
+    priority chain. The synthetic corpus is English-vocab throughout, so
+    accuracy against the label is incidental — the operator (vectorized
+    string scoring + argmax decode) is what's exercised."""
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    score_cols = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = _occurrences(padded, markers[0])
+        for m in markers[1:]:
+            total = total + _occurrences(padded, m)
+        score_cols[lang] = total
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+    )
+    se, sd, sf_, ss = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((se >= sd) & (se >= sf_) & (se >= ss) & (se > 0), "en")
+        .when((sd >= sf_) & (sd >= ss) & (sd > 0), "de")
+        .when((sf_ >= ss) & (sf_ > 0), "fr")
+        .when(ss > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        predicted.alias("predicted_lang"),
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+    ).orderBy("doc_id")
+
+
+# --- fingerprinting --------------------------------------------------------
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_fingerprint,
+       substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS shard_key
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint: lowercase, collapse whitespace,
+    SHA-256 — the content-addressed identity used by exact dedup and
+    incremental re-crawl skip logic. shard_key prefix doubles as a uniform
+    partitioner at scale."""
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.sha2(normalized, 256)
+    return docs.select(
+        "doc_id",
+        fp.alias("doc_fingerprint"),
+        F.substring(fp, 1, 16).alias("shard_key"),
+    ).orderBy("doc_id")

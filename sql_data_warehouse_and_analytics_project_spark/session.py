@@ -28,6 +28,8 @@ def get_spark(app_name: str = "sql_dwh_spark", shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local mode = driver-only JVM: driver memory is the only heap knob
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # local mode = driver-only JVM; headless runs don't need the UI
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

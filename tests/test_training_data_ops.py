@@ -1,0 +1,51 @@
+"""Cross-checks for the rows-only training-data operators: the hash-based
+near-dup detectors must agree with the oracle-checked exact-Jaccard pairs,
+and IVF must recall the exact ANN baseline."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+
+def _pairs(df, c1="doc_id_1", c2="doc_id_2"):
+    return {(r[c1], r[c2]) for r in df.collect()}
+
+
+def test_minhash_finds_jaccard_pairs(spark):
+    qs = all_queries()
+    truth = _pairs(qs["dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    found = _pairs(qs["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    # banded MinHash at 16x4 has >99.9% recall at jaccard >= 0.8, and the
+    # verification step removes false positives → sets must be equal here
+    assert found == truth, f"minhash {found} != jaccard truth {truth}"
+
+
+def test_simhash_finds_near_dups(spark):
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    qs = all_queries()
+    truth = _pairs(qs["dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    found = _pairs(qs["dedup_simhash"].fn(spark, SF_DIR))
+    # unweighted simhash is unstable on very short docs (one changed token
+    # flips many razor-thin bit majorities) — assert recall on pairs where
+    # both docs have >= 24 tokens, and that the pair count stays bounded
+    docs = tpch.load(spark, SF_DIR, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")).collect()
+    }
+    truth_long = {(a, b) for a, b in truth if n_tokens[a] >= 24 and n_tokens[b] >= 24}
+    assert truth_long <= found, f"simhash missed long-doc pairs {truth_long - found}"
+    assert len(found) <= max(10 * max(len(truth), 1), 50), f"simhash too many pairs: {len(found)}"
+
+
+def test_ivf_recall_vs_exact(spark):
+    qs = all_queries()
+    exact = [r["vec_id"] for r in qs["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
+    approx = [r["vec_id"] for r in qs["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low; exact={exact} approx={approx}"
