@@ -1,0 +1,86 @@
+"""Parquet-backed warehouse catalog (bronze/silver/gold/audit namespaces).
+
+The reference's storage is SQL Server schemas+tables
+(ref: scripts/init_database.sql:37-51). Here each table is a parquet
+directory ``<root>/<db>/<table>`` — columnar like the reference's one
+deliberate columnstore table (ref: scripts/silver/ddl_silver.sql:83-85),
+except *every* table gets it for free.
+
+Mutation model: Spark has no in-place UPDATE/DELETE on parquet, so the
+reference's MERGE/UPDATE/DELETE (ref: proc_load_silver.sql:58-113,148-165;
+proc_load_gold.sql:38,92) are realized as *transform-and-rewrite*: read,
+compute the new state as a DataFrame, atomically swap the directory. On a
+production lake the same code targets Delta/Iceberg `MERGE INTO` (SURVEY
+§7.3); the rewrite fallback keeps this repo dependency-free. Writes
+materialize through a temp dir + rename so a failed job never leaves a
+half-written table, and reads-before-overwrite are snapshotted by the swap
+(the old files persist until the new ones are complete).
+
+Scale note (100 TB): overwrite-rewrites are per-*table* here only because the
+reference rebuilds dims wholesale; the fact table is written
+``partitionBy(order_year)`` and incremental appends land as new files in new
+partitions — no rewrite of historical years (partition-level rather than
+table-level mutation, matching the reference's year partitioning,
+ref: scripts/gold/ddl_gold.sql:78-103).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Maps ``db.table`` names to parquet directories under a root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        db, _, table = name.partition(".")
+        return os.path.join(self.root, db, table)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(f.endswith(".parquet") or f.startswith("order_year=") for f in os.listdir(p))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Full-table swap (TRUNCATE+INSERT / DELETE+INSERT analog).
+
+        Returns the row count written (the reference records @@ROWCOUNT into
+        audit.etl_log after every load, ref: proc_load_bronze.sql:43).
+        """
+        target = self.path(name)
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        return n
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Insert-select sink (ref: proc_load_silver.sql:229-242 delta append)."""
+        n = df.count()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+        return n
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self.path(name), ignore_errors=True)

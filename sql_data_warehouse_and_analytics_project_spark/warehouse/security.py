@@ -1,0 +1,74 @@
+"""Gold-layer security: RLS + masking as filtered/secure views (X2, X3).
+
+ref: scripts/security/ddl_security.sql — RBAC roles (:21-26), a
+UserName→Country mapping table (:36-58), an inline TVF filter predicate
+bound to fact_sales (:69-97), dynamic data masking on sales_amount
+(:104-111), and sensitivity classification labels (:118-128).
+
+Spark has no engine-enforced row policies on plain parquet; the idiomatic
+equivalent is *secure views*: the RLS predicate becomes a semi join against
+the mapping table for the current user, the mask becomes a conditional
+projection. On a governed lakehouse these map 1:1 onto catalog row-filter /
+column-mask policies; the predicate/mask expressions below are exactly what
+those policies would hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .audit import RunContext
+
+# SQL Server's default() mask renders numerics as 0 (ref: ddl_security.sql:107)
+MASK_DEFAULT = 0
+
+# Demo mapping (ref: ddl_security.sql:52-58)
+DEFAULT_USER_COUNTRY = [
+    ("IndiaUser", "India"),
+    ("USUser", "United States"),
+    ("GlobalManager", "India"),
+    ("GlobalManager", "United States"),
+]
+
+MANAGER_ROLE_USERS = {"GlobalManager"}  # gold_manager has UNMASK (ref :152)
+
+SENSITIVITY_LABELS = {
+    # ref: ddl_security.sql:118-128
+    ("gold.dim_customers", "first_name"): ("Confidential", "Personal Data"),
+    ("gold.dim_customers", "last_name"): ("Confidential", "Personal Data"),
+    ("gold.dim_customers", "birthdate"): ("Sensitive", "Personal Data"),
+}
+
+
+def user_country_mapping(ctx: RunContext, rows=None) -> DataFrame:
+    return ctx.catalog.spark.createDataFrame(rows or DEFAULT_USER_COUNTRY, "UserName string, Country string")
+
+
+def rls_fact_sales(ctx: RunContext, user: str, mapping: DataFrame | None = None) -> DataFrame:
+    """Row-level-secured fact view for ``user``.
+
+    Mirrors fn_FilterFactSalesByCountry (ref: ddl_security.sql:69-82): a fact
+    row is visible iff its customer's country appears in the user's mapping.
+    Plan shape: fact ⋈ broadcast(dim) ⋈ broadcast(user's countries) as a
+    LEFT SEMI join — no fact shuffle, policy cost is one broadcast probe.
+    """
+    cat = ctx.catalog
+    fact = cat.read("gold.fact_sales")
+    dim = cat.read("gold.dim_customers").select("customer_key", "country")
+    allowed = (
+        (mapping if mapping is not None else user_country_mapping(ctx))
+        .filter(F.col("UserName") == user)
+        .select(F.col("Country").alias("country"))
+    )
+    visible_keys = dim.join(F.broadcast(allowed), "country", "left_semi").select("customer_key")
+    return fact.join(F.broadcast(visible_keys), "customer_key", "left_semi")
+
+
+def masked_fact_sales(ctx: RunContext, user: str) -> DataFrame:
+    """Dynamic data masking on sales_amount (ref: ddl_security.sql:104-111):
+    default() mask → 0 for non-managers, clear for gold_manager members."""
+    fact = ctx.catalog.read("gold.fact_sales")
+    if user in MANAGER_ROLE_USERS:
+        return fact
+    return fact.withColumn("sales_amount", F.lit(MASK_DEFAULT).cast("decimal(19,4)"))
