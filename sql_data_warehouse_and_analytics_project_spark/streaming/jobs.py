@@ -1,0 +1,227 @@
+"""Structured Streaming jobs over the ``events`` stream (SURVEY §7.2 step 8).
+
+The reference has no streaming surface — its incremental machinery is batch
+CDC with a watermark table (ref: scripts/silver/proc_load_silver.sql:51-53,
+119-122; SURVEY §2.9 C1). These jobs are the Structured-Streaming
+generalization of that pattern: the audit-table watermark becomes
+``withWatermark`` (late-data bound + state eviction), the delta filter
+becomes the incremental file source, and the batch append becomes an
+append-mode sink.
+
+Stream/batch unification is the design invariant: every aggregation here
+shares its logical plan with a registered batch query (streaming/batch_views
+.py) so the DuckDB oracle that checks the batch twin also pins the streaming
+semantics; tests additionally replay the stream with an availableNow trigger
+and assert bit-equality with the batch result.
+
+Scale notes (100 TB/day stream): all aggregations are keyed on
+(window, event_type) or user_id — state is bounded by watermark eviction,
+partial aggregation happens map-side before the keyed shuffle, and the file
+source's ``maxFilesPerTrigger`` bounds per-microbatch memory. The custom
+stateful operator uses ``applyInPandasWithState`` (Arrow-batched, grouped
+state) — the Spark-idiomatic form for operators the built-in windows can't
+express.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Logical schema of the events stream (micros precision — the nanos in the
+# driver's parquet are downcast at the batch boundary, sources/tpch.py:36-43).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental parquet file source for events.
+
+    New files landing in ``input_dir`` are the stream (the lakehouse-native
+    ingestion pattern); schema is pinned — never inferred — so a malformed
+    producer file fails loudly instead of corrupting state.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+# ------------------------------------------------------------- windowed aggs
+
+
+def hourly_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour aggregation; batch twin: stream_events_hourly.
+
+    ``withWatermark`` bounds state: a window closes (and is emittable in
+    append mode) once event time passes window_end + watermark — the
+    streaming analog of the reference's 1-day watermark safety buffer
+    (ref: proc_load_silver.sql:121).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "approx_users", "total_value")
+    )
+
+
+def sliding_value_rate(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour window every 15 minutes — overlapping assignment means
+    each event lands in 4 windows; Spark expands then partially aggregates
+    map-side, so the shuffle carries 4 partial rows per (window,type), not
+    4 copies of the input."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        # decimal avg: exact + order-independent (float avg drifts in the last
+        # ulp with partition order, breaking stream-vs-batch bit-equality)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(F.col("value").cast("decimal(18,4)")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+def user_sessions(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user via the built-in ``session_window`` — gap-based
+    dynamic windows, state evicted by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# -------------------------------------------- custom stateful operator (C1')
+
+_STATE_SCHEMA = "total_events bigint, total_value double, last_ts timestamp"
+_OUT_SCHEMA = (
+    "user_id bigint, total_events bigint, total_value double, last_ts timestamp, expired boolean"
+)
+
+
+def _make_track_user(idle_timeout_ms: int | None):
+    def _track_user(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Per-user running totals, optionally with idle-timeout expiry.
+
+        Grouped-map stateful function (Arrow-batched): accumulates event
+        count / value per user across microbatches; with a timeout armed, an
+        idle user's final row is emitted with expired=True and state dropped
+        — bounded state without a window shape, i.e. the operator class the
+        built-in windows can't express (SURVEY §7 custom-operator tier b).
+        """
+        (user_id,) = key
+        if state.hasTimedOut:
+            total, value, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "total_events": total, "total_value": value,
+                  "last_ts": last, "expired": True}]
+            )
+            return
+        total, value, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            total += len(pdf)
+            value += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((total, value, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "total_events": total, "total_value": value,
+              "last_ts": last, "expired": False}]
+        )
+
+    return _track_user
+
+
+def user_running_totals(stream: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """applyInPandasWithState wiring for the per-user tracker (update mode).
+
+    ``idle_timeout_ms`` arms processing-time expiry for continuous
+    deployments. Leave it None for availableNow replays/backfills: pending
+    timeout ticks count as available work, so a drain-and-stop harness would
+    never settle with a timeout armed.
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_track_user(idle_timeout_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ------------------------------------------------------------------ running
+
+
+def run_available_now(job: DataFrame, output_mode: str, query_name: str, checkpoint: str):
+    """Drain everything currently in the source into an in-memory sink and
+    stop — the test/replay harness (Trigger.AvailableNow processes all
+    pending input in bounded microbatches, then terminates)."""
+    q = (
+        job.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # processAllAvailable + stop, not awaitTermination: a stateful operator
+    # with pending processing-time timeouts keeps the query alive waiting for
+    # them to fire, so awaitTermination would block past the data drain.
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return q
+
+
+def sink_to_parquet(job: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
+    """Production sink shape: append-mode parquet (exactly-once via the
+    checkpoint + file-sink manifest), the streaming analog of the silver
+    delta append (ref: proc_load_silver.sql:228-252)."""
+    return (
+        job.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

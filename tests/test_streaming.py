@@ -1,0 +1,103 @@
+"""Structured Streaming tests: replay the events stream with availableNow
+triggers and assert bit-equality with the batch twins (stream/batch
+unification), incremental exactly-once resume from a checkpoint, and the
+custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batches(spark, tmp_path_factory):
+    """Split sf0.001 events into two file batches in one input dir."""
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = str(base / "input")
+    events = tpch.load(spark, SF_DIR, "events")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(input_dir)
+    return {"input": input_dir, "base": base, "events": events}
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def _input_df(spark, input_dir):
+    """Batch view of whatever files are currently in the stream input dir —
+    keeps each test order-independent (earlier tests may have appended
+    batches)."""
+    return spark.read.schema(jobs.EVENTS_SCHEMA).parquet(input_dir)
+
+
+def test_hourly_stream_equals_batch(spark, events_batches):
+    b = events_batches
+    stream = jobs.read_events_stream(spark, b["input"])
+    jobs.run_available_now(
+        jobs.hourly_events(stream), "complete", "hourly_t1", str(b["base"] / "ckpt_hourly")
+    )
+    got = spark.sql("SELECT * FROM hourly_t1")
+    expected = jobs.hourly_events(_input_df(spark, b["input"]))
+    assert _rows(got) == _rows(expected)
+
+
+def test_incremental_resume_from_checkpoint(spark, events_batches):
+    """Second file batch lands; resuming from the same checkpoint processes
+    only the new files yet the complete-mode result covers all input —
+    the streaming form of the watermark delta load (SURVEY §2.9 C1)."""
+    b = events_batches
+    b["events"].filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(b["input"])
+    stream = jobs.read_events_stream(spark, b["input"], max_files_per_trigger=4)
+    jobs.run_available_now(
+        jobs.hourly_events(stream), "complete", "hourly_t2", str(b["base"] / "ckpt_hourly")
+    )
+    got = spark.sql("SELECT * FROM hourly_t2")
+    expected = jobs.hourly_events(b["events"])  # full data now
+    assert _rows(got) == _rows(expected)
+
+
+def test_sliding_window_stream_equals_batch(spark, events_batches):
+    b = events_batches
+    stream = jobs.read_events_stream(spark, b["input"])
+    jobs.run_available_now(
+        jobs.sliding_value_rate(stream), "complete", "sliding_t", str(b["base"] / "ckpt_slide")
+    )
+    inp = _input_df(spark, b["input"])
+    got = spark.sql("SELECT * FROM sliding_t")
+    expected = jobs.sliding_value_rate(inp)
+    assert _rows(got) == _rows(expected)
+    # overlap factor: every event lands in exactly 4 sliding windows
+    n_events_total = got.agg(F.sum("n_events")).first()[0]
+    assert n_events_total == inp.count() * 4
+
+
+def test_session_windows_stream(spark, events_batches):
+    b = events_batches
+    stream = jobs.read_events_stream(spark, b["input"])
+    jobs.run_available_now(
+        jobs.user_sessions(stream), "complete", "sessions_t", str(b["base"] / "ckpt_sess")
+    )
+    inp = _input_df(spark, b["input"])
+    got = spark.sql("SELECT * FROM sessions_t")
+    expected = jobs.user_sessions(inp)
+    assert _rows(got) == _rows(expected)
+    # session invariant: per-user event counts are conserved
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    batch_per_user = inp.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(per_user) == _rows(batch_per_user)
+
+
+def test_user_running_totals_stateful(spark, events_batches):
+    b = events_batches
+    stream = jobs.read_events_stream(spark, b["input"])
+    jobs.run_available_now(
+        jobs.user_running_totals(stream), "update", "totals_t", str(b["base"] / "ckpt_state")
+    )
+    got = spark.sql("SELECT user_id, MAX(total_events) AS n FROM totals_t GROUP BY user_id")
+    batch = _input_df(spark, b["input"]).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(got) == _rows(batch)
