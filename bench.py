@@ -29,6 +29,10 @@ def main() -> None:
     qs = all_queries()
     headline = {n: rq for n, rq in qs.items() if rq.headline}
 
+    # Warm the JVM + filesystem metadata once so per-query timings measure
+    # query execution, not session startup / first-touch parquet footers.
+    spark.range(1).count()
+
     timings: dict[str, float] = {}
     for name, rq in sorted(headline.items()):
         t0 = time.perf_counter()

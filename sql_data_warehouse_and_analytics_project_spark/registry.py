@@ -40,7 +40,14 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 def all_queries() -> dict[str, RegisteredQuery]:
     # import side-effect modules that register queries
     from . import analytics  # noqa: F401
-    from .operators import dedup, etl_queries, multimodal, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        etl_queries,
+        multimodal,
+        security_queries,
+        similarity,
+        text,
+    )
     from .streaming import batch_views  # noqa: F401
 
     return dict(_REGISTRY)
