@@ -46,6 +46,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         security_queries,
         similarity,
+        skew,
         text,
     )
     from .streaming import batch_views  # noqa: F401
