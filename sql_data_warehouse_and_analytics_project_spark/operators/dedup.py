@@ -199,19 +199,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked ``dedup_ngram_jaccard``."""
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs)
-    band_rows = []
-    for band in range(_LSH_BANDS):
-        cols = [F.col(f"sig_{band * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
+    # One band table via a single explode — NOT a 16-way union of per-band
+    # projections, which would recompute the shingle-explode + 64-min-agg
+    # signature pipeline once per band (16× the work at any scale).
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col(f"sig_{band * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
+            ).alias("bucket"),
         )
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionAll(br)
+        for band in range(_LSH_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -223,6 +225,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
         .distinct()
+        # cached: referenced by three downstream branches (candidate-doc
+        # semi joins + final filter); uncached, each branch would re-run the
+        # whole signature pipeline. Candidate pairs are tiny by construction
+        # (LSH prunes the quadratic space), so this is safe at any scale.
+        .cache()
     )
     # verify candidates with exact Jaccard (join-aggregate over shingles,
     # restricted to candidate docs via semi joins)
