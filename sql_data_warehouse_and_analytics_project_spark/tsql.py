@@ -72,15 +72,18 @@ def sql_datediff_year(start: str, end: str) -> str:
 
 
 def yyyymmdd_to_date(col: Column | str) -> Column:
-    """INT yyyymmdd → DATE, NULL when 0 or not 8 digits.
+    """INT yyyymmdd → DATE, NULL when 0, not 8 digits, or not a real date.
 
     Mirrors the silver sales-date repair
-    (ref: scripts/silver/proc_load_silver.sql:234-236).
+    (ref: scripts/silver/proc_load_silver.sql:234-236). try_to_date, not
+    to_date: under ANSI mode an 8-digit-but-impossible value (10000132)
+    makes to_date THROW — one malformed row would fail an entire ingest at
+    scale, where the whole point of this guard is row-level repair.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
     return F.when((c.isNull()) | (c == 0) | (F.length(s) != 8), F.lit(None).cast("date")).otherwise(
-        F.to_date(s, "yyyyMMdd")
+        F.try_to_date(s, "yyyyMMdd")
     )
 
 
@@ -89,14 +92,18 @@ def row_hash(*cols: Column | str) -> Column:
 
     Mirrors HASHBYTES('SHA2_256', CONCAT(col,'|',col,...))
     (ref: scripts/silver/proc_load_silver.sql:63-71). NULLs are normalized
-    to '' (concat_ws drops NULLs, matching T-SQL CONCAT's NULL→'' behavior).
+    to '' with an explicit per-column coalesce — NOT bare concat_ws, which
+    *skips* null elements and so drops their separator slot, colliding
+    ('a|b', NULL) with ('a', 'b'). T-SQL CONCAT keeps the slot (NULL→'').
     Returns lowercase hex, same as DuckDB's sha256().
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws("|", *[c.cast("string") for c in cs]), 256)
+    return F.sha2(
+        F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("")) for c in cs]), 256
+    )
 
 
 def sql_row_hash(*cols: str) -> str:
-    """DuckDB text form of :func:`row_hash`."""
-    joined = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    """DuckDB text form of :func:`row_hash` (same NULL-slot preservation)."""
+    joined = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '')" for c in cols)
     return f"sha256(concat_ws('|', {joined}))"
