@@ -237,3 +237,38 @@ def test_config_validation_hard_stop(spark, tmp_path):
     # failure recorded to the audit log (CATCH-block pattern)
     log = ctx.catalog.read("audit.etl_log")
     assert log.filter("status = 'Failed'").count() == 1
+
+
+def test_report_customers_view(wh, spark):
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import reports
+
+    ctx = wh["ctx2"]
+    rep = reports.report_customers(ctx)
+    rows = {r["customer_key"]: r for r in rep.collect()}
+    fact = ctx.catalog.read("gold.fact_sales").filter(F.col("order_date").isNotNull())
+    # one row per customer that has dated sales (incl. the -1 unknown member)
+    assert len(rows) == fact.select("customer_key").distinct().count()
+    assert set(rep.select("customer_segment").distinct().toPandas()["customer_segment"]) <= {
+        "VIP", "Regular", "New",
+    }
+    # KPI arithmetic: AOV * orders ≈ total sales (4-dp money division)
+    some = next(r for r in rows.values() if r["total_orders"] > 1)
+    assert abs(float(some["avg_order_value"]) * some["total_orders"] - float(some["total_sales"])) < some["total_orders"]
+    # intended schema: both total_products AND lifespan survive (the reference
+    # view loses lifespan to a missing-comma typo — SURVEY §2.12 ⚠)
+    assert "total_products" in rep.columns and "lifespan" in rep.columns
+
+
+def test_report_products_view(wh, spark):
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import reports
+
+    ctx = wh["ctx2"]
+    rep = reports.report_products(ctx)
+    fact = ctx.catalog.read("gold.fact_sales").filter(F.col("order_date").isNotNull())
+    assert rep.count() == fact.select("product_key").distinct().count()
+    assert set(rep.select("product_segment").distinct().toPandas()["product_segment"]) <= {
+        "High-Performer", "Mid-Range", "Low-Performer",
+    }
+    reports.register_views(ctx)
+    via_sql = spark.sql("SELECT COUNT(*) AS n FROM gold_report_products").first()["n"]
+    assert via_sql == rep.count()
