@@ -272,3 +272,26 @@ def test_report_products_view(wh, spark):
     reports.register_views(ctx)
     via_sql = spark.sql("SELECT COUNT(*) AS n FROM gold_report_products").first()["n"]
     assert via_sql == rep.count()
+
+
+def test_adhoc_analytics_surface(wh):
+    """Every EP3 ad-hoc SQL script runs over the gold views and returns rows
+    with sane shapes (ref: scripts/Data Analytics/02..11)."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import adhoc
+
+    ctx = wh["ctx2"]
+    results = adhoc.run_all(ctx)
+    for name, df in results.items():
+        assert df.count() > 0, name
+    # q04 report stacks exactly 6 labeled measures
+    assert results["q04_key_metrics"].count() == 6
+    # part-to-whole percentages sum to 100
+    pct = sum(r["percentage_of_total"] for r in results["q11_category_share"].collect())
+    assert abs(pct - 100.0) < 0.1
+    # top-k forms agree on the winner
+    top_limit = results["q06_top5_products"].first()["product_name"]
+    top_rank = results["q06_rank_products"].orderBy("rank_products").first()["product_name"]
+    assert top_limit == top_rank
+    # cumulative running total ends at the grand total
+    rows = results["q08_cumulative_sales"].orderBy("order_date").collect()
+    assert float(rows[-1]["running_total_sales"]) == sum(float(r["total_sales"]) for r in rows)
