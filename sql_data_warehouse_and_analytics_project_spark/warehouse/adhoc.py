@@ -168,6 +168,35 @@ ADHOC_SQL: dict[str, str] = {
 }
 
 
+def catalog_exploration(ctx: RunContext) -> tuple[DataFrame, DataFrame]:
+    """Q01 database exploration (operator S8): the INFORMATION_SCHEMA.TABLES /
+    .COLUMNS introspection (ref: scripts/Data Analytics/01_database_exploration
+    .sql:16-30) over the warehouse catalog — (tables_df, columns_df)."""
+    import os
+
+    spark = ctx.catalog.spark
+    tables: list[tuple[str, str]] = []
+    columns: list[tuple[str, str, str, str]] = []
+    root = ctx.catalog.root
+    for db in sorted(os.listdir(root)):
+        dbdir = os.path.join(root, db)
+        if not os.path.isdir(dbdir):
+            continue
+        for table in sorted(os.listdir(dbdir)):
+            name = f"{db}.{table}"
+            if not ctx.catalog.exists(name):
+                continue
+            tables.append((db, table))
+            for f in ctx.catalog.read(name).schema.fields:
+                columns.append((db, table, f.name, f.dataType.simpleString()))
+    return (
+        spark.createDataFrame(tables, "table_schema string, table_name string"),
+        spark.createDataFrame(
+            columns, "table_schema string, table_name string, column_name string, data_type string"
+        ),
+    )
+
+
 def run(ctx: RunContext, name: str) -> DataFrame:
     """Execute one ad-hoc script against the registered gold views."""
     register_gold_views(ctx)

@@ -295,3 +295,16 @@ def test_adhoc_analytics_surface(wh):
     # cumulative running total ends at the grand total
     rows = results["q08_cumulative_sales"].orderBy("order_date").collect()
     assert float(rows[-1]["running_total_sales"]) == sum(float(r["total_sales"]) for r in rows)
+
+
+def test_catalog_exploration(wh):
+    """Q01 analog (S8): the warehouse catalog lists its schemas/tables/columns."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import adhoc
+
+    tables, columns = adhoc.catalog_exploration(wh["ctx2"])
+    names = {f"{r['table_schema']}.{r['table_name']}" for r in tables.collect()}
+    assert {"bronze.crm_cust_info", "silver.crm_sales_details", "gold.fact_sales",
+            "audit.etl_log"} <= names
+    fact_cols = [r["column_name"] for r in columns.collect()
+                 if r["table_schema"] == "gold" and r["table_name"] == "fact_sales"]
+    assert "sales_amount" in fact_cols and "order_year" in fact_cols
