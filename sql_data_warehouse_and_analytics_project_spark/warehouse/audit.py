@@ -74,13 +74,22 @@ WATERMARK_EPOCH = dt.datetime(1900, 1, 1)  # ISNULL(last_load_date,'1900-01-01')
 
 @dataclass
 class RunContext:
-    """One orchestrated pipeline run (EP1): batch id + frozen clock + audit."""
+    """One orchestrated pipeline run (EP1): batch id + frozen clock + audit.
+
+    Audit rows are buffered in memory and flushed once per run
+    (:meth:`flush_audit`) — a run emits ~20 log/DQ rows, and writing each as
+    its own parquet-append job costs a full Spark job of fixed overhead per
+    row. The reference pays one INSERT per row too, but its inserts are
+    sub-ms T-SQL statements; the batched flush is the Spark-appropriate
+    shape."""
 
     catalog: Catalog
     as_of: dt.datetime
     batch_id: int = 0
     user: str = "engine"
     _log_seq: int = field(default=0, repr=False)
+    _log_rows: list = field(default_factory=list, repr=False)
+    _dq_rows: list = field(default_factory=list, repr=False)
 
     # ------------------------------------------------------------- setup
     def init_audit_tables(self) -> None:
@@ -116,7 +125,7 @@ class RunContext:
     # ----------------------------------------------------------- logging
     def log(self, table: str, rows: int, status: str = "Success", error: str | None = None) -> None:
         self._log_seq += 1
-        row = [
+        self._log_rows.append(
             (
                 self.batch_id * 1000 + self._log_seq,
                 self.batch_id,
@@ -127,12 +136,20 @@ class RunContext:
                 status,
                 error,
             )
-        ]
-        self.catalog.append(ETL_LOG, self.catalog.spark.createDataFrame(row, _LOG_SCHEMA))
+        )
 
     def dq_issue(self, table: str, check: str, expected, actual, desc: str, layer: str) -> None:
-        row = [(self.batch_id, table, check, str(expected), str(actual), desc, layer)]
-        self.catalog.append(DQ_ISSUES, self.catalog.spark.createDataFrame(row, _DQ_SCHEMA))
+        self._dq_rows.append((self.batch_id, table, check, str(expected), str(actual), desc, layer))
+
+    def flush_audit(self) -> None:
+        """Write buffered log/DQ rows in two appends (call once per run)."""
+        spark = self.catalog.spark
+        if self._log_rows:
+            self.catalog.append(ETL_LOG, spark.createDataFrame(self._log_rows, _LOG_SCHEMA))
+            self._log_rows = []
+        if self._dq_rows:
+            self.catalog.append(DQ_ISSUES, spark.createDataFrame(self._dq_rows, _DQ_SCHEMA))
+            self._dq_rows = []
 
     def dq_compare(self, table: str, check: str, expected, actual, desc: str, layer: str) -> bool:
         """Log an issue iff expected != actual (the reference's inline IF-

@@ -47,5 +47,8 @@ def run_pipeline(
     except Exception as exc:  # noqa: BLE001 — mirror the audit-then-fail CATCH
         ctx.log("MASTER_PIPELINE", 0, status="Failed", error=str(exc))
         raise
-    ctx.log("MASTER_PIPELINE", 0, status="Success")
+    else:
+        ctx.log("MASTER_PIPELINE", 0, status="Success")
+    finally:
+        ctx.flush_audit()  # buffered rows land in two appends per run
     return ctx
