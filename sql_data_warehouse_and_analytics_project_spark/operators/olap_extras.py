@@ -1,0 +1,222 @@
+"""OLAP operators beyond the reference's surface, oracle-checked.
+
+The reference uses no LEAD/NTILE/FIRST_VALUE windows, no set operators
+besides UNION ALL, and no grouping sets (SURVEY §2.5, §2.7 explicitly note
+the absences). A user migrating real analytics workloads expects them, so
+the engine carries them as first-class, DuckDB-verified operators:
+
+- W+: LEAD (inter-order gap), NTILE (customer quartiles),
+  FIRST_VALUE/LAST_VALUE with an explicit frame (order bracketing)
+- U+: INTERSECT / EXCEPT (distinct set semantics)
+- A+: ROLLUP hierarchy totals with GROUPING() disambiguation
+
+All are single-shuffle window or aggregation plans — nothing here changes
+the scale posture of the queries they'd be embedded in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, name)
+
+
+_LEAD_SQL = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderkey,
+         LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS next_orderdate
+  FROM orders
+)
+SELECT o_custkey, o_orderdate, o_orderkey,
+       CAST(next_orderdate - o_orderdate AS BIGINT) AS days_to_next_order
+FROM seq
+WHERE next_orderdate IS NOT NULL
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("olap_lead_order_gap", oracle=_LEAD_SQL)
+def olap_lead_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD window: days between a customer's consecutive orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_custkey",
+            d.alias("o_orderdate"),
+            "o_orderkey",
+            F.lead(d).over(w).alias("next_orderdate"),
+        )
+        .filter(F.col("next_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.datediff("next_orderdate", "o_orderdate").cast("bigint").alias("days_to_next_order"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+_NTILE_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(total_spend) AS min_spend, MAX(total_spend) AS max_spend
+FROM (SELECT c_custkey, total_spend,
+             NTILE(4) OVER (ORDER BY total_spend DESC, c_custkey) AS quartile
+      FROM spend)
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
+@query("olap_ntile_customer_quartiles", oracle=_NTILE_SQL)
+def olap_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) spend quartiles with per-quartile bounds. The custkey
+    tiebreak pins tile assignment for equal spends (cross-engine
+    determinism)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    spend = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), "c_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+_BRACKET_SQL = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
+FROM orders
+ORDER BY o_custkey
+"""
+
+
+@query("olap_first_last_order", oracle=_BRACKET_SQL)
+def olap_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with an explicit unbounded ROWS frame —
+    LAST_VALUE under the default frame stops at the current row, the classic
+    frame trap; the explicit frame is the correct bracketing form."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
+ORDER BY o_custkey
+"""
+
+
+@query("olap_intersect_repeat_customers", oracle=_INTERSECT_SQL)
+def olap_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers ordering in both 1995 and 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
+ORDER BY o_custkey
+"""
+
+
+@query("olap_except_churned_customers", oracle=_EXCEPT_SQL)
+def olap_except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1995 customers who did not order in 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    # subtract = EXCEPT DISTINCT; exceptAll would only cancel per-occurrence
+    # (a 2×1995 / 1×1996 customer would wrongly survive)
+    return a.subtract(b).orderBy("o_custkey")
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+ORDER BY region, nation
+"""
+
+
+@query("olap_rollup_region_nation", oracle=_ROLLUP_SQL)
+def olap_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) with GROUPING()
+    labels. Catalyst expands the rollup into one Expand + aggregation — a
+    single shuffle for all three grouping levels."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+            # grouping() is only valid inside the aggregate list
+            F.grouping("n_name").alias("_g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.when(F.col("_g_nation") == 1, "ALL").otherwise(F.col("n_name")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("region", "nation")
+    )

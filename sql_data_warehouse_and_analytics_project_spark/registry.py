@@ -44,6 +44,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         etl_queries,
         multimodal,
+        olap_extras,
         security_queries,
         similarity,
         skew,
