@@ -48,6 +48,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         security_queries,
         similarity,
         skew,
+        temporal,
         text,
     )
     from .streaming import batch_views  # noqa: F401
