@@ -220,3 +220,77 @@ def olap_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+_PIVOT_SQL = """
+SELECT c.c_mktsegment AS mktsegment,
+       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1995
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1995,
+       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1996
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1996,
+       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1997
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1997
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@query("olap_pivot_segment_year", oracle=_PIVOT_SQL)
+def olap_pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by market segment × year. Spark's pivot with an
+    explicit value list compiles to conditional aggregation — a single
+    shuffle, same as the CASE-form oracle (never use implicit pivot values
+    at scale: that adds a distinct-scan pass to discover them)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("mktsegment")
+        .pivot("yr", [1995, 1996, 1997])
+        .sum("price")
+        .select(
+            "mktsegment",
+            F.col("1995").alias("y1995"),
+            F.col("1996").alias("y1996"),
+            F.col("1997").alias("y1997"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_PCTL_SQL = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(quantile_cont(CAST(o.o_totalprice AS DOUBLE), 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(CAST(o.o_totalprice AS DOUBLE), 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_cont(CAST(o.o_totalprice AS DOUBLE), 0.99) AS DOUBLE) AS p99
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@query("olap_percentiles_by_segment", oracle=_PCTL_SQL)
+def olap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolating). At 100 TB the same
+    query swaps to `percentile_approx` (t-digest sketch, mergeable
+    map-side) — exact percentile is the oracle-checkable twin."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    price = F.col("o_totalprice").cast("double")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.percentile(price, F.lit(0.5)).alias("p50"),
+            F.percentile(price, F.lit(0.9)).alias("p90"),
+            F.percentile(price, F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("mktsegment")
+    )
