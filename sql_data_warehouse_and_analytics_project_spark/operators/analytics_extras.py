@@ -1,0 +1,379 @@
+"""Advanced analytics operators beyond the reference surface, oracle-checked.
+
+The reference's analytics scripts (SURVEY §2.12) stop at GROUP BY, basic
+windows, and UNION ALL. Real warehouse users also reach for:
+
+- sessionization (gaps-and-islands) over an event stream
+- funnel analysis (staged min-timestamp per user)
+- top-N per group (windowed rank over an aggregate)
+- CUBE grouping (all 2^k subtotal combinations in one shuffle)
+- scalar-subquery comparison against a global aggregate
+- date-spine densification (fill missing months with zeros)
+- percent_rank / cume_dist distribution windows
+
+Each is a single- or two-shuffle declarative plan: sessionization is the
+canonical lag→flag→cumsum pattern (one shuffle on user_id, all three
+windows share it); the date spine is generated with `sequence`+`explode`
+on the driver-side literal range (no scan); the global-average comparison
+broadcasts a 1-row aggregate instead of a self-join. All scale linearly
+with input — no per-row Python, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gaps-and-islands with a 30-minute inactivity timeout.
+# Batch twin of streaming session windows (streaming/jobs.py); the same
+# semantics the reference's watermark machinery (SURVEY §2.9 C1) would need
+# if its fact table were events.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@query("events_sessionize", oracle=_SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks after 30 idle
+    minutes. lag → boundary flag → running count assigns session ids in one
+    shuffle (both windows share the user_id partitioning); per-session
+    rollup adds a second groupBy on the same key, which AQE coalesces."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_s = F.col("ts").cast("long") - prev.cast("long")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (gap_s > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → view → click → purchase, ordered min-timestamp stages.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+                     AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+FROM stages
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup→view→click→purchase: one conditional-min
+    aggregation per user (single shuffle, map-side partial agg), then a
+    driver-sized scalar rollup. NULL-safe: a missing stage breaks the chain
+    because NULL comparisons are falsy in both engines."""
+    events = _t(spark, sf_dir, "events")
+
+    def stage(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    stages = events.groupBy("user_id").agg(
+        stage("signup"), stage("view"), stage("click"), stage("purchase")
+    )
+    c_signup = F.col("t_signup").isNotNull()
+    c_view = c_signup & (F.col("t_view") > F.col("t_signup"))
+    c_click = c_view & (F.col("t_click") > F.col("t_view"))
+    c_purchase = c_click & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(c_signup, "reached_signup"),
+        cnt(c_view, "reached_view"),
+        cnt(c_click, "reached_click"),
+        cnt(c_purchase, "reached_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group: top-3 parts by revenue within each brand.
+# ---------------------------------------------------------------------------
+
+_TOPN_SQL = """
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+)
+SELECT p_brand, l_partkey, revenue, CAST(rnk AS INT) AS rnk
+FROM (SELECT p_brand, l_partkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                 ORDER BY revenue DESC, l_partkey) AS rnk
+      FROM rev)
+WHERE rnk <= 3
+ORDER BY p_brand, rnk
+"""
+
+
+@query("olap_topn_per_group", oracle=_TOPN_SQL)
+def olap_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand: aggregate then row_number per brand.
+    The partitioned window never needs a global sort — each brand ranks
+    inside its own shuffle partition, so this scales to any brand count
+    (unlike the reference's global TOP-N at 06_ranking_analysis.sql:17)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "l_partkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all subtotal combinations of (order priority, order year).
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+           AS priority,
+       CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE yr END AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM (SELECT o_orderpriority, YEAR(CAST(o_orderdate AS DATE)) AS yr, o_totalprice
+      FROM orders)
+GROUP BY CUBE(o_orderpriority, yr)
+ORDER BY priority, order_year
+"""
+
+
+@query("olap_cube_priority_year", oracle=_CUBE_SQL)
+def olap_cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, year): all four grouping combinations from one Expand
+    + single-shuffle aggregation (Catalyst multiplies rows 4× map-side; at
+    100 TB prefer ROLLUP or explicit GROUPING SETS if some combos are
+    unused). GROUPING() distinguishes real NULLs from subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("o_orderpriority", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.grouping("o_orderpriority").alias("_g_pri"),
+            F.grouping("yr").alias("_g_yr"),
+        )
+        .select(
+            F.when(F.col("_g_pri") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+            F.when(F.col("_g_yr") == 1, -1).otherwise(F.col("yr")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: customers spending > 1.5× the global average.
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend
+FROM spend
+WHERE CAST(total_spend AS DOUBLE)
+      > 1.5 * (SELECT AVG(CAST(total_spend AS DOUBLE)) FROM spend)
+ORDER BY o_custkey
+"""
+
+
+@query("olap_above_avg_spenders", oracle=_ABOVE_AVG_SQL)
+def olap_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison: per-customer spend vs 1.5× global mean.
+    The 1-row global aggregate joins back by broadcast cross-join — no
+    second pass over the data and no single-partition window, so the plan
+    is the same two-stage shape at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
+    )
+    global_avg = spend.agg(
+        F.avg(F.col("total_spend").cast("double")).alias("_avg_spend")
+    )
+    return (
+        spend.join(F.broadcast(global_avg))
+        .filter(F.col("total_spend").cast("double") > 1.5 * F.col("_avg_spend"))
+        .select("o_custkey", "total_spend")
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine densification: monthly revenue with zero-filled gaps.
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+WITH spine AS (
+  SELECT CAST(gs AS DATE) AS month_start
+  FROM generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH) AS t(gs)
+),
+monthly AS (
+  SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+       CAST(COALESCE(m.revenue, 0) AS DECIMAL(18,2)) AS revenue,
+       COALESCE(m.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+ORDER BY s.month_start
+"""
+
+
+@query("olap_date_spine_monthly", oracle=_SPINE_SQL)
+def olap_date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue densified over a generated date spine — months with
+    no orders appear as zero rows (time-series consumers need the gaps).
+    The spine is `sequence()`+`explode` over literals: built at plan time,
+    ~80 rows, broadcast side of the join; the fact side keeps its one
+    groupBy shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1995-01-01")),
+                F.to_date(F.lit("2001-08-01")),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("month_start")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(monthly, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("revenue", F.lit(0)).cast("decimal(18,2)").alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("month_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist of supplier balances.
+# ---------------------------------------------------------------------------
+
+_PCTRANK_SQL = """
+SELECT n.n_name AS nation, s.s_suppkey,
+       CAST(s.s_acctbal AS DECIMAL(18,2)) AS acctbal,
+       CAST(PERCENT_RANK() OVER (PARTITION BY n.n_name
+            ORDER BY s.s_acctbal, s.s_suppkey) AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER (PARTITION BY n.n_name
+            ORDER BY s.s_acctbal, s.s_suppkey) AS DOUBLE) AS cume_dist
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY nation, s_suppkey
+"""
+
+
+@query("olap_percent_rank_suppliers", oracle=_PCTRANK_SQL)
+def olap_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of supplier account balance within nation —
+    both ride the same partitioned sort, one window exchange total. The
+    suppkey tiebreak makes ranks deterministic across engines."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("nation", "s_suppkey")
+    )

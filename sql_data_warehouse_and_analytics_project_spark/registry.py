@@ -41,6 +41,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # import side-effect modules that register queries
     from . import analytics  # noqa: F401
     from .operators import (  # noqa: F401
+        analytics_extras,
         dedup,
         etl_queries,
         multimodal,
