@@ -46,6 +46,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         etl_queries,
         multimodal,
         olap_extras,
+        sampling_json,
         security_queries,
         similarity,
         skew,
