@@ -42,6 +42,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from . import analytics  # noqa: F401
     from .operators import (  # noqa: F401
         analytics_extras,
+        approx,
         dedup,
         etl_queries,
         multimodal,

@@ -49,3 +49,60 @@ def test_ivf_recall_vs_exact(spark):
     approx = [r["vec_id"] for r in qs["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall} too low; exact={exact} approx={approx}"
+
+
+def test_approx_distinct_error_bounded(spark):
+    """HLL++ distinct counts stay within 3x the configured rsd (2%) of exact."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.approx import (
+        olap_approx_distinct_customers,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["o_orderpriority"]: (r["approx_orders"], r["approx_parts"])
+        for r in olap_approx_distinct_customers(spark, SF_DIR).collect()
+    }
+    orders = tpch.load(spark, SF_DIR, "orders")
+    lineitem = tpch.load(spark, SF_DIR, "lineitem")
+    exact = {
+        r["o_orderpriority"]: (r["n_orders"], r["n_parts"])
+        for r in lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (ao, ap) in approx.items():
+        eo, ep = exact[k]
+        assert abs(ao - eo) <= max(3, 0.06 * eo)
+        assert abs(ap - ep) <= max(3, 0.06 * ep)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """Sketch percentiles land within 2% relative of the exact twin."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.approx import (
+        olap_approx_percentiles,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.operators.olap_extras import (
+        olap_percentiles_by_segment,
+    )
+
+    approx = {r["mktsegment"]: (r["p50"], r["p90"], r["p99"])
+              for r in olap_approx_percentiles(spark, SF_DIR).collect()}
+    exact = {r["mktsegment"]: (r["p50"], r["p90"], r["p99"])
+             for r in olap_percentiles_by_segment(spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for seg, vals in approx.items():
+        for a, e in zip(vals, exact[seg]):
+            assert abs(a - e) <= 0.02 * abs(e) + 1e-9
