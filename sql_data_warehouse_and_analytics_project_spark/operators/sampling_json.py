@@ -153,3 +153,44 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split: md5 nibble buckets 0-12 train, 13-15 test.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+SELECT CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13
+            THEN 'train' ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+@query("sample_train_test_split", oracle=_SPLIT_SQL)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~81/19 train/test split assigned by md5(doc_id) nibble — the
+    reproducible-holdout pattern: a document's split never changes when
+    data is added, repartitioned, or the job reruns (per-row pure function;
+    `randomSplit` guarantees none of that). Profiled per language to show
+    strata stay balanced."""
+    docs = _t(spark, sf_dir, "documents")
+    nibble = F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1")
+    return (
+        docs.select(
+            F.when(nibble < 13, "train").otherwise("test").alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
