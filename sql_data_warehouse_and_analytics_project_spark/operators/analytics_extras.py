@@ -377,3 +377,47 @@ def olap_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit ROWS-frame window: 3-month trailing moving average of revenue.
+# ---------------------------------------------------------------------------
+
+_MOVAVG_SQL = """
+WITH monthly AS (
+  SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month_start, revenue,
+       CAST(AVG(CAST(revenue AS DOUBLE)) OVER (ORDER BY month_start
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_ma3
+FROM monthly
+ORDER BY month_start
+"""
+
+
+@query("olap_moving_avg_3m", oracle=_MOVAVG_SQL)
+def olap_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing moving average with an explicit ROWS frame — the
+    bounded-frame spec the reference never uses (its running totals ride
+    the default RANGE frame, SURVEY §2.5 W4). The window runs over the
+    pre-aggregated monthly series (~one row per month), so the unpartitioned
+    sort is driver-trivial at any fact scale — aggregate first, window
+    second is the scale rule for global time-series frames."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("month_start")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = Window.orderBy("month_start").rowsBetween(-2, Window.currentRow)
+    return (
+        monthly.select(
+            "month_start",
+            "revenue",
+            F.avg(F.col("revenue").cast("double")).over(w).alias("revenue_ma3"),
+        )
+        .orderBy("month_start")
+    )
