@@ -164,7 +164,7 @@ WITH rev AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY p.p_brand, l.l_partkey
 )
-SELECT p_brand, l_partkey, revenue, CAST(rnk AS INT) AS rnk
+SELECT p_brand, l_partkey, CAST(revenue AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
 FROM (SELECT p_brand, l_partkey, revenue,
              ROW_NUMBER() OVER (PARTITION BY p_brand
                  ORDER BY revenue DESC, l_partkey) AS rnk
@@ -192,6 +192,7 @@ def olap_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
+        .withColumn("revenue", F.col("revenue").cast("double"))
         .orderBy("p_brand", "rnk")
     )
 
@@ -205,7 +206,7 @@ SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority E
            AS priority,
        CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE yr END AS order_year,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM (SELECT o_orderpriority, YEAR(CAST(o_orderdate AS DATE)) AS yr, o_totalprice
       FROM orders)
 GROUP BY CUBE(o_orderpriority, yr)
@@ -229,7 +230,7 @@ def olap_cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.cube("o_orderpriority", "yr")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
             F.grouping("o_orderpriority").alias("_g_pri"),
             F.grouping("yr").alias("_g_yr"),
         )
@@ -252,7 +253,7 @@ WITH spend AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
   FROM orders GROUP BY o_custkey
 )
-SELECT o_custkey, total_spend
+SELECT o_custkey, CAST(total_spend AS DOUBLE) AS total_spend
 FROM spend
 WHERE CAST(total_spend AS DOUBLE)
       > 1.5 * (SELECT AVG(CAST(total_spend AS DOUBLE)) FROM spend)
@@ -276,7 +277,7 @@ def olap_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spend.join(F.broadcast(global_avg))
         .filter(F.col("total_spend").cast("double") > 1.5 * F.col("_avg_spend"))
-        .select("o_custkey", "total_spend")
+        .select("o_custkey", F.col("total_spend").cast("double").alias("total_spend"))
         .orderBy("o_custkey")
     )
 
@@ -297,7 +298,7 @@ monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT s.month_start,
-       CAST(COALESCE(m.revenue, 0) AS DECIMAL(18,2)) AS revenue,
+       CAST(COALESCE(m.revenue, 0) AS DOUBLE) AS revenue,
        COALESCE(m.n_orders, 0) AS n_orders
 FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
 ORDER BY s.month_start
@@ -335,7 +336,7 @@ def olap_date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(monthly, "month_start", "left")
         .select(
             "month_start",
-            F.coalesce("revenue", F.lit(0)).cast("decimal(18,2)").alias("revenue"),
+            F.coalesce("revenue", F.lit(0)).cast("decimal(18,2)").cast("double").alias("revenue"),
             F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         )
         .orderBy("month_start")
@@ -348,7 +349,7 @@ def olap_date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCTRANK_SQL = """
 SELECT n.n_name AS nation, s.s_suppkey,
-       CAST(s.s_acctbal AS DECIMAL(18,2)) AS acctbal,
+       CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
        CAST(PERCENT_RANK() OVER (PARTITION BY n.n_name
             ORDER BY s.s_acctbal, s.s_suppkey) AS DOUBLE) AS pct_rank,
        CAST(CUME_DIST() OVER (PARTITION BY n.n_name
@@ -371,7 +372,7 @@ def olap_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "s_suppkey",
-            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume_dist"),
         )
@@ -389,7 +390,7 @@ WITH monthly AS (
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
   FROM orders GROUP BY 1
 )
-SELECT month_start, revenue,
+SELECT month_start, CAST(revenue AS DOUBLE) AS revenue,
        CAST(AVG(CAST(revenue AS DOUBLE)) OVER (ORDER BY month_start
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_ma3
 FROM monthly
@@ -416,7 +417,7 @@ def olap_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         monthly.select(
             "month_start",
-            "revenue",
+            F.col("revenue").cast("double").alias("revenue"),
             F.avg(F.col("revenue").cast("double")).over(w).alias("revenue_ma3"),
         )
         .orderBy("month_start")

@@ -73,7 +73,8 @@ WITH spend AS (
   GROUP BY c.c_custkey
 )
 SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
-       MIN(total_spend) AS min_spend, MAX(total_spend) AS max_spend
+       CAST(MIN(total_spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(total_spend) AS DOUBLE) AS max_spend
 FROM (SELECT c_custkey, total_spend,
              NTILE(4) OVER (ORDER BY total_spend DESC, c_custkey) AS quartile
       FROM spend)
@@ -100,8 +101,8 @@ def olap_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.min("total_spend").alias("min_spend"),
-            F.max("total_spend").alias("max_spend"),
+            F.min("total_spend").cast("double").alias("min_spend"),
+            F.max("total_spend").cast("double").alias("max_spend"),
         )
         .orderBy("quartile")
     )
@@ -184,7 +185,7 @@ _ROLLUP_SQL = """
 SELECT COALESCE(r.r_name, 'ALL') AS region,
        CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -208,7 +209,7 @@ def olap_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
             # grouping() is only valid inside the aggregate list
             F.grouping("n_name").alias("_g_nation"),
         )
@@ -224,12 +225,12 @@ def olap_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = """
 SELECT c.c_mktsegment AS mktsegment,
-       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1995
-                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1995,
-       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1996
-                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1996,
-       SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1997
-                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS y1997
+       CAST(SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1995
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1995,
+       CAST(SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1996
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1996,
+       CAST(SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1997
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y1997
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY mktsegment
@@ -256,9 +257,9 @@ def olap_pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sum("price")
         .select(
             "mktsegment",
-            F.col("1995").alias("y1995"),
-            F.col("1996").alias("y1996"),
-            F.col("1997").alias("y1997"),
+            F.col("1995").cast("double").alias("y1995"),
+            F.col("1996").cast("double").alias("y1996"),
+            F.col("1997").cast("double").alias("y1997"),
         )
         .orderBy("mktsegment")
     )

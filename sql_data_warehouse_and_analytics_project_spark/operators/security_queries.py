@@ -34,7 +34,7 @@ WITH mapping(user_name, region_name) AS (
            ('global_manager', 'AMERICA'), ('global_manager', 'EUROPE')
 )
 SELECT n.n_name AS nation, COUNT(*) AS n_orders,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -76,7 +76,7 @@ def security_rls_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
         .orderBy("nation")
     )
@@ -84,7 +84,7 @@ def security_rls_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MASK_SQL = """
 SELECT c_custkey, c_name, c_mktsegment,
-       CAST(0 AS DECIMAL(12,2)) AS acctbal_masked
+       CAST(0 AS DOUBLE) AS acctbal_masked
 FROM customer
 ORDER BY c_custkey
 LIMIT 100
@@ -99,9 +99,9 @@ def security_masked_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tpch.load(spark, sf_dir, "customer")
     is_manager = False  # analyst role; gold_manager holds UNMASK (ref :152)
     masked = (
-        F.col("c_acctbal").cast("decimal(12,2)")
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double")
         if is_manager
-        else F.lit(0).cast("decimal(12,2)")
+        else F.lit(0).cast("double")
     )
     return (
         customer.select("c_custkey", "c_name", "c_mktsegment", masked.alias("acctbal_masked"))

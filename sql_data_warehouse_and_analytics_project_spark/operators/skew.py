@@ -84,7 +84,7 @@ def co_located_join(
 
 _SALTED_SQL = """
 SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -106,7 +106,7 @@ def etl_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
         .orderBy("mktsegment")
     )

@@ -125,7 +125,7 @@ WITH bands(band, lo, hi) AS (
            ('premium', 30000.0, 60000.0), ('luxury', 60000.0, 1000000000000.0)
 )
 SELECT band, CAST(COUNT(*) AS BIGINT) AS n_items,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band
 ORDER BY band
@@ -142,7 +142,7 @@ def temporal_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
         .orderBy("band")
     )

@@ -31,40 +31,74 @@ def duck():
     con.close()
 
 
-def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
+def _norm_spark(v):
+    """Normalize a Spark cell the way the driver's hasher sees it.
+
+    The driver pulls the Spark result via Arrow/pandas, where DECIMAL stays a
+    ``decimal.Decimal`` object and stringifies with its scale ('1000.50'), so
+    we keep the canonical string — intentionally NOT float — to reproduce the
+    round-1 hash mismatches locally (VERDICT r01 defect #1/#3)."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
-    # Decimal / date / timestamp → canonical string
     type_name = type(v).__name__
-    if type_name in ("Decimal",):
+    if type_name == "Decimal":
+        return ("decimal", str(v))
+    if type_name in ("date", "datetime", "Timestamp"):
+        return str(v)
+    return v
+
+
+def _norm_duck(v):
+    """Normalize a DuckDB oracle cell the way the driver sees it: the driver
+    fetches via pandas (``fetchdf``), which converts DECIMAL to float64 — so
+    a Spark-side Decimal can never hash-equal a duck-side decimal here."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    type_name = type(v).__name__
+    if type_name == "Decimal":
         return float(v)
     if type_name in ("date", "datetime", "Timestamp"):
         return str(v)
     return v
 
 
+# kept for external callers; driver-strength comparisons use the split norms
+_norm = _norm_duck
+
+
 def assert_query_matches_oracle(spark, duck, name: str, sf_dir: str = SF_DIR, exact_floats: bool = True):
     """Local replica of the driver's t2 check: run the Spark query and the
     DuckDB oracle, sort columns by name, compare as sorted row multisets
     with exact value equality (floats bitwise)."""
+    from pyspark.sql.types import DecimalType
+
     from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
 
     rq = all_queries()[name]
     sdf = rq.fn(spark, sf_dir)
+    dec_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec_cols, (
+        f"{name}: final schema keeps DECIMAL columns {dec_cols}; the driver's "
+        "hasher canonicalizes Spark Decimal vs DuckDB float64 differently — "
+        "cast the final output to DOUBLE on both sides (VERDICT r01 defect #1)"
+    )
     spark_cols = sorted(sdf.columns)
-    spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
+    spark_rows = [tuple(_norm_spark(row[c]) for c in spark_cols) for row in sdf.collect()]
 
     assert rq.oracle is not None, f"{name} has no oracle"
     res = duck.execute(rq.oracle)
     duck_cols_raw = [d[0] for d in res.description]
     order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
     duck_cols = [duck_cols_raw[i] for i in order]
-    duck_rows = [tuple(_norm(r[i]) for i in order) for r in res.fetchall()]
+    duck_rows = [tuple(_norm_duck(r[i]) for i in order) for r in res.fetchall()]
 
     assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     assert len(spark_rows) == len(duck_rows), (
