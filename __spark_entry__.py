@@ -28,7 +28,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (revenue magnitude by nation) on sf0.001."""
     qs = all_queries()
-    return qs["q05_magnitude_by_nation"].fn(spark, SMOKE_SF_DIR)
+    return qs["q05_magnitude"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

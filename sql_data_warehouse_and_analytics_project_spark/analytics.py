@@ -216,7 +216,6 @@ ORDER BY total_revenue DESC
 """
 
 
-@query("q05_magnitude_by_nation", oracle=_Q05_NATION_SQL, headline=True)
 def q05_magnitude_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue magnitude by customer nation — the flagship query.
 
@@ -253,7 +252,6 @@ ORDER BY total_order_value DESC
 """
 
 
-@query("q05_magnitude_by_segment", oracle=_Q05_SEGMENT_SQL)
 def q05_magnitude_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order value by market segment (ref: 05_magnitude_analysis.sql:16-45, A2/A3)."""
     orders = _t(spark, sf_dir, "orders")
@@ -282,7 +280,6 @@ ORDER BY total_revenue DESC
 """
 
 
-@query("q05_magnitude_by_brand_type", oracle=_Q05_BRAND_SQL)
 def q05_magnitude_by_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key GROUP BY over fact⨝product dim (ref: 05_magnitude_analysis.sql:59-71, A3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -297,6 +294,74 @@ def q05_magnitude_by_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_revenue"))
     )
+
+
+# Composite registration: script 05 is ONE reference file emitting three
+# result sets (by nation / by segment / by brand+type); the registered query
+# unions all three into a uniform typed schema so the whole script gets a
+# single driver CORRECTNESS row (the driver caps checked queries at 50).
+_Q05_SQL = f"""
+SELECT 'by_nation' AS grain, nation_name AS dim_a, CAST(NULL AS VARCHAR) AS dim_b,
+       total_revenue, total_quantity, CAST(NULL AS DOUBLE) AS total_value,
+       n_orders, n_customers, CAST(NULL AS BIGINT) AS n_parts
+FROM ({_Q05_NATION_SQL})
+UNION ALL
+SELECT 'by_segment', segment, CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), total_order_value,
+       n_orders, n_customers, CAST(NULL AS BIGINT)
+FROM ({_Q05_SEGMENT_SQL})
+UNION ALL
+SELECT 'by_brand_type', brand, part_type,
+       total_revenue, total_quantity, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_parts
+FROM ({_Q05_BRAND_SQL})
+ORDER BY grain, dim_a, dim_b
+"""
+
+
+@query("q05_magnitude", oracle=_Q05_SQL, headline=True)
+def q05_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All of 05_magnitude_analysis.sql in one result: the three grain legs
+    (nation / segment / brand+type) union-tagged into a shared schema. Each
+    leg keeps its own optimal plan (broadcast dims + one agg shuffle); the
+    union is plan-level concatenation, no extra shuffle."""
+    _ns = F.lit(None).cast("string")
+    _nd = F.lit(None).cast("double")
+    _nl = F.lit(None).cast("bigint")
+    nation = q05_magnitude_by_nation(spark, sf_dir).select(
+        F.lit("by_nation").alias("grain"),
+        F.col("nation_name").alias("dim_a"),
+        _ns.alias("dim_b"),
+        "total_revenue",
+        "total_quantity",
+        _nd.alias("total_value"),
+        "n_orders",
+        "n_customers",
+        _nl.alias("n_parts"),
+    )
+    segment = q05_magnitude_by_segment(spark, sf_dir).select(
+        F.lit("by_segment").alias("grain"),
+        F.col("segment").alias("dim_a"),
+        _ns.alias("dim_b"),
+        _nd.alias("total_revenue"),
+        _nd.alias("total_quantity"),
+        F.col("total_order_value").alias("total_value"),
+        "n_orders",
+        "n_customers",
+        _nl.alias("n_parts"),
+    )
+    brand = q05_magnitude_by_brand_type(spark, sf_dir).select(
+        F.lit("by_brand_type").alias("grain"),
+        F.col("brand").alias("dim_a"),
+        F.col("part_type").alias("dim_b"),
+        "total_revenue",
+        "total_quantity",
+        _nd.alias("total_value"),
+        _nl.alias("n_orders"),
+        _nl.alias("n_customers"),
+        "n_parts",
+    )
+    return nation.unionByName(segment).unionByName(brand).orderBy("grain", "dim_a", "dim_b")
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +384,6 @@ ORDER BY revenue_rank, p_partkey
 """
 
 
-@query("q06_rank_top_parts", oracle=_Q06_RANK_SQL)
 def q06_rank_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 parts by revenue via RANK window over an aggregate
     (ref: 06_ranking_analysis.sql:27-38, W3+O3). Rank ties computed on the
@@ -355,7 +419,6 @@ LIMIT 10
 """
 
 
-@query("q06_top10_customers", oracle=_Q06_TOPN_SQL)
 def q06_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-N by aggregate with deterministic key tiebreak
     (ref: 06_ranking_analysis.sql:41-48, O2 → Catalyst TakeOrderedAndProject)."""
@@ -381,7 +444,6 @@ LIMIT 3
 """
 
 
-@query("q06_bottom3_suppliers", oracle=_Q06_BOTTOM_SQL)
 def q06_bottom3_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-N performers (ref: 06_ranking_analysis.sql:51-66)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -394,6 +456,54 @@ def q06_bottom3_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
     )
+
+
+# Composite registration for script 06 (see q05_magnitude note).
+_Q06_SQL = f"""
+SELECT 'top_parts' AS ranking, CAST(p_partkey AS BIGINT) AS entity_key,
+       p_name AS entity_name, total_revenue AS measure, revenue_rank AS rnk
+FROM ({_Q06_RANK_SQL})
+UNION ALL
+SELECT 'top_customers', CAST(c_custkey AS BIGINT), c_name, total_spend,
+       CAST(NULL AS BIGINT)
+FROM ({_Q06_TOPN_SQL})
+UNION ALL
+SELECT 'bottom_suppliers', CAST(s_suppkey AS BIGINT), s_name, total_revenue,
+       CAST(NULL AS BIGINT)
+FROM ({_Q06_BOTTOM_SQL})
+ORDER BY ranking, entity_key
+"""
+
+
+@query("q06_ranking", oracle=_Q06_SQL)
+def q06_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All of 06_ranking_analysis.sql: window-RANK top-5 parts, TOP-10
+    customers, bottom-3 suppliers, union-tagged. Each leg stays a
+    TakeOrderedAndProject / partition-local rank — no global sort of raw
+    data at any scale."""
+    _nl = F.lit(None).cast("bigint")
+    parts = q06_rank_top_parts(spark, sf_dir).select(
+        F.lit("top_parts").alias("ranking"),
+        F.col("p_partkey").cast("bigint").alias("entity_key"),
+        F.col("p_name").alias("entity_name"),
+        F.col("total_revenue").alias("measure"),
+        F.col("revenue_rank").alias("rnk"),
+    )
+    custs = q06_top10_customers(spark, sf_dir).select(
+        F.lit("top_customers").alias("ranking"),
+        F.col("c_custkey").cast("bigint").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("total_spend").alias("measure"),
+        _nl.alias("rnk"),
+    )
+    supps = q06_bottom3_suppliers(spark, sf_dir).select(
+        F.lit("bottom_suppliers").alias("ranking"),
+        F.col("s_suppkey").cast("bigint").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("total_revenue").alias("measure"),
+        _nl.alias("rnk"),
+    )
+    return parts.unionByName(custs).unionByName(supps).orderBy("ranking", "entity_key")
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +522,6 @@ ORDER BY order_year
 """
 
 
-@query("q07_change_over_years", oracle=_Q07_YEAR_SQL)
 def q07_change_over_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yearly trend (ref: 07_change_over_time_analysis.sql:18-27, A4+P2)."""
     base = sales_base(spark, sf_dir).filter(F.col("o_orderdate").isNotNull())
@@ -438,7 +547,6 @@ ORDER BY order_month
 """
 
 
-@query("q07_change_over_months", oracle=_Q07_MONTH_SQL)
 def q07_change_over_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly trend via DATETRUNC (ref: 07_change_over_time_analysis.sql:31-38, A4)."""
     base = sales_base(spark, sf_dir).filter(F.col("o_orderdate").isNotNull())
@@ -463,7 +571,6 @@ ORDER BY order_year, order_month_num
 """
 
 
-@query("q07_month_labels", oracle=_Q07_LABEL_SQL)
 def q07_month_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORMAT(d,'yyyy-MMM')-style labels (ref: 07_change_over_time_analysis.sql:42-49).
 
@@ -479,6 +586,75 @@ def q07_month_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(money("o_totalprice")).cast("double").alias("total_order_value"))
         .orderBy("order_year", "order_month_num")
+    )
+
+
+# Composite registration for script 07 (see q05_magnitude note).
+_Q07_SQL = f"""
+SELECT 'yearly' AS grain, order_year, CAST(NULL AS BIGINT) AS order_month_num,
+       CAST(NULL AS DATE) AS month_start, CAST(NULL AS VARCHAR) AS month_label,
+       total_revenue, total_quantity, CAST(NULL AS DOUBLE) AS total_value, n_orders
+FROM ({_Q07_YEAR_SQL})
+UNION ALL
+SELECT 'monthly', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       order_month, CAST(NULL AS VARCHAR),
+       total_revenue, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n_orders
+FROM ({_Q07_MONTH_SQL})
+UNION ALL
+SELECT 'month_labels', order_year, order_month_num,
+       CAST(NULL AS DATE), month_label,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), total_order_value,
+       CAST(NULL AS BIGINT)
+FROM ({_Q07_LABEL_SQL})
+ORDER BY grain, order_year, order_month_num, month_start
+"""
+
+
+@query("q07_change_over_time", oracle=_Q07_SQL)
+def q07_change_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All of 07_change_over_time_analysis.sql: yearly trend, DATETRUNC
+    monthly trend, and FORMAT-label months, union-tagged."""
+    _nl = F.lit(None).cast("bigint")
+    _nd = F.lit(None).cast("double")
+    _ns = F.lit(None).cast("string")
+    _ndt = F.lit(None).cast("date")
+    yearly = q07_change_over_years(spark, sf_dir).select(
+        F.lit("yearly").alias("grain"),
+        "order_year",
+        _nl.alias("order_month_num"),
+        _ndt.alias("month_start"),
+        _ns.alias("month_label"),
+        "total_revenue",
+        "total_quantity",
+        _nd.alias("total_value"),
+        "n_orders",
+    )
+    monthly = q07_change_over_months(spark, sf_dir).select(
+        F.lit("monthly").alias("grain"),
+        _nl.alias("order_year"),
+        _nl.alias("order_month_num"),
+        F.col("order_month").alias("month_start"),
+        _ns.alias("month_label"),
+        "total_revenue",
+        _nd.alias("total_quantity"),
+        _nd.alias("total_value"),
+        "n_orders",
+    )
+    labels = q07_month_labels(spark, sf_dir).select(
+        F.lit("month_labels").alias("grain"),
+        "order_year",
+        "order_month_num",
+        _ndt.alias("month_start"),
+        "month_label",
+        _nd.alias("total_revenue"),
+        _nd.alias("total_quantity"),
+        F.col("total_order_value").alias("total_value"),
+        _nl.alias("n_orders"),
+    )
+    return (
+        yearly.unionByName(monthly)
+        .unionByName(labels)
+        .orderBy("grain", "order_year", "order_month_num", "month_start")
     )
 
 
@@ -627,7 +803,6 @@ ORDER BY n_parts DESC, price_range
 """
 
 
-@query("q10_part_price_segmentation", oracle=_Q10_PART_SQL)
 def q10_part_price_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price-range bucketing + count per bucket
     (ref: 10_data_segmentation.sql:17-35, P6+P8+A7)."""
@@ -667,7 +842,6 @@ ORDER BY n_customers DESC, customer_segment
 """
 
 
-@query("q10_customer_segmentation", oracle=_Q10_CUST_SQL, headline=True)
 def q10_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIP/Regular/New segmentation: per-customer agg → CASE → re-agg
     (ref: 10_data_segmentation.sql:43-69, A7 two-level aggregation)."""
@@ -695,6 +869,37 @@ def q10_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_customers"), F.asc("customer_segment"))
     )
+
+
+# Composite registration for script 10 (see q05_magnitude note).
+_Q10_SQL = f"""
+SELECT 'part_price' AS segmentation, price_range AS bucket,
+       n_parts AS n, CAST(NULL AS DOUBLE) AS segment_spend
+FROM ({_Q10_PART_SQL})
+UNION ALL
+SELECT 'customer', customer_segment, n_customers, segment_spend
+FROM ({_Q10_CUST_SQL})
+ORDER BY segmentation, bucket
+"""
+
+
+@query("q10_segmentation", oracle=_Q10_SQL, headline=True)
+def q10_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All of 10_data_segmentation.sql: part price-range bucketing and
+    VIP/Regular/New customer segmentation, union-tagged."""
+    part = q10_part_price_segmentation(spark, sf_dir).select(
+        F.lit("part_price").alias("segmentation"),
+        F.col("price_range").alias("bucket"),
+        F.col("n_parts").alias("n"),
+        F.lit(None).cast("double").alias("segment_spend"),
+    )
+    cust = q10_customer_segmentation(spark, sf_dir).select(
+        F.lit("customer").alias("segmentation"),
+        F.col("customer_segment").alias("bucket"),
+        F.col("n_customers").alias("n"),
+        "segment_spend",
+    )
+    return part.unionByName(cust).orderBy("segmentation", "bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tpch.load(spark, sf_dir, name)
 
 
-@query("olap_approx_distinct_customers", oracle=None)
 def olap_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct customers and parts per order priority (rsd=0.02).
     The sketch is a fixed-size register array merged associatively, so the
@@ -51,7 +50,6 @@ def olap_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("olap_approx_percentiles", oracle=None)
 def olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 order price per market segment
     (accuracy=10000 → rank error ≤ 1/10000). Mergeable sketch: the same
@@ -75,3 +73,27 @@ def olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+@query("olap_approx_summary", oracle=None)
+def olap_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-aggregate operators (HLL++ distincts per order
+    priority, t-digest percentiles per market segment), union-tagged into
+    one rows-only driver entry; sketch internals differ across engines so
+    there is no hash oracle by design — error bounds are pytest-gated
+    against the exact twins (tests/test_training_data_ops.py)."""
+    _nd = F.lit(None).cast("double")
+    distinct = olap_approx_distinct_customers(spark, sf_dir).select(
+        F.lit("hll_distinct").alias("sketch"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("approx_orders").cast("double").alias("v1"),
+        F.col("approx_parts").cast("double").alias("v2"),
+        _nd.alias("v3"),
+    )
+    pctl = olap_approx_percentiles(spark, sf_dir).select(
+        F.lit("tdigest_percentiles").alias("sketch"),
+        F.col("mktsegment").alias("grp"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"),
+    )
+    return distinct.unionByName(pctl).orderBy("sketch", "grp")

@@ -32,7 +32,6 @@ ORDER BY o_custkey
 """
 
 
-@query("etl_dedup_keep_latest", oracle=_DEDUP_SQL)
 def etl_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest-per-key dedup via ROW_NUMBER, the silver customer dedup
     pattern (ref: scripts/silver/proc_load_silver.sql:90-97, W1). Orderkey
@@ -61,7 +60,6 @@ ORDER BY nation_sk
 """
 
 
-@query("etl_surrogate_keys", oracle=_SK_SQL)
 def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic surrogate keys via global ROW_NUMBER over the natural key
     (ref: scripts/gold/proc_load_gold.sql:54,109, W2).
@@ -87,7 +85,6 @@ ORDER BY c.c_custkey
 """
 
 
-@query("etl_anti_join_customers_no_orders", oracle=_ANTI_SQL)
 def etl_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never ordered — the NOT EXISTS insert guard
     and the gold orphan check (ref: proc_load_silver.sql:195-198 J7;
@@ -109,7 +106,6 @@ ORDER BY c.c_custkey
 """
 
 
-@query("etl_semi_join_recent_customers", oracle=_SEMI_SQL)
 def etl_semi_join_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join with a pushed-down date predicate (EXISTS form of J4)."""
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -138,7 +134,6 @@ ORDER BY order_status
 """
 
 
-@query("etl_case_decode_status", oracle=_DECODE_SQL)
 def etl_case_decode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coded-value decode via CASE with n/a default — the silver
     marital/gender/product-line decode pattern
@@ -170,7 +165,6 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("etl_null_repair_expressions", oracle=_REPAIR_SQL)
 def etl_null_repair_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABS/NULLIF/COALESCE repair arithmetic — the silver sales repair rules
     sales = qty × ABS(price), price = sales / NULLIF(qty,0)
@@ -202,7 +196,6 @@ ORDER BY c_custkey
 """
 
 
-@query("etl_hash_fingerprint", oracle=_HASH_SQL)
 def etl_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHA-256 over pipe-concatenated business columns — the SCD change
     detector dwh_hash_full (ref: scripts/silver/proc_load_silver.sql:63-71, C5)."""
@@ -224,7 +217,6 @@ ORDER BY o_orderkey
 """
 
 
-@query("etl_watermark_delta_filter", oracle=_WM_SQL)
 def etl_watermark_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental delta filter past a watermark — pushed to the parquet scan
     (ref: scripts/silver/proc_load_silver.sql:242, C1/C4/P3)."""
@@ -248,7 +240,6 @@ SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment
 """
 
 
-@query("etl_distinct_projection", oracle=_DISTINCT_SQL)
 def etl_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT domain inspection (ref: tests/quality_checks_silver.sql:40-42, P5)."""
     return (
@@ -270,7 +261,6 @@ ORDER BY nation_name
 """
 
 
-@query("etl_expression_key_join", oracle=_EXPR_JOIN_SQL)
 def etl_expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join on CAST-expression keys — the gold fact↔dim lookup uses cast and
     substring keys (ref: scripts/gold/proc_load_gold.sql:163-165, J3)."""
@@ -299,7 +289,6 @@ ORDER BY o_custkey
 """
 
 
-@query("etl_having_filter", oracle=_HAVING_SQL)
 def etl_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING-style post-aggregation filter, the duplicate-detection shape
     (ref: tests/quality_checks_silver.sql:25-30, A6)."""
@@ -310,3 +299,190 @@ def etl_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 25)
         .orderBy("o_custkey")
     )
+
+# ---------------------------------------------------------------------------
+# Composite registrations: the 11 ETL operator probes above stay importable,
+# but register as 4 union-tagged suites so each gets a driver CORRECTNESS
+# row within the driver's 50-query cap (VERDICT r01 action #2). Every leg
+# keeps its own plan; the union concatenates results without extra shuffles.
+# ---------------------------------------------------------------------------
+
+_WINDOW_KEYS_SQL = f"""
+SELECT 'dedup_keep_latest' AS leg, CAST(o_custkey AS BIGINT) AS k1,
+       CAST(latest_orderkey AS BIGINT) AS k2, CAST(NULL AS VARCHAR) AS name,
+       latest_orderdate AS dt
+FROM ({_DEDUP_SQL})
+UNION ALL
+SELECT 'surrogate_keys', nation_sk, CAST(n_nationkey AS BIGINT), n_name,
+       CAST(NULL AS DATE)
+FROM ({_SK_SQL})
+ORDER BY leg, k1
+"""
+
+
+@query("etl_window_keys", oracle=_WINDOW_KEYS_SQL)
+def etl_window_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keep-latest dedup + W2 surrogate keys, union-tagged."""
+    dedup = etl_dedup_keep_latest(spark, sf_dir).select(
+        F.lit("dedup_keep_latest").alias("leg"),
+        F.col("o_custkey").cast("bigint").alias("k1"),
+        F.col("latest_orderkey").cast("bigint").alias("k2"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("latest_orderdate").alias("dt"),
+    )
+    sk = etl_surrogate_keys(spark, sf_dir).select(
+        F.lit("surrogate_keys").alias("leg"),
+        F.col("nation_sk").alias("k1"),
+        F.col("n_nationkey").cast("bigint").alias("k2"),
+        F.col("n_name").alias("name"),
+        F.lit(None).cast("date").alias("dt"),
+    )
+    return dedup.unionByName(sk).orderBy("leg", "k1")
+
+
+_JOIN_SUITE_SQL = f"""
+SELECT 'anti' AS leg, CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+       CAST(NULL AS BIGINT) AS cnt
+FROM ({_ANTI_SQL})
+UNION ALL
+SELECT 'semi', CAST(c_custkey AS BIGINT), c_name, CAST(NULL AS BIGINT)
+FROM ({_SEMI_SQL})
+UNION ALL
+SELECT 'expression_key', CAST(NULL AS BIGINT), nation_name, n_suppliers
+FROM ({_EXPR_JOIN_SQL})
+ORDER BY leg, k, name
+"""
+
+
+@query("etl_join_suite", oracle=_JOIN_SUITE_SQL)
+def etl_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 anti join + J4 semi join + J3 expression-key join, union-tagged."""
+    _nl = F.lit(None).cast("bigint")
+    anti = etl_anti_join_customers_no_orders(spark, sf_dir).select(
+        F.lit("anti").alias("leg"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_name").alias("name"),
+        _nl.alias("cnt"),
+    )
+    semi = etl_semi_join_recent_customers(spark, sf_dir).select(
+        F.lit("semi").alias("leg"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_name").alias("name"),
+        _nl.alias("cnt"),
+    )
+    expr = etl_expression_key_join(spark, sf_dir).select(
+        F.lit("expression_key").alias("leg"),
+        _nl.alias("k"),
+        F.col("nation_name").alias("name"),
+        F.col("n_suppliers").alias("cnt"),
+    )
+    return anti.unionByName(semi).unionByName(expr).orderBy("leg", "k", "name")
+
+
+_SCALAR_SUITE_SQL = f"""
+SELECT 'case_decode' AS leg, CAST(NULL AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+       order_status AS label, CAST(NULL AS DOUBLE) AS x1, CAST(NULL AS DOUBLE) AS x2,
+       n_orders AS cnt
+FROM ({_DECODE_SQL})
+UNION ALL
+SELECT 'null_repair', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+       CAST(NULL AS VARCHAR), repaired_price, tax_filled, CAST(NULL AS BIGINT)
+FROM ({_REPAIR_SQL})
+UNION ALL
+SELECT 'hash_fingerprint', CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT),
+       row_fingerprint, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({_HASH_SQL})
+ORDER BY leg, k1, k2, label
+"""
+
+
+@query("etl_scalar_suite", oracle=_SCALAR_SUITE_SQL)
+def etl_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 CASE decode + P7/A8 NULL-repair arithmetic + C5 SHA-256
+    change-detection fingerprint, union-tagged."""
+    _nl = F.lit(None).cast("bigint")
+    _nd = F.lit(None).cast("double")
+    _ns = F.lit(None).cast("string")
+    decode = etl_case_decode_status(spark, sf_dir).select(
+        F.lit("case_decode").alias("leg"),
+        _nl.alias("k1"),
+        _nl.alias("k2"),
+        F.col("order_status").alias("label"),
+        _nd.alias("x1"),
+        _nd.alias("x2"),
+        F.col("n_orders").alias("cnt"),
+    )
+    repair = etl_null_repair_expressions(spark, sf_dir).select(
+        F.lit("null_repair").alias("leg"),
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        _ns.alias("label"),
+        F.col("repaired_price").alias("x1"),
+        F.col("tax_filled").alias("x2"),
+        _nl.alias("cnt"),
+    )
+    hashed = etl_hash_fingerprint(spark, sf_dir).select(
+        F.lit("hash_fingerprint").alias("leg"),
+        F.col("c_custkey").cast("bigint").alias("k1"),
+        _nl.alias("k2"),
+        F.col("row_fingerprint").alias("label"),
+        _nd.alias("x1"),
+        _nd.alias("x2"),
+        _nl.alias("cnt"),
+    )
+    return decode.unionByName(repair).unionByName(hashed).orderBy("leg", "k1", "k2", "label")
+
+
+_FILTER_SUITE_SQL = f"""
+SELECT 'watermark_delta' AS leg, CAST(o_orderkey AS BIGINT) AS k1,
+       CAST(o_custkey AS BIGINT) AS k2, CAST(NULL AS VARCHAR) AS label,
+       o_orderdate AS dt, o_totalprice AS x1, CAST(NULL AS BIGINT) AS cnt
+FROM ({_WM_SQL})
+UNION ALL
+SELECT 'distinct_projection', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       segment, CAST(NULL AS DATE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({_DISTINCT_SQL})
+UNION ALL
+SELECT 'having', CAST(o_custkey AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DATE), CAST(NULL AS DOUBLE), n_orders
+FROM ({_HAVING_SQL})
+ORDER BY leg, k1, label
+"""
+
+
+@query("etl_filter_suite", oracle=_FILTER_SUITE_SQL)
+def etl_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/C4 watermark delta filter + P5 DISTINCT projection + A6 HAVING,
+    union-tagged."""
+    _nl = F.lit(None).cast("bigint")
+    _nd = F.lit(None).cast("double")
+    _ns = F.lit(None).cast("string")
+    _ndt = F.lit(None).cast("date")
+    wm = etl_watermark_delta_filter(spark, sf_dir).select(
+        F.lit("watermark_delta").alias("leg"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.col("o_custkey").cast("bigint").alias("k2"),
+        _ns.alias("label"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("o_totalprice").alias("x1"),
+        _nl.alias("cnt"),
+    )
+    dist = etl_distinct_projection(spark, sf_dir).select(
+        F.lit("distinct_projection").alias("leg"),
+        _nl.alias("k1"),
+        _nl.alias("k2"),
+        F.col("segment").alias("label"),
+        _ndt.alias("dt"),
+        _nd.alias("x1"),
+        _nl.alias("cnt"),
+    )
+    having = etl_having_filter(spark, sf_dir).select(
+        F.lit("having").alias("leg"),
+        F.col("o_custkey").cast("bigint").alias("k1"),
+        _nl.alias("k2"),
+        _ns.alias("label"),
+        _ndt.alias("dt"),
+        _nd.alias("x1"),
+        F.col("n_orders").alias("cnt"),
+    )
+    return wm.unionByName(dist).unionByName(having).orderBy("leg", "k1", "label")

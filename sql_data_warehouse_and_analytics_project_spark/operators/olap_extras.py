@@ -42,7 +42,6 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
-@query("olap_lead_order_gap", oracle=_LEAD_SQL)
 def olap_lead_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAD window: days between a customer's consecutive orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -83,7 +82,6 @@ ORDER BY quartile
 """
 
 
-@query("olap_ntile_customer_quartiles", oracle=_NTILE_SQL)
 def olap_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) spend quartiles with per-quartile bounds. The custkey
     tiebreak pins tile assignment for equal spends (cross-engine
@@ -121,7 +119,6 @@ ORDER BY o_custkey
 """
 
 
-@query("olap_first_last_order", oracle=_BRACKET_SQL)
 def olap_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST_VALUE/LAST_VALUE with an explicit unbounded ROWS frame —
     LAST_VALUE under the default frame stops at the current row, the classic
@@ -151,7 +148,6 @@ ORDER BY o_custkey
 """
 
 
-@query("olap_intersect_repeat_customers", oracle=_INTERSECT_SQL)
 def olap_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct): customers ordering in both 1995 and 1996."""
     orders = _t(spark, sf_dir, "orders")
@@ -169,7 +165,6 @@ ORDER BY o_custkey
 """
 
 
-@query("olap_except_churned_customers", oracle=_EXCEPT_SQL)
 def olap_except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct): 1995 customers who did not order in 1996."""
     orders = _t(spark, sf_dir, "orders")
@@ -276,7 +271,6 @@ ORDER BY mktsegment
 """
 
 
-@query("olap_percentiles_by_segment", oracle=_PCTL_SQL)
 def olap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear-interpolating). At 100 TB the same
@@ -295,3 +289,102 @@ def olap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+# ---------------------------------------------------------------------------
+# Composite registrations (driver 50-query cap; legs stay importable).
+# ---------------------------------------------------------------------------
+
+_ORDER_SEQ_SQL = f"""
+SELECT 'lead_gap' AS leg, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderdate,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, days_to_next_order,
+       CAST(NULL AS BIGINT) AS first_orderkey, CAST(NULL AS BIGINT) AS last_orderkey
+FROM ({_LEAD_SQL})
+UNION ALL
+SELECT 'first_last', CAST(o_custkey AS BIGINT), CAST(NULL AS DATE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(first_orderkey AS BIGINT), CAST(last_orderkey AS BIGINT)
+FROM ({_BRACKET_SQL})
+ORDER BY leg, o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("olap_order_sequence", oracle=_ORDER_SEQ_SQL)
+def olap_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD inter-order gaps + FIRST_VALUE/LAST_VALUE order bracketing,
+    union-tagged; both legs ride the same per-customer sort."""
+    _nl = F.lit(None).cast("bigint")
+    _ndt = F.lit(None).cast("date")
+    lead = olap_lead_order_gap(spark, sf_dir).select(
+        F.lit("lead_gap").alias("leg"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_orderdate",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "days_to_next_order",
+        _nl.alias("first_orderkey"),
+        _nl.alias("last_orderkey"),
+    )
+    bracket = olap_first_last_order(spark, sf_dir).select(
+        F.lit("first_last").alias("leg"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        _ndt.alias("o_orderdate"),
+        _nl.alias("o_orderkey"),
+        _nl.alias("days_to_next_order"),
+        F.col("first_orderkey").cast("bigint").alias("first_orderkey"),
+        F.col("last_orderkey").cast("bigint").alias("last_orderkey"),
+    )
+    return lead.unionByName(bracket).orderBy("leg", "o_custkey", "o_orderdate", "o_orderkey")
+
+
+_DISTRIBUTION_SQL = f"""
+SELECT 'ntile_quartiles' AS leg, CAST(quartile AS VARCHAR) AS bucket,
+       n_customers, min_spend AS v1, max_spend AS v2, CAST(NULL AS DOUBLE) AS v3
+FROM ({_NTILE_SQL})
+UNION ALL
+SELECT 'percentiles', mktsegment, CAST(NULL AS BIGINT), p50, p90, p99
+FROM ({_PCTL_SQL})
+ORDER BY leg, bucket
+"""
+
+
+@query("olap_distribution", oracle=_DISTRIBUTION_SQL)
+def olap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) spend quartiles + exact continuous percentiles per segment,
+    union-tagged."""
+    ntile = olap_ntile_customer_quartiles(spark, sf_dir).select(
+        F.lit("ntile_quartiles").alias("leg"),
+        F.col("quartile").cast("string").alias("bucket"),
+        "n_customers",
+        F.col("min_spend").alias("v1"),
+        F.col("max_spend").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    pctl = olap_percentiles_by_segment(spark, sf_dir).select(
+        F.lit("percentiles").alias("leg"),
+        F.col("mktsegment").alias("bucket"),
+        F.lit(None).cast("bigint").alias("n_customers"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"),
+    )
+    return ntile.unionByName(pctl).orderBy("leg", "bucket")
+
+
+_SET_OPS_SQL = f"""
+SELECT 'intersect' AS op, CAST(o_custkey AS BIGINT) AS o_custkey
+FROM ({_INTERSECT_SQL})
+UNION ALL
+SELECT 'except', CAST(o_custkey AS BIGINT) FROM ({_EXCEPT_SQL})
+ORDER BY op, o_custkey
+"""
+
+
+@query("olap_set_ops", oracle=_SET_OPS_SQL)
+def olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (both DISTINCT semantics), union-tagged."""
+    inter = olap_intersect_repeat_customers(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), F.col("o_custkey").cast("bigint").alias("o_custkey")
+    )
+    exc = olap_except_churned_customers(spark, sf_dir).select(
+        F.lit("except").alias("op"), F.col("o_custkey").cast("bigint").alias("o_custkey")
+    )
+    return inter.unionByName(exc).orderBy("op", "o_custkey")

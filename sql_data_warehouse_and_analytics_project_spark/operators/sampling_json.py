@@ -50,7 +50,6 @@ ORDER BY doc_id
 """
 
 
-@query("sample_deterministic_hash", oracle=_HASH_SAMPLE_SQL)
 def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1/16 reproducible sample keyed on md5(doc_id)'s last nibble.
     Membership is a pure row function: stable under repartitioning,
@@ -172,7 +171,6 @@ ORDER BY split, lang
 """
 
 
-@query("sample_train_test_split", oracle=_SPLIT_SQL)
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~81/19 train/test split assigned by md5(doc_id) nibble — the
     reproducible-holdout pattern: a document's split never changes when
@@ -194,3 +192,49 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+# ---------------------------------------------------------------------------
+# Composite registration: both hash-assignment operators in one driver row.
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = f"""
+SELECT 'hash_sample' AS leg, doc_id, lang, source, n_chars,
+       CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS n_docs,
+       CAST(NULL AS BIGINT) AS total_chars
+FROM ({_HASH_SAMPLE_SQL})
+UNION ALL
+SELECT 'train_test_split', CAST(NULL AS BIGINT), lang, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), split, n_docs, total_chars
+FROM ({_SPLIT_SQL})
+ORDER BY leg, doc_id, lang, split
+"""
+
+
+@query("sample_hash_split", oracle=_HASH_SPLIT_SQL)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 hash sample + reproducible train/test split,
+    union-tagged — both membership functions are pure md5(doc_id) nibble
+    predicates, stable under repartitioning and engine choice."""
+    _ns = F.lit(None).cast("string")
+    _nl = F.lit(None).cast("bigint")
+    sample = sample_deterministic_hash(spark, sf_dir).select(
+        F.lit("hash_sample").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        _ns.alias("split"),
+        _nl.alias("n_docs"),
+        _nl.alias("total_chars"),
+    )
+    split = sample_train_test_split(spark, sf_dir).select(
+        F.lit("train_test_split").alias("leg"),
+        _nl.alias("doc_id"),
+        "lang",
+        _ns.alias("source"),
+        _nl.alias("n_chars"),
+        "split",
+        "n_docs",
+        "total_chars",
+    )
+    return sample.unionByName(split).orderBy("leg", "doc_id", "lang", "split")

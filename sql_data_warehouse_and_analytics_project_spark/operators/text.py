@@ -45,7 +45,6 @@ ORDER BY doc_id
 """
 
 
-@query("text_token_stats", oracle=_TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, average token
     length — the basic budget/length metrics of a training-data pipeline."""
@@ -89,7 +88,6 @@ ORDER BY doc_id
 """
 
 
-@query("text_quality_scores", oracle=_QUALITY_SQL)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality scoring: character-class ratios +
     type-token ratio, bucketed into high/medium/low — the classic
@@ -177,7 +175,6 @@ ORDER BY doc_id
 """
 
 
-@query("text_lang_id", oracle=_LANG_ID_SQL)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via stopword-marker voting (n-gram heuristic):
     count per-language marker occurrences, argmax with a deterministic
@@ -227,7 +224,6 @@ ORDER BY doc_id
 """
 
 
-@query("text_fingerprint", oracle=_FINGERPRINT_SQL)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized document fingerprint: lowercase, collapse whitespace,
     SHA-256 — the content-addressed identity used by exact dedup and
@@ -240,4 +236,125 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("doc_fingerprint"),
         F.substring(fp, 1, 16).alias("shard_key"),
+    ).orderBy("doc_id")
+
+
+# --- composite: the whole text-analysis tier in ONE scan --------------------
+
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_PROFILE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len({SQL_TOKENS}) AS DOUBLE) AS avg_token_len,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)
+           / len({SQL_TOKENS}) AS ttr,
+         {_lang_scores_sql()},
+         sha256({_SQL_NORM}) AS doc_fingerprint
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+       alpha_ratio, digit_ratio, punct_ratio, ttr,
+       CASE WHEN n_tokens >= 20 AND alpha_ratio > 0.6 AND ttr > 0.2 THEN 'high'
+            WHEN n_tokens >= 10 AND alpha_ratio > 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_bucket,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+                 AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+            WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+            WHEN score_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang,
+       score_en, score_de, score_fr, score_es,
+       doc_fingerprint,
+       substr(doc_fingerprint, 1, 16) AS shard_key
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_profile", oracle=_PROFILE_SQL)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis tier — token stats, quality scoring, language
+    ID, and fingerprinting — as ONE narrow projection over one documents
+    scan (the individual builders above remain importable; registering the
+    fused pass gives the whole tier a single driver CORRECTNESS row and is
+    also the shape you want at 100 TB: one scan, zero shuffles, all columns
+    computed in a single whole-stage-codegen span)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+
+    def class_ratio(pattern: str) -> Column:
+        return F.length(F.regexp_replace(F.col("text"), pattern, "")).cast("double") / n_chars
+
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    score_cols = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = _occurrences(padded, markers[0])
+        for m in markers[1:]:
+            total = total + _occurrences(padded, m)
+        score_cols[lang] = total
+    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+        class_ratio(r"[^a-zA-Z]").alias("alpha_ratio"),
+        class_ratio(r"[^0-9]").alias("digit_ratio"),
+        class_ratio(r"[^.!?,;:]").alias("punct_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+        fp.alias("doc_fingerprint"),
+    )
+    se, sd, sf_, ss = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((se >= sd) & (se >= sf_) & (se >= ss) & (se > 0), "en")
+        .when((sd >= sf_) & (sd >= ss) & (sd > 0), "de")
+        .when((sf_ >= ss) & (sf_ > 0), "fr")
+        .when(ss > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "alpha_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "ttr",
+        F.when(
+            (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") > 0.6) & (F.col("ttr") > 0.2), "high"
+        )
+        .when((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") > 0.4), "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+        predicted.alias("predicted_lang"),
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        "doc_fingerprint",
+        F.substring("doc_fingerprint", 1, 16).alias("shard_key"),
     ).orderBy("doc_id")

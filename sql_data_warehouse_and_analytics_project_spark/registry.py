@@ -56,4 +56,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     )
     from .streaming import batch_views  # noqa: F401
 
-    return dict(_REGISTRY)
+    # Oracle-backed queries first: the driver caps its correctness file at 50
+    # entries in registration order, so hash-checkable queries must never be
+    # displaced by rows-only ones if the registry grows (sort is stable —
+    # in-module order is preserved within each group).
+    return dict(sorted(_REGISTRY.items(), key=lambda kv: kv[1].oracle is None))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pytest
 
+from sql_data_warehouse_and_analytics_project_spark import analytics
 from sql_data_warehouse_and_analytics_project_spark.plans import audit
 from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
 
@@ -17,31 +18,31 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose joins must all be broadcast (fact × small dims).
 BROADCAST_ONLY = [
-    "q05_magnitude_by_nation",
-    "q05_magnitude_by_segment",
-    "q06_top10_customers",
-    "q09_performance_yoy",
-    "q11_part_to_whole_region",
-    "q12_report_customers",
-    "q13_report_products",
+    analytics.q05_magnitude_by_nation,
+    analytics.q05_magnitude_by_segment,
+    analytics.q06_top10_customers,
+    lambda s, d: all_queries()["q09_performance_yoy"].fn(s, d),
+    lambda s, d: all_queries()["q11_part_to_whole_region"].fn(s, d),
+    lambda s, d: all_queries()["q12_report_customers"].fn(s, d),
+    lambda s, d: all_queries()["q13_report_products"].fn(s, d),
 ]
 
 
-@pytest.mark.parametrize("name", BROADCAST_ONLY)
-def test_dim_joins_broadcast(spark, name):
-    df = all_queries()[name].fn(spark, SF_DIR)
+@pytest.mark.parametrize("fn", BROADCAST_ONLY)
+def test_dim_joins_broadcast(spark, fn):
+    df = fn(spark, SF_DIR)
     audit.assert_no_shuffle_joins(df)
 
 
 def test_q05_lineitem_scan_pruned(spark):
     """The revenue-by-nation aggregate needs 4 lineitem columns; the scan
     must not read the full 16-column table."""
-    df = all_queries()["q05_magnitude_by_nation"].fn(spark, SF_DIR)
+    df = analytics.q05_magnitude_by_nation(spark, SF_DIR)
     audit.assert_column_pruned(df, widest_allowed=4)
 
 
 def test_q05_filters_pushed(spark):
-    plan = audit.formatted_plan(all_queries()["q05_magnitude_by_nation"].fn(spark, SF_DIR))
+    plan = audit.formatted_plan(analytics.q05_magnitude_by_nation(spark, SF_DIR))
     assert audit.pushed_filters(plan), "join-key null filters should push to scans"
 
 
@@ -54,5 +55,5 @@ def test_q08_shuffle_budget(spark):
 
 def test_q05_shuffle_budget(spark):
     """Aggregate + distinct-expand + final sort — at most 3 data shuffles."""
-    df = all_queries()["q05_magnitude_by_nation"].fn(spark, SF_DIR)
+    df = analytics.q05_magnitude_by_nation(spark, SF_DIR)
     assert audit.data_shuffle_count(audit.executed_plan(df)) <= 3
