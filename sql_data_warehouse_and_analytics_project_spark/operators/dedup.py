@@ -264,7 +264,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 48  # fits comfortably in a signed 64-bit int (no ANSI overflow)
-_SIMHASH_BAND_BITS = 12
+# 8 bands × 6 bits: a pair differing in ≤7 bits cannot touch all 8 bands
+# (pigeonhole), so candidate generation has GUARANTEED recall for every pair
+# the Hamming ≤ 6 confirm step can accept. (12-bit bands only guaranteed
+# Hamming ≤ 3 — a silent recall gap vs the confirm threshold, ADVICE r01.)
+_SIMHASH_BAND_BITS = 6
 _SIMHASH_HAMMING_MAX = 6
 
 
@@ -301,10 +305,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signatures, candidates from 12-bit band
-    blocking (a pair within Hamming ≤ 4 bands-worth of difference must agree
-    on ≥1 band), confirmed by bit_count(XOR) ≤ 6. Rows-only check (xxhash64
-    has no ANSI equivalent); pytest cross-checks against the Jaccard pairs."""
+    """SimHash near-dup pairs: 48-bit signatures, candidates from 6-bit band
+    blocking (8 bands: any pair within Hamming ≤ 7 must agree on ≥1 band, so
+    blocking recall covers the whole confirm range), confirmed by
+    bit_count(XOR) ≤ 6. Rows-only check (xxhash64 has no ANSI equivalent);
+    pytest cross-checks against the Jaccard pairs."""
     docs = _docs(spark, sf_dir)
     sigs = simhash_signatures(docs).cache()
     bands = None

@@ -121,7 +121,12 @@ def load_silver_customers(ctx: RunContext) -> int:
 
         def pick(col: str, on_update: bool) -> Column:
             if on_update:
-                return F.when(changed | inserted, F.coalesce(F.col(f"s_{col}"), F.col(col))).otherwise(F.col(col))
+                # Assign the source value DIRECTLY on matched-and-changed rows,
+                # as T-SQL MERGE WHEN MATCHED UPDATE does: coalesce(source,
+                # target) could never clear a column to NULL, so the hash
+                # would flag the row changed on every run while the value
+                # never converged (ADVICE r01).
+                return F.when(changed | inserted, F.col(f"s_{col}")).otherwise(F.col(col))
             # WHEN MATCHED does NOT update this column (e.g. cst_create_date)
             return F.when(inserted, F.col(f"s_{col}")).otherwise(F.col(col))
 
@@ -290,23 +295,29 @@ def load_silver_sales(ctx: RunContext) -> int:
     cat, name = ctx.catalog, "silver.crm_sales_details"
     wm = ctx.get_watermark(name)
     bronze = cat.read("bronze.crm_sales_details")
-    delta = _clean_sales(bronze.filter(F.col("sls_order_dt") > F.lit(_wm_int(wm))))
+    delta_clean = _clean_sales(bronze.filter(F.col("sls_order_dt") > F.lit(_wm_int(wm))))
 
     if cat.exists(name):
         existing = cat.read(name).select("sls_ord_num", "sls_prd_key").distinct()
-        delta = delta.join(existing, ["sls_ord_num", "sls_prd_key"], "left_anti")
+        delta = delta_clean.join(existing, ["sls_ord_num", "sls_prd_key"], "left_anti")
         n = cat.append(name, delta)
     else:
-        n = cat.overwrite(name, delta)
+        n = cat.overwrite(name, delta_clean)
 
     if n > 0:
-        mx = (
-            bronze.filter(F.col("sls_order_dt") > F.lit(_wm_int(wm)))
-            .agg(F.max("sls_order_dt"))
-            .first()[0]
-        )
-        if mx:
-            d = dt.datetime.strptime(str(mx), "%Y%m%d")
+        # Advance from the REPAIRED dates, not the raw bronze ints: bronze
+        # deliberately carries malformed yyyymmdd values (that's what
+        # yyyymmdd_to_date repairs) — strptime on the raw max would crash the
+        # load on a 9-digit int and a parseable-but-garbage future value
+        # would silently skip all subsequent deltas (ADVICE r01).
+        # try_to_date has already nulled anything unparseable here. A
+        # parseable-but-garbage FUTURE date (99991231) is additionally
+        # clamped to the run clock: the watermark may never pass as_of, so
+        # one bad row cannot make every later delta load skip real data
+        # (re-scanning the clamped tail is idempotent via the anti-join).
+        mx = delta_clean.agg(F.max("sls_order_dt")).first()[0]
+        if mx is not None:
+            d = min(dt.datetime.combine(mx, dt.time()), ctx.as_of)
             ctx.set_watermark(name, d - dt.timedelta(days=1))
 
     # DQ: revenue reconciliation bronze-vs-silver over the delta window

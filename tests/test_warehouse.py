@@ -308,3 +308,109 @@ def test_catalog_exploration(wh):
     fact_cols = [r["column_name"] for r in columns.collect()
                  if r["table_schema"] == "gold" and r["table_name"] == "fact_sales"]
     assert "sales_amount" in fact_cols and "order_year" in fact_cols
+
+
+# --- ADVICE r01 regressions -------------------------------------------------
+
+
+def _sales_ctx(spark, tmp_path, rows, as_of=AS_OF2):
+    """Minimal catalog with a bronze sales table for watermark tests."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.audit import RunContext
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ctx = RunContext(catalog=cat, as_of=as_of)
+    ctx.init_audit_tables()
+    schema = (
+        "sls_ord_num string, sls_prd_key string, sls_cust_id int, sls_order_dt int,"
+        " sls_ship_dt int, sls_due_dt int, sls_sales int, sls_quantity int, sls_price int"
+    )
+    cat.overwrite("bronze.crm_sales_details", spark.createDataFrame(rows, schema))
+    return ctx
+
+
+def test_sales_watermark_survives_malformed_bronze_max(spark, tmp_path):
+    """A 9-digit / impossible yyyymmdd max in bronze must not crash the load
+    (round-1 code strptime'd the raw int) and must not advance the
+    watermark; the repaired-date max drives it instead."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.silver import load_silver_sales
+
+    rows = [
+        ("SO1", "P1", 1, 20240310, 20240312, 20240315, 100, 1, 100),
+        # impossible month/day sorts above every real date as a raw int
+        ("SO2", "P2", 2, 20241399, 0, 0, 50, 1, 50),
+        # wrong length: filtered by the repair to NULL, never loaded as a date
+        ("SO3", "P3", 3, 202403101, 0, 0, 75, 1, 75),
+    ]
+    ctx = _sales_ctx(spark, tmp_path, rows)
+    n = load_silver_sales(ctx)
+    assert n == 3
+    wm = ctx.get_watermark("silver.crm_sales_details")
+    assert wm == dt.datetime(2024, 3, 9)  # max repaired date 2024-03-10 − 1 day
+
+
+def test_sales_watermark_clamped_to_run_clock(spark, tmp_path):
+    """A parseable-but-garbage future date (99991231) must not push the
+    watermark past as_of — later deltas would silently skip all real data."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.silver import load_silver_sales
+
+    rows = [
+        ("SO1", "P1", 1, 20240310, 20240312, 20240315, 100, 1, 100),
+        ("SO2", "P2", 2, 99991231, 0, 0, 50, 1, 50),
+    ]
+    ctx = _sales_ctx(spark, tmp_path, rows)
+    load_silver_sales(ctx)
+    wm = ctx.get_watermark("silver.crm_sales_details")
+    assert wm == AS_OF2 - dt.timedelta(days=1)
+    # and a re-run with one later real row still picks it up
+    rows.append(("SO4", "P4", 4, 20240601, 0, 0, 25, 1, 25))
+    ctx.catalog.overwrite(
+        "bronze.crm_sales_details",
+        spark.createDataFrame(
+            rows,
+            "sls_ord_num string, sls_prd_key string, sls_cust_id int, sls_order_dt int,"
+            " sls_ship_dt int, sls_due_dt int, sls_sales int, sls_quantity int, sls_price int",
+        ),
+    )
+    n2 = load_silver_sales(ctx)
+    assert n2 == 1
+    assert ctx.catalog.read("silver.crm_sales_details").filter("sls_ord_num = 'SO4'").count() == 1
+
+
+def test_scd1_null_overwrites_matched_value(spark, tmp_path):
+    """T-SQL MERGE WHEN MATCHED assigns source NULLs; the round-1
+    coalesce(source, target) could never clear a column, so the hash
+    flagged the row changed forever while the value never converged."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.audit import RunContext
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.silver import load_silver_customers
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ctx = RunContext(catalog=cat, as_of=AS_OF1)
+    ctx.init_audit_tables()
+    schema = (
+        "cst_id int, cst_key string, cst_firstname string, cst_lastname string,"
+        " cst_marital_status string, cst_gndr string, cst_create_date date"
+    )
+    cat.overwrite(
+        "bronze.crm_cust_info",
+        spark.createDataFrame([(1, "K1", "Ann", "Lee", "S", "F", dt.date(2024, 3, 1))], schema),
+    )
+    load_silver_customers(ctx)
+
+    # run 2: the same customer re-arrives with firstname cleared to NULL
+    ctx2 = RunContext(catalog=cat, as_of=AS_OF2)
+    cat.overwrite(
+        "bronze.crm_cust_info",
+        spark.createDataFrame([(1, "K1", None, "Lee", "S", "F", dt.date(2024, 4, 1))], schema),
+    )
+    load_silver_customers(ctx2)
+    row = cat.read("silver.crm_cust_info").first()
+    assert row["cst_firstname"] is None
+
+    # run 3: identical source → hash converged, nothing flagged changed
+    ctx3 = RunContext(catalog=cat, as_of=AS_OF2 + dt.timedelta(days=30))
+    cat.overwrite(
+        "bronze.crm_cust_info",
+        spark.createDataFrame([(1, "K1", None, "Lee", "S", "F", dt.date(2024, 5, 1))], schema),
+    )
+    affected = load_silver_customers(ctx3)
+    assert affected == 0
