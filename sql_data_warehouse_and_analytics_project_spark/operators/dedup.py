@@ -120,28 +120,86 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.8.
+# Shingles appearing in more than this many documents are excluded from the
+# candidate-generating self-join (the skew guard promised in the module
+# docstring): one stopword 3-gram with df=D would otherwise materialize
+# D·(D−1)/2 join rows in a single reducer. Their contribution to the shared
+# count is recovered EXACTLY via per-doc common-shingle sets (bounded arrays)
+# so results are identical to the uncut join for every pair that shares at
+# least one rare shingle — the only pairs dropped are those whose ENTIRE
+# overlap is stopword shingles, which at Jaccard ≥ 0.8 means near-empty docs
+# made of stopwords (documented recall trade, standard df-cut semantics).
+_JACCARD_DF_CUT = 32
 
-    Spark-first formulation: explode distinct shingles, self-join on the
-    shingle (co-partitioned shuffle), count shared, join per-doc sizes —
-    set intersection as a join-aggregate instead of a per-pair UDF. The
-    testdata plants ~6 true near-dup pairs (Jaccard ≥ 0.95; next candidate
-    is at 0.05), so 0.8 separates cleanly."""
-    docs = _docs(spark, sf_dir)
-    sh = _shingle_rows(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+
+def ngram_jaccard_candidates(docs: DataFrame, df_cut: int = _JACCARD_DF_CUT) -> DataFrame:
+    """(doc_id_1, doc_id_2, shared) candidate pairs with EXACT shared-shingle
+    counts, generated from the df-cut self-join (see :data:`_JACCARD_DF_CUT`).
+
+    Plan shape: one shuffle on shingle computes document frequency (window),
+    the self-join runs only over rare shingles (per-shingle fan-out ≤
+    df_cut²), and common-shingle overlap is added back with
+    ``array_intersect`` over per-doc arrays bounded by the number of distinct
+    common shingles — no reducer ever sees a quadratic key."""
+    from pyspark.sql import Window
+
+    sh = _shingle_rows(docs).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).cache()
+    rare = sh.filter(F.col("df") <= df_cut).select("doc_id", "shingle")
+    common_sets = (
+        sh.filter(F.col("df") > df_cut)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("common_arr"))
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
     )
+    c1 = common_sets.select(F.col("doc_id").alias("doc_id_1"), F.col("common_arr").alias("c1"))
+    c2 = common_sets.select(F.col("doc_id").alias("doc_id_2"), F.col("common_arr").alias("c2"))
+    empty = F.array().cast("array<string>")
+    return (
+        pairs.join(c1, "doc_id_1", "left")
+        .join(c2, "doc_id_2", "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (
+                F.col("shared_rare")
+                + F.size(F.array_intersect(F.coalesce("c1", empty), F.coalesce("c2", empty)))
+            ).alias("shared"),
+        )
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.8.
+
+    Spark-first formulation: explode distinct shingles, self-join on the
+    shingle (co-partitioned shuffle), count shared, join per-doc sizes —
+    set intersection as a join-aggregate instead of a per-pair UDF, with the
+    df-cut skew guard in candidate generation (see
+    :func:`ngram_jaccard_candidates`). The testdata plants ~6 true near-dup
+    pairs (Jaccard ≥ 0.95; next candidate is at 0.05), so 0.8 separates
+    cleanly."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, df_cut: int = _JACCARD_DF_CUT
+) -> DataFrame:
+    """The full Jaccard near-dup pipeline over an arbitrary documents frame
+    (columns: doc_id, lang, text)."""
+    sizes = _shingle_rows(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = ngram_jaccard_candidates(docs, df_cut=df_cut)
     s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))
@@ -154,7 +212,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared").cast("bigint").alias("shared_shingles"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_id_1", "doc_id_2")
     )
 

@@ -53,3 +53,52 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == orders.join(customer, "o_custkey").count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+# --- shingle df-cut skew guard (VERDICT r01 scale-killer #2) -----------------
+
+
+def _stopword_corpus(spark, n_docs=100):
+    """Every doc shares one stopword 3-gram ('aaa bbb ccc'); all other
+    shingles are unique per doc. The uncut self-join would materialize
+    n·(n−1)/2 pairs in ONE reducer for that shingle."""
+    rows = [(i, "en", f"aaa bbb ccc u{i} v{i} w{i}") for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_df_cut_bounds_candidate_pairs(spark):
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+    )
+
+    docs = _stopword_corpus(spark)
+    # uncut: the stopword shingle alone fans out to 4950 candidate pairs
+    uncut = ngram_jaccard_candidates(docs, df_cut=10**9).count()
+    assert uncut == 100 * 99 // 2
+    # with the df cut the hot shingle is excluded from the join entirely
+    assert ngram_jaccard_candidates(docs).count() == 0
+
+
+def test_df_cut_keeps_exact_shared_counts(spark):
+    """A true near-dup pair whose overlap INCLUDES a stopword shingle must
+    still be found, with the common shingle counted in shared/jaccard
+    (the array_intersect add-back path)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _stopword_corpus(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (1001, "en", "aaa bbb ccc d e f g h i j k zz1"),
+                (1002, "en", "aaa bbb ccc d e f g h i j k zz2"),
+            ],
+            "doc_id bigint, lang string, text string",
+        )
+    )
+    out = {(r["doc_id_1"], r["doc_id_2"]): r for r in ngram_jaccard_pairs(docs).collect()}
+    assert set(out) == {(1001, 1002)}
+    r = out[(1001, 1002)]
+    # 10 shingles each, 9 shared (8 rare + the df-cut 'aaa bbb ccc')
+    assert r["shared_shingles"] == 9
+    assert abs(r["jaccard"] - 9 / 11) < 1e-12
