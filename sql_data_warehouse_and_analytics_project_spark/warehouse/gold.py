@@ -13,12 +13,14 @@ short product number already, which maps *every* row to -1; we implement the
 intended direct join ``sls_prd_key = product_number`` that the reference's
 own orphan checks presume (ref: tests/quality_checks_gold.sql:45-51).
 
-Surrogate keys at scale: parity mode reproduces the reference's global
-``ROW_NUMBER() OVER (ORDER BY id)`` — a single-partition window, exact but
-hostile at 100 TB (SURVEY §7.4.3). ``surrogate_mode="scale"`` computes the
-same deterministic dense numbering distributively: range-partition on the
-order key, number within partitions, add broadcast per-partition offsets —
-three narrow stages, no single-node bottleneck, identical output.
+Surrogate keys at scale: ``surrogate_mode="scale"`` (the DEFAULT, r02)
+computes the reference's deterministic dense numbering distributively:
+range-partition on the order key, number within partitions, add broadcast
+per-partition offsets — three narrow stages, no single-node bottleneck.
+``parity`` mode reproduces the reference's literal global
+``ROW_NUMBER() OVER (ORDER BY id)`` — a single-partition window, identical
+output but hostile at 100 TB (SURVEY §7.4.3); keep it for oracle
+comparisons only.
 """
 
 from __future__ import annotations
@@ -53,14 +55,21 @@ def surrogate_key(df: DataFrame, order_col: str, mode: str = "parity") -> DataFr
     local = ranged.withColumn(
         "_local", F.row_number().over(Window.partitionBy("_pid").orderBy(order_col))
     )
-    offsets = (
-        local.groupBy("_pid")
-        .count()
-        .withColumn("_off", F.sum("count").over(Window.orderBy("_pid")) - F.col("count"))
-        .select("_pid", "_off")
+    # Per-partition offsets computed zipWithIndex-style: one job collects the
+    # per-partition counts (≤ #partitions rows), the running sum happens on
+    # the driver, and the offsets rejoin by broadcast. Keeping the cumsum off
+    # the cluster leaves NO single-partition Exchange anywhere in the plan
+    # (a global window over the counts — r01 — did, tiny but flag-worthy).
+    counts = sorted(
+        (r["_pid"], r["count"]) for r in ranged.groupBy("_pid").count().collect()
     )
+    offsets, running = [], 0
+    for pid, n in counts:
+        offsets.append((pid, running))
+        running += n
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(off_df), "_pid")
         .withColumn("_sk", (F.col("_local") + F.col("_off")).cast("int"))
         .drop("_pid", "_local", "_off")
     )
@@ -75,7 +84,7 @@ def _unknown_member(spark, cols: list[str], template: DataFrame) -> DataFrame:
     return spark.range(1).select(*exprs)
 
 
-def build_dim_customers(ctx: RunContext, surrogate_mode: str = "parity") -> DataFrame:
+def build_dim_customers(ctx: RunContext, surrogate_mode: str = "scale") -> DataFrame:
     """ref: proc_load_gold.sql:41-69 — CRM base, ERP enrichment via broadcast
     left joins on the normalized business key, CRM-primary gender fallback."""
     cat = ctx.catalog
@@ -103,7 +112,7 @@ def build_dim_customers(ctx: RunContext, surrogate_mode: str = "parity") -> Data
     return dim.unionByName(_unknown_member(cat.spark, DIM_CUSTOMERS_COLS, dim))
 
 
-def build_dim_products(ctx: RunContext, surrogate_mode: str = "parity") -> DataFrame:
+def build_dim_products(ctx: RunContext, surrogate_mode: str = "scale") -> DataFrame:
     """ref: proc_load_gold.sql:95-122 — current SCD2 versions only,
     category enrichment, surrogate key by prd_id."""
     cat = ctx.catalog
@@ -156,7 +165,7 @@ def build_fact_sales(ctx: RunContext, dim_customers: DataFrame, dim_products: Da
     )
 
 
-def load_gold(ctx: RunContext, surrogate_mode: str = "parity") -> dict[str, int]:
+def load_gold(ctx: RunContext, surrogate_mode: str = "scale") -> dict[str, int]:
     """EP1 gold phase (ref: proc_load_gold.sql:30-190) with inline DQ."""
     cat = ctx.catalog
     dimc = build_dim_customers(ctx, surrogate_mode)

@@ -57,3 +57,19 @@ def test_q05_shuffle_budget(spark):
     """Aggregate + distinct-expand + final sort — at most 3 data shuffles."""
     df = analytics.q05_magnitude_by_nation(spark, SF_DIR)
     assert audit.data_shuffle_count(audit.executed_plan(df)) <= 3
+
+
+def test_gold_surrogate_scale_mode_no_single_partition_exchange(spark):
+    """load_gold defaults to the distributed surrogate-key mode: the dim
+    build plan must not contain a single-partition Exchange (the parity
+    global window does — sanity-checked here so the assertion stays
+    meaningful)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.gold import surrogate_key
+
+    df = spark.range(0, 10_000).select((F.col("id") * 37 % 10_000).alias("k"))
+    scale_plan = surrogate_key(df, "k", "scale")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in scale_plan
+    parity_plan = surrogate_key(df, "k", "parity")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in parity_plan
