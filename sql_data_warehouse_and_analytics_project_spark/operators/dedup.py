@@ -85,10 +85,25 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, shingle) exploded rows for docs with ≥3 tokens."""
+    """(doc_id, lang, shingle) exploded rows for docs with ≥3 tokens.
+
+    The explicit repartition on doc_id matters twice: (1) the shingle
+    explode multiplies each doc into ~|tokens| heavy string rows, so scan
+    parallelism (file-count-bound — ONE task for a single small parquet)
+    must not cap the CPU-heavy expansion; (2) the downstream per-doc
+    aggregations (minhash signatures, simhash bit votes, Jaccard sizes)
+    group on doc_id, so hash-distributing here lets Catalyst elide their
+    exchange — the shuffle moves the short raw texts, not the exploded
+    shingles."""
     toks = tokens_col(F.col("text"))
+    # Explicit partition count: AQE coalesces a column-only repartition()
+    # back down by shuffle BYTES, and the pre-explode docs are tiny compared
+    # to the CPU the explode fans out — column-only form measured 5×
+    # slower here (everything downstream inherited ~1 partition).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.filter(F.size(toks) >= 3)
+        docs.repartition(n_parts, F.col("doc_id"))
+        .filter(F.size(toks) >= 3)
         .select("doc_id", "lang", F.explode(shingles_col(F.col("text"))).alias("shingle"))
     )
 
@@ -245,7 +260,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@query("dedup_minhash_lsh", oracle=None)
+@query("dedup_minhash_lsh", oracle=None, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, Jaccard-verified.
 
