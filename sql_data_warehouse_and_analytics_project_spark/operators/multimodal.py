@@ -7,17 +7,26 @@ the Spark-side schema is identical). Decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes cross the JVM↔Python boundary once
 per batch, not per row.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``_decode_image_real`` raises NotImplementedError and the
-pipeline uses a deterministic fake decoder. Everything around it — schema,
-partitioning, UDF signature, batch shapes — is real and tested.
+Codec support (r02): the container has no media libraries (no PIL/ffmpeg),
+but PNG and WAV are simple enough to decode with the stdlib — so the REAL
+decode path is real for those two formats: ``_decode_png`` parses PNG
+chunks, inflates IDAT with zlib, and undoes all five scanline filters
+(None/Sub/Up/Average/Paeth, per the public PNG spec) into a numpy pixel
+array; ``_decode_wav`` reads PCM frames via the ``wave`` module. VIDEO
+decode remains a clearly-marked stub (no container codec can be expressed
+in stdlib) and falls back to the deterministic fake feature.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,19 +66,139 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_real(payload: bytes) -> list[float]:
-    """Real decoder slot (PIL/torchvision/ffmpeg in production).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → channel count
 
-    Kept import-gated: this container ships no media libraries.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; use the deterministic "
-            "fake decoder (decode_features(..., fake=True))"
-        ) from exc
-    raise NotImplementedError("real decode path not implemented")
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an (h, w, channels) uint8 array.
+
+    Pure stdlib+numpy implementation of the public PNG spec: chunk walk →
+    IHDR geometry → zlib-inflate concatenated IDAT → per-scanline unfilter
+    (all five filter types, including Paeth prediction)."""
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = _PNG_CHANNELS[ctype]
+    stride = w * channels
+    plain = zlib.decompress(idat)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    p = 0
+    for y in range(h):
+        ftype = plain[p]
+        line = bytearray(plain[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1][i - bpp]) if (i >= bpp and y > 0) else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, 8-bit gray/RGB/RGBA) — the test-side
+    twin of :func:`decode_png`, also stdlib-only."""
+    h, w, channels = pixels.shape
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+_FEATURE_DIM = 8
+
+
+def _decode_image_real(payload: bytes) -> list[float]:
+    """Real PNG decode → 8-float feature vector:
+    [width, height, channels, mean(ch0..ch2 or grey), pixel std, aspect]."""
+    px = decode_png(payload).astype(np.float64)
+    h, w, c = px.shape
+    means = px.mean(axis=(0, 1))
+    m = [float(means[i]) if i < c else float(means[0]) for i in range(3)]
+    return [float(w), float(h), float(c), m[0], m[1], m[2], float(px.std()), w / h]
+
+
+def _decode_audio_real(payload: bytes) -> list[float]:
+    """Real WAV decode → 8-float feature vector:
+    [channels, framerate/1000, n_frames, rms, peak, duration_s, 0, 0]."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        nch, sw, rate, nframes = wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes()
+        raw = wf.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"unsupported sample width {sw}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    peak = float(np.abs(samples).max()) if samples.size else 0.0
+    return [float(nch), rate / 1000.0, float(nframes), rms, peak, nframes / rate, 0.0, 0.0]
+
+
+def _decode_video_real(payload: bytes) -> list[float]:
+    """Video decode STUB — no container/codec parser can reasonably live in
+    the stdlib; production plugs ffmpeg/torchvision here."""
+    raise NotImplementedError(
+        "video codecs unavailable in this environment; the pipeline uses the "
+        "deterministic fake feature for video payloads"
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -113,11 +242,17 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 raw = bytes(payload)
-                if not fake:
-                    feats.append(_decode_image_real(raw))  # pragma: no cover
+                if fake:
+                    feats.append(_fake_feature(raw))
+                elif mtype == "image":
+                    feats.append(_decode_image_real(raw))
+                elif mtype == "audio":
+                    feats.append(_decode_audio_real(raw))
                 else:
+                    # video real decode is the documented stub — deterministic
+                    # fake keeps the pipeline total (see _decode_video_real)
                     feats.append(_fake_feature(raw))
             yield pd.DataFrame(
                 {
@@ -130,6 +265,41 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL encoded assets: deterministic
+    PNG images (gradient pixels keyed on doc_id) and 16-bit PCM WAV clips,
+    generated Arrow-batched on the executors (the encode is the write-side
+    twin of the decode path — nothing is round-tripped through the driver)."""
+    ids = tpch.load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    w, h = 8 + i % 16, 6 + i % 12
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [(xx * 3 + i) % 256, (yy * 5 + i) % 256, (xx + yy + i) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payload, mtype = encode_png(px), "image"
+                    meta = {"width": w, "height": h, "n_bytes": len(payload), "codec": "png"}
+                else:
+                    n = 256 + i % 512
+                    t = np.arange(n, dtype=np.float64)
+                    samples = (np.sin(t * (1 + i % 7) / 10.0) * 12000).astype("<i2")
+                    payload, mtype = encode_wav(samples), "audio"
+                    meta = {"width": None, "height": None, "n_bytes": len(payload), "codec": "wav"}
+                rows["media_id"].append(i)
+                rows["media_type"].append(mtype)
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -166,6 +336,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
             (F.sum(F.floor(F.col("f0") * 1e6)).cast("double") / 1e6).alias("f0_mass"),
+        )
+        .orderBy("media_type")
+    )
+
+@query("multimodal_decode_real", oracle=None)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode pipeline: executor-generated PNG/WAV payloads → stdlib
+    decode (chunk parse + unfilter / PCM read) → per-type stats over true
+    decoded properties (pixel mean, audio RMS). Rows-only check: the codec
+    work is Python-side by design; pytest pins exact decoded pixels."""
+    media = synth_real_media(spark, sf_dir)
+    feats = decode_features(media, fake=False)
+    return (
+        feats.select(
+            "media_type",
+            "n_bytes",
+            F.element_at("feature", 1).alias("f0"),  # image width / audio channels
+            F.element_at("feature", 4).alias("f3"),  # image mean(ch0) / audio rms
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum(F.floor(F.col("f0") * 1e6)).cast("double") / 1e6).alias("f0_mass"),
+            (F.sum(F.floor(F.col("f3") * 1e6)).cast("double") / 1e6).alias("f3_mass"),
         )
         .orderBy("media_type")
     )

@@ -29,9 +29,13 @@ def test_media_schema_and_decode(spark):
     assert all(0.0 <= v < 1.0 for r in rows for v in r.feature)
 
 
-def test_real_decoder_is_gated():
-    with pytest.raises(NotImplementedError):
+def test_real_decoder_contracts():
+    # image decode is REAL now (stdlib PNG): garbage bytes are a codec error
+    with pytest.raises(ValueError):
         mm._decode_image_real(b"\x00\x01")
+    # video decode remains the clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        mm._decode_video_real(b"\x00\x01")
 
 
 def test_frame_sample(spark):
@@ -39,3 +43,122 @@ def test_frame_sample(spark):
     frames = mm.frame_sample(media, n_frames=4)
     counts = frames.groupBy("media_id").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [4]
+
+
+# --- real PNG/WAV decode (r02) ----------------------------------------------
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for channels in (1, 3, 4):
+        px = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build a PNG using every scanline filter type (0-4) and check the
+    unfilter logic reproduces the source pixels exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    bpp = c
+
+    def paeth(a, b, cc):
+        pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    scan = b""
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        row = px[y].reshape(-1).astype(int)
+        prev = px[y - 1].reshape(-1).astype(int) if y else np.zeros(w * c, dtype=int)
+        enc = bytearray()
+        for i in range(w * c):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = row[i]
+            elif ftype == 1:
+                v = row[i] - a
+            elif ftype == 2:
+                v = row[i] - b
+            elif ftype == 3:
+                v = row[i] - (a + b) // 2
+            else:
+                v = row[i] - paeth(a, b, cc)
+            enc.append(v & 0xFF)
+        scan += bytes([ftype]) + bytes(enc)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    raw = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(raw) == px).all()
+
+
+def test_wav_roundtrip_features():
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        _decode_audio_real,
+        encode_wav,
+    )
+
+    samples = (np.sin(np.arange(800) / 5.0) * 10000).astype("<i2")
+    f = _decode_audio_real(encode_wav(samples, framerate=8000))
+    assert f[0] == 1.0 and f[1] == 8.0 and f[2] == 800.0
+    expected_rms = float(np.sqrt(((samples / 32768.0) ** 2).mean()))
+    assert abs(f[3] - expected_rms) < 1e-9
+    assert abs(f[5] - 0.1) < 1e-12  # 800 frames @ 8kHz
+
+
+def test_multimodal_decode_real_pipeline(spark):
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        multimodal_decode_real,
+        synth_real_media,
+        decode_features,
+    )
+
+    out = {r["media_type"]: r for r in multimodal_decode_real(spark, SF_DIR).collect()}
+    assert set(out) == {"image", "audio"}
+    assert out["image"]["n_assets"] + out["audio"]["n_assets"] == 500
+    # decoded image widths are real: every even doc_id contributes 8+(id%16)
+    assert out["image"]["f0_mass"] > 0
+    # determinism across runs (pure functions of doc_id)
+    again = {r["media_type"]: r for r in multimodal_decode_real(spark, SF_DIR).collect()}
+    assert {k: v.asDict() for k, v in out.items()} == {k: v.asDict() for k, v in again.items()}
+    # spot-check one actual decode against the generator's pixel function
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import decode_png
+
+    row = synth_real_media(spark, SF_DIR).filter("media_id = 2").first()
+    px = decode_png(bytes(row["payload"]))
+    w, h = 8 + 2 % 16, 6 + 2 % 12
+    assert px.shape == (h, w, 3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    assert (px[:, :, 0] == (xx * 3 + 2) % 256).all()
