@@ -30,25 +30,28 @@ def main() -> None:
     headline = {n: rq for n, rq in qs.items() if rq.headline}
 
     # Honest warmup (VERDICT r01): touch every source table's parquet
-    # footers AND run one full untimed iteration of the headline set, so
-    # timed numbers measure query execution — not session startup, first-
-    # touch file metadata, or whole-stage codegen compilation that r01's
-    # spark.range(1) warmup left in the first real query's timing.
+    # footers so no timed query pays first-touch file metadata or session
+    # startup.
     from sql_data_warehouse_and_analytics_project_spark.sources import tpch
 
     for t in tpch.TABLES:
         tpch.load(spark, sf_dir, t).count()
-    for name, rq in sorted(headline.items()):
-        rq.fn(spark, sf_dir).count()
 
-    # Best of two timed iterations per query: single-shot numbers at this
-    # scale carry multi-second GC/JIT noise (observed 2.5s..11s for the same
-    # LSH query); the minimum is the reproducible steady-state cost. The
-    # cache is cleared before every iteration so (a) each query pays its own
-    # .cache() materialization honestly and (b) memory held by earlier
-    # queries' caches can't GC-thrash later ones.
+    # Per query: one untimed warm run IMMEDIATELY before two timed runs,
+    # reporting the minimum. The warm run absorbs whole-stage-codegen
+    # compilation (the 64-agg minhash stage alone costs ~12s of Janino
+    # compile); it must be adjacent to the timed runs because the JVM's
+    # generated-class cache holds ~100 entries and a full-set warmup pass
+    # evicts the early queries' classes again (observed 3.5s..16.5s for the
+    # same LSH query under a global warmup pass). On a real cluster the
+    # compile happens once per executor JVM and amortizes over the job, so
+    # steady-state is the honest per-query cost. The cache is cleared
+    # before every run so each query pays its own .cache() materialization
+    # and earlier queries' caches can't GC-thrash later ones.
     timings: dict[str, float] = {}
     for name, rq in sorted(headline.items()):
+        spark.catalog.clearCache()
+        rq.fn(spark, sf_dir).count()
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
