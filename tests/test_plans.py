@@ -73,3 +73,56 @@ def test_gold_surrogate_scale_mode_no_single_partition_exchange(spark):
     assert "SinglePartition" not in scale_plan
     parity_plan = surrogate_key(df, "k", "parity")._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in parity_plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed+sorted tables joined on the bucket key: SortMergeJoin with
+    ZERO exchanges and ZERO sorts — the write-once/join-free-forever layout
+    for fact⨝fact joins (warehouse/bucketing.py)."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import bucketing
+
+    o_tbl, l_tbl = bucketing.bucket_order_tables(spark, SF_DIR, str(tmp_path / "bkt"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # exploit the sortBy metadata (safe: write_bucketed guarantees one
+        # file per bucket, the precondition that made this default-off)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            df = bucketing.bucketed_order_revenue(spark, o_tbl, l_tbl)
+            n = df.count()
+            plan = audit.executed_plan(df)
+            assert audit.data_shuffle_count(plan) == 0, plan
+            assert "SortMergeJoin" in plan, plan
+            assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+            # same rows as the unbucketed join
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            assert n == li.filter("l_orderkey IS NOT NULL").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_compact_parquet_file_count(spark, tmp_path):
+    """Compaction folds a many-small-files table into ~target-sized files
+    without a shuffle."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import bucketing
+
+    src = str(tmp_path / "frag")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src >= 32
+    dst = str(tmp_path / "compacted")
+    n_out = bucketing.compact_parquet(spark, src, dst, target_file_mb=128)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_dst == n_out <= 2
+    assert (
+        spark.read.parquet(dst).count()
+        == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    )
