@@ -123,6 +123,37 @@ def user_sessions(stream: DataFrame, gap: str = "30 minutes", watermark: str = "
     )
 
 
+def dedup_events_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming ingest deduplication on event_id —
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and EVICTS the
+    key's state once the watermark passes its event time, so the dedup state
+    is bounded by (stream rate × watermark) instead of growing forever like
+    a plain ``dropDuplicates`` would. This is the streaming form of the
+    exact-dedup operator (operators/dedup.py) and the first stage any
+    at-least-once ingest (replayed files, producer retries) needs."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_events_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static enrichment join: events enriched with the customer
+    dimension (user_id → customer key, the same J4 dim-enrichment shape as
+    the batch gold layer). The static side is explicitly broadcast — each
+    microbatch re-plans against the dim's CURRENT snapshot (picking up slow
+    dim changes) and the stream side never shuffles."""
+    d = F.broadcast(dim.select("c_custkey", "c_mktsegment", "c_nationkey"))
+    return (
+        stream.join(d, stream.user_id == d.c_custkey, "left")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce("c_mktsegment", F.lit("n/a")).alias("segment"),
+        )
+    )
+
+
 # -------------------------------------------- custom stateful operator (C1')
 
 _STATE_SCHEMA = "total_events bigint, total_value double, last_ts timestamp"

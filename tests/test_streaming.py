@@ -101,3 +101,42 @@ def test_user_running_totals_stateful(spark, events_batches):
     got = spark.sql("SELECT user_id, MAX(total_events) AS n FROM totals_t GROUP BY user_id")
     batch = _input_df(spark, b["input"]).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert _rows(got) == _rows(batch)
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """At-least-once replay (every file delivered twice) must come out
+    exactly-once after dropDuplicatesWithinWatermark on event_id."""
+    input_dir = str(tmp_path / "dup_input")
+    events = tpch.load(spark, SF_DIR, "events").limit(400)
+    events.write.mode("append").parquet(input_dir)
+    events.write.mode("append").parquet(input_dir)  # duplicate delivery
+
+    stream = jobs.read_events_stream(spark, input_dir)
+    jobs.run_available_now(
+        jobs.dedup_events_stream(stream),
+        "append",
+        "dedup_t1",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    got = spark.sql("SELECT * FROM dedup_t1")
+    assert got.count() == got.select("event_id").distinct().count() == 400
+    # row values survive intact (dedup drops copies, not columns)
+    want = {tuple(r) for r in events.collect()}
+    assert {tuple(r) for r in got.collect()} == want
+
+
+def test_stream_static_enrich_equals_batch(spark, events_batches):
+    """Stream-static broadcast join: replayed stream result equals the batch
+    twin of the same join."""
+    b = events_batches
+    dim = tpch.load(spark, SF_DIR, "customer")
+    stream = jobs.read_events_stream(spark, b["input"])
+    jobs.run_available_now(
+        jobs.enrich_events_stream(stream, dim),
+        "append",
+        "enrich_t1",
+        str(b["base"] / "ckpt_enrich"),
+    )
+    got = spark.sql("SELECT * FROM enrich_t1")
+    expected = jobs.enrich_events_stream(_input_df(spark, b["input"]), dim)
+    assert _rows(got) == _rows(expected)
