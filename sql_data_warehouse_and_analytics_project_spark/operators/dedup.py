@@ -305,14 +305,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     # verify candidates with exact Jaccard (join-aggregate over shingles,
-    # restricted to candidate docs via semi joins)
-    sh = _shingle_rows(docs)
+    # restricted to candidate docs). The semi join runs BEFORE the shingle
+    # explode: Catalyst cannot push a join below a Generate, so filtering
+    # the exploded rows would re-explode the whole corpus just to discard
+    # ~all of it — pruning the docs first means the verification explode
+    # touches only candidate docs (LSH-bounded, tiny at any scale).
     cand_docs = (
         candidates.select(F.col("doc_id_1").alias("doc_id"))
         .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi").cache()
+    sh_c = _shingle_rows(docs.join(cand_docs, "doc_id", "left_semi")).cache()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_c.alias("sa")
     sb = sh_c.alias("sb")
