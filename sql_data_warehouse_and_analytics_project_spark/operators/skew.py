@@ -65,11 +65,13 @@ def write_bucketed(
     bucket count then skip their shuffles (and, if sorted, their sorts) —
     the one-time write shuffle is amortized over every downstream join, the
     right trade for dimension↔fact keys queried daily at 100 TB.
-    """
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
-    if sort:
-        writer = writer.sortBy(key)
-    writer.saveAsTable(table)
+
+    Thin wrapper over the canonical implementation in
+    ``warehouse/bucketing.py`` (which also enforces the one-file-per-bucket
+    layout that makes the sortBy metadata usable)."""
+    from ..warehouse.bucketing import write_bucketed as _write
+
+    _write(df, table, key, n_buckets=n_buckets, sort=sort)
 
 
 def co_located_join(

@@ -35,25 +35,34 @@ BUCKET_COUNT = 8
 
 
 def write_bucketed(
-    df: DataFrame, table: str, path: str, key: str, n_buckets: int = BUCKET_COUNT
+    df: DataFrame,
+    table: str,
+    key: str,
+    path: str | None = None,
+    n_buckets: int = BUCKET_COUNT,
+    sort: bool = True,
 ) -> None:
-    """Persist ``df`` as an external bucketed+sorted table: hash-distributed
-    AND sorted by ``key`` within each bucket, so downstream equi-joins on
-    ``key`` need neither Exchange nor Sort.
+    """Persist ``df`` as a bucketed(+sorted) table (external when ``path``
+    is given, managed otherwise): hash-distributed and sorted by ``key``
+    within each bucket, so downstream equi-joins on ``key`` need neither
+    Exchange nor Sort. The canonical implementation — operators/skew.py's
+    ``write_bucketed`` delegates here.
 
     The pre-write repartition on the bucket key uses the SAME hash function
     as the bucket spec (pmod(murmur3, n)), so each task holds exactly one
     bucket and writes exactly ONE file per bucket — required: Spark ignores
     the sortBy metadata when a bucket is split across files, and the
     downstream join would re-Sort both sides."""
-    (
+    writer = (
         df.repartition(n_buckets, F.col(key))
         .write.mode("overwrite")
         .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .saveAsTable(table)
     )
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def bucket_order_tables(
@@ -67,18 +76,18 @@ def bucket_order_tables(
             "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
         ),
         o_tbl,
-        f"{base_path}/orders",
         "o_orderkey",
-        n_buckets,
+        path=f"{base_path}/orders",
+        n_buckets=n_buckets,
     )
     write_bucketed(
         tpch.load(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
         ),
         l_tbl,
-        f"{base_path}/lineitem",
         "l_orderkey",
-        n_buckets,
+        path=f"{base_path}/lineitem",
+        n_buckets=n_buckets,
     )
     return o_tbl, l_tbl
 

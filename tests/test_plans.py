@@ -126,3 +126,56 @@ def test_compact_parquet_file_count(spark, tmp_path):
         spark.read.parquet(dst).count()
         == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     )
+
+
+def test_gold_fact_partition_pruning(spark, tmp_path):
+    """The gold fact is written partitionBy(order_year) (catalog.py /
+    load_gold); a year-sliced read must prune at the DIRECTORY level —
+    PartitionFilters on order_year, not a data filter over a full scan."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    fact = spark.range(3000).select(
+        F.col("id").alias("sls_ord_num"),
+        (F.col("id") % 100).alias("sales_amount"),
+        (2019 + F.col("id") % 4).cast("int").alias("order_year"),
+    )
+    cat.overwrite("gold.fact_sales", fact, partition_by=["order_year"])
+    sliced = cat.read("gold.fact_sales").filter(F.col("order_year") == 2021)
+    plan = audit.executed_plan(sliced)
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters")[1][:120], plan
+    assert sliced.count() == 750
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join (tool #1 in operators/skew.py): a hot key that melts
+    one reducer is split at runtime into multiple tasks — asserted via
+    'skew=true' on the SortMergeJoin in the finalized adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key (0) with ~100k rows, 99 cold keys with ~1k each
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 100_000, 0).otherwise(F.col("id") % 99 + 1).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit("dim").alias("w"))
+        joined = left.join(right, "k")
+        joined.collect()  # finalize the adaptive plan on THIS DataFrame
+        plan = audit.executed_plan(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
