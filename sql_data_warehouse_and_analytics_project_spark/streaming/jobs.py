@@ -245,6 +245,55 @@ def run_available_now(job: DataFrame, output_mode: str, query_name: str, checkpo
     return q
 
 
+def sink_stream_upsert(
+    job: DataFrame,
+    catalog,
+    table: str,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+):
+    """Streaming UPSERT sink: each microbatch MERGEs into a warehouse table
+    keyed on ``key``, keeping the row with the greatest ``order_col`` — the
+    streaming twin of the silver SCD1 merge (ref: proc_load_silver.sql:57-123)
+    via ``foreachBatch``, the Structured-Streaming idiom for sinks that need
+    transactional semantics the file sink can't give.
+
+    Strategy mirrors the batch silver loads: keep-latest within the batch
+    (one window), union with the current table, keep-latest again, then the
+    catalog's atomic tmp-write+rename swap publishes the new version. On
+    Delta this becomes a single ``MERGE INTO`` touching only matched files;
+    the swap fallback rewrites the table, correct at any scale but
+    write-amplified — the documented trade everywhere else in
+    warehouse/silver.py.
+    """
+    from pyspark.sql import Window
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc("_is_new"))
+        latest = (
+            batch.withColumn("_is_new", F.lit(1))
+            .transform(
+                lambda b: b.unionByName(
+                    catalog.read(table).withColumn("_is_new", F.lit(0))
+                )
+                if catalog.exists(table)
+                else b
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_new")
+        )
+        catalog.overwrite(table, latest)
+
+    return (
+        job.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sink_to_parquet(job: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
     """Production sink shape: append-mode parquet (exactly-once via the
     checkpoint + file-sink manifest), the streaming analog of the silver

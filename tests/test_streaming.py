@@ -140,3 +140,46 @@ def test_stream_static_enrich_equals_batch(spark, events_batches):
     got = spark.sql("SELECT * FROM enrich_t1")
     expected = jobs.enrich_events_stream(_input_df(spark, b["input"]), dim)
     assert _rows(got) == _rows(expected)
+
+
+def test_stream_upsert_keeps_latest_per_key(spark, tmp_path):
+    """foreachBatch streaming MERGE: after replaying two file batches with
+    overlapping users, the table holds exactly the latest event per user —
+    equal to the batch keep-latest over all input."""
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.catalog import Catalog
+
+    input_dir = str(tmp_path / "ups_input")
+    events = tpch.load(spark, SF_DIR, "events").limit(600)
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(input_dir)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    stream = jobs.read_events_stream(spark, input_dir)
+    q = jobs.sink_stream_upsert(
+        stream, cat, "silver.user_latest", "user_id", "ts", str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    # second delivery: the other half, overlapping user_ids
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(input_dir)
+    stream = jobs.read_events_stream(spark, input_dir)
+    q = jobs.sink_stream_upsert(
+        stream, cat, "silver.user_latest", "user_id", "ts", str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    got = cat.read("silver.user_latest")
+    assert got.count() == got.select("user_id").distinct().count()
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    expected = (
+        events.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+    # compare per-user (ts, value): ties on ts may pick either event_id
+    g = {(r["user_id"], r["ts"]) for r in got.collect()}
+    e = {(r["user_id"], r["ts"]) for r in expected.collect()}
+    assert g == e
