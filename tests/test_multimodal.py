@@ -162,3 +162,99 @@ def test_multimodal_decode_real_pipeline(spark):
     assert px.shape == (h, w, 3)
     yy, xx = np.mgrid[0:h, 0:w]
     assert (px[:, :, 0] == (xx * 3 + 2) % 256).all()
+
+
+# --- property-based codec round-trips (no Spark needed) ---------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.sampled_from([1, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_png_roundtrip_lossless(w, h, channels, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        decoded = mm.decode_png(mm.encode_png(px))
+        assert decoded.shape == (h, w, channels)
+        assert (decoded == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 2048), st.integers(0, 2**32 - 1))
+    def test_wav_roundtrip_lossless(n, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n).astype("<i2")
+        feats = mm._decode_audio_real(mm.encode_wav(samples, framerate=8000))
+        assert feats[0] == 1.0  # mono
+        assert feats[2] == float(n)  # frame count
+        expected_rms = float(np.sqrt(((samples.astype(np.float64) / 32768.0) ** 2).mean()))
+        assert abs(feats[3] - expected_rms) < 1e-12
+
+if HAVE_HYPOTHESIS:
+    import struct
+    import zlib
+
+    def _encode_png_filtered(px, ftype):
+        """Test-side PNG writer applying one non-trivial scanline filter
+        (forward pass per the public spec) so decode_png's unfilter paths
+        Sub/Up/Average/Paeth are exercised against an independent encoder."""
+        h, w, c = px.shape
+        stride, bpp = w * c, c
+        raw = px.reshape(h, stride).astype(np.int64)
+        lines = []
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            cur = raw[y]
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            if ftype == 1:
+                enc = (cur - left) % 256
+            elif ftype == 2:
+                enc = (cur - prev) % 256
+            elif ftype == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            else:  # Paeth
+                pa, pb, pc = np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) % 256
+            lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        ctype = {1: 0, 3: 2, 4: 6}[c]
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(2, 16),
+        st.integers(2, 16),
+        st.sampled_from([1, 3, 4]),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_png_decode_all_filter_types(w, h, channels, ftype, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        decoded = mm.decode_png(_encode_png_filtered(px, ftype))
+        assert (decoded == px).all()
