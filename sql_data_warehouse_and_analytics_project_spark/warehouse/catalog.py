@@ -73,6 +73,24 @@ class Catalog:
             shutil.rmtree(old, ignore_errors=True)
         return n
 
+    def overwrite_partitions(self, name: str, df: DataFrame, partition_by: list[str]) -> int:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leaving every other partition's files untouched — the
+        incremental-maintenance write for large partitioned facts (at 100 TB
+        a delta load touches a handful of date partitions; rewriting the
+        whole table per run is the scale-killer this avoids). Per-partition
+        replacement is atomic at the directory level; Delta would make the
+        multi-partition commit transactional — same documented trade as the
+        MERGE fallback in silver.py."""
+        n = df.count()
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(name))
+        )
+        return n
+
     def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Insert-select sink (ref: proc_load_silver.sql:229-242 delta append)."""
         n = df.count()

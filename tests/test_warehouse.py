@@ -414,3 +414,53 @@ def test_scd1_null_overwrites_matched_value(spark, tmp_path):
     )
     affected = load_silver_customers(ctx3)
     assert affected == 0
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Catalog.overwrite_partitions replaces only the partitions present in
+    the incoming frame; every other partition's files stay untouched."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    full = spark.range(300).select(
+        F.col("id"), (2020 + F.col("id") % 3).cast("int").alias("y")
+    )
+    cat.overwrite("gold.t", full, partition_by=["y"])
+    p = cat.path("gold.t")
+
+    def snapshot(y):
+        d = os.path.join(p, f"y={y}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in sorted(os.listdir(d))}
+
+    before = {y: snapshot(y) for y in (2020, 2021, 2022)}
+    upd = spark.range(1000, 1010).select(F.col("id"), F.lit(2021).cast("int").alias("y"))
+    n = cat.overwrite_partitions("gold.t", upd, ["y"])
+    assert n == 10
+    assert snapshot(2020) == before[2020] and snapshot(2022) == before[2022]
+    assert snapshot(2021) != before[2021]
+    got = cat.read("gold.t")
+    assert got.count() == 100 + 100 + 10
+    assert got.filter("y = 2021").agg(F.min("id")).first()[0] == 1000
+
+
+def test_incremental_fact_refresh_idempotent(wh):
+    """refresh_fact_partitions on the warehouse's order year reproduces the
+    full rebuild's rows exactly (same silver input → idempotent refresh),
+    exercising the scan-filtered build + dynamic-overwrite path end-to-end."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.gold import (
+        refresh_fact_partitions,
+    )
+
+    ctx = wh["ctx2"]
+    cat = ctx.catalog
+    years = [
+        r["order_year"]
+        for r in cat.read("gold.fact_sales").select("order_year").distinct().collect()
+    ]
+    target = max(years)
+    before = {
+        tuple(r)
+        for r in cat.read("gold.fact_sales").filter(F.col("order_year") == target).collect()
+    }
+    n = refresh_fact_partitions(ctx, [target])
+    after_df = cat.read("gold.fact_sales").filter(F.col("order_year") == target)
+    assert n == after_df.count()
+    assert {tuple(r) for r in after_df.collect()} == before
