@@ -179,3 +179,16 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_signature_pipelines_have_no_explode_or_keyed_shuffle(spark):
+    """minhash/simhash signatures are per-doc array-HOF projections: no
+    Generate (explode) node and no hash/range exchange — only the
+    round-robin spread for scan parallelism. Pins the round-2 rewrite."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    docs = dedup._docs(spark, SF_DIR)
+    for sig_fn in (dedup.minhash_signatures, dedup.simhash_signatures):
+        plan = audit.executed_plan(sig_fn(docs))
+        assert "Generate" not in plan, plan
+        assert audit.data_shuffle_count(plan) == 0, plan
