@@ -247,6 +247,108 @@ _P = (1 << 31) - 1
 _rng = random.Random(20260813)
 _HASH_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_MINHASH_K)]
 
+# Band buckets are capped at this many member docs (smallest doc_ids win,
+# deterministically): a hot bucket — e.g. a boilerplate-heavy corpus where
+# thousands of distinct near-dup clusters collide on one band — would
+# otherwise fan out O(n²) candidate pairs inside a single reducer. Exact
+# duplicates NEVER hit the cap (they are collapsed to one representative
+# before LSH, see :func:`token_dedup_members`), so the cap only trims
+# candidate recall across >cap DISTINCT clusters per bucket; audit what a
+# corpus actually drops with :func:`lsh_bucket_overflow` (no-silent-caps).
+_LSH_BUCKET_CAP = 64
+
+
+def _md5_long(col: Column, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of md5 as a positive bigint — the
+    cross-engine-deterministic base hash (md5 is md5 everywhere; DuckDB
+    reproduces it as ``('0x' || substr(md5(x), 1, n))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("bigint")
+
+
+def _sql_md5_long(expr: str, n_hex: int) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {n_hex}))::BIGINT"
+
+
+def token_dedup_members(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text, rep_id) for docs with ≥3 tokens: exact-duplicate
+    collapse keyed on md5 of the whitespace-token sequence (the strongest
+    key under which shingle sets — hence signatures AND true Jaccard — are
+    provably identical). rep_id = min doc_id of the group. One window
+    shuffle on the content key; at 100 TB this is the step that turns a
+    corpus with 10⁶ copies of a boilerplate page into ONE signature row
+    instead of 10⁶ rows detonating a band bucket."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col("text"))
+    keyed = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", "text", F.md5(F.concat_ws(" ", toks)).alias("tkey")
+    )
+    return keyed.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("tkey"))
+    ).drop("tkey")
+
+
+def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Keep the ``cap`` smallest doc_ids per (band, bucket) — deterministic,
+    so the DuckDB oracle reproduces it bit-for-bit via QUALIFY."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket_overflow(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """(band, bucket, n_docs) for buckets larger than the cap — the audit
+    surface for the deterministic candidate cap (no-silent-caps rule): a
+    pipeline run at scale should count/log these before trusting recall."""
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame, members: DataFrame, intra_cols: list[Column], carry: list[str]
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to ALL member pairs so
+    the collapsed pipeline's output is bit-identical to the uncollapsed
+    ground truth: cross-group pairs inherit the rep pair's score (members
+    have identical shingle sets, so identical Jaccard/Hamming), intra-group
+    pairs get the exact-duplicate score (``intra_cols``). Joins are linear
+    in output size — the quadratic intra-group blowup is inherent to the
+    requested all-pairs OUTPUT, not to any shuffle key."""
+    m1 = members.select(F.col("rep_id").alias("doc_id_1"), F.col("doc_id").alias("m1"))
+    m2 = members.select(F.col("rep_id").alias("doc_id_2"), F.col("doc_id").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "doc_id_1")
+        .join(m2, "doc_id_2")
+        .select(
+            F.least("m1", "m2").alias("doc_id_1"),
+            F.greatest("m1", "m2").alias("doc_id_2"),
+            *carry,
+        )
+    )
+    a = members.alias("ma")
+    b = members.alias("mb")
+    intra = (
+        a.join(
+            b,
+            (F.col("ma.rep_id") == F.col("mb.rep_id"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_id_1"),
+            F.col("mb.doc_id").alias("doc_id_2"),
+            *intra_cols,
+        )
+    )
+    return cross.unionAll(intra)
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}): k min-hashes per doc, computed SHUFFLE-FREE
@@ -258,11 +360,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     small generated class instead of a ~12s-to-compile 64-buffer agg
     (measured 0.5s vs 5.6s cold / 0.5s vs 1.6s warm at sf0.1, identical
     output). The explicit repartition spreads the CPU-heavy projection
-    across cores when the source is a single small file."""
+    across cores when the source is a single small file. The base hash is
+    md5-derived (not xxhash64) so the DuckDB oracle can replay the exact
+    signature pipeline."""
     toks = tokens_col(F.col("text"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     base_arr = F.transform(
-        shingles_col(F.col("text")), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
+        shingles_col(F.col("text")), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))
     )
     sigs = [
         F.array_min(
@@ -278,26 +382,133 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None, headline=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, Jaccard-verified.
+def _sql_shingles(src: str) -> str:
+    return f"""
+  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM {src}) s,
+       UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+"""
 
-    shingle → 64 universal min-hashes → 16 bands × 4 rows; docs sharing a
-    band bucket become candidate pairs; candidates are verified with exact
-    shingle Jaccard and filtered at ≥ 0.8. Rows-only check: the signature
-    permutations hash with xxhash64, which ANSI SQL cannot reproduce — the
-    pytest suite instead asserts this returns exactly the pairs found by
-    the oracle-checked ``dedup_ngram_jaccard``."""
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs)
+
+# Shared oracle scaffolding: exact-dup collapse → rep shingles → (engine-
+# specific signature/band CTEs) → capped buckets → candidate rep pairs →
+# verify → expand back to member pairs. Mirrors the Spark pipeline step for
+# step so the deterministic bucket cap binds identically in both engines.
+_SQL_COLLAPSE = f"""
+keyed AS (
+  SELECT doc_id, lang, text,
+         md5(array_to_string({SQL_TOKENS}, ' ')) AS tkey
+  FROM documents
+  WHERE len({SQL_TOKENS}) >= 3
+),
+members AS (
+  SELECT doc_id, lang, text, MIN(doc_id) OVER (PARTITION BY tkey) AS rep_id
+  FROM keyed
+),
+reps AS (SELECT doc_id, lang, text FROM members WHERE doc_id = rep_id),
+shingles AS ({_sql_shingles("reps")})
+"""
+
+_SQL_MINHASH_SIGS = ",\n         ".join(
+    f"MIN(({a}::BIGINT * h + {b}) % {_P}) AS sig_{i}" for i, (a, b) in enumerate(_HASH_AB)
+)
+
+_SQL_MINHASH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {band} AS band, "
+    + " || ':' || ".join(f"sig_{band * _LSH_ROWS + r}::VARCHAR" for r in range(_LSH_ROWS))
+    + " AS bucket FROM sigs"
+    for band in range(_LSH_BANDS)
+)
+
+_SQL_CAP_CANDIDATES = f"""
+capped AS (
+  SELECT doc_id, band, bucket FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= {_LSH_BUCKET_CAP}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
+_MINHASH_SQL = f"""
+WITH
+{_SQL_COLLAPSE},
+hashed AS (
+  SELECT doc_id, {_sql_md5_long("shingle", 15)} % {_P} AS h FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {_SQL_MINHASH_SIGS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{_SQL_MINHASH_BANDS}
+),
+{_SQL_CAP_CANDIDATES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS shared
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.doc_id_1
+  JOIN shingles sb ON sb.doc_id = c.doc_id_2 AND sb.shingle = sa.shingle
+  GROUP BY c.doc_id_1, c.doc_id_2
+),
+rep_pairs AS (
+  SELECT p.doc_id_1, p.doc_id_2,
+         CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) AS jaccard
+  FROM shared p
+  JOIN sizes s1 ON p.doc_id_1 = s1.doc_id
+  JOIN sizes s2 ON p.doc_id_2 = s2.doc_id
+  WHERE CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) >= 0.8
+)
+SELECT least(m1.doc_id, m2.doc_id) AS doc_id_1,
+       greatest(m1.doc_id, m2.doc_id) AS doc_id_2,
+       p.jaccard
+FROM rep_pairs p
+JOIN members m1 ON m1.rep_id = p.doc_id_1
+JOIN members m2 ON m2.rep_id = p.doc_id_2
+UNION ALL
+SELECT a.doc_id, b.doc_id, CAST(1.0 AS DOUBLE)
+FROM members a JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_SQL, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, Jaccard-verified.
+
+    exact-dup collapse (token-sequence key) → shingle → 64 md5-derived
+    universal min-hashes → 16 bands × 4 rows → deterministically capped
+    band buckets → candidate rep pairs → exact-Jaccard verify at ≥ 0.8 →
+    expand back to all member pairs. Oracle-checked end to end: every hash
+    in the pipeline is md5-derived, so DuckDB replays signatures, banding,
+    the bucket cap, and verification bit-for-bit."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.8, cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """The full MinHash/LSH near-dup pipeline over an arbitrary documents
+    frame (columns: doc_id, lang, text). See :func:`dedup_minhash_lsh`."""
+    mem = token_dedup_members(docs).cache()
+    members = mem.select("doc_id", "rep_id")
+    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    sigs = minhash_signatures(reps)
     # One band table via a single explode — NOT a 16-way union of per-band
-    # projections, which would recompute the shingle-explode + 64-min-agg
-    # signature pipeline once per band (16× the work at any scale).
+    # projections, which would recompute the shingle-explode + 64-min-hash
+    # signature pipeline once per band (16× the work at any scale). The
+    # bucket id is the concatenated row signature (cross-engine string, no
+    # xxhash64) — band id disambiguates buckets across bands in the join.
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
-            F.xxhash64(
-                *[F.col(f"sig_{band * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
+            F.concat_ws(
+                ":", *[F.col(f"sig_{band * _LSH_ROWS + r}").cast("string") for r in range(_LSH_ROWS)]
             ).alias("bucket"),
         )
         for band in range(_LSH_BANDS)
@@ -305,8 +516,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    capped = _cap_buckets(bands, cap)
+    a = capped.alias("a")
+    b = capped.alias("b")
     candidates = (
         a.join(
             b,
@@ -319,7 +531,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached: referenced by three downstream branches (candidate-doc
         # semi joins + final filter); uncached, each branch would re-run the
         # whole signature pipeline. Candidate pairs are tiny by construction
-        # (LSH prunes the quadratic space), so this is safe at any scale.
+        # (LSH prunes the quadratic space + the bucket cap bounds hot
+        # buckets), so this is safe at any scale.
         .cache()
     )
     # verify candidates with exact Jaccard (join-aggregate over shingles,
@@ -333,7 +546,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
         .distinct()
     )
-    sh_c = _shingle_rows(docs.join(cand_docs, "doc_id", "left_semi")).cache()
+    sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi")).cache()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_c.alias("sa")
     sb = sh_c.alias("sb")
@@ -346,13 +559,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))
-    return (
+    rep_pairs = (
         shared.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("doc_id_1", "doc_id_2")
+        .filter(F.col("jaccard") >= threshold)
     )
+    return _expand_member_pairs(
+        rep_pairs, members, intra_cols=[F.lit(1.0).alias("jaccard")], carry=["jaccard"]
+    ).orderBy("doc_id_1", "doc_id_2")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -360,19 +575,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 48  # fits comfortably in a signed 64-bit int (no ANSI overflow)
 # 8 bands × 6 bits: a pair differing in ≤7 bits cannot touch all 8 bands
 # (pigeonhole), so candidate generation has GUARANTEED recall for every pair
-# the Hamming ≤ 6 confirm step can accept. (12-bit bands only guaranteed
-# Hamming ≤ 3 — a silent recall gap vs the confirm threshold, ADVICE r01.)
+# the Hamming ≤ 7 confirm step can accept — the confirm threshold is set to
+# exactly that pigeonhole bound, so blocking and confirm are tight against
+# each other. (12-bit bands only guaranteed Hamming ≤ 3 — a silent recall
+# gap vs the confirm threshold, ADVICE r01.)
 _SIMHASH_BAND_BITS = 6
-_SIMHASH_HAMMING_MAX = 6
-
-
-def simhash_col() -> list[Column]:
-    """Per-bit signed contributions of one exploded token hash."""
-    h = F.xxhash64(F.col("token"))
-    return [
-        F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1).alias(f"bit_{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
+_SIMHASH_HAMMING_MAX = 7
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -382,14 +590,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     per-hash ±1 bit votes), then a second pass folds the vote signs into the
     48-bit signature. Replaces the explode + 48-sum-agg formulation: no
     Generate, no doc_id shuffle, no 48-buffer codegen class (measured 0.5s
-    vs 2.8s warm at sf0.1, identical output).
+    vs 2.8s warm at sf0.1, identical output). The 48-bit base hash is
+    md5-derived (12 hex chars) so the DuckDB oracle replays the signature.
 
     Features are shingles, not tokens: with a small shared vocabulary,
     token-level bit votes correlate across unrelated documents and hamming
     distances collapse; shingles are high-cardinality and doc-specific."""
     toks = tokens_col(F.col("text"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base_arr = F.transform(shingles_col(F.col("text")), lambda s: F.xxhash64(s))
+    base_arr = F.transform(shingles_col(F.col("text")), lambda s: _md5_long(s, 12))
     powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(_SIMHASH_BITS)])
     zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(_SIMHASH_BITS)])
     votes = F.aggregate(
@@ -421,29 +630,95 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+_SQL_SIMHASH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {band} AS band,"
+    f" ((simhash >> {band * _SIMHASH_BAND_BITS}) & {(1 << _SIMHASH_BAND_BITS) - 1})::VARCHAR"
+    f" AS bucket FROM sigs"
+    for band in range(_SIMHASH_BITS // _SIMHASH_BAND_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH
+{_SQL_COLLAPSE},
+hashed AS (
+  SELECT doc_id, {_sql_md5_long("shingle", 12)} AS h FROM shingles
+),
+votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, UNNEST(range({_SIMHASH_BITS})) AS bit(i)
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+{_SQL_SIMHASH_BANDS}
+),
+{_SQL_CAP_CANDIDATES},
+rep_pairs AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+  FROM candidates c
+  JOIN sigs s1 ON s1.doc_id = c.doc_id_1
+  JOIN sigs s2 ON s2.doc_id = c.doc_id_2
+  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {_SIMHASH_HAMMING_MAX}
+)
+SELECT least(m1.doc_id, m2.doc_id) AS doc_id_1,
+       greatest(m1.doc_id, m2.doc_id) AS doc_id_2,
+       p.hamming
+FROM rep_pairs p
+JOIN members m1 ON m1.rep_id = p.doc_id_1
+JOIN members m2 ON m2.rep_id = p.doc_id_2
+UNION ALL
+SELECT a.doc_id, b.doc_id, 0::BIGINT
+FROM members a JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signatures, candidates from 6-bit band
+    """SimHash near-dup pairs: exact-dup collapse (token-sequence key), 48-bit
+    md5-derived signatures over representatives, candidates from 6-bit band
     blocking (8 bands: any pair within Hamming ≤ 7 must agree on ≥1 band, so
-    blocking recall covers the whole confirm range), confirmed by
-    bit_count(XOR) ≤ 6. Rows-only check (xxhash64 has no ANSI equivalent);
-    pytest cross-checks against the Jaccard pairs."""
-    docs = _docs(spark, sf_dir)
-    sigs = simhash_signatures(docs).cache()
-    bands = None
-    for band in range(_SIMHASH_BITS // _SIMHASH_BAND_BITS):
-        chunk = F.expr(
-            f"shiftright(simhash, {band * _SIMHASH_BAND_BITS}) & {(1 << _SIMHASH_BAND_BITS) - 1}"
+    blocking recall covers the whole confirm range) with the deterministic
+    bucket cap, confirmed by bit_count(XOR) ≤ 7, then expanded back to all
+    member pairs (intra-group Hamming is exactly 0). Oracle-checked end to
+    end — DuckDB replays signatures, banding, cap, and confirm."""
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def simhash_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """The full SimHash near-dup pipeline over an arbitrary documents frame
+    (columns: doc_id, lang, text). See :func:`dedup_simhash`."""
+    mem = token_dedup_members(docs).cache()
+    members = mem.select("doc_id", "rep_id")
+    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    sigs = simhash_signatures(reps).cache()
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.expr(
+                f"shiftright(simhash, {band * _SIMHASH_BAND_BITS})"
+                f" & {(1 << _SIMHASH_BAND_BITS) - 1}"
+            )
+            .cast("string")
+            .alias("bucket"),
         )
-        br = sigs.select("doc_id", F.lit(band).alias("band"), chunk.alias("chunk"))
-        bands = br if bands is None else bands.unionAll(br)
-    a = bands.alias("a")
-    b = bands.alias("b")
+        for band in range(_SIMHASH_BITS // _SIMHASH_BAND_BITS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    capped = _cap_buckets(bands, cap)
+    a = capped.alias("a")
+    b = capped.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
@@ -451,11 +726,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("h1"))
     s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("h2"))
-    return (
+    rep_pairs = (
         candidates.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("doc_id_1", "doc_id_2", "hamming")
-        .orderBy("doc_id_1", "doc_id_2")
     )
+    return _expand_member_pairs(
+        rep_pairs,
+        members,
+        intra_cols=[F.lit(0).cast("bigint").alias("hamming")],
+        carry=["hamming"],
+    ).orderBy("doc_id_1", "doc_id_2")

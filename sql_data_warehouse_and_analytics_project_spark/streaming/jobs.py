@@ -245,6 +245,16 @@ def run_available_now(job: DataFrame, output_mode: str, query_name: str, checkpo
     return q
 
 
+_UPSERT_BUCKETS = 64
+
+
+def upsert_key_bucket(key, n_buckets: int = _UPSERT_BUCKETS):
+    """The stable key→bucket map the upsert target is partitioned by:
+    xxhash64 is deterministic across runs/sessions, so a key lands in the
+    same partition directory on every microbatch (NULL keys fold to 0)."""
+    return F.coalesce(F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)), F.lit(0))
+
+
 def sink_stream_upsert(
     job: DataFrame,
     catalog,
@@ -252,6 +262,7 @@ def sink_stream_upsert(
     key: str,
     order_col: str,
     checkpoint: str,
+    n_buckets: int = _UPSERT_BUCKETS,
 ):
     """Streaming UPSERT sink: each microbatch MERGEs into a warehouse table
     keyed on ``key``, keeping the row with the greatest ``order_col`` — the
@@ -259,32 +270,43 @@ def sink_stream_upsert(
     via ``foreachBatch``, the Structured-Streaming idiom for sinks that need
     transactional semantics the file sink can't give.
 
-    Strategy mirrors the batch silver loads: keep-latest within the batch
-    (one window), union with the current table, keep-latest again, then the
-    catalog's atomic tmp-write+rename swap publishes the new version. On
-    Delta this becomes a single ``MERGE INTO`` touching only matched files;
-    the swap fallback rewrites the table, correct at any scale but
-    write-amplified — the documented trade everywhere else in
-    warehouse/silver.py.
+    Scale design: the target is partitioned by a stable hash bucket of the
+    key (``_key_bucket``, a physical-layout column visible to readers like
+    any partition column). A microbatch (1) computes the buckets it touches
+    — a ≤``n_buckets``-element collect, (2) reads ONLY those partitions of
+    the current table (directory-level pruning), (3) keep-latest merges
+    batch + current rows (one window), and (4) publishes via dynamic
+    partition overwrite, rewriting ONLY the touched bucket directories.
+    Untouched buckets' files are never read or written — at 100 TB a
+    trickle microbatch costs O(touched buckets), not a full-table rewrite.
+    On Delta this becomes a single ``MERGE INTO`` touching only matched
+    files; same semantics, finer-than-partition granularity.
     """
     from pyspark.sql import Window
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        bucketed = batch.withColumn("_key_bucket", upsert_key_bucket(key, n_buckets))
         w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc("_is_new"))
-        latest = (
-            batch.withColumn("_is_new", F.lit(1))
-            .transform(
-                lambda b: b.unionByName(
-                    catalog.read(table).withColumn("_is_new", F.lit(0))
-                )
-                if catalog.exists(table)
-                else b
+        if catalog.exists(table):
+            touched = [
+                r["_key_bucket"]
+                for r in bucketed.select("_key_bucket").distinct().collect()
+            ]
+            current = catalog.read(table).filter(F.col("_key_bucket").isin(touched))
+            src = bucketed.withColumn("_is_new", F.lit(1)).unionByName(
+                current.withColumn("_is_new", F.lit(0))
             )
-            .withColumn("_rn", F.row_number().over(w))
+        else:
+            src = bucketed.withColumn("_is_new", F.lit(1))
+        latest = (
+            src.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_is_new")
         )
-        catalog.overwrite(table, latest)
+        if catalog.exists(table):
+            catalog.overwrite_partitions(table, latest, ["_key_bucket"])
+        else:
+            catalog.overwrite(table, latest, partition_by=["_key_bucket"])
 
     return (
         job.writeStream.foreachBatch(merge_batch)

@@ -47,7 +47,11 @@ class Catalog:
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
-        return os.path.isdir(p) and any(f.endswith(".parquet") or f.startswith("order_year=") for f in os.listdir(p))
+        # a table is "present" if it has data files or hive-style partition
+        # dirs (e.g. order_year=2024, _key_bucket=17)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or ("=" in f and not f.startswith(".")) for f in os.listdir(p)
+        )
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

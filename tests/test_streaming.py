@@ -183,3 +183,57 @@ def test_stream_upsert_keeps_latest_per_key(spark, tmp_path):
     g = {(r["user_id"], r["ts"]) for r in got.collect()}
     e = {(r["user_id"], r["ts"]) for r in expected.collect()}
     assert g == e
+
+
+def test_stream_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale guard (VERDICT r03 #3): a microbatch must rewrite ONLY the
+    key-bucket partitions it touches — every file in an untouched bucket is
+    byte-identical after the merge (no full-table write amplification)."""
+    import hashlib
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    input_dir = str(tmp_path / "ups_input")
+    events = tpch.load(spark, SF_DIR, "events").limit(400)
+    events.write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = jobs.read_events_stream(spark, input_dir)
+        q = jobs.sink_stream_upsert(
+            stream, cat, "silver.user_latest_b", "user_id", "ts", str(tmp_path / "ck")
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    def snapshot():
+        root = cat.path("silver.user_latest_b")
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, root)] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    run()
+    before = snapshot()
+    assert len({p.split("/")[0] for p in before}) > 1, "need >1 bucket for the test to bind"
+
+    # second microbatch: ONE key → exactly one touched bucket
+    one = events.orderBy("event_id").limit(1)
+    touched = one.select(jobs.upsert_key_bucket("user_id").alias("b")).first()["b"]
+    one.write.mode("append").parquet(input_dir)
+    run()
+    after = snapshot()
+
+    prefix = f"_key_bucket={touched}"
+    untouched_before = {p: h for p, h in before.items() if not p.startswith(prefix)}
+    untouched_after = {p: h for p, h in after.items() if not p.startswith(prefix)}
+    assert untouched_before == untouched_after, "untouched bucket files changed"
+    # and the merge is still correct: one row per user, latest ts
+    got = cat.read("silver.user_latest_b")
+    assert got.count() == got.select("user_id").distinct().count()
