@@ -190,21 +190,58 @@ def assign_list_col(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _kmeanspp_seeds(
+    vecs: DataFrame, n_lists: int, sample_n: int = 2048
+) -> list[list[float]]:
+    """Deterministic k-means++ seeding over a deterministic sample.
+
+    Sample = the ``sample_n`` rows with the lowest ``xxhash64(vec_id)`` —
+    a uniform, order-independent draw that compiles to TakeOrderedAndProject
+    (no shuffle of the full table). The sample (≤ sample_n·dim doubles, KB–MB)
+    is the only data that touches the driver — standard for model training.
+    Seeding itself is classic k-means++ (first seed = lowest vec_id; each next
+    seed drawn with probability ∝ D² to the nearest chosen seed) driven by a
+    FIXED-SEED numpy Generator, so the result is bit-reproducible."""
+    import numpy as np
+
+    rows = (
+        vecs.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_n)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])  # stable array order for the RNG walk
+    pts = np.array([[float(x) for x in r["v"]] for r in rows])
+    rng = np.random.default_rng(0)
+    seeds = [0]  # lowest vec_id in the sample
+    d2 = ((pts - pts[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(n_lists, len(pts))):
+        total = d2.sum()
+        if total <= 0:  # all remaining points coincide with a seed
+            nxt = int(np.argmin(d2))
+        else:
+            nxt = int(rng.choice(len(pts), p=d2 / total))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
+    out = [pts[i].tolist() for i in seeds]
+    while len(out) < n_lists:  # degenerate tiny inputs: pad by repetition
+        out.append(out[len(out) % max(len(seeds), 1)])
+    return out
+
+
 def train_ivf_centroids(
     emb: DataFrame, n_lists: int = 8, iters: int = 2
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column, Spark-first: assignment is
     a literal-centroid projection (shuffle-free), the mean recompute is one
-    posexplode→groupBy shuffle per iteration. Deterministic: seeded from the
-    n_lists lowest vec_ids, fixed iteration count, and every reduction is an
-    exact integer/decimal-free mean over a fixed assignment."""
+    posexplode→groupBy shuffle per iteration. Deterministic: k-means++ seeds
+    from a fixed-seed RNG over a deterministic sample (:func:`_kmeanspp_seeds`),
+    fixed iteration count, and every reduction is a mean over a fixed
+    assignment."""
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    centroids = [
-        [float(x) for x in r["v"]]
-        for r in vecs.orderBy("vec_id").limit(n_lists).collect()
-    ]
+    centroids = _kmeanspp_seeds(vecs, n_lists)
     for _ in range(iters):
         assigned = vecs.withColumn("list_id", assign_list_col(F.col("v"), centroids))
         means = (
@@ -270,13 +307,54 @@ def ivf_search(
     )
 
 
-@query("ann_ivf_topk", oracle=None)
+_ANN_IVF_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, q, {SQL_NORM_Q} AS nq FROM quant
+),
+expl AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS val FROM quant
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM expl GROUP BY label, pos
+),
+centlist AS (
+  SELECT label, list(cval ORDER BY pos) AS cent FROM cent GROUP BY label
+),
+qv AS (SELECT q AS qq, nq AS nqq FROM normed WHERE vec_id = 0),
+probes AS (
+  SELECT c.label
+  FROM centlist c, qv
+  ORDER BY CAST(list_sum([c.cent[i+1] * qv.qq[i+1] FOR i IN range(len(c.cent))]) AS BIGINT) DESC, c.label
+  LIMIT 3
+)
+SELECT n.vec_id, n.label,
+       CAST(CAST(list_sum([n.q[i+1] * qv.qq[i+1] FOR i IN range(len(n.q))]) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(qv.nqq AS DOUBLE))) AS cosine
+FROM normed n
+JOIN probes p ON n.label = p.label
+CROSS JOIN qv
+WHERE n.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_SQL)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer (per-label centroid = elementwise mean,
-    a stand-in for trained k-means) → probe the 3 nearest centroids → exact
-    rerank only within probed labels. Rows-only check (float centroid means
-    aren't cross-engine reproducible); pytest asserts recall vs the exact
-    ``ann_cosine_topk`` baseline.
+    """IVF-style ANN: coarse quantizer (per-label centroid, a stand-in for
+    trained k-means) → probe the 3 nearest centroids → exact rerank only
+    within probed labels.
+
+    Cross-engine determinism (oracle-able since r4): centroids are FIXED-POINT
+    INTEGER arrays — ``FLOOR(SUM(q)/COUNT)`` per (label, pos) over the already
+    quantized int64 values. The per-position sums stay far below 2^53, so the
+    int→double cast, the IEEE division, and the floor are bit-identical in
+    Spark and DuckDB; probe ranking then compares EXACT int64 dot products
+    (|cdot| ≤ 64·(0.6e7)² ≈ 2.3e15 « 2^63), tie-broken by label.
 
     At scale the table is partitioned by centroid id: probing = partition
     pruning, and the rerank scans ~n_probes/n_lists of the data."""
@@ -285,11 +363,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
 
-    # centroids: elementwise mean per label via posexplode + groupBy
+    # integer centroids: FLOOR(mean) per (label, pos) via posexplode + groupBy
     cent = (
         normed.select("label", F.posexplode("q").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("cval")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
         .select("label", F.transform(F.col("pairs"), lambda s: s.cval).alias("centroid"))
@@ -297,16 +379,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.broadcast(
         normed.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"), F.col("nq").alias("nqq"))
     )
-    # probe: rank centroids by dot with the query (double math is fine here —
-    # probe selection is heuristic by construction)
-    cdot = F.aggregate(
-        F.zip_with(F.col("centroid"), F.col("qq"), lambda c, x: c * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # probe: rank centroids by EXACT integer dot with the quantized query
     probes = (
         cent.crossJoin(qv)
-        .select("label", cdot.alias("cdot"))
+        .select("label", dot_q(F.col("centroid"), F.col("qq")).alias("cdot"))
         .orderBy(F.desc("cdot"), F.asc("label"))
         .limit(3)
         .select("label")

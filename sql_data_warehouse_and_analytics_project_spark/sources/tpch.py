@@ -34,13 +34,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read the physical int64 nanos (legacy conf is
-        # honored at read time) and convert with exact integer division —
-        # float division of epoch-nanos would lose precision past 2^53.
+        # events.parquet has shipped ts as either TIMESTAMP(NANOS) (which
+        # Spark's reader rejects without the legacy conf) or TIMESTAMP(MICROS)
+        # (read natively as TIMESTAMP_NTZ) across driver testdata versions —
+        # adapt to whichever physical type this sf_dir carries. Nanos are
+        # converted with exact integer division (float division of
+        # epoch-nanos would lose precision past 2^53); NTZ micros cast to
+        # session-tz TIMESTAMP, value-preserving under the pinned UTC session.
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

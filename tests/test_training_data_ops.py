@@ -168,3 +168,50 @@ def test_ivf_kmeans_improves_over_init(spark):
     init = sim.train_ivf_centroids(emb, n_lists=8, iters=0)
     trained = sim.train_ivf_centroids(emb, n_lists=8, iters=2)
     assert distortion(trained) <= distortion(init) + 1e-9
+
+
+def test_ivf_kmeanspp_seeding_deterministic_and_spreads_planted_clusters(spark):
+    """k-means++ seeding (r4): bit-reproducible across calls, and on a
+    planted-cluster corpus whose lowest vec_ids ALL sit in one cluster (the
+    pathological case for the old first-n seeding) the ∝D² draw must spread
+    seeds across clusters, beating first-n init distortion by a wide margin."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = sim._kmeanspp_seeds(vecs, 8)
+    b = sim._kmeanspp_seeds(vecs, 8)
+    assert a == b, "k-means++ seeding is not deterministic"
+    assert len({tuple(s) for s in a}) == 8  # distinct points, no collapse
+
+    # planted corpus: 4 tight clusters at distance ~20 apart; vec_ids 0..49
+    # all in cluster 0 so first-n seeding puts every seed in one cluster
+    rng = np.random.default_rng(7)
+    centers = np.eye(4, 8) * 20.0
+    pts = [
+        (int(c * 50 + i), (centers[c] + rng.normal(0, 0.1, 8)).tolist())
+        for c in range(4)
+        for i in range(50)
+    ]
+    planted = spark.createDataFrame(pts, "vec_id long, v array<double>")
+
+    def distortion(cents, k):
+        col = F.array_min(
+            F.transform(sim._centroid_literal(cents), lambda c: sim._sq_dist(c, F.col("v")))
+        )
+        return planted.agg(F.sum(col)).collect()[0][0]
+
+    pp = sim._kmeanspp_seeds(planted, 4)
+    first_n = [
+        [float(x) for x in r["v"]] for r in planted.orderBy("vec_id").limit(4).collect()
+    ]
+    d_pp, d_fn = distortion(pp, 4), distortion(first_n, 4)
+    # first-n leaves 3 of 4 clusters ~400·20² unexplained; k-means++ covers all
+    assert d_pp < d_fn / 10, f"k-means++ init {d_pp} not ≪ first-n init {d_fn}"
