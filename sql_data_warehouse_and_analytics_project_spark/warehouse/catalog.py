@@ -74,6 +74,11 @@ class Catalog:
             os.rename(target, old)
         os.rename(tmp, target)
         if os.path.isdir(old):
+            # table properties (sidecar) describe the TABLE, not a data
+            # version — carry them across the swap like a catalog would
+            old_props = os.path.join(old, "_table_properties.json")
+            if os.path.exists(old_props):
+                shutil.copy(old_props, self._props_path(name))
             shutil.rmtree(old, ignore_errors=True)
         return n
 
@@ -106,3 +111,33 @@ class Catalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
+
+    # --- table properties (TBLPROPERTIES analog) ------------------------
+    #
+    # A lakehouse catalog attaches key→value properties to tables (Spark:
+    # ALTER TABLE ... SET TBLPROPERTIES); on this parquet-directory catalog
+    # they live in a sidecar JSON inside the table dir. The leading
+    # underscore makes Spark's parquet reader skip it as metadata, and
+    # overwrite() carries the sidecar across its atomic swap so properties
+    # behave like catalog state, not data files.
+
+    def _props_path(self, name: str) -> str:
+        return os.path.join(self.path(name), "_table_properties.json")
+
+    def set_properties(self, name: str, props: dict[str, str]) -> None:
+        """Merge ``props`` into the table's properties sidecar."""
+        import json
+
+        os.makedirs(self.path(name), exist_ok=True)
+        merged = {**self.properties(name), **props}
+        with open(self._props_path(name), "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+
+    def properties(self, name: str) -> dict[str, str]:
+        import json
+
+        p = self._props_path(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)

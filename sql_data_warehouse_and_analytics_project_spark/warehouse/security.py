@@ -41,6 +41,35 @@ SENSITIVITY_LABELS = {
 }
 
 
+def apply_classification_labels(ctx: RunContext, labels=None) -> dict[str, dict[str, str]]:
+    """X4: persist sensitivity-classification labels as table properties —
+    the lakehouse TBLPROPERTIES analog of SQL Server's
+    ADD SENSITIVITY CLASSIFICATION (ref: ddl_security.sql:118-128).
+
+    Each (table, column) label becomes two properties on the table:
+    ``classification.<column>.label`` and ``classification.<column>.info_type``
+    — the exact key shape governed catalogs (Unity/Polaris-style) use, so at
+    scale these flow to the real catalog unchanged. Returns {table: props}."""
+    out: dict[str, dict[str, str]] = {}
+    for (table, column), (label, info_type) in (labels or SENSITIVITY_LABELS).items():
+        out.setdefault(table, {})[f"classification.{column}.label"] = label
+        out[table][f"classification.{column}.info_type"] = info_type
+    for table, props in out.items():
+        ctx.catalog.set_properties(table, props)
+    return out
+
+
+def classified_columns(ctx: RunContext, table: str) -> dict[str, dict[str, str]]:
+    """Read back a table's classification labels from its properties:
+    {column: {label, info_type}} — what a governance scanner consumes."""
+    cols: dict[str, dict[str, str]] = {}
+    for k, v in ctx.catalog.properties(table).items():
+        if k.startswith("classification."):
+            _, column, kind = k.split(".", 2)
+            cols.setdefault(column, {})[kind] = v
+    return cols
+
+
 def user_country_mapping(ctx: RunContext, rows=None) -> DataFrame:
     return ctx.catalog.spark.createDataFrame(rows or DEFAULT_USER_COUNTRY, "UserName string, Country string")
 

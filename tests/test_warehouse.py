@@ -464,3 +464,30 @@ def test_incremental_fact_refresh_idempotent(wh):
     after_df = cat.read("gold.fact_sales").filter(F.col("order_year") == target)
     assert n == after_df.count()
     assert {tuple(r) for r in after_df.collect()} == before
+
+
+def test_classification_labels_as_table_properties(wh):
+    """X4 (r4): sensitivity labels persist as TBLPROPERTIES-style catalog
+    properties, survive a full-table overwrite swap, and read back per
+    column (ref: ddl_security.sql:118-128)."""
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.security import (
+        apply_classification_labels,
+        classified_columns,
+    )
+
+    ctx = wh["ctx2"]
+    cat = ctx.catalog
+    applied = apply_classification_labels(ctx)
+    assert "gold.dim_customers" in applied
+
+    cols = classified_columns(ctx, "gold.dim_customers")
+    assert cols["first_name"] == {"label": "Confidential", "info_type": "Personal Data"}
+    assert cols["birthdate"] == {"label": "Sensitive", "info_type": "Personal Data"}
+
+    # properties are catalog state: a truncate-and-reload swap keeps them
+    dim = cat.read("gold.dim_customers")
+    cat.overwrite("gold.dim_customers", dim)
+    assert classified_columns(ctx, "gold.dim_customers")["last_name"]["label"] == "Confidential"
+
+    # and the data files still read cleanly with the sidecar in place
+    assert cat.read("gold.dim_customers").count() > 0
