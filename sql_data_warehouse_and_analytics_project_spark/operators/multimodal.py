@@ -412,11 +412,35 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+_MM_FEATURES_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(('0x' || substr(sha256(text), 1, 8))::BIGINT / 4294967296.0 AS FLOAT) AS f0
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(FLOOR(CAST(f0 AS DOUBLE) * 1000000.0)) AS DOUBLE) / 1000000.0 AS f0_mass
+FROM media
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+@query("multimodal_features", oracle=_MM_FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary media table → Arrow-batched
-    (fake) decode → per-type feature stats. Rows-only check (the decode step
-    is Python-side by design); pytest pins schema/determinism/batch shape."""
+    (fake) decode → per-type feature stats.
+
+    Oracle-checked since r4 even though the decode runs Python-side: the
+    deterministic stand-in feature is sha256-derived (first 4 digest bytes
+    / 2³²), which DuckDB reproduces — the oracle mirrors the FLOAT32
+    rounding the Arrow feature schema imposes before the floor/sum. The
+    hash proof covers the full mapInPandas round trip: schema, batch
+    shape, byte fidelity of payloads, and the aggregation."""
     media = synth_media(spark, sf_dir)
     feats = decode_features(media, fake=True)
     return (

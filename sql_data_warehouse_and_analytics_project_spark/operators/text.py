@@ -358,3 +358,136 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_fingerprint",
         F.substring("doc_fingerprint", 1, 16).alias("shard_key"),
     ).orderBy("doc_id")
+
+
+# --- Gopher-style repetition filter (r4) -----------------------------------
+#
+# The repetition signals of Rae et al. 2021 ("Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) adapted
+# to this corpus's single-line documents: type-token ratio, most-frequent-
+# word mass, and duplicate-2-gram mass. Pure array HOFs — a single narrow
+# projection per doc, no shuffle, scan-scales to 100 TB like text_profile.
+
+_GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         CAST(len(t) - 1 - len(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS DOUBLE)
+           / CAST(len(t) - 1 AS DOUBLE) AS dup_bigram_frac
+  FROM toks WHERE len(t) >= 2
+)
+SELECT p.doc_id, p.n_tokens, p.ttr, p.top_word_frac, b.dup_bigram_frac,
+       (p.ttr >= 0.35 AND p.top_word_frac <= 0.12 AND b.dup_bigram_frac <= 0.06) AS keep
+FROM per_doc p JOIN bi b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_gopher", oracle=_GOPHER_SQL)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc type-token ratio, top-word
+    mass, duplicate-2-gram mass, and the keep/drop verdict.
+
+    Every metric is an exact integer ratio (IEEE division of exact counts,
+    bit-identical cross-engine). top word count is an O(distinct·n) nested
+    HOF — bounded by document length, never a shuffle; duplicate-bigram
+    mass is (total − distinct)/total over the bigram array."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    base = docs.filter(F.size(toks) >= 2).select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)),
+    )
+    n_bi = (n - 1).cast("double")
+    dup_bi = (n_bi - F.size(F.array_distinct(bigrams)).cast("double")) / n_bi
+    scored = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / n.cast("double")).alias("ttr"),
+        (top_cnt.cast("double") / n.cast("double")).alias("top_word_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+    )
+    return scored.select(
+        "*",
+        (
+            (F.col("ttr") >= 0.35)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("dup_bigram_frac") <= 0.06)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --- benchmark decontamination (r4) ----------------------------------------
+#
+# Training-data decontamination: flag training documents that share a word
+# 4-gram with a held-out benchmark/eval set (the n-gram-overlap procedure of
+# GPT-3's appendix C, scaled down to this corpus's doc lengths). The eval
+# set here is the deterministic doc_id % 100 == 0 slice — standing in for
+# an external benchmark table. Scale design: eval sets are tiny (MBs) at
+# any corpus scale, so the eval n-gram side BROADCASTS — the 100 TB corpus
+# side is a single scan + broadcast semi-probe with NO shuffle of corpus
+# n-grams; the per-doc hit count is the only (tiny, post-filter) shuffle.
+
+_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_contaminated_ngrams
+FROM grams g
+JOIN bench b ON g.g = b.g
+WHERE g.doc_id % 100 <> 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_DECONTAM_SQL)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 4-gram decontamination: training docs sharing any word
+    4-gram with the eval slice (doc_id % 100 == 0), with hit counts."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    grams4 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("t")) - 4),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 4)),
+        )
+    )
+    base = (
+        docs.filter(F.size(toks) >= 4)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(grams4).alias("g"))
+    )
+    bench = base.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    return (
+        base.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_contaminated_ngrams"))
+        .orderBy("doc_id")
+    )

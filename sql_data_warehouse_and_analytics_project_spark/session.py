@@ -36,6 +36,12 @@ def get_spark(app_name: str = "sql_dwh_spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # dims in this schema are small; let Catalyst broadcast them eagerly
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # the default 100-entry generated-class cache thrashes when a session
+        # runs the full 50-query registry (bench, pytest, the driver's
+        # correctness sweep) — evicted classes recompile via Janino at
+        # seconds each, which shows up as run-to-run wall-clock oscillation
+        # on otherwise identical plans
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
