@@ -488,6 +488,103 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("doc_id") % 100 != 0)
         .join(F.broadcast(bench), "g", "inner")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_contaminated_ngrams"))
+        # plain count, not count_distinct: grams4 is array_distinct per doc,
+        # so (doc_id, g) rows are already unique — a distinct-agg would add
+        # a second shuffle for nothing
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+# --- PII scrub (r4) ---------------------------------------------------------
+#
+# Standard training-data redaction stage: find + replace emails/phone
+# numbers with typed placeholder tokens. The corpus carries no real PII, so
+# the query PLANTS deterministic synthetic PII (derived from doc_id) before
+# scrubbing — the scrub path (regexes, replacement, residual check) is the
+# real production transform, exercised end to end and hash-checked against
+# DuckDB. Pure regexp projections: zero shuffle except the display sort.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+  FROM planted
+)
+SELECT doc_id, lang, n_emails, n_phones,
+       CAST(length(clean_text) AS BIGINT) AS clean_len,
+       (len(regexp_extract_all(clean_text, '{_EMAIL_RE}')) = 0
+        AND len(regexp_extract_all(clean_text, '{_PHONE_RE}')) = 0) AS residual_free
+FROM scrubbed
+WHERE n_emails + n_phones > 0
+ORDER BY doc_id
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: plant deterministic synthetic emails/phones, scrub
+    with the standard patterns, report per-doc match counts and a
+    residual-free proof column. See module comment — the scrub transform
+    is the production path; only the planted PII is synthetic."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+    return (
+        scrubbed.filter(F.col("n_emails") + F.col("n_phones") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_emails",
+            "n_phones",
+            F.length("clean_text").cast("bigint").alias("clean_len"),
+            (
+                (F.regexp_count(F.col("clean_text"), F.lit(_EMAIL_RE)) == 0)
+                & (F.regexp_count(F.col("clean_text"), F.lit(_PHONE_RE)) == 0)
+            ).alias("residual_free"),
+        )
         .orderBy("doc_id")
     )

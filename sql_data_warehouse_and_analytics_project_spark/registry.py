@@ -60,8 +60,9 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # entries in registration order, so hash-checkable queries must never be
     # displaced by rows-only ones if the registry grows (sort is stable —
     # in-module order is preserved within each group). As of r4 the registry
-    # holds 52 (49 oracle-backed + 3 rows-only-by-design); the two rows-only
-    # entries past the cap (olap_approx_summary, multimodal_decode_real)
-    # stay registered for users/tests and are pytest-verified — see
-    # COVERAGE.md preamble.
+    # holds 53 (50 oracle-backed + 3 rows-only-by-design); the driver's
+    # 50-entry window is exactly the hash-checked set, and the rows-only
+    # entries past the cap (q01_database_exploration, olap_approx_summary,
+    # multimodal_decode_real) stay registered for users/tests and are
+    # pytest-verified — see COVERAGE.md preamble.
     return dict(sorted(_REGISTRY.items(), key=lambda kv: kv[1].oracle is None))

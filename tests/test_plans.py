@@ -192,3 +192,29 @@ def test_signature_pipelines_have_no_explode_or_keyed_shuffle(spark):
         plan = audit.executed_plan(sig_fn(docs))
         assert "Generate" not in plan, plan
         assert audit.data_shuffle_count(plan) == 0, plan
+
+
+def test_gopher_filter_is_shuffle_free_projection(spark):
+    """text_quality_gopher is a narrow per-doc HOF projection: no Generate,
+    and the only exchange is the final display ORDER BY's range partitioning
+    — nothing shuffles by key before the metrics exist (r4)."""
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    plan = audit.executed_plan(all_queries()["text_quality_gopher"].fn(spark, SF_DIR))
+    assert "Generate" not in plan, plan
+    assert audit.data_shuffle_count(plan) <= 1, plan  # ORDER BY only
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """text_decontaminate must probe the corpus n-grams against a BROADCAST
+    eval-set — a sort-merge/shuffled-hash join here would shuffle the whole
+    exploded corpus at 100 TB (r4). Post-join shuffles (tiny bench distinct,
+    post-filter hit counts, display sort) are bounded by the eval overlap,
+    not the corpus."""
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    plan = audit.executed_plan(all_queries()["text_decontaminate"].fn(spark, SF_DIR))
+    counts = audit.join_counts(plan)
+    assert counts["broadcast"] >= 1, plan
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+    assert audit.data_shuffle_count(plan) <= 3, plan
