@@ -24,6 +24,7 @@ ETL_LOG = "audit.etl_log"
 DQ_ISSUES = "audit.data_quality_issues"
 ETL_CONFIG = "audit.etl_config"
 WATERMARKS = "audit.watermark_thresholds"
+ACCESS_LOG = "audit.access_log"  # X5 audit spec (ref: ddl_security.sql:169-179)
 
 _LOG_SCHEMA = T.StructType(
     [
@@ -35,6 +36,16 @@ _LOG_SCHEMA = T.StructType(
         T.StructField("row_count", T.LongType()),
         T.StructField("status", T.StringType()),
         T.StructField("error_message", T.StringType()),
+    ]
+)
+
+_ACCESS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("user_name", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("succeeded", T.IntegerType()),
     ]
 )
 
@@ -90,6 +101,7 @@ class RunContext:
     _log_seq: int = field(default=0, repr=False)
     _log_rows: list = field(default_factory=list, repr=False)
     _dq_rows: list = field(default_factory=list, repr=False)
+    _access_rows: list = field(default_factory=list, repr=False)
 
     # ------------------------------------------------------------- setup
     def init_audit_tables(self) -> None:
@@ -100,6 +112,8 @@ class RunContext:
             c.overwrite(ETL_LOG, c.spark.createDataFrame([], _LOG_SCHEMA))
         if not c.exists(DQ_ISSUES):
             c.overwrite(DQ_ISSUES, c.spark.createDataFrame([], _DQ_SCHEMA))
+        if not c.exists(ACCESS_LOG):
+            c.overwrite(ACCESS_LOG, c.spark.createDataFrame([], _ACCESS_SCHEMA))
         if not c.exists(WATERMARKS):
             seed = [
                 ("silver.crm_cust_info", WATERMARK_EPOCH, "cst_create_date"),
@@ -141,8 +155,15 @@ class RunContext:
     def dq_issue(self, table: str, check: str, expected, actual, desc: str, layer: str) -> None:
         self._dq_rows.append((self.batch_id, table, check, str(expected), str(actual), desc, layer))
 
+    def log_access(self, user: str, action: str, obj: str, succeeded: bool) -> None:
+        """X5 audit-spec row: who attempted what on which object, and whether
+        authorization allowed it (ref: ddl_security.sql:169-179 — the server
+        audit records SELECTs on the gold schema incl. denied attempts).
+        Buffered like log()/dq_issue() and flushed once per run."""
+        self._access_rows.append((self.as_of, user, action, obj, 1 if succeeded else 0))
+
     def flush_audit(self) -> None:
-        """Write buffered log/DQ rows in two appends (call once per run)."""
+        """Write buffered log/DQ/access rows in batched appends (once per run)."""
         spark = self.catalog.spark
         if self._log_rows:
             self.catalog.append(ETL_LOG, spark.createDataFrame(self._log_rows, _LOG_SCHEMA))
@@ -150,6 +171,9 @@ class RunContext:
         if self._dq_rows:
             self.catalog.append(DQ_ISSUES, spark.createDataFrame(self._dq_rows, _DQ_SCHEMA))
             self._dq_rows = []
+        if self._access_rows:
+            self.catalog.append(ACCESS_LOG, spark.createDataFrame(self._access_rows, _ACCESS_SCHEMA))
+            self._access_rows = []
 
     def dq_compare(self, table: str, check: str, expected, actual, desc: str, layer: str) -> bool:
         """Log an issue iff expected != actual (the reference's inline IF-

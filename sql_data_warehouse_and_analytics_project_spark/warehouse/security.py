@@ -31,7 +31,65 @@ DEFAULT_USER_COUNTRY = [
     ("GlobalManager", "United States"),
 ]
 
-MANAGER_ROLE_USERS = {"GlobalManager"}  # gold_manager has UNMASK (ref :152)
+# --- X1: RBAC roles + grants (ref: ddl_security.sql:21-26, 149-153) --------
+#
+# The reference creates gold_analyst / gold_manager, grants both SELECT on
+# the gold schema, and gives only gold_manager UNMASK. Here the same model
+# is an in-engine authorization table consulted by secure_read(); on a
+# governed lakehouse these rows map 1:1 onto catalog GRANTs.
+
+ROLE_MEMBERS: dict[str, set[str]] = {
+    "gold_analyst": {"IndiaUser", "USUser", "analyst"},
+    "gold_manager": {"GlobalManager"},
+}
+
+# (object pattern, privilege); pattern "db.*" covers every table in db
+ROLE_GRANTS: dict[str, set[tuple[str, str]]] = {
+    "gold_analyst": {("gold.*", "SELECT")},
+    "gold_manager": {("gold.*", "SELECT"), ("gold.*", "UNMASK")},
+}
+
+MANAGER_ROLE_USERS = ROLE_MEMBERS["gold_manager"]  # back-compat alias
+
+
+class AccessDeniedError(PermissionError):
+    """Raised when secure_read() finds no SELECT grant for the user."""
+
+
+def roles_of(user: str) -> set[str]:
+    return {role for role, members in ROLE_MEMBERS.items() if user in members}
+
+
+def _pattern_covers(pattern: str, obj: str) -> bool:
+    db, _, _table = pattern.partition(".")
+    return pattern == obj or (pattern.endswith(".*") and obj.startswith(db + "."))
+
+
+def has_privilege(user: str, obj: str, privilege: str) -> bool:
+    """True iff any of the user's roles carries ``privilege`` on ``obj``."""
+    return any(
+        _pattern_covers(pat, obj) and priv == privilege
+        for role in roles_of(user)
+        for (pat, priv) in ROLE_GRANTS.get(role, set())
+    )
+
+
+def secure_read(ctx: RunContext, user: str, table: str) -> DataFrame:
+    """The reference's full security stack on one read path: GRANT check
+    (X1) → audit-spec row incl. denied attempts (X5) → RLS (X2) → masking
+    by UNMASK grant (X3). Policy cost at scale is unchanged from the parts:
+    broadcast probes and a conditional projection — the fact never shuffles.
+    """
+    allowed = has_privilege(user, table, "SELECT")
+    ctx.log_access(user, "SELECT", table, allowed)
+    if not allowed:
+        raise AccessDeniedError(f"{user} has no SELECT grant on {table}")
+    if table == "gold.fact_sales":
+        df = rls_fact_sales(ctx, user)
+        if not has_privilege(user, table, "UNMASK"):
+            df = df.withColumn("sales_amount", F.lit(MASK_DEFAULT).cast("decimal(19,4)"))
+        return df
+    return ctx.catalog.read(table)
 
 SENSITIVITY_LABELS = {
     # ref: ddl_security.sql:118-128
@@ -96,8 +154,8 @@ def rls_fact_sales(ctx: RunContext, user: str, mapping: DataFrame | None = None)
 
 def masked_fact_sales(ctx: RunContext, user: str) -> DataFrame:
     """Dynamic data masking on sales_amount (ref: ddl_security.sql:104-111):
-    default() mask → 0 for non-managers, clear for gold_manager members."""
+    default() mask → 0 unless the user's role carries UNMASK (X1 grant)."""
     fact = ctx.catalog.read("gold.fact_sales")
-    if user in MANAGER_ROLE_USERS:
+    if has_privilege(user, "gold.fact_sales", "UNMASK"):
         return fact
     return fact.withColumn("sales_amount", F.lit(MASK_DEFAULT).cast("decimal(19,4)"))

@@ -491,3 +491,45 @@ def test_classification_labels_as_table_properties(wh):
 
     # and the data files still read cleanly with the sidecar in place
     assert cat.read("gold.dim_customers").count() > 0
+
+
+def test_rbac_secure_read_and_access_audit(wh):
+    """X1 + X5 (r4): role grants gate reads, UNMASK decides masking, and
+    every attempt — including the denied one — lands in audit.access_log
+    (ref: ddl_security.sql:21-26, 149-153, 169-179)."""
+    import pytest as _pytest
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.audit import ACCESS_LOG
+    from sql_data_warehouse_and_analytics_project_spark.warehouse.security import (
+        AccessDeniedError,
+        has_privilege,
+        roles_of,
+        secure_read,
+    )
+
+    ctx = wh["ctx2"]
+    assert roles_of("GlobalManager") == {"gold_manager"}
+    assert has_privilege("IndiaUser", "gold.fact_sales", "SELECT")
+    assert not has_privilege("IndiaUser", "gold.fact_sales", "UNMASK")
+    assert not has_privilege("intruder", "gold.fact_sales", "SELECT")
+
+    # analyst: RLS-filtered AND masked (USUser — fixture customers are US)
+    analyst_df = secure_read(ctx, "USUser", "gold.fact_sales")
+    assert analyst_df.count() > 0
+    vals = [r["sales_amount"] for r in analyst_df.select("sales_amount").distinct().collect()]
+    assert vals == [0]
+
+    # manager: clear values, full mapped visibility
+    mgr_df = secure_read(ctx, "GlobalManager", "gold.fact_sales")
+    assert mgr_df.filter("sales_amount > 0").count() > 0
+
+    # no grant → denied, but still audited
+    with _pytest.raises(AccessDeniedError):
+        secure_read(ctx, "intruder", "gold.fact_sales")
+
+    ctx.flush_audit()
+    log = {
+        (r["user_name"], r["succeeded"])
+        for r in ctx.catalog.read(ACCESS_LOG).collect()
+    }
+    assert ("USUser", 1) in log and ("GlobalManager", 1) in log and ("intruder", 0) in log
