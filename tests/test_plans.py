@@ -218,3 +218,26 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert counts["broadcast"] >= 1, plan
     assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
     assert audit.data_shuffle_count(plan) <= 3, plan
+
+
+def test_scan_pruning_columns_and_pushed_filters(spark):
+    """Column pruning and predicate pushdown must reach the parquet scans
+    (r4): gopher reads exactly (doc_id, text) of documents' 5 columns, no
+    q05 lineitem scan reads more than 4 of its 11 columns, and the
+    etl_filter_suite watermark predicate appears in PushedFilters — a scan
+    reading everything for a narrow projection is wrong at any scale."""
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    qs = all_queries()
+    plan = audit.executed_plan(qs["text_quality_gopher"].fn(spark, SF_DIR))
+    cols = audit.scan_columns(plan)
+    assert cols and all(set(c) == {"doc_id", "text"} for c in cols), cols
+
+    plan5 = audit.executed_plan(qs["q05_magnitude"].fn(spark, SF_DIR))
+    li_scans = [c for c in audit.scan_columns(plan5) if any(x.startswith("l_") for x in c)]
+    assert li_scans and all(len(c) <= 4 for c in li_scans), li_scans
+
+    planf = audit.executed_plan(qs["etl_filter_suite"].fn(spark, SF_DIR))
+    assert any("o_orderdate" in f for f in audit.pushed_filters(planf)), (
+        audit.pushed_filters(planf)
+    )
