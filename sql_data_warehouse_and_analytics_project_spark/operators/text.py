@@ -243,11 +243,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+# BPE-ish pre-tokenizer (GPT-2-style splitting simplified to the portable
+# RE2/Java-regex intersection: letter runs, single digits, single
+# non-alphanumeric symbols; whitespace is not a token). A training-data
+# budget counted this way tracks subword-tokenizer counts far better than
+# whitespace words on code/punctuation-heavy text.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_SQL_BPE_COUNT = f"CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)"
+
 _PROFILE_SQL = f"""
 WITH scored AS (
   SELECT doc_id, lang, source,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         {_SQL_BPE_COUNT} AS n_bpe_tokens,
          CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS n_distinct_tokens,
          CAST(length(replace(text, ' ', '')) AS DOUBLE)
            / CAST(len({SQL_TOKENS}) AS DOUBLE) AS avg_token_len,
@@ -263,8 +272,8 @@ WITH scored AS (
          sha256({_SQL_NORM}) AS doc_fingerprint
   FROM documents
 )
-SELECT doc_id, lang, source, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
-       alpha_ratio, digit_ratio, punct_ratio, ttr,
+SELECT doc_id, lang, source, n_chars, n_tokens, n_bpe_tokens, n_distinct_tokens,
+       avg_token_len, alpha_ratio, digit_ratio, punct_ratio, ttr,
        CASE WHEN n_tokens >= 20 AND alpha_ratio > 0.6 AND ttr > 0.2 THEN 'high'
             WHEN n_tokens >= 10 AND alpha_ratio > 0.4 THEN 'medium'
             ELSE 'low' END AS quality_bucket,
@@ -312,6 +321,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_chars.cast("bigint").alias("n_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
@@ -338,6 +348,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         "n_tokens",
+        "n_bpe_tokens",
         "n_distinct_tokens",
         "avg_token_len",
         "alpha_ratio",

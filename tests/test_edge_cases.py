@@ -1,0 +1,33 @@
+"""Degenerate-input robustness: empty and uniform corpora through the
+near-dup pipelines. An empty delta load and a mass-duplicate crawl batch are
+both routine at 100 TB — neither may throw or mis-pair."""
+
+from __future__ import annotations
+
+from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+_SCHEMA = "doc_id long, lang string, text string"
+
+
+def test_dedup_pipelines_handle_empty_corpus(spark):
+    empty = spark.createDataFrame([], _SCHEMA)
+    assert dedup.minhash_lsh_pairs(empty).count() == 0
+    assert dedup.simhash_pairs(empty).count() == 0
+    assert dedup.ngram_jaccard_candidates(empty).count() == 0
+
+
+def test_dedup_pipelines_handle_uniform_corpus(spark):
+    """10 byte-identical docs: the exact-dup collapse reduces LSH to ONE
+    representative (no band bucket ever sees the mass), and the member
+    expansion must still emit every C(10,2) pair at Jaccard exactly 1.0."""
+    uniform = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma delta epsilon zeta") for i in range(10)], _SCHEMA
+    )
+    rows = dedup.minhash_lsh_pairs(uniform).collect()
+    assert len(rows) == 45
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    assert all(r["doc_id_1"] < r["doc_id_2"] for r in rows)
+
+    sim = dedup.simhash_pairs(uniform).collect()
+    assert len(sim) == 45
+    assert all(r["hamming"] == 0 for r in sim)
