@@ -53,7 +53,7 @@ def main() -> None:
     # identical code at 14s vs 21s across rounds) plus a per-query
     # dispersion field (all samples + max/min spread) so a real regression
     # is distinguishable from machine noise when comparing rounds.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name, rq in sorted(headline.items()):

@@ -108,12 +108,18 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-_SQL_SHINGLES = f"""
+def _sql_shingles(src: str) -> str:
+    """The one shingle CTE both the Jaccard and MinHash/SimHash oracles
+    share — a single source so the three oracles can never desynchronize."""
+    return f"""
   SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents) s,
+  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM {src}) s,
        UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3
 """
+
+
+_SQL_SHINGLES = _sql_shingles("documents")
 
 _JACCARD_SQL = f"""
 WITH shingles AS ({_SQL_SHINGLES}),
@@ -380,15 +386,6 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", *sigs)
     )
-
-
-def _sql_shingles(src: str) -> str:
-    return f"""
-  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM {src}) s,
-       UNNEST(range(1, len(t) - 1)) AS u(i)
-  WHERE len(t) >= 3
-"""
 
 
 # Shared oracle scaffolding: exact-dup collapse → rep shingles → (engine-

@@ -211,6 +211,8 @@ def _kmeanspp_seeds(
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])  # stable array order for the RNG walk
+    if not rows:  # empty delta load: no seeds to draw (routine at scale)
+        return []
     pts = np.array([[float(x) for x in r["v"]] for r in rows])
     rng = np.random.default_rng(0)
     seeds = [0]  # lowest vec_id in the sample
@@ -242,6 +244,8 @@ def train_ivf_centroids(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     centroids = _kmeanspp_seeds(vecs, n_lists)
+    if not centroids:  # empty input: no model to train
+        return []
     for _ in range(iters):
         assigned = vecs.withColumn("list_id", assign_list_col(F.col("v"), centroids))
         means = (

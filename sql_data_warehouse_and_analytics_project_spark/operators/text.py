@@ -248,7 +248,10 @@ _SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 # non-alphanumeric symbols; whitespace is not a token). A training-data
 # budget counted this way tracks subword-tokenizer counts far better than
 # whitespace words on code/punctuation-heavy text.
-_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# whitespace class spelled out: Java's \s includes \x0B but RE2's does not,
+# so \s itself is NOT in the portable intersection — this explicit class is
+_BPE_WS = r" \t\n\x0B\f\r"
+_BPE_RE = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_BPE_WS}]"
 _SQL_BPE_COUNT = f"CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)"
 
 _PROFILE_SQL = f"""
@@ -379,9 +382,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word mass, and duplicate-2-gram mass. Pure array HOFs — a single narrow
 # projection per doc, no shuffle, scan-scales to 100 TB like text_profile.
 
-_GOPHER_SQL = """
+_GOPHER_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
 ),
 words AS (SELECT doc_id, unnest(t) AS w FROM toks),
 wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
@@ -458,9 +461,9 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side is a single scan + broadcast semi-probe with NO shuffle of corpus
 # n-grams; the per-doc hit count is the only (tiny, post-filter) shuffle.
 
-_DECONTAM_SQL = """
+_DECONTAM_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
 ),
 grams AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g

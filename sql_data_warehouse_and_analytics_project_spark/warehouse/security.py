@@ -74,22 +74,51 @@ def has_privilege(user: str, obj: str, privilege: str) -> bool:
     )
 
 
+# Masking policy registry (X3): columns masked for users without UNMASK.
+# gold.fact_sales.sales_amount is the reference's explicit mask
+# (ddl_security.sql:104-111); every column carrying a sensitivity
+# classification label (X4) is masked too — the label IS the policy, so
+# adding a label to SENSITIVITY_LABELS protects the column everywhere
+# secure_read() is used, with no code change.
+EXPLICIT_MASKS: dict[str, set[str]] = {"gold.fact_sales": {"sales_amount"}}
+
+
+def masked_columns_for(table: str) -> set[str]:
+    cols = set(EXPLICIT_MASKS.get(table, set()))
+    cols |= {col for (t, col) in SENSITIVITY_LABELS if t == table}
+    return cols
+
+
+def _mask_default_col(dtype) -> "F.Column":
+    """SQL Server default() mask semantics by type (ref: ddl_security.sql
+    :107 + the documented defaults): numerics → 0, dates → 1900-01-01,
+    strings → 'xxxx'."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DateType, T.TimestampType)):
+        return F.lit("1900-01-01").cast(dtype)
+    if isinstance(dtype, T.StringType):
+        return F.lit("xxxx")
+    return F.lit(MASK_DEFAULT).cast(dtype)
+
+
 def secure_read(ctx: RunContext, user: str, table: str) -> DataFrame:
     """The reference's full security stack on one read path: GRANT check
-    (X1) → audit-spec row incl. denied attempts (X5) → RLS (X2) → masking
-    by UNMASK grant (X3). Policy cost at scale is unchanged from the parts:
-    broadcast probes and a conditional projection — the fact never shuffles.
-    """
+    (X1) → audit-spec row incl. denied attempts (X5) → RLS policy registry
+    (X2) → type-aware masking of every explicitly-masked OR
+    classification-labeled column unless the user holds UNMASK (X3+X4).
+    Policy cost at scale is unchanged from the parts: broadcast probes and
+    conditional projections — the fact never shuffles."""
     allowed = has_privilege(user, table, "SELECT")
     ctx.log_access(user, "SELECT", table, allowed)
     if not allowed:
         raise AccessDeniedError(f"{user} has no SELECT grant on {table}")
-    if table == "gold.fact_sales":
-        df = rls_fact_sales(ctx, user)
-        if not has_privilege(user, table, "UNMASK"):
-            df = df.withColumn("sales_amount", F.lit(MASK_DEFAULT).cast("decimal(19,4)"))
-        return df
-    return ctx.catalog.read(table)
+    rls_policies = {"gold.fact_sales": rls_fact_sales}
+    df = rls_policies[table](ctx, user) if table in rls_policies else ctx.catalog.read(table)
+    if not has_privilege(user, table, "UNMASK"):
+        for c in sorted(masked_columns_for(table) & set(df.columns)):
+            df = df.withColumn(c, _mask_default_col(df.schema[c].dataType))
+    return df
 
 SENSITIVITY_LABELS = {
     # ref: ddl_security.sql:118-128

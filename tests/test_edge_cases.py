@@ -31,3 +31,12 @@ def test_dedup_pipelines_handle_uniform_corpus(spark):
     sim = dedup.simhash_pairs(uniform).collect()
     assert len(sim) == 45
     assert all(r["hamming"] == 0 for r in sim)
+
+
+def test_ivf_training_handles_empty_embeddings(spark):
+    """An empty embeddings delta must not crash k-means training (r4 review
+    fix: the seed sampler indexed pts[0] before its degenerate guard)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert sim.train_ivf_centroids(empty, n_lists=8, iters=2) == []

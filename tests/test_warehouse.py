@@ -523,6 +523,14 @@ def test_rbac_secure_read_and_access_audit(wh):
     mgr_df = secure_read(ctx, "GlobalManager", "gold.fact_sales")
     assert mgr_df.filter("sales_amount > 0").count() > 0
 
+    # classification-labeled dim columns mask through the SAME read path —
+    # the X4 label is the policy, no per-table code (r4 review fix)
+    dim_a = secure_read(ctx, "USUser", "gold.dim_customers")
+    firsts = {r["first_name"] for r in dim_a.select("first_name").distinct().collect()}
+    assert firsts == {"xxxx"}
+    dim_m = secure_read(ctx, "GlobalManager", "gold.dim_customers")
+    assert {r["first_name"] for r in dim_m.select("first_name").distinct().collect()} != {"xxxx"}
+
     # no grant → denied, but still audited
     with _pytest.raises(AccessDeniedError):
         secure_read(ctx, "intruder", "gold.fact_sales")
