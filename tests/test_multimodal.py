@@ -259,6 +259,58 @@ if HAVE_HYPOTHESIS:
         decoded = mm.decode_png(_encode_png_filtered(px, ftype))
         assert (decoded == px).all()
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(2, 24),
+        st.integers(2, 40),
+        st.sampled_from([1, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_png_decode_random_filter_mix(w, h, channels, seed):
+        """Random per-row filter choices stress every run boundary the
+        unfilter dispatcher has: wavefront↔scalar handoffs (homogeneous
+        Average/Paeth runs above/below the length-8 threshold), Sub-cumsum
+        rows feeding a wavefront's top_prev, and back-to-back 3→4 type
+        switches (r4 — the dispatcher splits these into separate runs)."""
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        ftypes = rng.integers(0, 5, size=h)
+        # reuse the vectorized test encoder row by row with mixed types
+        stride, bpp = w * channels, channels
+        raw = px.reshape(h, stride).astype(np.int64)
+        lines, prev = [], np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            cur = raw[y]
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            ftype = int(ftypes[y])
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = (cur - left) % 256
+            elif ftype == 2:
+                enc = (cur - prev) % 256
+            elif ftype == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                pa, pb, pc = np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) % 256
+            lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        ctype = {1: 0, 3: 2, 4: 6}[channels]
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        assert (mm.decode_png(png) == px).all()
+
 
 def _png_mixed_filters(px, ftype_of_row):
     """Test-side forward filter pass (vectorized encoder) with an arbitrary
