@@ -1,0 +1,107 @@
+"""End-to-end training-data curation: the operators composed as a pipeline.
+
+This is the user story the individual operators exist for — take a raw
+document corpus and produce a clean training split, with per-stage
+accounting:
+
+    1. quality gate    — Gopher repetition filter (text_quality_gopher rules)
+    2. decontaminate   — drop docs sharing a 4-gram with the eval slice
+    3. exact dedup     — keep the lowest doc_id per normalized content hash
+    4. near dedup      — drop MinHash/LSH near-duplicate partners (keep the
+                         lowest doc_id of every near-dup pair)
+    5. split           — deterministic hash split into train/valid
+
+Every stage is the library operator, unchanged — this module only wires
+them, so the pipeline inherits each stage's scale shape (narrow
+projections, broadcast probes, banded LSH; the only corpus-sized shuffles
+are the two dedups' key shuffles). Determinism end to end: same input ⇒
+byte-identical survivor set, so a 100 TB curation run is resumable and
+auditable stage by stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tpch
+from . import dedup
+from .text import text_decontaminate, text_quality_gopher
+
+
+@dataclass(frozen=True)
+class CurationReport:
+    """Per-stage survivor counts (the audit trail a curation run logs)."""
+
+    n_input: int
+    n_after_quality: int
+    n_after_decontamination: int
+    n_after_exact_dedup: int
+    n_after_near_dedup: int
+    n_train: int
+    n_valid: int
+
+
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    valid_fraction_buckets: int = 10,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation pipeline over the ``documents`` table.
+
+    Returns (curated frame with a ``split`` column, per-stage report).
+    The valid split is ``1/valid_fraction_buckets`` of survivors, chosen by
+    a deterministic content-independent hash of doc_id (never by position —
+    positional splits re-shuffle when upstream filters change)."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. quality gate
+    keep_ids = text_quality_gopher(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    survivors = docs.join(keep_ids, "doc_id", "left_semi")
+    n_quality = survivors.count()
+
+    # 2. decontamination: drop flagged docs AND the eval slice itself
+    contaminated = text_decontaminate(spark, sf_dir).select("doc_id")
+    survivors = (
+        survivors.filter(F.col("doc_id") % 100 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    n_decontam = survivors.count()
+
+    # 3. exact dedup: keep the lowest doc_id per normalized content hash
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keeper = (
+        survivors.select(F.sha2(normalized, 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = survivors.join(keeper, "doc_id", "left_semi")
+    n_exact = survivors.count()
+
+    # 4. near dedup: for every surviving near-dup pair drop the higher id
+    pairs = dedup.minhash_lsh_pairs(survivors.select("doc_id", "lang", "text"))
+    losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
+    survivors = survivors.join(losers, "doc_id", "left_anti")
+    n_near = survivors.count()
+
+    # 5. deterministic split (train/valid)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(valid_fraction_buckets))
+    curated = survivors.withColumn(
+        "split", F.when(bucket == 0, "valid").otherwise("train")
+    )
+    n_valid = curated.filter(F.col("split") == "valid").count()
+
+    report = CurationReport(
+        n_input=n_input,
+        n_after_quality=n_quality,
+        n_after_decontamination=n_decontam,
+        n_after_exact_dedup=n_exact,
+        n_after_near_dedup=n_near,
+        n_train=n_near - n_valid,
+        n_valid=n_valid,
+    )
+    return curated, report

@@ -215,3 +215,36 @@ def test_ivf_kmeanspp_seeding_deterministic_and_spreads_planted_clusters(spark):
     d_pp, d_fn = distortion(pp, 4), distortion(first_n, 4)
     # first-n leaves 3 of 4 clusters ~400·20² unexplained; k-means++ covers all
     assert d_pp < d_fn / 10, f"k-means++ init {d_pp} not ≪ first-n init {d_fn}"
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The composed curation pipeline (quality → decontaminate → exact dedup
+    → near dedup → split): stage counts monotonically decrease, the
+    survivor set is deterministic across runs, and no near-dup pair
+    survives into the final corpus."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.operators.curation import (
+        curate_documents,
+    )
+
+    curated, rep = curate_documents(spark, SF_DIR)
+    assert (
+        rep.n_input
+        >= rep.n_after_quality
+        >= rep.n_after_decontamination
+        >= rep.n_after_exact_dedup
+        >= rep.n_after_near_dedup
+        > 0
+    )
+    assert rep.n_train + rep.n_valid == rep.n_after_near_dedup
+    assert 0 < rep.n_valid < rep.n_after_near_dedup
+
+    ids = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    curated2, rep2 = curate_documents(spark, SF_DIR)
+    assert rep2 == rep
+    assert sorted(r["doc_id"] for r in curated2.select("doc_id").collect()) == ids
+
+    # no surviving near-dup pairs: re-running LSH over the curated corpus
+    # must find nothing at the same threshold
+    residual = dedup.minhash_lsh_pairs(curated.select("doc_id", "lang", "text"))
+    assert residual.count() == 0
