@@ -58,18 +58,27 @@ def curate_documents(
     docs = tpch.load(spark, sf_dir, "documents")
     n_input = docs.count()
 
+    # Each stage materializes its survivor set and TRUNCATES LINEAGE
+    # (localCheckpoint): without it, every stage's count() re-runs all
+    # earlier stages' joins from the scan — quadratic stage recompute — and
+    # the nested plan trees grow multiplicatively (chained persists embed
+    # each prior InMemoryRelation; the minhash stage over such a chain blew
+    # the driver heap just RENDERING its AQE plan string). A production run
+    # checkpoints stage outputs to the lake for the same two reasons;
+    # localCheckpoint is the in-session equivalent.
+    def _stage(new: DataFrame) -> tuple[DataFrame, int]:
+        new = new.localCheckpoint(eager=True)
+        return new, new.count()
+
     # 1. quality gate
     keep_ids = text_quality_gopher(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    survivors = docs.join(keep_ids, "doc_id", "left_semi")
-    n_quality = survivors.count()
+    survivors, n_quality = _stage(docs.join(keep_ids, "doc_id", "left_semi"))
 
     # 2. decontamination: drop flagged docs AND the eval slice itself
     contaminated = text_decontaminate(spark, sf_dir).select("doc_id")
-    survivors = (
-        survivors.filter(F.col("doc_id") % 100 != 0)
-        .join(contaminated, "doc_id", "left_anti")
+    survivors, n_decontam = _stage(
+        survivors.filter(F.col("doc_id") % 100 != 0).join(contaminated, "doc_id", "left_anti")
     )
-    n_decontam = survivors.count()
 
     # 3. exact dedup: keep the lowest doc_id per normalized content hash
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -79,14 +88,12 @@ def curate_documents(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = survivors.join(keeper, "doc_id", "left_semi")
-    n_exact = survivors.count()
+    survivors, n_exact = _stage(survivors.join(keeper, "doc_id", "left_semi"))
 
     # 4. near dedup: for every surviving near-dup pair drop the higher id
     pairs = dedup.minhash_lsh_pairs(survivors.select("doc_id", "lang", "text"))
     losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
-    survivors = survivors.join(losers, "doc_id", "left_anti")
-    n_near = survivors.count()
+    survivors, n_near = _stage(survivors.join(losers, "doc_id", "left_anti"))
 
     # 5. deterministic split (train/valid)
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(valid_fraction_buckets))
