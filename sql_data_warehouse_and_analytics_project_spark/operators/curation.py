@@ -28,7 +28,18 @@ from pyspark.sql import functions as F
 
 from ..sources import tpch
 from . import dedup
-from .text import text_decontaminate, text_quality_gopher
+from .text import (
+    is_eval_doc,
+    normalize_content,
+    text_decontaminate,
+    text_quality_gopher,
+)
+
+
+# Near-dedup iterates to a fixpoint (see curate_documents stage 4); the cap
+# bounds adversarial corpora where the LSH bucket cap keeps revealing new
+# pairs each pass.
+_MAX_NEAR_DEDUP_PASSES = 5
 
 
 @dataclass(frozen=True)
@@ -42,6 +53,7 @@ class CurationReport:
     n_after_near_dedup: int
     n_train: int
     n_valid: int
+    n_near_dedup_passes: int = 1
 
 
 def curate_documents(
@@ -75,25 +87,57 @@ def curate_documents(
     survivors, n_quality = _stage(docs.join(keep_ids, "doc_id", "left_semi"))
 
     # 2. decontamination: drop flagged docs AND the eval slice itself
+    # (the slice predicate is text.is_eval_doc — the SAME definition the
+    # decontamination flags use, so the two can never drift)
     contaminated = text_decontaminate(spark, sf_dir).select("doc_id")
     survivors, n_decontam = _stage(
-        survivors.filter(F.col("doc_id") % 100 != 0).join(contaminated, "doc_id", "left_anti")
+        survivors.filter(~is_eval_doc(F.col("doc_id"))).join(
+            contaminated, "doc_id", "left_anti"
+        )
     )
 
     # 3. exact dedup: keep the lowest doc_id per normalized content hash
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # (text.normalize_content — the same normalization dedup_exact and the
+    # document fingerprint use)
     keeper = (
-        survivors.select(F.sha2(normalized, 256).alias("h"), "doc_id")
+        survivors.select(F.sha2(normalize_content(F.col("text")), 256).alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     survivors, n_exact = _stage(survivors.join(keeper, "doc_id", "left_semi"))
 
-    # 4. near dedup: for every surviving near-dup pair drop the higher id
-    pairs = dedup.minhash_lsh_pairs(survivors.select("doc_id", "lang", "text"))
-    losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
-    survivors, n_near = _stage(survivors.join(losers, "doc_id", "left_anti"))
+    # 4. near dedup to a FIXPOINT: drop the higher id of every pair, then
+    # re-run until LSH finds nothing. One pass is not always enough — the
+    # deterministic band-bucket cap trims buckets to their smallest
+    # doc_ids, so on cap-overflowing corpora a second pass can surface
+    # pairs among docs the first pass never compared. Each pass frees the
+    # LSH pipeline's internal caches (the _caches hook) once its survivor
+    # set is checkpointed; the pass cap bounds the cost on adversarial
+    # corpora (overflow is audited, not silently retried forever).
+    n_near = n_exact
+    n_near_passes = 0
+    for _ in range(_MAX_NEAR_DEDUP_PASSES):
+        caches: list[DataFrame] = []
+        pairs = dedup.minhash_lsh_pairs(
+            survivors.select("doc_id", "lang", "text"), _caches=caches
+        )
+        # checkpoint losers WHILE the LSH caches are warm: counting after
+        # the unpersist would re-run the whole pipeline uncached
+        losers = (
+            pairs.select(F.col("doc_id_2").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_losers = losers.count()
+        n_near_passes += 1
+        if n_losers == 0:
+            for c in caches:
+                c.unpersist()
+            break
+        survivors, n_near = _stage(survivors.join(losers, "doc_id", "left_anti"))
+        for c in caches:
+            c.unpersist()
 
     # 5. deterministic split (train/valid)
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(valid_fraction_buckets))
@@ -110,5 +154,6 @@ def curate_documents(
         n_after_near_dedup=n_near,
         n_train=n_near - n_valid,
         n_valid=n_valid,
+        n_near_dedup_passes=n_near_passes,
     )
     return curated, report

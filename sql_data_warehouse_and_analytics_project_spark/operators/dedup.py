@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import tpch
-from .text import SQL_TOKENS, tokens_col
+from .text import SQL_TOKENS, normalize_content, tokens_col
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +57,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-doc_id survivor policy. One shuffle on the hash key; at 100 TB the
     hash is computed scan-side so only (hash, doc_id) pairs move."""
     docs = _docs(spark, sf_dir)
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    normalized = normalize_content(F.col("text"))
     return (
         docs.select(F.sha2(normalized, 256).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -488,11 +488,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.8, cap: int = _LSH_BUCKET_CAP
+    docs: DataFrame,
+    threshold: float = 0.8,
+    cap: int = _LSH_BUCKET_CAP,
+    _caches: list | None = None,
 ) -> DataFrame:
     """The full MinHash/LSH near-dup pipeline over an arbitrary documents
-    frame (columns: doc_id, lang, text). See :func:`dedup_minhash_lsh`."""
+    frame (columns: doc_id, lang, text). See :func:`dedup_minhash_lsh`.
+
+    The pipeline caches three intermediates (members, candidate pairs,
+    candidate shingles) that live for the session by default; a caller that
+    materializes the result and moves on (e.g. the curation pipeline's
+    repeated passes) should pass ``_caches=[]`` and unpersist the collected
+    frames afterwards, or executor storage accumulates per call."""
     mem = token_dedup_members(docs).cache()
+    if _caches is not None:
+        _caches.append(mem)
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
     sigs = minhash_signatures(reps)
@@ -532,6 +543,8 @@ def minhash_lsh_pairs(
         # buckets), so this is safe at any scale.
         .cache()
     )
+    if _caches is not None:
+        _caches.append(candidates)
     # verify candidates with exact Jaccard (join-aggregate over shingles,
     # restricted to candidate docs). The semi join runs BEFORE the shingle
     # explode: Catalyst cannot push a join below a Generate, so filtering
@@ -544,6 +557,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi")).cache()
+    if _caches is not None:
+        _caches.append(sh_c)
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_c.alias("sa")
     sb = sh_c.alias("sb")

@@ -270,12 +270,26 @@ def build_ivf_index(
     list id (``<path>/vectors/list_id=N/``) plus the centroid matrix at
     ``<path>/centroids``. Returns the centroids."""
     centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
+    spark = emb.sparkSession
+    if not centroids:
+        # empty training input: write a schema-stable empty index so
+        # ivf_search still answers (with no neighbors) instead of crashing —
+        # assign_list_col cannot type an empty centroid literal. The empty
+        # vectors table is written UNpartitioned: a zero-row partitioned
+        # write emits no files at all, which a later read cannot infer a
+        # schema from; the flat empty file keeps list_id as a data column.
+        emb.withColumn("list_id", F.lit(None).cast("int")).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/vectors")
+        spark.createDataFrame([], "list_id int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        return []
     assigned = emb.withColumn(
         "list_id",
         assign_list_col(F.transform("embedding", lambda x: x.cast("double")), centroids),
     )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
-    spark = emb.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")

@@ -33,6 +33,25 @@ def tokens_col(text: Column) -> Column:
 SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def normalize_content(text: Column) -> Column:
+    """Canonical content normalization — lowercase, trim, collapse
+    whitespace — the ONE definition shared by exact dedup, fingerprinting
+    and the curation pipeline (SQL twin: :data:`SQL_NORM`)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# Deterministic held-out eval slice (stand-in for an external benchmark
+# table): one definition shared by decontamination and curation so the
+# dropped slice can never drift from the flagged slice.
+EVAL_SLICE_MOD = 100
+
+
+def is_eval_doc(doc_id: Column) -> Column:
+    return doc_id % EVAL_SLICE_MOD == 0
+
+
 _TOKEN_STATS_SQL = f"""
 SELECT doc_id, lang, source,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -230,7 +249,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental re-crawl skip logic. shard_key prefix doubles as a uniform
     partitioner at scale."""
     docs = _docs(spark, sf_dir)
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    normalized = normalize_content(F.col("text"))
     fp = F.sha2(normalized, 256)
     return docs.select(
         "doc_id",
@@ -240,8 +259,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- composite: the whole text-analysis tier in ONE scan --------------------
-
-_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 # BPE-ish pre-tokenizer (GPT-2-style splitting simplified to the portable
 # RE2/Java-regex intersection: letter runs, single digits, single
@@ -272,7 +289,7 @@ WITH scored AS (
          CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)
            / len({SQL_TOKENS}) AS ttr,
          {_lang_scores_sql()},
-         sha256({_SQL_NORM}) AS doc_fingerprint
+         sha256({SQL_NORM}) AS doc_fingerprint
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars, n_tokens, n_bpe_tokens, n_distinct_tokens,
@@ -316,7 +333,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in markers[1:]:
             total = total + _occurrences(padded, m)
         score_cols[lang] = total
-    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+    fp = F.sha2(normalize_content(F.col("text")), 256)
 
     scored = docs.select(
         "doc_id",
@@ -470,11 +487,11 @@ grams AS (
   FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
   WHERE len(t) >= 4
 ),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0)
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_SLICE_MOD} = 0)
 SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_contaminated_ngrams
 FROM grams g
 JOIN bench b ON g.g = b.g
-WHERE g.doc_id % 100 <> 0
+WHERE g.doc_id % {EVAL_SLICE_MOD} <> 0
 GROUP BY g.doc_id
 ORDER BY doc_id
 """
@@ -497,9 +514,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("t"))
         .select("doc_id", F.explode(grams4).alias("g"))
     )
-    bench = base.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    bench = base.filter(is_eval_doc(F.col("doc_id"))).select("g").distinct()
     return (
-        base.filter(F.col("doc_id") % 100 != 0)
+        base.filter(~is_eval_doc(F.col("doc_id")))
         .join(F.broadcast(bench), "g", "inner")
         .groupBy("doc_id")
         # plain count, not count_distinct: grams4 is array_distinct per doc,

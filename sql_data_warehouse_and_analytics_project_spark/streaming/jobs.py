@@ -251,13 +251,13 @@ _UPSERT_BUCKETS = 64
 def upsert_key_bucket(key, n_buckets: int = _UPSERT_BUCKETS):
     """The stable key→bucket map the upsert target is partitioned by:
     xxhash64 is deterministic across runs/sessions, so a key lands in the
-    same partition directory on every microbatch. NULL keys route to
-    bucket 0 EXPLICITLY — xxhash64 never returns NULL (a NULL input is
-    skipped and the seed hash comes back), so a coalesce would be dead
-    code and NULLs would land in an arbitrary-looking nonzero bucket."""
-    return F.when(F.col(key).isNull(), F.lit(0)).otherwise(
-        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
-    )
+    same partition directory on every microbatch — including NULL keys,
+    which xxhash64 folds to the (deterministic) seed hash rather than
+    returning NULL, so they too always land in one fixed bucket. No
+    special-casing: remapping NULLs (e.g. to bucket 0) would silently
+    strand pre-existing NULL-key rows in their old partition and break
+    keep-latest semantics for them."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
 
 
 def sink_stream_upsert(

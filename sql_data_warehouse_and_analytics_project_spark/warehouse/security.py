@@ -182,9 +182,14 @@ def rls_fact_sales(ctx: RunContext, user: str, mapping: DataFrame | None = None)
 
 
 def masked_fact_sales(ctx: RunContext, user: str) -> DataFrame:
-    """Dynamic data masking on sales_amount (ref: ddl_security.sql:104-111):
-    default() mask → 0 unless the user's role carries UNMASK (X1 grant)."""
+    """Dynamic data masking (ref: ddl_security.sql:104-111): every column in
+    the mask registry (explicit masks + classification labels) masks with
+    the type-appropriate default unless the user's role carries UNMASK —
+    the SAME registry secure_read() consults, so a new label protects this
+    legacy entry point too."""
     fact = ctx.catalog.read("gold.fact_sales")
     if has_privilege(user, "gold.fact_sales", "UNMASK"):
         return fact
-    return fact.withColumn("sales_amount", F.lit(MASK_DEFAULT).cast("decimal(19,4)"))
+    for c in sorted(masked_columns_for("gold.fact_sales") & set(fact.columns)):
+        fact = fact.withColumn(c, _mask_default_col(fact.schema[c].dataType))
+    return fact

@@ -33,10 +33,16 @@ def test_dedup_pipelines_handle_uniform_corpus(spark):
     assert all(r["hamming"] == 0 for r in sim)
 
 
-def test_ivf_training_handles_empty_embeddings(spark):
-    """An empty embeddings delta must not crash k-means training (r4 review
-    fix: the seed sampler indexed pts[0] before its degenerate guard)."""
+def test_ivf_training_handles_empty_embeddings(spark, tmp_path):
+    """An empty embeddings delta must not crash k-means training OR the
+    composed index build/search path (r4 review fixes: the seed sampler
+    indexed pts[0] before its degenerate guard; build_ivf_index couldn't
+    type an empty centroid literal; a zero-row partitioned write left
+    nothing ivf_search could infer a schema from)."""
     from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     assert sim.train_ivf_centroids(empty, n_lists=8, iters=2) == []
+    path = str(tmp_path / "ivf")
+    assert sim.build_ivf_index(empty, path, n_lists=8, iters=2) == []
+    assert sim.ivf_search(spark, path, [0.0] * 64, k=5, n_probes=3).count() == 0
