@@ -701,13 +701,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))
 
 
-def simhash_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, cap: int = _LSH_BUCKET_CAP, _caches: list | None = None
+) -> DataFrame:
     """The full SimHash near-dup pipeline over an arbitrary documents frame
-    (columns: doc_id, lang, text). See :func:`dedup_simhash`."""
+    (columns: doc_id, lang, text). See :func:`dedup_simhash`. ``_caches``
+    collects the internal cached frames for callers that run the pipeline
+    repeatedly — same contract as :func:`minhash_lsh_pairs`."""
     mem = token_dedup_members(docs).cache()
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
     sigs = simhash_signatures(reps).cache()
+    if _caches is not None:
+        _caches.extend([mem, sigs])
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),

@@ -248,3 +248,68 @@ def test_curation_pipeline_end_to_end(spark):
     # must find nothing at the same threshold
     residual = dedup.minhash_lsh_pairs(curated.select("doc_id", "lang", "text"))
     assert residual.count() == 0
+
+
+def test_curation_prefix_matches_duckdb(spark, duck):
+    """Cross-engine check on the curation pipeline's SQL-expressible prefix:
+    DuckDB independently replays quality gate → eval-slice drop +
+    decontamination → exact dedup and must reproduce the exact surviving
+    doc_id set Spark reports after stage 3 (the near-dedup suffix is
+    covered by the oracle-backed dedup_minhash_lsh query + the fixpoint
+    test)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.curation import (
+        curate_documents,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        EVAL_SLICE_MOD,
+        SQL_NORM,
+        _DECONTAM_SQL,
+        _GOPHER_SQL,
+    )
+
+    sql = f"""
+    WITH kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) WHERE keep),
+    contaminated AS (SELECT doc_id FROM ({_DECONTAM_SQL})),
+    s2 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN kept k ON d.doc_id = k.doc_id
+      WHERE d.doc_id % {EVAL_SLICE_MOD} <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    keeper AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, sha256({SQL_NORM}) AS h FROM s2)
+      GROUP BY h
+    )
+    SELECT doc_id FROM keeper ORDER BY doc_id
+    """
+    duck_ids = [r[0] for r in duck.execute(sql).fetchall()]
+
+    curated, rep = curate_documents(spark, SF_DIR)
+    # reconstruct the stage-3 survivor set: stage 4 only removed near-dup
+    # losers, so stage-3 survivors = curated ids ∪ dropped near-dup ids —
+    # instead just recompute stages 1-3 in Spark and compare ids directly
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        is_eval_doc,
+        normalize_content,
+        text_decontaminate,
+        text_quality_gopher,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    keep_ids = text_quality_gopher(spark, SF_DIR).filter(F.col("keep")).select("doc_id")
+    s = docs.join(keep_ids, "doc_id", "left_semi")
+    s = s.filter(~is_eval_doc(F.col("doc_id"))).join(
+        text_decontaminate(spark, SF_DIR).select("doc_id"), "doc_id", "left_anti"
+    )
+    keeper = (
+        s.select(F.sha2(normalize_content(F.col("text")), 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    spark_ids = sorted(r["doc_id"] for r in keeper.select("doc_id").collect())
+    assert spark_ids == duck_ids
+    assert len(spark_ids) == rep.n_after_exact_dedup
