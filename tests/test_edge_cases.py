@@ -11,9 +11,12 @@ _SCHEMA = "doc_id long, lang string, text string"
 
 def test_dedup_pipelines_handle_empty_corpus(spark):
     empty = spark.createDataFrame([], _SCHEMA)
-    assert dedup.minhash_lsh_pairs(empty).count() == 0
-    assert dedup.simhash_pairs(empty).count() == 0
-    assert dedup.ngram_jaccard_candidates(empty).count() == 0
+    caches = []
+    assert dedup.minhash_lsh_pairs(empty, _caches=caches).count() == 0
+    assert dedup.simhash_pairs(empty, _caches=caches).count() == 0
+    assert dedup.ngram_jaccard_candidates(empty, _caches=caches).count() == 0
+    for c in caches:
+        c.unpersist()
 
 
 def test_dedup_pipelines_handle_uniform_corpus(spark):

@@ -241,3 +241,93 @@ def test_scan_pruning_columns_and_pushed_filters(spark):
     assert any("o_orderdate" in f for f in audit.pushed_filters(planf)), (
         audit.pushed_filters(planf)
     )
+
+
+def test_token_dedup_members_partial_agg_no_window(spark):
+    """The exact-dup collapse computes rep_id via a partial-aggregating
+    groupBy over narrow (tkey, doc_id) rows — never a Window over the
+    content key, which would ship every member row (text included) to one
+    reducer per hot key (VERDICT r05 #1). Fails if the window form is
+    reintroduced: 'windowspecdefinition' / WindowExec reappear and the
+    partial_min stage vanishes."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    m = dedup.token_dedup_members(dedup._docs(spark, SF_DIR))
+    plan = audit.executed_plan(m)
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_min" in plan, plan
+    counts = audit.physical_node_counts(m)
+    assert counts.get("WindowExec", 0) == 0, counts
+    assert counts.get("WindowGroupLimitExec", 0) == 0, counts
+
+
+def test_jaccard_pipeline_no_window_single_corpus_explode(spark):
+    """ngram_jaccard_pairs: document frequency is a partial-agg groupBy (no
+    Window over the shingle key), and the corpus shingle-explode happens
+    exactly once — every GenerateExec lives inside the cached shingle frame
+    (a leaf InMemoryTableScan in the physical tree), shared by candidate
+    generation and the per-doc sizes aggregate (VERDICT r05 #2)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    caches = []
+    jp = dedup.ngram_jaccard_pairs(dedup._docs(spark, SF_DIR), _caches=caches)
+    try:
+        jp.count()
+        counts = audit.physical_node_counts(jp)
+        assert counts.get("WindowExec", 0) == 0, counts
+        # zero Generate OUTSIDE the cache: the only explodes run once, at
+        # cache materialization
+        assert counts.get("GenerateExec", 0) == 0, counts
+        assert counts.get("InMemoryTableScanExec", 0) >= 2, counts
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_planted_identical_docs_hot_key_bounded(spark):
+    """1,000 byte-identical copies of a boilerplate page + 8 distinct docs:
+    the collapse must (a) be correct — one representative, every copy mapped
+    to it — and (b) reduce the hot key MAP-SIDE: the partial aggregate's
+    output (what actually crosses the tkey shuffle) is O(distinct keys ×
+    map tasks), far below the 1,000-row member set a Window would shuffle."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.range(1008).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.when(F.col("id") < 1000, F.lit(base))
+        .otherwise(
+            F.concat(
+                F.lit("unique document number "),
+                F.col("id"),
+                F.lit(" with its own words entirely"),
+            )
+        )
+        .alias("text"),
+    )
+    m = dedup.token_dedup_members(docs)
+    rows = m.collect()
+    assert len(rows) == 1008
+    hot = [r for r in rows if r.text == base]
+    assert len(hot) == 1000 and all(r.rep_id == 0 for r in hot)
+    assert all(r.rep_id == r.doc_id for r in rows if r.text != base)
+
+    partial_rows = [
+        audit.node_metrics(n).get("numOutputRows", 0)
+        for name, n in audit.physical_tree(m)
+        if name == "HashAggregateExec" and "partial_min" in n.simpleString(10)
+    ]
+    # 9 distinct content keys × ≤32 map tasks = ≤288 rows cross the shuffle
+    assert partial_rows and max(partial_rows) <= 9 * 32, partial_rows
+    assert max(partial_rows) < 1000, partial_rows
+
+    # downstream: the LSH pipeline sees ONE signature row for the hot key
+    # and expands back to all C(1000,2) member pairs bit-identically
+    caches = []
+    n_pairs = dedup.minhash_lsh_pairs(docs, _caches=caches).count()
+    for c in caches:
+        c.unpersist()
+    assert n_pairs == 1000 * 999 // 2

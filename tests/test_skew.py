@@ -72,11 +72,14 @@ def test_df_cut_bounds_candidate_pairs(spark):
     )
 
     docs = _stopword_corpus(spark)
+    caches = []
     # uncut: the stopword shingle alone fans out to 4950 candidate pairs
-    uncut = ngram_jaccard_candidates(docs, df_cut=10**9).count()
+    uncut = ngram_jaccard_candidates(docs, df_cut=10**9, _caches=caches).count()
     assert uncut == 100 * 99 // 2
     # with the df cut the hot shingle is excluded from the join entirely
-    assert ngram_jaccard_candidates(docs).count() == 0
+    assert ngram_jaccard_candidates(docs, _caches=caches).count() == 0
+    for c in caches:
+        c.unpersist()
 
 
 def test_df_cut_keeps_exact_shared_counts(spark):
@@ -96,7 +99,13 @@ def test_df_cut_keeps_exact_shared_counts(spark):
             "doc_id bigint, lang string, text string",
         )
     )
-    out = {(r["doc_id_1"], r["doc_id_2"]): r for r in ngram_jaccard_pairs(docs).collect()}
+    caches = []
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r
+        for r in ngram_jaccard_pairs(docs, _caches=caches).collect()
+    }
+    for c in caches:
+        c.unpersist()
     assert set(out) == {(1001, 1002)}
     r = out[(1001, 1002)]
     # 10 shingles each, 9 shared (8 rare + the df-cut 'aaa bbb ccc')
