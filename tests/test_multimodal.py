@@ -422,3 +422,43 @@ def test_png_unfilter_vectorized_speed():
     # exercising the scalar short-run fallback; exactness must still hold
     png_cyc, _ = _png_mixed_filters(px, lambda y: y % 5)
     assert (mm.decode_png(png_cyc) == px).all()
+
+
+def test_phash_primitives_deterministic_and_shift_sensitive():
+    """dHash pins: deterministic across calls; the codec round trip is
+    lossless w.r.t. the hash; group members (same noise seed) are Hamming-
+    near while different seeds decorrelate far beyond the confirm bound."""
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    px = mm._noise_pixels(40)
+    assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+    h40 = mm._dhash56(px)
+    assert 0 <= h40 < 1 << mm._PHASH_BITS
+    assert h40 == mm._dhash56(mm.decode_png(mm.encode_png(px)))
+    # same seed group (40..43): near
+    h41 = mm._dhash56(mm._noise_pixels(41))
+    assert bin(h40 ^ h41).count("1") <= 16
+    # different seed: far (decorrelated noise ≈ 28/56 bits)
+    h80 = mm._dhash56(mm._noise_pixels(80))
+    assert bin(h40 ^ h80).count("1") > mm._PHASH_HAMMING_MAX
+
+
+def test_phash_banding_pigeonhole_complete(spark):
+    """Every pair the bit_count confirm can accept (Hamming ≤ 7) MUST be a
+    band-blocking candidate: 8 bands × 7 bits, a pair differing in ≤7 bits
+    cannot differ in all 8 bands. Planted: two hashes differing in exactly
+    7 bits spread across 7 different bands still collide on the 8th."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    base = 0x00AA55AA55AA55
+    # flip one bit in each of bands 0..6 (bit positions 0,7,14,...,42)
+    other = base
+    for band in range(7):
+        other ^= 1 << (band * mm._PHASH_BAND_BITS)
+    sigs = spark.createDataFrame(
+        [(1, base), (2, other)], "media_id bigint, phash bigint"
+    )
+    out = mm.phash_pairs(sigs).collect()
+    assert [(r.media_id_1, r.media_id_2, r.hamming) for r in out] == [(1, 2, 7)]
