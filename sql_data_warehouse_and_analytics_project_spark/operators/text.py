@@ -539,43 +539,120 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_CC_RE = r"\b\d{16}\b"
+
+
+def _sql_luhn_sum(expr: str, n: int) -> str:
+    """Unrolled Luhn sum over the first ``n`` digits of ``expr`` (ANSI SQL,
+    no lambdas needed): digit i (1-based, odd i = even position from the
+    right in a 16-digit number) is doubled and digit-collapsed. Unrolling
+    keeps the expression identical — and cheap — in both engines."""
+    terms = []
+    for i in range(1, n + 1):
+        d = f"substr({expr}, {i}, 1)::BIGINT"
+        if i % 2 == 1:
+            terms.append(f"(2*{d} - CASE WHEN {d} > 4 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _luhn_sum_col(c: Column, n: int) -> Column:
+    """Spark twin of :func:`_sql_luhn_sum` — a pure built-in expression
+    (substring/cast/when chain), zero UDF."""
+    total: Column = F.lit(0)
+    for i in range(1, n + 1):
+        d = F.substring(c, i, 1).cast("int")
+        if i % 2 == 1:
+            total = total + (d * 2 - F.when(d > 4, F.lit(9)).otherwise(F.lit(0)))
+        else:
+            total = total + d
+    return total
+
+
 _PII_SQL = f"""
-WITH planted AS (
-  SELECT doc_id, lang,
-         text
-         || CASE WHEN doc_id % 7 = 0
-                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
-         || CASE WHEN doc_id % 11 = 0
-                 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-         AS text
+WITH cards AS (
+  SELECT doc_id,
+         '453201' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0') AS base15
   FROM documents
+),
+cards2 AS (
+  SELECT doc_id, base15,
+         (10 - {_sql_luhn_sum("base15", 15)} % 10) % 10 AS chk
+  FROM cards
+),
+planted AS (
+  SELECT d.doc_id, d.lang,
+         d.text
+         || CASE WHEN d.doc_id % 7 = 0
+                 THEN ' contact user' || d.doc_id || '@example.com' ELSE '' END
+         || CASE WHEN d.doc_id % 11 = 0
+                 THEN ' call 555-010-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN d.doc_id % 13 = 0
+                 THEN ' ssn 078-05-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN d.doc_id % 17 = 0
+                 THEN ' from 10.' || CAST(d.doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(d.doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(1 + d.doc_id % 254 AS VARCHAR) ELSE '' END
+         || CASE WHEN d.doc_id % 19 = 0
+                 THEN ' card ' || c.base15 || CAST(c.chk AS VARCHAR) ELSE '' END
+         || CASE WHEN d.doc_id % 23 = 0
+                 THEN ' card ' || c.base15 || CAST((c.chk + 5) % 10 AS VARCHAR) ELSE '' END
+         AS text
+  FROM documents d JOIN cards2 c ON d.doc_id = c.doc_id
 ),
 scrubbed AS (
   SELECT doc_id, lang,
          CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
          CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
-         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
-                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+         CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS BIGINT) AS n_ssns,
+         CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+         CAST(len(list_filter(regexp_extract_all(text, '{_CC_RE}'),
+                              x -> {_sql_luhn_sum("x", 16)} % 10 = 0)) AS BIGINT) AS n_cards,
+         CAST(len(regexp_extract_all(text, '{_CC_RE}'))
+              - len(list_filter(regexp_extract_all(text, '{_CC_RE}'),
+                                x -> {_sql_luhn_sum("x", 16)} % 10 = 0)) AS BIGINT)
+           AS n_cards_rejected,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'),
+             '{_SSN_RE}', '[SSN]', 'g'),
+             '{_IPV4_RE}', '[IP]', 'g'),
+             '{_CC_RE}', '[CARD]', 'g') AS clean_text
   FROM planted
 )
-SELECT doc_id, lang, n_emails, n_phones,
+SELECT doc_id, lang, n_emails, n_phones, n_ssns, n_ips, n_cards, n_cards_rejected,
        CAST(length(clean_text) AS BIGINT) AS clean_len,
        (len(regexp_extract_all(clean_text, '{_EMAIL_RE}')) = 0
-        AND len(regexp_extract_all(clean_text, '{_PHONE_RE}')) = 0) AS residual_free
+        AND len(regexp_extract_all(clean_text, '{_PHONE_RE}')) = 0
+        AND len(regexp_extract_all(clean_text, '{_SSN_RE}')) = 0
+        AND len(regexp_extract_all(clean_text, '{_IPV4_RE}')) = 0
+        AND len(regexp_extract_all(clean_text, '{_CC_RE}')) = 0) AS residual_free
 FROM scrubbed
-WHERE n_emails + n_phones > 0
+WHERE n_emails + n_phones + n_ssns + n_ips + n_cards + n_cards_rejected > 0
 ORDER BY doc_id
 """
 
 
 @query("text_pii_scrub", oracle=_PII_SQL)
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction: plant deterministic synthetic emails/phones, scrub
-    with the standard patterns, report per-doc match counts and a
-    residual-free proof column. See module comment — the scrub transform
-    is the production path; only the planted PII is synthetic."""
+    """PII redaction over six detector classes: email, US phone, SSN, IPv4,
+    and 16-digit card numbers split into Luhn-VALID (n_cards) vs Luhn-
+    REJECTED (n_cards_rejected) — the checksum runs as an unrolled
+    built-in expression inside a higher-order ``filter`` over the regex
+    matches, zero Python UDFs. Planted PII is deterministic (derived from
+    doc_id, including a valid and a corrupted card per residue class) so
+    DuckDB replays detection, the Luhn split, scrubbing, and the
+    residual-free proof bit-for-bit. Scrubbing replaces every card-LIKE
+    run conservatively; the Luhn split powers the typed counts a curation
+    report needs. Pure regexp/HOF projections: zero shuffle except the
+    display sort."""
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
+    base15 = F.concat(F.lit("453201"), F.lpad((d % 1000000000).cast("string"), 9, "0"))
+    chk = (F.lit(10) - (_luhn_sum_col(base15, 15) % 10)) % 10
     planted = docs.select(
         "doc_id",
         "lang",
@@ -592,30 +669,88 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lpad((d % 10000).cast("string"), 4, "0"),
                 ),
             ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" ssn 078-05-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (1 + d % 254).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 19 == 0, F.concat(F.lit(" card "), base15, chk.cast("string"))
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 23 == 0,
+                F.concat(F.lit(" card "), base15, ((chk + 5) % 10).cast("string")),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
+    cc_cands = F.regexp_extract_all(F.col("text"), F.lit(_CC_RE), F.lit(0))
+    n_cards = F.size(F.filter(cc_cands, lambda x: _luhn_sum_col(x, 16) % 10 == 0))
     clean = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+                    _PHONE_RE,
+                    "[PHONE]",
+                ),
+                _SSN_RE,
+                "[SSN]",
+            ),
+            _IPV4_RE,
+            "[IP]",
+        ),
+        _CC_RE,
+        "[CARD]",
     )
     scrubbed = planted.select(
         "doc_id",
         "lang",
         F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_SSN_RE)).cast("bigint").alias("n_ssns"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).cast("bigint").alias("n_ips"),
+        n_cards.cast("bigint").alias("n_cards"),
+        (F.size(cc_cands) - n_cards).cast("bigint").alias("n_cards_rejected"),
         clean.alias("clean_text"),
     )
+    residual = (
+        (F.regexp_count(F.col("clean_text"), F.lit(_EMAIL_RE)) == 0)
+        & (F.regexp_count(F.col("clean_text"), F.lit(_PHONE_RE)) == 0)
+        & (F.regexp_count(F.col("clean_text"), F.lit(_SSN_RE)) == 0)
+        & (F.regexp_count(F.col("clean_text"), F.lit(_IPV4_RE)) == 0)
+        & (F.regexp_count(F.col("clean_text"), F.lit(_CC_RE)) == 0)
+    )
     return (
-        scrubbed.filter(F.col("n_emails") + F.col("n_phones") > 0)
+        scrubbed.filter(
+            F.col("n_emails")
+            + F.col("n_phones")
+            + F.col("n_ssns")
+            + F.col("n_ips")
+            + F.col("n_cards")
+            + F.col("n_cards_rejected")
+            > 0
+        )
         .select(
             "doc_id",
             "lang",
             "n_emails",
             "n_phones",
+            "n_ssns",
+            "n_ips",
+            "n_cards",
+            "n_cards_rejected",
             F.length("clean_text").cast("bigint").alias("clean_len"),
-            (
-                (F.regexp_count(F.col("clean_text"), F.lit(_EMAIL_RE)) == 0)
-                & (F.regexp_count(F.col("clean_text"), F.lit(_PHONE_RE)) == 0)
-            ).alias("residual_free"),
+            residual.alias("residual_free"),
         )
         .orderBy("doc_id")
     )
