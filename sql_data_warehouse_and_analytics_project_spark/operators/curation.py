@@ -139,8 +139,13 @@ def curate_documents(
         for c in caches:
             c.unpersist()
 
-    # 5. deterministic split (train/valid)
-    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(valid_fraction_buckets))
+    # 5. deterministic split (train/valid). The bucket hash is md5-derived
+    # (same cross-engine base hash as the LSH signatures) rather than
+    # xxhash64 so the curation_report oracle can replay the split counts —
+    # content-independent either way (hash of doc_id, never of position).
+    bucket = F.pmod(
+        dedup._md5_long(F.col("doc_id").cast("string"), 15), F.lit(valid_fraction_buckets)
+    )
     curated = survivors.withColumn(
         "split", F.when(bucket == 0, "valid").otherwise("train")
     )
@@ -157,3 +162,134 @@ def curate_documents(
         n_near_dedup_passes=n_near_passes,
     )
     return curated, report
+
+
+# --- Registry query: the composed pipeline as a correctness surface --------
+#
+# curation_report gives the END-TO-END pipeline a cross-engine oracle row
+# (VERDICT r05 #5): per-stage survivor counts, the near-dedup pass count,
+# the train/valid split sizes, and an order-independent survivor-set hash.
+# The DuckDB oracle independently replays ALL five stages — including the
+# near-dedup fixpoint, unrolled to the pass cap with the parameterized
+# MinHash/LSH pair SQL (dedup._sql_minhash_pairs_over) — so a drift in any
+# stage, in the pass semantics, or in the final survivor SET flips the row.
+
+_HASH_MOD = 1_000_000_007  # survivor-set hash: SUM(md5_60bit(doc_id) % p) % p
+# (per-row reduction keeps the running sum < n·p — no bigint overflow in
+# either engine at any realistic corpus size; DuckDB SUM widens to HUGEINT
+# and is cast back down after the final mod)
+
+
+def _sql_survivors(n_passes: int) -> str:
+    """CTE chain s1..s{3+n_passes}: quality gate, eval-drop+decontaminate,
+    exact dedup, then one near-dedup pass per unrolled step. Later passes
+    of an already-converged corpus drop nothing, so unrolling to the cap
+    computes the same final set the Spark loop's early exit does."""
+    from .dedup import _sql_minhash_pairs_over
+    from .text import _DECONTAM_SQL, _GOPHER_SQL, EVAL_SLICE_MOD, SQL_NORM
+
+    # Every stage CTE is MATERIALIZED: each s_k is referenced twice (by the
+    # next pass's pair subquery and by the next survivor filter), so
+    # DuckDB's default inline-per-reference planning would re-expand the
+    # whole prefix chain 2^passes times — thousands of bound parquet-scan
+    # instances (observed as fd exhaustion at bind time) before any data
+    # moves. Materialization evaluates each stage once, mirroring the Spark
+    # side's per-stage localCheckpoint.
+    parts = [
+        f"kept AS MATERIALIZED (SELECT doc_id FROM ({_GOPHER_SQL}) WHERE keep)",
+        f"contaminated AS MATERIALIZED (SELECT doc_id FROM ({_DECONTAM_SQL}))",
+        "s1 AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text FROM documents d"
+        " JOIN kept k ON d.doc_id = k.doc_id)",
+        f"s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id % {EVAL_SLICE_MOD} <> 0"
+        " AND doc_id NOT IN (SELECT doc_id FROM contaminated))",
+        f"""s3 AS MATERIALIZED (
+  SELECT s2.* FROM s2
+  JOIN (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id, sha256({SQL_NORM}) AS h FROM s2)
+    GROUP BY h
+  ) keeper ON s2.doc_id = keeper.doc_id
+)""",
+    ]
+    for p in range(1, n_passes + 1):
+        src = f"s{2 + p}"
+        parts.append(
+            f"l{p} AS MATERIALIZED (SELECT DISTINCT doc_id_2 AS doc_id"
+            f" FROM ({_sql_minhash_pairs_over(src)}))"
+        )
+        parts.append(
+            f"s{3 + p} AS MATERIALIZED (SELECT * FROM {src}"
+            f" WHERE doc_id NOT IN (SELECT doc_id FROM l{p}))"
+        )
+    return ",\n".join(parts)
+
+
+def _curation_sql() -> str:
+    from .dedup import _sql_md5_long
+
+    n = _MAX_NEAR_DEDUP_PASSES
+    final = f"s{3 + n}"
+    h = _sql_md5_long("CAST(doc_id AS VARCHAR)", 15)
+    pass_cases = "\n         ".join(
+        f"WHEN (SELECT COUNT(*) FROM l{p}) = 0 THEN {p}" for p in range(1, n + 1)
+    )
+    return f"""
+WITH
+{_sql_survivors(n)},
+split AS (
+  SELECT doc_id, CASE WHEN {h} % 10 = 0 THEN 'valid' ELSE 'train' END AS split
+  FROM {final}
+)
+SELECT 1::BIGINT AS stage_no, 'input' AS stage,
+       (SELECT COUNT(*) FROM documents)::BIGINT AS value
+UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM s1)
+UNION ALL SELECT 3, 'decontaminate', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT 5, 'near_dedup', (SELECT COUNT(*) FROM {final})
+UNION ALL SELECT 6, 'train', (SELECT COUNT(*) FROM split WHERE split = 'train')
+UNION ALL SELECT 7, 'valid', (SELECT COUNT(*) FROM split WHERE split = 'valid')
+UNION ALL SELECT 8, 'near_dedup_passes',
+       CASE {pass_cases}
+         ELSE {n} END
+UNION ALL SELECT 9, 'survivor_hash',
+       (SELECT CAST(COALESCE(SUM({h} % {_HASH_MOD}), 0) % {_HASH_MOD} AS BIGINT)
+        FROM {final})
+ORDER BY stage_no
+"""
+
+
+from ..registry import query  # noqa: E402
+
+
+@query("curation_report", oracle=_curation_sql(), defer=True)
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, reported as an auditable frame:
+    (stage_no, stage, value) — per-stage survivor counts, near-dedup pass
+    count, split sizes, and the md5-derived order-independent hash of the
+    final survivor id set. Running the pipeline happens inside the query
+    call (stage materialization via localCheckpoint is part of its scale
+    design); the returned frame is the audit artifact a 100 TB run logs.
+
+    Registered past the driver's 50-entry CORRECTNESS window (the stable
+    r4/r5 keys keep their slots; see COVERAGE.md) — the cross-engine proof
+    runs in tests/test_oracle_parity.py, where DuckDB replays all five
+    stages including the unrolled near-dedup fixpoint."""
+    curated, rep = curate_documents(spark, sf_dir)
+    h = dedup._md5_long(F.col("doc_id").cast("string"), 15)
+    surv_hash = curated.agg(
+        (F.coalesce(F.sum(h % _HASH_MOD), F.lit(0)) % _HASH_MOD).alias("v")
+    ).collect()[0]["v"]
+    rows = [
+        (1, "input", rep.n_input),
+        (2, "quality", rep.n_after_quality),
+        (3, "decontaminate", rep.n_after_decontamination),
+        (4, "exact_dedup", rep.n_after_exact_dedup),
+        (5, "near_dedup", rep.n_after_near_dedup),
+        (6, "train", rep.n_train),
+        (7, "valid", rep.n_valid),
+        (8, "near_dedup_passes", rep.n_near_dedup_passes),
+        (9, "survivor_hash", int(surv_hash)),
+    ]
+    return spark.createDataFrame(rows, "stage_no bigint, stage string, value bigint").orderBy(
+        "stage_no"
+    )

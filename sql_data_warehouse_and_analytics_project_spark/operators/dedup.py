@@ -444,11 +444,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 # specific signature/band CTEs) → capped buckets → candidate rep pairs →
 # verify → expand back to member pairs. Mirrors the Spark pipeline step for
 # step so the deterministic bucket cap binds identically in both engines.
-_SQL_COLLAPSE = f"""
+def _sql_collapse(src: str) -> str:
+    """The exact-dup-collapse CTE chain over an arbitrary source relation
+    (doc_id, lang, text) — parameterized so composed-pipeline oracles
+    (curation_report) can replay the collapse over intermediate stages."""
+    return f"""
 keyed AS (
   SELECT doc_id, lang, text,
          md5(array_to_string({SQL_TOKENS}, ' ')) AS tkey
-  FROM documents
+  FROM {src}
   WHERE len({SQL_TOKENS}) >= 3
 ),
 members AS (
@@ -458,6 +462,9 @@ members AS (
 reps AS (SELECT doc_id, lang, text FROM members WHERE doc_id = rep_id),
 shingles AS ({_sql_shingles("reps")})
 """
+
+
+_SQL_COLLAPSE = _sql_collapse("documents")
 
 _SQL_MINHASH_SIGS = ",\n         ".join(
     f"MIN(({a}::BIGINT * h + {b}) % {_P}) AS sig_{i}" for i, (a, b) in enumerate(_HASH_AB)
@@ -482,9 +489,13 @@ candidates AS (
 )
 """
 
-_MINHASH_SQL = f"""
+def _sql_minhash_pairs_over(src: str) -> str:
+    """The COMPLETE MinHash/LSH pair oracle over an arbitrary (doc_id,
+    lang, text) relation — `_MINHASH_SQL` is this over ``documents``; the
+    curation_report oracle nests it per near-dedup pass."""
+    return f"""
 WITH
-{_SQL_COLLAPSE},
+{_sql_collapse(src)},
 hashed AS (
   SELECT doc_id, {_sql_md5_long("shingle", 15)} % {_P} AS h FROM shingles
 ),
@@ -524,6 +535,9 @@ SELECT a.doc_id, b.doc_id, CAST(1.0 AS DOUBLE)
 FROM members a JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
 ORDER BY doc_id_1, doc_id_2
 """
+
+
+_MINHASH_SQL = _sql_minhash_pairs_over("documents")
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_SQL, headline=True)
