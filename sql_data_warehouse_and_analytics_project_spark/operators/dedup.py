@@ -755,7 +755,7 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-@query("dedup_simhash", oracle=_SIMHASH_SQL)
+@query("dedup_simhash", oracle=_SIMHASH_SQL, headline=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: exact-dup collapse (token-sequence key), 48-bit
     md5-derived signatures over representatives, candidates from 6-bit band

@@ -497,7 +497,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_decontaminate", oracle=_DECONTAM_SQL)
+@query("text_decontaminate", oracle=_DECONTAM_SQL, headline=True)
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 4-gram decontamination: training docs sharing any word
     4-gram with the eval slice (doc_id % 100 == 0), with hit counts."""

@@ -331,3 +331,43 @@ def test_planted_identical_docs_hot_key_bounded(spark):
     for c in caches:
         c.unpersist()
     assert n_pairs == 1000 * 999 // 2
+
+
+def test_zorder_clustering_prunes_row_groups(spark, tmp_path):
+    """Z-order layout proof (VERDICT r05 #7): the same 2-D fact written
+    round-robin vs Z-ordered on (a, b). A small 2-D box predicate must
+    overlap STRICTLY fewer parquet row groups in the Z-ordered layout —
+    measured from the footer min/max stats, i.e. exactly the skipping
+    decision a stats-aware reader makes — while both layouts return the
+    same rows, and the box predicate reaches the scan as PushedFilters."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import bucketing
+
+    n = 200_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 10_000).alias("a"),
+        ((F.col("id") * 16807) % 10_000).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    flat, zed = str(tmp_path / "flat"), str(tmp_path / "zed")
+    df.repartition(16).write.parquet(flat)
+    bucketing.write_zordered(df, zed, ["a", "b"], n_files=16)
+
+    box = {"a": (1000, 1999), "b": (5000, 5999)}
+    flat_hit, flat_total = bucketing.row_groups_overlapping(flat, box)
+    zed_hit, zed_total = bucketing.row_groups_overlapping(zed, box)
+    assert flat_total >= 16 and zed_total >= 16
+    assert zed_hit < flat_hit, (zed_hit, flat_hit)
+    # a 1% × 1% box should touch a small corner of the curve, not half of it
+    assert zed_hit <= zed_total // 4, (zed_hit, zed_total)
+
+    pred = (
+        (F.col("a") >= 1000) & (F.col("a") <= 1999)
+        & (F.col("b") >= 5000) & (F.col("b") <= 5999)
+    )
+    sliced = spark.read.parquet(zed).filter(pred)
+    plan = audit.formatted_plan(sliced)
+    pushed = " ".join(audit.pushed_filters(plan))
+    assert "GreaterThanOrEqual(a," in pushed and "LessThanOrEqual(b," in pushed, pushed
+    assert sliced.count() == spark.read.parquet(flat).filter(pred).count()
