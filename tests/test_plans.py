@@ -371,3 +371,25 @@ def test_zorder_clustering_prunes_row_groups(spark, tmp_path):
     pushed = " ".join(audit.pushed_filters(plan))
     assert "GreaterThanOrEqual(a," in pushed and "LessThanOrEqual(b," in pushed, pushed
     assert sliced.count() == spark.read.parquet(flat).filter(pred).count()
+
+
+def test_phash_pipeline_collapse_partial_agg_no_content_window(spark):
+    """dedup_image_phash's exact-collapse mirrors token_dedup_members: rep
+    assignment is a partial-agg groupBy over narrow (phash, media_id) rows
+    plus a rejoin — the only Window in the plan is the deterministic
+    band-bucket cap over already-collapsed narrow rows (bounded output by
+    construction), never a window over the content hash itself."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    sigs = spark.range(200).select(
+        F.col("id").alias("media_id"), (F.col("id") % 7).alias("phash")
+    )
+    pairs = mm.phash_pairs(sigs)
+    plan = audit.executed_plan(pairs)
+    assert "partial_min" in plan, plan
+    # no windowspec partitioned by the content hash; the bucket-cap window
+    # partitions by (band, bucket)
+    assert "windowspecdefinition(phash" not in plan, plan
+    assert "windowspecdefinition(band" in plan, plan
