@@ -49,3 +49,19 @@ def test_ivf_training_handles_empty_embeddings(spark, tmp_path):
     path = str(tmp_path / "ivf")
     assert sim.build_ivf_index(empty, path, n_lists=8, iters=2) == []
     assert sim.ivf_search(spark, path, [0.0] * 64, k=5, n_probes=3).count() == 0
+
+
+def test_phash_pipeline_handles_empty_and_uniform_signatures(spark):
+    """phash_pairs edge cases: an empty signature frame yields no pairs; a
+    frame where every image shares one phash collapses to a single rep and
+    expands to exactly C(n,2) hamming-0 member pairs (no band self-join
+    blowup — bands see ONE distinct hash)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    empty = spark.createDataFrame([], "media_id bigint, phash bigint")
+    assert mm.phash_pairs(empty).count() == 0
+
+    uniform = spark.createDataFrame([(i, 12345) for i in range(10)], "media_id bigint, phash bigint")
+    rows = mm.phash_pairs(uniform).collect()
+    assert len(rows) == 45
+    assert all(r.hamming == 0 for r in rows)
