@@ -185,9 +185,49 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
 def assign_list_col(vec: Column, centroids: list[list[float]]) -> Column:
     """0-based nearest-centroid id as a PURE PROJECTION (no join, no shuffle):
     the centroid matrix is inlined as a literal, distances computed with
-    higher-order functions, argmin via array_position on the computed mins."""
+    higher-order functions, argmin via array_position on the computed mins.
+    Right plan up to ~thousands of lists; past :data:`_ASSIGN_JOIN_LISTS`
+    the generated expression outgrows codegen and
+    :func:`assign_via_join` takes over."""
     dists = F.transform(_centroid_literal(centroids), lambda c: _sq_dist(c, vec))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+# Above this many lists, nearest-centroid assignment switches from the
+# inlined-literal projection to a broadcast join: the literal's generated
+# code grows linearly with n_lists (and is re-JIT-ed per stage), while the
+# join plan is size-independent — broadcast the KB..MB centroid table,
+# min_by per vec_id. The groupBy is a partial-aggregating shuffle of narrow
+# (vec_id, best-so-far) rows, so it scales to any n_lists the index needs.
+_ASSIGN_JOIN_LISTS = 256
+
+
+def assign_via_join(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, v, list_id) via broadcast-join + ``min_by`` argmin — the
+    large-``n_lists`` twin of :func:`assign_list_col` (bit-identical
+    assignment: same squared-L2, ties broken to the LOWEST list id, matching
+    array_position's first-match semantics)."""
+    spark = vecs.sparkSession
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "list_id int, centroid array<double>",
+        )
+    )
+    # the distance is computed and the vector projected away inside ONE
+    # codegen stage — the argmin shuffle moves only narrow (vec_id, struct)
+    # rows with map-side partial min, never the embedding payload
+    scored = vecs.crossJoin(cent).select(
+        "vec_id",
+        F.struct(_sq_dist(F.col("centroid"), F.col("v")).alias("d"), "list_id").alias("s"),
+    )
+    # min over (d, list_id) structs = nearest centroid, lowest id on ties
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min("s").alias("best"))
+        .select("vec_id", F.col("best.list_id").alias("list_id"))
+    )
+    return vecs.join(best, "vec_id")
 
 
 def _kmeanspp_seeds(
@@ -261,7 +301,10 @@ def train_ivf_centroids(
     if not centroids:  # empty input: no model to train
         return []
     for _ in range(iters):
-        assigned = vecs.withColumn("list_id", assign_list_col(F.col("v"), centroids))
+        if len(centroids) > _ASSIGN_JOIN_LISTS:
+            assigned = assign_via_join(vecs, centroids)
+        else:
+            assigned = vecs.withColumn("list_id", assign_list_col(F.col("v"), centroids))
         means = (
             assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("list_id", "pos")
@@ -300,10 +343,14 @@ def build_ivf_index(
             1
         ).write.mode("overwrite").parquet(f"{path}/centroids")
         return []
-    assigned = emb.withColumn(
-        "list_id",
-        assign_list_col(F.transform("embedding", lambda x: x.cast("double")), centroids),
-    )
+    vcol = F.transform("embedding", lambda x: x.cast("double"))
+    if len(centroids) > _ASSIGN_JOIN_LISTS:
+        best = assign_via_join(emb.select("vec_id", vcol.alias("v")), centroids).select(
+            "vec_id", "list_id"
+        )
+        assigned = emb.join(best, "vec_id")
+    else:
+        assigned = emb.withColumn("list_id", assign_list_col(vcol, centroids))
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"

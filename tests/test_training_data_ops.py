@@ -369,3 +369,37 @@ def test_ivf_auto_sizing_recall_at_two_corpus_sizes(spark, tmp_path):
         exact = exact_topk(emb, 10)
         recall = len(set(exact) & set(approx)) / len(exact)
         assert recall >= 0.5, (tag, recall, exact, approx)
+
+
+def test_ivf_join_assignment_matches_literal_projection(spark):
+    """assign_via_join (the >256-list scale path) is bit-identical to the
+    inlined-literal projection on the same centroid model — same squared-L2,
+    lowest-list-id tie-break — and its plan broadcasts the centroid table
+    with a partial-aggregating argmin (no sort-merge shuffle of the
+    vectors, no embedding payload crossing the exchange)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.plans import audit
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = sim.train_ivf_centroids(emb, n_lists=8, iters=1)
+
+    lit_rows = {
+        r["vec_id"]: r["list_id"]
+        for r in vecs.withColumn("list_id", sim.assign_list_col(F.col("v"), cents))
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    join_df = sim.assign_via_join(vecs, cents)
+    join_rows = {r["vec_id"]: r["list_id"] for r in join_df.select("vec_id", "list_id").collect()}
+    assert lit_rows == join_rows
+
+    plan = audit.executed_plan(join_df)
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+    assert "partial_min" in plan, plan
