@@ -348,7 +348,14 @@ def token_dedup_members(docs: DataFrame) -> DataFrame:
 
 def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:
     """Keep the ``cap`` smallest doc_ids per (band, bucket) — deterministic,
-    so the DuckDB oracle reproduces it bit-for-bit via QUALIFY."""
+    so the DuckDB oracle reproduces it bit-for-bit via QUALIFY.
+
+    Although written as a window, the ``row_number() <= cap`` filter
+    triggers Catalyst's WindowGroupLimit pushdown (Partial before the
+    Exchange, Final after — pinned in tests/test_plans.py): every map task
+    pre-trims its slice of a hot bucket to ``cap`` rows before the shuffle,
+    so the reducer for a pathological bucket receives O(cap × map_tasks)
+    narrow rows, never the bucket's full membership."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket").orderBy("doc_id")

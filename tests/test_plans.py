@@ -393,3 +393,25 @@ def test_phash_pipeline_collapse_partial_agg_no_content_window(spark):
     # partitions by (band, bucket)
     assert "windowspecdefinition(phash" not in plan, plan
     assert "windowspecdefinition(band" in plan, plan
+
+
+def test_lsh_bucket_cap_uses_window_group_limit_pushdown(spark):
+    """The deterministic band-bucket cap must keep Catalyst's
+    WindowGroupLimit pushdown: a Partial group-limit BEFORE the exchange
+    pre-trims every map task's slice of a hot bucket to the cap, so the
+    reducer sees O(cap × map_tasks) narrow rows — the property that makes
+    the window formulation acceptable at 100 TB. Fails if a refactor
+    (extra columns in the sort, a different rank function) silently drops
+    the pushdown."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    bands = spark.range(10_000).select(
+        (F.col("id") % 7).alias("band"),
+        (F.col("id") % 13).cast("string").alias("bucket"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = audit.executed_plan(dedup._cap_buckets(bands, 64))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or ", Partial" in plan, plan
