@@ -53,12 +53,19 @@ def main() -> None:
     # identical code at 14s vs 21s across rounds) plus a per-query
     # dispersion field (all samples + max/min spread) so a real regression
     # is distinguishable from machine noise when comparing rounds.
+    # r6 note: a 2-warm + System.gc() variant was measured and REJECTED —
+    # the forced full GC on the 128 GiB heap plus the doubled cache
+    # materialization made dispersion worse (one 54s simhash outlier), so
+    # the harness stays bit-compatible with r5 for cross-round comparison.
+    # SPARK_GRAFT_BENCH_WARMS is kept as an experiment knob (default 1).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    warms = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "1")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name, rq in sorted(headline.items()):
-        spark.catalog.clearCache()
-        rq.fn(spark, sf_dir).count()
+        for _ in range(warms):
+            spark.catalog.clearCache()
+            rq.fn(spark, sf_dir).count()
         samples[name] = []
         for _ in range(runs):
             spark.catalog.clearCache()

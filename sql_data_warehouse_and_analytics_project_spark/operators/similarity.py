@@ -479,3 +479,134 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- Semantic (SemDeDup-style) near-dup: learned-cluster blocking ----------
+#
+# dedup_embedding_cosine blocks on the GIVEN label column; real corpora
+# rarely ship one. The IVF-blocked variant derives the blocking key from the
+# vectors themselves: assign every vector to its nearest coarse centroid
+# (the IVF list), then run the exact-cosine pairwise check only within each
+# list — the SemDeDup shape (cluster → within-cluster prune). At 100 TB the
+# assignment is the same narrow-shuffle argmin the IVF index build uses
+# (n_lists ~ √n via auto_n_lists, broadcast centroids, min over narrow
+# (vec_id, struct) rows), the table is written partitionBy(list_id), and
+# each within-list join is quadratic only in its list size — the audit twin
+# of dedup.lsh_bucket_overflow is a per-list count. Here the coarse
+# quantizer is the same deterministic per-label FLOOR(SUM/COUNT) integer
+# centroid ann_ivf_topk uses, so DuckDB replays centroid build, nearest-
+# centroid assignment (exact int64 squared-L2, ties to the lowest cluster
+# id), and verification bit-for-bit.
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, q, {SQL_NORM_Q} AS nq FROM quant
+),
+expl AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS val FROM quant
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM expl GROUP BY label, pos
+),
+centlist AS (
+  SELECT label AS cluster, list(cval ORDER BY pos) AS cent FROM cent GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, q, nq, cluster FROM (
+    SELECT n.vec_id, n.q, n.nq, c.cluster,
+           CAST(list_sum([(n.q[i+1] - c.cent[i+1]) * (n.q[i+1] - c.cent[i+1]) FOR i IN range(len(n.q))]) AS BIGINT) AS d
+    FROM normed n, centlist c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cluster,
+       CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+FROM assigned a
+JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
+        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+def _int_centroids(normed: DataFrame) -> DataFrame:
+    """(cluster, cent): deterministic fixed-point integer centroids — FLOOR
+    of the per-position mean of the already-quantized int64 values, keyed by
+    label (the coarse-quantizer stand-in shared with :func:`ann_ivf_topk`).
+    One posexplode→groupBy shuffle of (label, pos, val) triples; the result
+    is n_lists×dim, KB-sized by definition."""
+    return (
+        normed.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.transform(F.col("pairs"), lambda s: s.cval).alias("cent"),
+        )
+    )
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """IVF-cluster-blocked embedding near-dup pairs over an arbitrary
+    (vec_id, label, embedding) frame — see the module-level SemDeDup note.
+
+    Plan: quantize → broadcast the integer centroid matrix → exact int64
+    argmin assignment (the shuffle moves narrow (vec_id, struct⟨d,cluster⟩)
+    rows with map-side partial min — the vector payload is re-attached by a
+    join on the UNIQUE vec_id, so no reducer is ever hot) → within-cluster
+    self-join on the learned key → exact-cosine verify."""
+    normed = emb.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    cent = F.broadcast(_int_centroids(normed))
+    sq = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = normed.crossJoin(cent).select(
+        "vec_id", F.struct(sq.alias("d"), F.col("cluster")).alias("s")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min("s").alias("best"))
+        .select("vec_id", F.col("best.cluster").alias("cluster"))
+    )
+    assigned = normed.select("vec_id", "q", "nq").join(best, "vec_id")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+@query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL, defer=True)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with a LEARNED blocking key (SemDeDup shape):
+    nearest-coarse-centroid assignment replaces the given-label blocking of
+    ``dedup_embedding_cosine`` — the variant a label-free corpus needs."""
+    return semantic_dedup_pairs(_emb(spark, sf_dir))
