@@ -84,6 +84,20 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count ONLY when the incoming plan is
+    narrower than that — a single small parquet file scans as one task, and
+    the CPU-heavy signature projections downstream must not inherit that
+    cap. When the input is already wide (the LSH pipelines feed the
+    post-shuffle exact-collapse output), the repartition is a pure waste:
+    it re-shuffles the full text payload for zero added parallelism —
+    measured ~20% of the whole minhash pipeline at sf0.1 (5.1→3.9s)."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_parts:
+        return docs.repartition(n_parts)
+    return docs
+
+
 def _shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, shingle) exploded rows for docs with ≥3 tokens.
 
@@ -424,12 +438,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     shingle strings, no aggregation hash table, no doc_id shuffle, and a
     small generated class instead of a ~12s-to-compile 64-buffer agg
     (measured 0.5s vs 5.6s cold / 0.5s vs 1.6s warm at sf0.1, identical
-    output). The explicit repartition spreads the CPU-heavy projection
-    across cores when the source is a single small file. The base hash is
+    output). :func:`_spread` widens the CPU-heavy projection only when the
+    source scan is narrower than the core count. The base hash is
     md5-derived (not xxhash64) so the DuckDB oracle can replay the exact
     signature pipeline."""
     toks = tokens_col(F.col("text"))
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     base_arr = F.transform(
         shingles_col(F.col("text")), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))
     )
@@ -440,7 +453,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         for i, (a, b) in enumerate(_HASH_AB)
     ]
     return (
-        docs.repartition(n_parts)
+        _spread(docs)
         .filter(F.size(toks) >= 3)
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", *sigs)
@@ -682,7 +695,6 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     token-level bit votes correlate across unrelated documents and hamming
     distances collapse; shingles are high-cardinality and doc-specific."""
     toks = tokens_col(F.col("text"))
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     base_arr = F.transform(shingles_col(F.col("text")), lambda s: _md5_long(s, 12))
     powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(_SIMHASH_BITS)])
     zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(_SIMHASH_BITS)])
@@ -708,7 +720,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        docs.repartition(n_parts)
+        _spread(docs)
         .filter(F.size(toks) >= 3)
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", sim.alias("simhash"))
