@@ -445,10 +445,13 @@ def test_semantic_dedup_learned_blocking_recall_and_plan(spark):
     assert ivf, "learned blocking found no pairs at all"
     assert ivf <= brute, "a reported pair is not a true pair (precision < 1)"
     assert label <= brute
-    # learned clusters concentrate near pairs far better than given labels
-    # (measured 64 vs 14 true pairs at sf0.001); assert a conservative 2x
-    assert len(ivf) >= 2 * len(label), (len(ivf), len(label))
+    # learned 2-probe clustering concentrates near pairs far better than
+    # given labels (measured 165 vs 14 true pairs at sf0.001); assert a
+    # conservative 4x
+    assert len(ivf) >= 4 * len(label), (len(ivf), len(label))
 
     plan = audit.executed_plan(ivf_df)
     assert "BroadcastExchange" in plan, plan
-    assert "partial_min" in plan, plan
+    # assignment is a projection (explode of the sliced probe array), never
+    # a per-vector window or argmin shuffle
+    assert "Window" not in plan, plan
