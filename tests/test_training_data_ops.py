@@ -455,3 +455,41 @@ def test_semantic_dedup_learned_blocking_recall_and_plan(spark):
     # assignment is a projection (explode of the sliced probe array), never
     # a per-vector window or argmin shuffle
     assert "Window" not in plan, plan
+
+
+def test_sequence_packing_invariants(spark):
+    """pack_token_chunks (r6): within every bucket lane, chunk ids start at
+    0 and never decrease in doc order; every chunk's token load is bounded
+    by budget + the largest single doc (start-offset assignment can overflow
+    by at most one straddling doc, never unboundedly); and every non-final
+    chunk is filled to at least the budget minus its largest doc (no chunk
+    is left arbitrarily empty while later chunks exist)."""
+    from collections import defaultdict
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _PACK_BUDGET,
+        pack_sequences,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    rows = pack_sequences(docs).collect()
+    assert rows
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        chunks = defaultdict(int)
+        last_chunk = 0
+        assert rs[0]["chunk_id"] == 0, (bucket, rs[0])
+        for r in rs:
+            assert r["chunk_id"] >= last_chunk, (bucket, r)
+            last_chunk = r["chunk_id"]
+            chunks[r["chunk_id"]] += r["n_bpe_tokens"]
+        max_doc = max(r["n_bpe_tokens"] for r in rs)
+        final = max(chunks)
+        for cid, total in chunks.items():
+            assert total <= _PACK_BUDGET + max_doc, (bucket, cid, total)
+            if cid != final:
+                assert total >= _PACK_BUDGET - max_doc, (bucket, cid, total)
