@@ -573,6 +573,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def minhash_band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band table from a signature frame.
+
+    One band table via a single explode — NOT a 16-way union of per-band
+    projections, which would recompute the shingle-explode + 64-min-hash
+    signature pipeline once per band (16× the work at any scale). The
+    bucket id is the concatenated row signature (cross-engine string, no
+    xxhash64) — band id disambiguates buckets across bands in the join."""
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"sig_{band * _LSH_ROWS + r}").cast("string") for r in range(_LSH_ROWS)]
+            ).alias("bucket"),
+        )
+        for band in range(_LSH_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -593,23 +615,7 @@ def minhash_lsh_pairs(
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
     sigs = minhash_signatures(reps)
-    # One band table via a single explode — NOT a 16-way union of per-band
-    # projections, which would recompute the shingle-explode + 64-min-hash
-    # signature pipeline once per band (16× the work at any scale). The
-    # bucket id is the concatenated row signature (cross-engine string, no
-    # xxhash64) — band id disambiguates buckets across bands in the join.
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ":", *[F.col(f"sig_{band * _LSH_ROWS + r}").cast("string") for r in range(_LSH_ROWS)]
-            ).alias("bucket"),
-        )
-        for band in range(_LSH_BANDS)
-    ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
     b = capped.alias("b")
@@ -842,3 +848,97 @@ def simhash_pairs(
         intra_cols=[F.lit(0).cast("bigint").alias("hamming")],
         carry=["hamming"],
     ).orderBy("doc_id_1", "doc_id_2")
+
+
+# --- Incremental MinHash index: dedup a NEW batch against a stored corpus --
+#
+# The batch pipelines above recompute signatures over the whole corpus every
+# run; a production ingest needs to near-dedup each ARRIVING batch against
+# everything already accepted WITHOUT re-scanning 100 TB of text. The index
+# persists only the signature surface — (doc_id, sig_0..63) plus the
+# (doc_id, band, bucket) band table partitioned by band — never the text:
+# ~300 bytes/doc regardless of document size. A query banding-joins the new
+# batch's reps against the stored band table (the same 16×4 LSH blocking as
+# the batch pipeline, so candidate recall is identical by construction) and
+# confirms with the SIGNATURE-ESTIMATED Jaccard (fraction of the 64
+# components that agree; std ≈ √(J(1−J)/64) ≈ 0.05 worst-case) — the
+# standard signature-only confirm for text-free indexes. Callers that need
+# the exact Jaccard re-join the texts for the (tiny) confirmed pair set.
+
+
+def build_minhash_index(docs: DataFrame, path: str) -> None:
+    """Write the signature index for a corpus batch: exact-dup collapse →
+    rep signatures → ``<path>/signatures`` (doc_id, sig_*),
+    ``<path>/bands`` (partitionBy(band): 16 directories, each a narrow
+    bucket list), ``<path>/members`` (doc_id → rep_id, so exact duplicates
+    of indexed docs stay attributable). All writes are append-mode:
+    :func:`append_minhash_index` is the same call on a later batch."""
+    mem = token_dedup_members(docs)
+    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    sigs = minhash_signatures(reps)
+    sigs.write.mode("append").parquet(f"{path}/signatures")
+    minhash_band_table(sigs).write.mode("append").partitionBy("band").parquet(
+        f"{path}/bands"
+    )
+    mem.select("doc_id", "rep_id").write.mode("append").parquet(f"{path}/members")
+
+
+def append_minhash_index(docs: DataFrame, path: str) -> None:
+    """Append a later batch to an existing index (same layout, same
+    signature parameters — the index is parameter-stable because _HASH_AB
+    is a fixed module constant)."""
+    build_minhash_index(docs, path)
+
+
+def query_minhash_index(
+    spark: SparkSession, path: str, new_docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """(new_doc_id, indexed_doc_id, est_jaccard) for every doc in the new
+    batch whose signature-estimated Jaccard against an INDEXED doc is ≥
+    ``threshold``. The new batch is exact-collapsed first (its internal
+    duplicates share one probe); results are expanded back to all new
+    members. The stored corpus is touched only through the band join (hash
+    join on (band, bucket) against narrow rows) and a signature join on the
+    candidate doc_ids — no stored text, no corpus re-scan."""
+    new_mem = token_dedup_members(new_docs)
+    new_members = new_mem.select("doc_id", "rep_id")
+    new_reps = new_mem.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "lang", "text"
+    )
+    new_sigs = minhash_signatures(new_reps).cache()
+    new_bands = minhash_band_table(new_sigs)
+
+    idx_bands = spark.read.parquet(f"{path}/bands").select("doc_id", "band", "bucket")
+    candidates = (
+        new_bands.alias("n")
+        .join(
+            idx_bands.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_rep"), F.col("i.doc_id").alias("indexed_doc_id")
+        )
+        .distinct()
+    )
+
+    idx_sigs = spark.read.parquet(f"{path}/signatures")
+    sig_cols = [f"sig_{i}" for i in range(_MINHASH_K)]
+    agree = sum(
+        (F.when(F.col(f"ns.{c}") == F.col(f"is.{c}"), 1).otherwise(0)) for c in sig_cols
+    )
+    est = (agree.cast("double") / F.lit(float(_MINHASH_K))).alias("est_jaccard")
+    rep_pairs = (
+        candidates.join(new_sigs.alias("ns"), F.col("new_rep") == F.col("ns.doc_id"))
+        .join(idx_sigs.alias("is"), F.col("indexed_doc_id") == F.col("is.doc_id"))
+        .select("new_rep", "indexed_doc_id", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return (
+        rep_pairs.join(new_members, rep_pairs.new_rep == new_members.rep_id)
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            "indexed_doc_id",
+            "est_jaccard",
+        )
+        .orderBy("new_doc_id", "indexed_doc_id")
+    )
