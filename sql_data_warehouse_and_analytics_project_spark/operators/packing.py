@@ -140,3 +140,91 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
     return stats.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+
+
+# --- Training-mix resampling ----------------------------------------------
+#
+# Rebalancing a corpus to target per-language (or per-source/domain)
+# proportions is the composition step of every training-data pipeline.
+# The exact-quota formulation (row_number per stratum over a hash order)
+# needs a per-stratum global sort — one reducer per language is a hot key
+# at 100 TB. The scale-right shape is DETERMINISTIC HASH THRESHOLDING:
+# each stratum gets a keep-probability p = budget·weight / stratum_count
+# (one KB-sized count aggregate, broadcast back), and a row is kept iff its
+# md5-derived uniform u(doc_id) < p. Membership is a pure row function —
+# no shuffle, no RNG, stable under repartitioning, identical in any engine
+# — and the realized mix converges to the target at corpus scale (binomial
+# error ~1/√n per stratum). u uses 13 md5 hex chars: 16^13 = 2^52 < 2^53,
+# so the int→double division is exact in both engines.
+
+_MIX_WEIGHTS = {"en": 0.40, "fr": 0.20, "de": 0.15, "es": 0.15, "zh": 0.10}
+_MIX_BUDGET_FRAC = 0.5  # target corpus size as a fraction of the input
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {w}" for k, w in _MIX_WEIGHTS.items()
+) + " ELSE 0.0 END"
+
+_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_lang,
+         least(1.0, (floor({_MIX_BUDGET_FRAC} * n_total) * ({_MIX_CASE})) / n_lang) AS p
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / CAST(4503599627370496 AS DOUBLE) < r.p
+ORDER BY d.doc_id
+"""
+
+
+def mix_resample(
+    docs: DataFrame,
+    weights: dict | None = None,
+    budget_frac: float = _MIX_BUDGET_FRAC,
+    stratum: str = "lang",
+) -> DataFrame:
+    """Deterministic hash-threshold resample of ``docs`` toward the target
+    per-stratum ``weights`` at ``budget_frac`` of the input size — see the
+    module note for why thresholding (not per-stratum quotas) is the shape
+    that survives 100 TB. Returns the kept (doc_id, stratum) rows."""
+    if weights is None:
+        weights = _MIX_WEIGHTS
+    counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_col = F.lit(0.0)
+    for k, w in weights.items():
+        w_col = F.when(F.col(stratum) == k, F.lit(float(w))).otherwise(w_col)
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            stratum,
+            F.least(
+                F.lit(1.0),
+                (F.floor(F.lit(budget_frac) * F.col("n_total")) * w_col) / F.col("n_s"),
+            ).alias("p"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(1 << 52))
+    return (
+        docs.join(F.broadcast(rates), stratum)
+        .filter(u < F.col("p"))
+        .select("doc_id", stratum)
+        .orderBy("doc_id")
+    )
+
+
+@query("mix_lang_resample", oracle=_MIX_SQL, defer=True)
+def mix_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the documents corpus to a target language mix (en 40 /
+    fr 20 / de 15 / es 15 / zh 10) at half the corpus size, with
+    deterministic engine-reproducible membership."""
+    return mix_resample(_docs(spark, sf_dir))

@@ -77,7 +77,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # exactly the 50 keys hash-checked since r4, keeping CORRECTNESS
     # comparable across rounds — then deferred oracle-backed queries (r6:
     # curation_report, dedup_image_phash, dedup_embedding_ivf,
-    # pack_token_chunks, vocab_top_terms — past the cap by explicit choice,
+    # pack_token_chunks, vocab_top_terms, mix_lang_resample — past the cap
+    # by explicit choice,
     # cross-engine-verified in tests/test_oracle_parity.py), then the
     # rows-only-by-design entries (q01_database_exploration,
     # olap_approx_summary, multimodal_decode_real), pytest-verified. Sort is

@@ -549,3 +549,35 @@ def test_incremental_minhash_index_cross_batch(spark, tmp_path):
         for r in dedup.query_minhash_index(spark, fresh, c).collect()
     }
     assert got == got_fresh
+
+
+def test_mix_resample_hits_target_proportions(spark):
+    """mix_lang_resample (r6): the deterministic hash-threshold resampler
+    lands within binomial tolerance of the target language mix and total
+    budget, and membership is bit-stable across runs (pure row function)."""
+    from collections import Counter
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _MIX_BUDGET_FRAC,
+        _MIX_WEIGHTS,
+        mix_lang_resample,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    n_total = tpch.load(spark, SF_DIR, "documents").count()
+    rows = mix_lang_resample(spark, SF_DIR).collect()
+    kept = Counter(r["lang"] for r in rows)
+    n_kept = sum(kept.values())
+    budget = _MIX_BUDGET_FRAC * n_total
+    # 3-sigma binomial bound on the total
+    assert abs(n_kept - budget) <= 3 * (budget**0.5) + 3, (n_kept, budget)
+    for lang, w in _MIX_WEIGHTS.items():
+        target = w * budget
+        assert abs(kept.get(lang, 0) - target) <= 3 * (target**0.5) + 3, (
+            lang,
+            kept.get(lang, 0),
+            target,
+        )
+    # determinism: identical membership on a second run
+    again = {r["doc_id"] for r in mix_lang_resample(spark, SF_DIR).collect()}
+    assert again == {r["doc_id"] for r in rows}
