@@ -624,6 +624,42 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_cluster_sizes(emb: DataFrame, n_probes: int = 2) -> DataFrame:
+    """(cluster, n_vecs) membership counts for the semantic-dedup blocking —
+    the audit surface for its quadratic within-cluster joins (the analog of
+    ``dedup.lsh_bucket_overflow``): the pair join is O(n_c²) per cluster, so
+    a run at scale should inspect these counts (and re-train with more
+    lists, or shard an oversized cluster) BEFORE paying for the join. One
+    partial-aggregating groupBy over the narrow probe keys."""
+    normed = emb.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    cent_arr = _int_centroids(
+        normed.withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    ).agg(F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cents"))
+    d_structs = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    return (
+        normed.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            F.explode(F.slice(F.array_sort(d_structs), 1, n_probes)).alias("pc"),
+        )
+        .groupBy(F.col("pc.cluster").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
 @query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL, defer=True)
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with a LEARNED blocking key (SemDeDup shape):

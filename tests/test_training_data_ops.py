@@ -581,3 +581,16 @@ def test_mix_resample_hits_target_proportions(spark):
     # determinism: identical membership on a second run
     again = {r["doc_id"] for r in mix_lang_resample(spark, SF_DIR).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_semantic_cluster_sizes_audit(spark):
+    """semantic_cluster_sizes: membership counts sum to n_vecs × n_probes
+    (every vector probes exactly n_probes clusters) — the pre-join audit
+    surface for the quadratic within-cluster pair cost."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    sizes = {r["cluster"]: r["n_vecs"] for r in sim.semantic_cluster_sizes(emb).collect()}
+    assert sum(sizes.values()) == 2 * emb.count()
+    assert all(n > 0 for n in sizes.values())
