@@ -415,3 +415,42 @@ def test_lsh_bucket_cap_uses_window_group_limit_pushdown(spark):
     plan = audit.executed_plan(dedup._cap_buckets(bands, 64))
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan.split("WindowGroupLimit")[-1] or ", Partial" in plan, plan
+
+
+def test_packing_and_mix_plan_shapes(spark):
+    """r6 last-mile ops keep their promised plans.
+
+    - vocab_top_terms: ordered LIMIT compiles to TakeOrderedAndProject (only
+      k rows reach the driver), no window, no join.
+    - mix_lang_resample: membership is decided by a broadcast-joined rate +
+      scan-side hash filter — no sort-merge/shuffled-hash join, no window;
+      the only key shuffles are the KB-sized stratum-count aggregate and the
+      final presentation sort.
+    - pack_token_chunks: exactly one running-sum window over the hash lanes
+      and no join; shuffles = the lane hash-partition + presentation sort."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["vocab_top_terms"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+
+    df = qs["mix_lang_resample"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+    assert counts["broadcast"] + counts["nested_loop"] >= 1, plan
+    assert "Window" not in plan, plan
+    assert audit.data_shuffle_count(plan) <= 2, plan
+
+    df = qs["pack_token_chunks"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert plan.count("Window") == 1, plan
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+    assert audit.data_shuffle_count(plan) == 2, plan
