@@ -332,3 +332,77 @@ def sink_to_parquet(job: DataFrame, path: str, checkpoint: str, output_mode: str
         .outputMode(output_mode)
         .start()
     )
+
+
+def sink_stream_neardedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Streaming NEAR-dedup sink: every microbatch is near-dedup'd both
+    within itself and against EVERYTHING accepted so far, survivors are
+    appended to ``out_path`` and to the persistent MinHash signature index
+    — the streaming composition of the incremental-index API
+    (operators/dedup.py: build/append/query_minhash_index).
+
+    Per batch: (1) the batch LSH pipeline finds within-batch near-dup pairs
+    and drops each pair's larger doc_id (keep-first policy, exact dups
+    included via their jaccard-1.0 member pairs); (2) the remaining docs
+    probe the signature index — banding-join against the stored band table,
+    signature-estimated Jaccard confirm — and any doc matching an indexed
+    doc is dropped; (3) survivors' signatures append to the index and their
+    rows append to the output. The index stores ~300 B/doc (signatures +
+    bands, never text), so state grows with the ACCEPTED corpus surface,
+    not the stream volume, and each batch's cost is O(batch) work plus a
+    narrow join against the band table — no replay of accepted text.
+
+    Watermark note: unlike the time-bounded ``dedup_events_stream`` (state
+    expires with the watermark), near-dedup is content-keyed and must
+    remember forever — which is exactly why the state lives in the
+    restartable on-disk index, not in executor memory."""
+    import os
+
+    from ..operators import dedup
+
+    def _dedup_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select("doc_id", "lang", "text")
+        caches: list = []
+        try:
+            pairs = dedup.minhash_lsh_pairs(batch, threshold=threshold, _caches=caches)
+            dups = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
+            survivors = batch.join(dups, "doc_id", "left_anti")
+            if os.path.exists(f"{index_path}/bands"):
+                hits = dedup.query_minhash_index(
+                    spark, index_path, survivors, threshold=threshold
+                )
+                # a hit on the SAME doc_id is this document re-observed (a
+                # replayed/retried batch), not a duplicate to drop
+                seen = (
+                    hits.filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
+                    .select(F.col("new_doc_id").alias("doc_id"))
+                    .distinct()
+                )
+                survivors = survivors.join(seen, "doc_id", "left_anti")
+            # localCheckpoint — NOT cache(): the survivor plan READS the
+            # index paths the next statement APPENDS to, and Spark's cache
+            # manager invalidates-and-recomputes any cached plan whose
+            # source path is written — the recomputed anti-join would then
+            # see the batch's own just-appended signatures and drop every
+            # row. The checkpoint cuts lineage to materialized partitions,
+            # so both writes consume the pre-append survivor set.
+            survivors = survivors.localCheckpoint(eager=True)
+            dedup.append_minhash_index(survivors, index_path)
+            survivors.write.mode("append").parquet(out_path)
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -237,3 +237,69 @@ def test_stream_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     # and the merge is still correct: one row per user, latest ts
     got = cat.read("silver.user_latest_b")
     assert got.count() == got.select("user_id").distinct().count()
+
+
+def test_stream_neardedup_across_batches(spark, tmp_path):
+    """sink_stream_neardedup (r6): two file deliveries are near-dedup'd
+    within each microbatch AND against the growing signature index — for
+    every planted near-dup pair at exact Jaccard >= 0.95 exactly one member
+    survives (regardless of which delivery each member arrived in), every
+    doc outside any such pair survives, and the output never shrinks
+    retroactively (append-only acceptance)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    truth = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    strong = {p for p, j in truth.items() if j >= 0.95}
+    in_strong = {d for p in strong for d in p}
+    assert strong, "testdata lost its planted near-dups"
+
+    input_dir = str(tmp_path / "docs_in")
+    out = str(tmp_path / "accepted")
+    ix = str(tmp_path / "sigix")
+    schema = "doc_id bigint, lang string, text string"
+
+    def deliver_and_run(pred):
+        docs.filter(pred).write.mode("append").parquet(input_dir)
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        q = jobs.sink_stream_neardedup(stream, ix, out, str(tmp_path / "ck"))
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    deliver_and_run(F.col("doc_id") % 2 == 0)
+    n_after_first = spark.read.parquet(out).count()
+    deliver_and_run(F.col("doc_id") % 2 == 1)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert len(kept) >= n_after_first  # append-only acceptance
+    # no strong pair survives intact (the definition of near-dedup)
+    for a, b in strong:
+        assert not (a in kept and b in kept), (a, b)
+    # at least one representative per near-dup connected component survives
+    # (a member may be dropped via a TRANSITIVE match against an accepted
+    # cluster-mate, so per-pair "exactly one" is too strict — e.g. clusters
+    # {x, a, b} where x was accepted first and both a and b match x)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in truth:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for d in {x for p in truth for x in p}:
+        comps.setdefault(find(d), set()).add(d)
+    for root, members in comps.items():
+        assert members & kept, f"whole near-dup component dropped: {sorted(members)}"
+    # docs in no truth pair at the 0.8 threshold are never dropped
+    in_any = {d for p in truth for d in p}
+    missing = ({r["doc_id"] for r in docs.collect()} - in_any) - kept
+    assert not missing, f"non-duplicate docs were dropped: {sorted(missing)[:10]}"
