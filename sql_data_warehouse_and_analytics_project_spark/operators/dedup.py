@@ -877,9 +877,13 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
     sigs = minhash_signatures(reps)
     sigs.write.mode("append").parquet(f"{path}/signatures")
-    minhash_band_table(sigs).write.mode("append").partitionBy("band").parquet(
-        f"{path}/bands"
-    )
+    # stored buckets carry the same deterministic cap as the batch pipeline
+    # (applied per append — capping across appends would need to read the
+    # stored bucket back; audit the union with lsh_bucket_overflow over
+    # spark.read.parquet(f"{path}/bands") before trusting recall at scale)
+    _cap_buckets(minhash_band_table(sigs), _LSH_BUCKET_CAP).write.mode(
+        "append"
+    ).partitionBy("band").parquet(f"{path}/bands")
     mem.select("doc_id", "rep_id").write.mode("append").parquet(f"{path}/members")
 
 
@@ -942,3 +946,30 @@ def query_minhash_index(
         )
         .orderBy("new_doc_id", "indexed_doc_id")
     )
+
+
+def compact_minhash_index(spark: SparkSession, path: str, target_file_mb: int = 128) -> None:
+    """Rewrite the index's append-accumulated small files into ~target-sized
+    ones. Every :func:`append_minhash_index` lands its own file set, so a
+    long-running ingest accumulates O(appends) files per component and each
+    query pays the listing + per-file open cost. The rewrite coalesces each
+    flat component (narrow, no shuffle) and re-clusters the band table one
+    file per band directory, publishing via the same atomic tmp+rename swap
+    the warehouse catalog uses. (On an object store the rename becomes a
+    manifest swap; local/HDFS rename is atomic.)"""
+    import shutil
+
+    for comp in ("signatures", "members"):
+        src = f"{path}/{comp}"
+        tmp = f"{src}.compacting"
+        from ..warehouse.bucketing import compact_parquet
+
+        compact_parquet(spark, src, tmp, target_file_mb=target_file_mb)
+        shutil.rmtree(src)
+        shutil.move(tmp, src)
+    src = f"{path}/bands"
+    tmp = f"{src}.compacting"
+    bands = spark.read.parquet(src)
+    bands.repartition("band").write.mode("overwrite").partitionBy("band").parquet(tmp)
+    shutil.rmtree(src)
+    shutil.move(tmp, src)

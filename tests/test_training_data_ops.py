@@ -594,3 +594,39 @@ def test_semantic_cluster_sizes_audit(spark):
     sizes = {r["cluster"]: r["n_vecs"] for r in sim.semantic_cluster_sizes(emb).collect()}
     assert sum(sizes.values()) == 2 * emb.count()
     assert all(n > 0 for n in sizes.values())
+
+
+def test_minhash_index_compaction_preserves_answers(spark, tmp_path):
+    """compact_minhash_index: three appends accumulate per-append file sets;
+    compaction shrinks the file count and the compacted index answers a
+    query with the exact same pair set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    ix = str(tmp_path / "cix")
+    for m in (0, 1, 2):
+        dedup.append_minhash_index(docs.filter(F.col("doc_id") % 4 == m), ix)
+    probe = docs.filter(F.col("doc_id") % 4 == 3)
+
+    def n_files(sub):
+        return sum(
+            1 for _, _, fs in os.walk(f"{ix}/{sub}") for f in fs if f.endswith(".parquet")
+        )
+
+    def answer():
+        return {
+            (r["new_doc_id"], r["indexed_doc_id"])
+            for r in dedup.query_minhash_index(spark, ix, probe).collect()
+        }
+
+    before_files = n_files("signatures")
+    before = answer()
+    assert before, "no cross-batch hits planted"
+    dedup.compact_minhash_index(spark, ix)
+    assert n_files("signatures") < before_files, (n_files("signatures"), before_files)
+    assert answer() == before
