@@ -624,6 +624,80 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs_kmeans(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_probes: int = 2,
+    n_lists: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Fully label-free semantic near-dup: the coarse quantizer is TRAINED
+    k-means (deterministic k-means++ seeds + Lloyd iterations, the same
+    model the IVF index uses, ``n_lists ~ √n`` by default) instead of the
+    per-label means the oracle-checked :func:`semantic_dedup_pairs` uses —
+    the production path for a corpus with no label column at all. Blocking,
+    multi-probe assignment (shuffle-free sort-slice-explode against the
+    broadcast centroid matrix), and the exact-cosine verify are identical;
+    k-means itself is DataFrame-native but not SQL-replayable, so this
+    variant is pytest-verified (precision is still exactly 1.0 by
+    construction) rather than DuckDB-oracled."""
+    centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id_1 bigint, vec_id_2 bigint, cosine double"
+        )
+    # quantize the trained float centroids onto the same fixed-point grid as
+    # the vectors so distances are exact int64
+    qcents = [[int(math.floor(v * _SCALE)) for v in c] for c in centroids]
+    normed = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cluster"),
+                F.array(*[F.lit(v) for v in c]).alias("cent"),
+            )
+            for i, c in enumerate(qcents)
+        ]
+    )
+    d_structs = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    assigned = normed.select(
+        "vec_id",
+        "q",
+        "nq",
+        F.explode(F.slice(F.array_sort(d_structs), 1, n_probes)).alias("pc"),
+    ).select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
 def semantic_cluster_sizes(emb: DataFrame, n_probes: int = 2) -> DataFrame:
     """(cluster, n_vecs) membership counts for the semantic-dedup blocking —
     the audit surface for its quadratic within-cluster joins (the analog of

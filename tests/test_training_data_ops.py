@@ -630,3 +630,40 @@ def test_minhash_index_compaction_preserves_answers(spark, tmp_path):
     dedup.compact_minhash_index(spark, ix)
     assert n_files("signatures") < before_files, (n_files("signatures"), before_files)
     assert answer() == before
+
+
+def test_semantic_dedup_kmeans_label_free(spark):
+    """semantic_dedup_pairs_kmeans: the fully label-free variant (trained
+    k-means coarse quantizer) keeps precision exactly 1.0 vs brute force
+    and finds a nonempty pair set comparable to the per-label-centroid
+    variant; deterministic across calls (fixed seeding)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+
+    normed = emb.select(
+        "vec_id", sim.quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", sim.dot_q(F.col("q"), F.col("q")))
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = sim.cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
+    brute = {
+        (r["v1"], r["v2"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), cos.alias("c"))
+        .filter(F.col("c") >= 0.35)
+        .collect()
+    }
+
+    def pairs():
+        return {
+            (r["vec_id_1"], r["vec_id_2"])
+            for r in sim.semantic_dedup_pairs_kmeans(emb, n_lists=10).collect()
+        }
+
+    got = pairs()
+    assert got, "label-free semantic dedup found nothing"
+    assert got <= brute, "precision < 1"
+    assert got == pairs()  # deterministic k-means => identical pair set
