@@ -84,17 +84,21 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Round-robin repartition to core count ONLY when the incoming plan is
-    narrower than that — a single small parquet file scans as one task, and
-    the CPU-heavy signature projections downstream must not inherit that
-    cap. When the input is already wide (the LSH pipelines feed the
-    post-shuffle exact-collapse output), the repartition is a pure waste:
-    it re-shuffles the full text payload for zero added parallelism —
-    measured ~20% of the whole minhash pipeline at sf0.1 (5.1→3.9s)."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_parts:
-        return docs.repartition(n_parts)
+def _spread(docs: DataFrame, spread: bool) -> DataFrame:
+    """Round-robin repartition to core count, applied ONLY when the caller
+    says the input may be narrow (``spread=True``, the default for direct
+    calls) — a single small parquet file scans as one task, and the
+    CPU-heavy signature projections downstream must not inherit that cap.
+    Pipeline callers whose input is already post-shuffle (the LSH pipelines
+    feed the exact-collapse join output, always shuffle.partitions wide)
+    pass ``spread=False``: repartitioning there re-shuffles the full text
+    payload for zero added parallelism — measured ~20% of the whole minhash
+    pipeline at sf0.1 (5.1→3.9s). The caller-flag design is deliberate: a
+    runtime ``.rdd.getNumPartitions()`` probe would finalize the AQE plan
+    and execute the upstream shuffle stages as a side job — costlier than
+    the repartition it avoids."""
+    if spread:
+        return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs
 
 
@@ -429,7 +433,7 @@ def _expand_member_pairs(
     return cross.unionAll(intra)
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}): k min-hashes per doc, computed SHUFFLE-FREE
     as higher-order-function projections over the per-doc shingle array —
     hash each distinct shingle once into a base array, then k
@@ -453,7 +457,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         for i, (a, b) in enumerate(_HASH_AB)
     ]
     return (
-        _spread(docs)
+        _spread(docs, spread)
         .filter(F.size(toks) >= 3)
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", *sigs)
@@ -614,7 +618,7 @@ def minhash_lsh_pairs(
         _caches.append(mem)
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = minhash_signatures(reps)
+    sigs = minhash_signatures(reps, spread=False)
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
@@ -687,7 +691,7 @@ _SIMHASH_BAND_BITS = 6
 _SIMHASH_HAMMING_MAX = 7
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     """(doc_id, simhash): majority vote per bit over 3-gram shingle hashes,
     computed SHUFFLE-FREE per doc — one ``aggregate`` over the per-doc
     shingle-hash array keeps a 48-long vote accumulator (zip_with add of the
@@ -726,7 +730,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        _spread(docs)
+        _spread(docs, spread)
         .filter(F.size(toks) >= 3)
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", sim.alias("simhash"))
@@ -802,7 +806,7 @@ def simhash_pairs(
     mem = token_dedup_members(docs).cache()
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = simhash_signatures(reps).cache()
+    sigs = simhash_signatures(reps, spread=False).cache()
     if _caches is not None:
         _caches.extend([mem, sigs])
     band_structs = [
@@ -875,7 +879,7 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
     :func:`append_minhash_index` is the same call on a later batch."""
     mem = token_dedup_members(docs)
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = minhash_signatures(reps)
+    sigs = minhash_signatures(reps, spread=False)
     sigs.write.mode("append").parquet(f"{path}/signatures")
     # stored buckets carry the same deterministic cap as the batch pipeline
     # (applied per append — capping across appends would need to read the
@@ -895,21 +899,35 @@ def append_minhash_index(docs: DataFrame, path: str) -> None:
 
 
 def query_minhash_index(
-    spark: SparkSession, path: str, new_docs: DataFrame, threshold: float = 0.8
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    _caches: list | None = None,
 ) -> DataFrame:
     """(new_doc_id, indexed_doc_id, est_jaccard) for every doc in the new
     batch whose signature-estimated Jaccard against an INDEXED doc is ≥
     ``threshold``. The new batch is exact-collapsed first (its internal
-    duplicates share one probe); results are expanded back to all new
-    members. The stored corpus is touched only through the band join (hash
-    join on (band, bucket) against narrow rows) and a signature join on the
-    candidate doc_ids — no stored text, no corpus re-scan."""
+    duplicates share one probe) and results are expanded back to all
+    members ON BOTH SIDES: the stored members table fans each hit out to
+    the indexed rep's exact-duplicate group, so every indexed doc is
+    reported, not just the rep whose signature is stored. The stored corpus
+    is touched only through the band join (hash join on (band, bucket)
+    against narrow rows) and a signature join on the candidate doc_ids —
+    no stored text, no corpus re-scan. The final DISTINCT also makes the
+    answer insensitive to duplicate index rows from a replayed append.
+
+    The new batch's signature frame is cached for the duration of the
+    query; callers that loop (the streaming sink) pass ``_caches=[]`` and
+    unpersist afterwards — same contract as :func:`minhash_lsh_pairs`."""
     new_mem = token_dedup_members(new_docs)
     new_members = new_mem.select("doc_id", "rep_id")
     new_reps = new_mem.filter(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id", "lang", "text"
     )
-    new_sigs = minhash_signatures(new_reps).cache()
+    new_sigs = minhash_signatures(new_reps, spread=False).cache()
+    if _caches is not None:
+        _caches.append(new_sigs)
     new_bands = minhash_band_table(new_sigs)
 
     idx_bands = spark.read.parquet(f"{path}/bands").select("doc_id", "band", "bucket")
@@ -920,7 +938,7 @@ def query_minhash_index(
             (F.col("n.band") == F.col("i.band")) & (F.col("n.bucket") == F.col("i.bucket")),
         )
         .select(
-            F.col("n.doc_id").alias("new_rep"), F.col("i.doc_id").alias("indexed_doc_id")
+            F.col("n.doc_id").alias("new_rep"), F.col("i.doc_id").alias("indexed_rep")
         )
         .distinct()
     )
@@ -933,17 +951,22 @@ def query_minhash_index(
     est = (agree.cast("double") / F.lit(float(_MINHASH_K))).alias("est_jaccard")
     rep_pairs = (
         candidates.join(new_sigs.alias("ns"), F.col("new_rep") == F.col("ns.doc_id"))
-        .join(idx_sigs.alias("is"), F.col("indexed_doc_id") == F.col("is.doc_id"))
-        .select("new_rep", "indexed_doc_id", est)
+        .join(idx_sigs.alias("is"), F.col("indexed_rep") == F.col("is.doc_id"))
+        .select("new_rep", "indexed_rep", est)
         .filter(F.col("est_jaccard") >= threshold)
+    )
+    idx_members = spark.read.parquet(f"{path}/members").select(
+        F.col("doc_id").alias("indexed_doc_id"), F.col("rep_id").alias("indexed_rep")
     )
     return (
         rep_pairs.join(new_members, rep_pairs.new_rep == new_members.rep_id)
+        .join(idx_members, "indexed_rep")
         .select(
             F.col("doc_id").alias("new_doc_id"),
             "indexed_doc_id",
             "est_jaccard",
         )
+        .distinct()
         .orderBy("new_doc_id", "indexed_doc_id")
     )
 
@@ -954,22 +977,32 @@ def compact_minhash_index(spark: SparkSession, path: str, target_file_mb: int = 
     long-running ingest accumulates O(appends) files per component and each
     query pays the listing + per-file open cost. The rewrite coalesces each
     flat component (narrow, no shuffle) and re-clusters the band table one
-    file per band directory, publishing via the same atomic tmp+rename swap
-    the warehouse catalog uses. (On an object store the rename becomes a
-    manifest swap; local/HDFS rename is atomic.)"""
+    file per band directory, publishing with the warehouse catalog's swap
+    discipline: the live directory is renamed ASIDE (atomic) before the
+    replacement moves in, so every crash window leaves the data recoverable
+    under ``<component>.old`` — never deleted-before-replaced. Local-
+    filesystem paths only (shutil/os.rename); an object-store index would
+    publish via a manifest swap instead."""
+    import os
     import shutil
+
+    from ..warehouse.bucketing import compact_parquet
+
+    def swap(src: str, tmp: str) -> None:
+        old = f"{src}.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(src, old)
+        shutil.move(tmp, src)
+        shutil.rmtree(old)
 
     for comp in ("signatures", "members"):
         src = f"{path}/{comp}"
         tmp = f"{src}.compacting"
-        from ..warehouse.bucketing import compact_parquet
-
         compact_parquet(spark, src, tmp, target_file_mb=target_file_mb)
-        shutil.rmtree(src)
-        shutil.move(tmp, src)
+        swap(src, tmp)
     src = f"{path}/bands"
     tmp = f"{src}.compacting"
     bands = spark.read.parquet(src)
     bands.repartition("band").write.mode("overwrite").partitionBy("band").parquet(tmp)
-    shutil.rmtree(src)
-    shutil.move(tmp, src)
+    swap(src, tmp)

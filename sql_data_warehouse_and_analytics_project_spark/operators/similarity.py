@@ -557,6 +557,61 @@ def _int_centroids(normed: DataFrame) -> DataFrame:
     )
 
 
+def _nearest_clusters(cents: Column, n_probes: int) -> Column:
+    """Array of the ``n_probes`` nearest (d, cluster) structs for the row's
+    quantized vector ``q`` against the ``cents`` array-of-(cluster, cent)
+    column — exact int64 squared-L2, ties to the lowest cluster id (struct
+    sort order), computed as a PURE PROJECTION: the one assignment
+    expression every semantic-dedup path shares, so tie-breaking and probe
+    slicing can never desynchronize between the oracle-checked, k-means,
+    and audit variants."""
+    d_structs = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    return F.slice(F.array_sort(d_structs), 1, n_probes)
+
+
+def _verified_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster self-join + exact-cosine verify over an assigned
+    (vec_id, q, nq, cluster) frame — the shared back half of the semantic
+    dedup variants. DISTINCT collapses pairs co-blocked by two shared
+    probed clusters."""
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+def _label_cent_arr(normed: DataFrame) -> DataFrame:
+    """The per-label integer centroid matrix as ONE array-of-structs row,
+    ready to broadcast into :func:`_nearest_clusters`."""
+    return _int_centroids(normed).agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cents")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame, threshold: float = 0.35, n_probes: int = 2
 ) -> DataFrame:
@@ -575,53 +630,21 @@ def semantic_dedup_pairs(
     cluster boundary is still co-blocked if ANY of the n_probes probed
     clusters is shared (measured at sf0.001 vs brute force at the same
     threshold: 0.25 recall at 1 probe → 0.64 at 2 → 0.90 at 3; candidate
-    cost grows only ~n_probes² per pair space). Pairs found via two shared
-    clusters are collapsed by the final DISTINCT."""
+    cost grows only ~n_probes² per pair space)."""
     normed = emb.select(
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
-    cent_arr = _int_centroids(normed).agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cents")
-    )
-    d_structs = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cluster"].alias("cluster"),
-        ),
-    )
     assigned = (
-        normed.crossJoin(F.broadcast(cent_arr))
+        normed.crossJoin(F.broadcast(_label_cent_arr(normed)))
         .select(
             "vec_id",
             "q",
             "nq",
-            F.explode(F.slice(F.array_sort(d_structs), 1, n_probes)).alias("pc"),
+            F.explode(_nearest_clusters(F.col("cents"), n_probes)).alias("pc"),
         )
         .select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
-        .orderBy("vec_id_1", "vec_id_2")
-    )
+    return _verified_pairs(assigned, threshold)
 
 
 def semantic_dedup_pairs_kmeans(
@@ -636,11 +659,11 @@ def semantic_dedup_pairs_kmeans(
     model the IVF index uses, ``n_lists ~ √n`` by default) instead of the
     per-label means the oracle-checked :func:`semantic_dedup_pairs` uses —
     the production path for a corpus with no label column at all. Blocking,
-    multi-probe assignment (shuffle-free sort-slice-explode against the
-    broadcast centroid matrix), and the exact-cosine verify are identical;
-    k-means itself is DataFrame-native but not SQL-replayable, so this
-    variant is pytest-verified (precision is still exactly 1.0 by
-    construction) rather than DuckDB-oracled."""
+    multi-probe assignment, and the exact-cosine verify are the SAME code
+    (:func:`_nearest_clusters` / :func:`_verified_pairs`); k-means itself
+    is DataFrame-native but not SQL-replayable, so this variant is
+    pytest-verified (precision is still exactly 1.0 by construction)
+    rather than DuckDB-oracled."""
     centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
     if not centroids:
         return emb.sparkSession.createDataFrame(
@@ -648,54 +671,25 @@ def semantic_dedup_pairs_kmeans(
         )
     # quantize the trained float centroids onto the same fixed-point grid as
     # the vectors so distances are exact int64
-    qcents = [[int(math.floor(v * _SCALE)) for v in c] for c in centroids]
-    normed = emb.select(
-        "vec_id", quantize(F.col("embedding")).alias("q")
-    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
     cent_lit = F.array(
         *[
             F.struct(
                 F.lit(i).alias("cluster"),
-                F.array(*[F.lit(v) for v in c]).alias("cent"),
+                F.array(*[F.lit(int(math.floor(v * _SCALE))) for v in c]).alias("cent"),
             )
-            for i, c in enumerate(qcents)
+            for i, c in enumerate(centroids)
         ]
     )
-    d_structs = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cluster"].alias("cluster"),
-        ),
-    )
+    normed = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
     assigned = normed.select(
         "vec_id",
         "q",
         "nq",
-        F.explode(F.slice(F.array_sort(d_structs), 1, n_probes)).alias("pc"),
+        F.explode(_nearest_clusters(cent_lit, n_probes)).alias("pc"),
     ).select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
-        .orderBy("vec_id_1", "vec_id_2")
-    )
+    return _verified_pairs(assigned, threshold)
 
 
 def semantic_cluster_sizes(emb: DataFrame, n_probes: int = 2) -> DataFrame:
@@ -705,28 +699,12 @@ def semantic_cluster_sizes(emb: DataFrame, n_probes: int = 2) -> DataFrame:
     a run at scale should inspect these counts (and re-train with more
     lists, or shard an oversized cluster) BEFORE paying for the join. One
     partial-aggregating groupBy over the narrow probe keys."""
-    normed = emb.select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("q")
-    )
-    cent_arr = _int_centroids(
-        normed.withColumn("nq", dot_q(F.col("q"), F.col("q")))
-    ).agg(F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cents"))
-    d_structs = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("q"), c["cent"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cluster"].alias("cluster"),
-        ),
-    )
+    normed = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     return (
-        normed.crossJoin(F.broadcast(cent_arr))
+        normed.crossJoin(F.broadcast(_label_cent_arr(normed)))
         .select(
             "vec_id",
-            F.explode(F.slice(F.array_sort(d_structs), 1, n_probes)).alias("pc"),
+            F.explode(_nearest_clusters(F.col("cents"), n_probes)).alias("pc"),
         )
         .groupBy(F.col("pc.cluster").alias("cluster"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))

@@ -361,12 +361,31 @@ def sink_stream_neardedup(
     Watermark note: unlike the time-bounded ``dedup_events_stream`` (state
     expires with the watermark), near-dedup is content-keyed and must
     remember forever — which is exactly why the state lives in the
-    restartable on-disk index, not in executor memory."""
-    import os
+    restartable on-disk index, not in executor memory.
+
+    Replay safety (foreachBatch is at-least-once): the output lands in a
+    per-batch subdirectory written with OVERWRITE, so a retried batch
+    replaces its own files instead of double-appending; docs whose own
+    doc_id is already in the index (accepted by a prior attempt of the same
+    batch) are not re-appended to the index; and a hit on the SAME doc_id
+    counts as this document re-observed, never as a duplicate to drop. The
+    index/output pair still isn't a single transaction — a crash exactly
+    between the two writes leaves the doc indexed but unpublished until the
+    retry republishes its batch directory (which the overwrite makes
+    idempotent)."""
 
     from ..operators import dedup
 
-    def _dedup_batch(batch: DataFrame, _batch_id: int) -> None:
+    def _exists(spark: SparkSession, path: str) -> bool:
+        # Hadoop FileSystem, not os.path: the index may live on any Spark-
+        # readable URI (hdfs://, s3a://), where a driver-local stat would
+        # be silently false and skip the cross-batch probe forever.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
+    def _dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select("doc_id", "lang", "text")
         caches: list = []
@@ -374,18 +393,20 @@ def sink_stream_neardedup(
             pairs = dedup.minhash_lsh_pairs(batch, threshold=threshold, _caches=caches)
             dups = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct()
             survivors = batch.join(dups, "doc_id", "left_anti")
-            if os.path.exists(f"{index_path}/bands"):
+            indexed_ids = None
+            if _exists(spark, f"{index_path}/bands"):
                 hits = dedup.query_minhash_index(
-                    spark, index_path, survivors, threshold=threshold
+                    spark, index_path, survivors, threshold=threshold, _caches=caches
                 )
-                # a hit on the SAME doc_id is this document re-observed (a
-                # replayed/retried batch), not a duplicate to drop
                 seen = (
                     hits.filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
                     .select(F.col("new_doc_id").alias("doc_id"))
                     .distinct()
                 )
                 survivors = survivors.join(seen, "doc_id", "left_anti")
+                indexed_ids = spark.read.parquet(f"{index_path}/signatures").select(
+                    "doc_id"
+                )
             # localCheckpoint — NOT cache(): the survivor plan READS the
             # index paths the next statement APPENDS to, and Spark's cache
             # manager invalidates-and-recomputes any cached plan whose
@@ -394,8 +415,15 @@ def sink_stream_neardedup(
             # row. The checkpoint cuts lineage to materialized partitions,
             # so both writes consume the pre-append survivor set.
             survivors = survivors.localCheckpoint(eager=True)
-            dedup.append_minhash_index(survivors, index_path)
-            survivors.write.mode("append").parquet(out_path)
+            to_index = survivors
+            if indexed_ids is not None:
+                # replayed batch: survivors already indexed by the prior
+                # attempt must not append duplicate signatures
+                to_index = survivors.join(indexed_ids, "doc_id", "left_anti")
+            dedup.append_minhash_index(to_index, index_path)
+            survivors.write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={batch_id}"
+            )
         finally:
             for c in caches:
                 c.unpersist()

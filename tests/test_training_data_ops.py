@@ -667,3 +667,25 @@ def test_semantic_dedup_kmeans_label_free(spark):
     assert got, "label-free semantic dedup found nothing"
     assert got <= brute, "precision < 1"
     assert got == pairs()  # deterministic k-means => identical pair set
+
+
+def test_minhash_index_expands_exact_dup_members(spark, tmp_path):
+    """query_minhash_index must report pairs against EVERY indexed doc,
+    including exact-duplicate members whose signature is stored only under
+    their rep — the stored members table fans hits out (review r6)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_docs = spark.createDataFrame(
+        [(1, "en", text), (2, "en", text)], "doc_id bigint, lang string, text string"
+    )
+    probe = spark.createDataFrame(
+        [(3, "en", text)], "doc_id bigint, lang string, text string"
+    )
+    ix = str(tmp_path / "mix")
+    dedup.build_minhash_index(idx_docs, ix)
+    got = {
+        (r["new_doc_id"], r["indexed_doc_id"])
+        for r in dedup.query_minhash_index(spark, ix, probe).collect()
+    }
+    assert got == {(3, 1), (3, 2)}, got
