@@ -42,6 +42,11 @@ from .text import (
 _MAX_NEAR_DEDUP_PASSES = 5
 
 
+# one constant drives BOTH the Python default and the oracle SQL's split
+# modulus — a hand-synced literal pair would silently desynchronize engines
+_VALID_BUCKETS = 10
+
+
 @dataclass(frozen=True)
 class CurationReport:
     """Per-stage survivor counts (the audit trail a curation run logs)."""
@@ -59,7 +64,7 @@ class CurationReport:
 def curate_documents(
     spark: SparkSession,
     sf_dir: str,
-    valid_fraction_buckets: int = 10,
+    valid_fraction_buckets: int = _VALID_BUCKETS,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over the ``documents`` table.
 
@@ -237,7 +242,7 @@ def _curation_sql() -> str:
 WITH
 {_sql_survivors(n)},
 split AS (
-  SELECT doc_id, CASE WHEN {h} % 10 = 0 THEN 'valid' ELSE 'train' END AS split
+  SELECT doc_id, CASE WHEN {h} % {_VALID_BUCKETS} = 0 THEN 'valid' ELSE 'train' END AS split
   FROM {final}
 )
 SELECT 1::BIGINT AS stage_no, 'input' AS stage,

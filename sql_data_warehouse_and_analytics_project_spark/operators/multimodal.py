@@ -646,6 +646,8 @@ def _sql_phash_gray(x: str, y: str) -> str:
     return f"(({r}*299 + {g}*587 + {b}*114)//1000)"
 
 
+from .dedup import _LSH_BUCKET_CAP as _PHASH_CAP  # one tuning knob for every banding cap
+
 _SQL_PHASH_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT media_id, {band} AS band,"
     f" ((phash >> {band * _PHASH_BAND_BITS}) & {(1 << _PHASH_BAND_BITS) - 1}) AS bucket"
@@ -685,7 +687,7 @@ bands AS (
 ),
 capped AS (
   SELECT media_id, band, bucket FROM bands
-  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY media_id) <= 64
+  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY media_id) <= {_PHASH_CAP}
 ),
 candidates AS (
   SELECT DISTINCT a.media_id AS id1, b.media_id AS id2

@@ -202,11 +202,16 @@ def assign_list_col(vec: Column, centroids: list[list[float]]) -> Column:
 _ASSIGN_JOIN_LISTS = 256
 
 
-def assign_via_join(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def assign_via_join(
+    vecs: DataFrame, centroids: list[list[float]], keep_vec: bool = True
+) -> DataFrame:
     """(vec_id, v, list_id) via broadcast-join + ``min_by`` argmin — the
     large-``n_lists`` twin of :func:`assign_list_col` (bit-identical
     assignment: same squared-L2, ties broken to the LOWEST list id, matching
-    array_position's first-match semantics)."""
+    array_position's first-match semantics). ``keep_vec=False`` returns just
+    the narrow (vec_id, list_id) frame — callers that will re-join the
+    assignment to their own table (build_ivf_index) should use it so the
+    vector payload doesn't cross a redundant second shuffle join."""
     spark = vecs.sparkSession
     cent = F.broadcast(
         spark.createDataFrame(
@@ -227,23 +232,32 @@ def assign_via_join(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
         .agg(F.min("s").alias("best"))
         .select("vec_id", F.col("best.list_id").alias("list_id"))
     )
+    if not keep_vec:
+        return best
     return vecs.join(best, "vec_id")
 
 
 def _kmeanspp_seeds(
-    vecs: DataFrame, n_lists: int, sample_n: int = 2048
+    vecs: DataFrame, n_lists: int, sample_n: int | None = None
 ) -> list[list[float]]:
     """Deterministic k-means++ seeding over a deterministic sample.
 
     Sample = the ``sample_n`` rows with the lowest ``xxhash64(vec_id)`` —
     a uniform, order-independent draw that compiles to TakeOrderedAndProject
-    (no shuffle of the full table). The sample (≤ sample_n·dim doubles, KB–MB)
-    is the only data that touches the driver — standard for model training.
+    (no shuffle of the full table). ``sample_n`` defaults to
+    ``max(2048, 4·n_lists)`` so the sample always holds several candidate
+    points per requested seed — a fixed 2048 would, above ~4M vectors
+    (auto_n_lists > 2048), pad the seed list with duplicate centroids that
+    lose every argmin tie-break and stay permanently empty. Even at the
+    4096-list clamp the sample is ≤ 16384·dim doubles (MBs) — the only data
+    that touches the driver — standard for model training.
     Seeding itself is classic k-means++ (first seed = lowest vec_id; each next
     seed drawn with probability ∝ D² to the nearest chosen seed) driven by a
     FIXED-SEED numpy Generator, so the result is bit-reproducible."""
     import numpy as np
 
+    if sample_n is None:
+        sample_n = max(2048, 4 * n_lists)
     rows = (
         vecs.select("vec_id", "v")
         .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
@@ -345,8 +359,8 @@ def build_ivf_index(
         return []
     vcol = F.transform("embedding", lambda x: x.cast("double"))
     if len(centroids) > _ASSIGN_JOIN_LISTS:
-        best = assign_via_join(emb.select("vec_id", vcol.alias("v")), centroids).select(
-            "vec_id", "list_id"
+        best = assign_via_join(
+            emb.select("vec_id", vcol.alias("v")), centroids, keep_vec=False
         )
         assigned = emb.join(best, "vec_id")
     else:

@@ -149,10 +149,16 @@ def zorder_key(cols: list[Column], mins: list[int], maxs: list[int], bits: int =
     n = len(cols)
     assert bits * n <= 62, "z-value must fit a signed bigint"
     top = (1 << bits) - 1
+    # scale via double DIVISION FIRST: the multiply-first int form
+    # (c - lo) * top overflows int64 once the column span exceeds ~2^47
+    # (epoch-nanos, snowflake ids) and silently scrambles the key. The
+    # double ratio is monotone — all Z-order needs — and its ~2^-52
+    # relative error cannot reorder values more than one 2^-bits bucket.
     scaled = [
         (
-            ((c.cast("bigint") - F.lit(lo)) * top)
-            / F.lit(max(hi - lo, 1))
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(float(max(hi - lo, 1)))
+            * F.lit(float(top))
         ).cast("bigint")
         for c, lo, hi in zip(cols, mins, maxs)
     ]
