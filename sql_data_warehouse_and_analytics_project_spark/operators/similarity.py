@@ -512,6 +512,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid assignment (exact int64 squared-L2, ties to the lowest cluster
 # id), and verification bit-for-bit.
 
+# the oracle interpolates the SAME constants the Spark defaults use —
+# hand-synced literal pairs silently desynchronize engines (review r6)
+_SEM_PROBES = 2
+_SEM_THRESHOLD = 0.35
+
 _SEMANTIC_DEDUP_SQL = f"""
 WITH quant AS (
   SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
@@ -535,7 +540,7 @@ assigned AS (
            CAST(list_sum([(n.q[i+1] - c.cent[i+1]) * (n.q[i+1] - c.cent[i+1]) FOR i IN range(len(n.q))]) AS BIGINT) AS d
     FROM normed n, centlist c
   )
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= 2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= {_SEM_PROBES}
 )
 SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
        CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
@@ -543,7 +548,7 @@ SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
 FROM assigned a
 JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
-        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35
+        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_SEM_THRESHOLD}
 ORDER BY vec_id_1, vec_id_2
 """
 
@@ -627,7 +632,7 @@ def _label_cent_arr(normed: DataFrame) -> DataFrame:
 
 
 def semantic_dedup_pairs(
-    emb: DataFrame, threshold: float = 0.35, n_probes: int = 2
+    emb: DataFrame, threshold: float = _SEM_THRESHOLD, n_probes: int = _SEM_PROBES
 ) -> DataFrame:
     """IVF-cluster-blocked embedding near-dup pairs over an arbitrary
     (vec_id, label, embedding) frame — see the module-level SemDeDup note.
@@ -663,8 +668,8 @@ def semantic_dedup_pairs(
 
 def semantic_dedup_pairs_kmeans(
     emb: DataFrame,
-    threshold: float = 0.35,
-    n_probes: int = 2,
+    threshold: float = _SEM_THRESHOLD,
+    n_probes: int = _SEM_PROBES,
     n_lists: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
@@ -706,7 +711,7 @@ def semantic_dedup_pairs_kmeans(
     return _verified_pairs(assigned, threshold)
 
 
-def semantic_cluster_sizes(emb: DataFrame, n_probes: int = 2) -> DataFrame:
+def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataFrame:
     """(cluster, n_vecs) membership counts for the semantic-dedup blocking —
     the audit surface for its quadratic within-cluster joins (the analog of
     ``dedup.lsh_bucket_overflow``): the pair join is O(n_c²) per cluster, so
