@@ -139,6 +139,10 @@ def _sql_shingles(src: str) -> str:
 
 _SQL_SHINGLES = _sql_shingles("documents")
 
+# one constant drives the Spark defaults AND the oracle SQL thresholds —
+# hand-synced literal pairs silently desynchronize engines (review r6)
+_NEARDUP_THRESHOLD = 0.8
+
 _JACCARD_SQL = f"""
 WITH shingles AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -154,7 +158,7 @@ SELECT p.doc_id_1, p.doc_id_2,
 FROM pairs p
 JOIN sizes s1 ON p.doc_id_1 = s1.doc_id
 JOIN sizes s2 ON p.doc_id_2 = s2.doc_id
-WHERE CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) >= 0.8
+WHERE CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) >= {_NEARDUP_THRESHOLD}
 ORDER BY doc_id_1, doc_id_2
 """
 
@@ -267,7 +271,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
-    threshold: float = 0.8,
+    threshold: float = _NEARDUP_THRESHOLD,
     df_cut: int = _JACCARD_DF_CUT,
     _caches: list | None = None,
 ) -> DataFrame:
@@ -546,7 +550,7 @@ rep_pairs AS (
   FROM shared p
   JOIN sizes s1 ON p.doc_id_1 = s1.doc_id
   JOIN sizes s2 ON p.doc_id_2 = s2.doc_id
-  WHERE CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) >= 0.8
+  WHERE CAST(p.shared AS DOUBLE) / (s1.n + s2.n - p.shared) >= {_NEARDUP_THRESHOLD}
 )
 SELECT least(m1.doc_id, m2.doc_id) AS doc_id_1,
        greatest(m1.doc_id, m2.doc_id) AS doc_id_2,
@@ -601,7 +605,7 @@ def minhash_band_table(sigs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    threshold: float = 0.8,
+    threshold: float = _NEARDUP_THRESHOLD,
     cap: int = _LSH_BUCKET_CAP,
     _caches: list | None = None,
 ) -> DataFrame:
@@ -902,7 +906,7 @@ def query_minhash_index(
     spark: SparkSession,
     path: str,
     new_docs: DataFrame,
-    threshold: float = 0.8,
+    threshold: float = _NEARDUP_THRESHOLD,
     _caches: list | None = None,
 ) -> DataFrame:
     """(new_doc_id, indexed_doc_id, est_jaccard) for every doc in the new

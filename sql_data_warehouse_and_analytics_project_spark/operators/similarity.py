@@ -33,6 +33,10 @@ from ..sources import tpch
 
 _SCALE = 10_000_000.0  # 1e7 fixed-point quantization
 
+# one constant drives the Spark defaults AND the oracle SQL thresholds for
+# BOTH embedding near-dup variants (label-blocked and learned-cluster)
+_SEM_THRESHOLD = 0.35
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.load(spark, sf_dir, "embeddings")
@@ -124,7 +128,7 @@ SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
 FROM normed a
 JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
-        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35
+        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_SEM_THRESHOLD}
 ORDER BY vec_id_1, vec_id_2
 """
 
@@ -151,7 +155,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.35)
+        .filter(F.col("cosine") >= _SEM_THRESHOLD)
         .orderBy("vec_id_1", "vec_id_2")
     )
 
@@ -515,7 +519,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle interpolates the SAME constants the Spark defaults use —
 # hand-synced literal pairs silently desynchronize engines (review r6)
 _SEM_PROBES = 2
-_SEM_THRESHOLD = 0.35
 
 _SEMANTIC_DEDUP_SQL = f"""
 WITH quant AS (
