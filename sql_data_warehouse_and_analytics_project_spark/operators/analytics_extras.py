@@ -261,7 +261,7 @@ ORDER BY o_custkey
 """
 
 
-@query("olap_above_avg_spenders", oracle=_ABOVE_AVG_SQL)
+@query("olap_above_avg_spenders", oracle=_ABOVE_AVG_SQL, defer=True)
 def olap_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery comparison: per-customer spend vs 1.5× global mean.
     The 1-row global aggregate joins back by broadcast cross-join — no
@@ -305,7 +305,7 @@ ORDER BY s.month_start
 """
 
 
-@query("olap_date_spine_monthly", oracle=_SPINE_SQL)
+@query("olap_date_spine_monthly", oracle=_SPINE_SQL, defer=True)
 def olap_date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue densified over a generated date spine — months with
     no orders appear as zero rows (time-series consumers need the gaps).
@@ -359,7 +359,7 @@ ORDER BY nation, s_suppkey
 """
 
 
-@query("olap_percent_rank_suppliers", oracle=_PCTRANK_SQL)
+@query("olap_percent_rank_suppliers", oracle=_PCTRANK_SQL, defer=True)
 def olap_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of supplier account balance within nation —
     both ride the same partitioned sort, one window exchange total. The
@@ -398,7 +398,7 @@ ORDER BY month_start
 """
 
 
-@query("olap_moving_avg_3m", oracle=_MOVAVG_SQL)
+@query("olap_moving_avg_3m", oracle=_MOVAVG_SQL, defer=True)
 def olap_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-month trailing moving average with an explicit ROWS frame — the
     bounded-frame spec the reference never uses (its running totals ride

@@ -308,7 +308,7 @@ ORDER BY leg, o_custkey, o_orderdate, o_orderkey
 """
 
 
-@query("olap_order_sequence", oracle=_ORDER_SEQ_SQL)
+@query("olap_order_sequence", oracle=_ORDER_SEQ_SQL, defer=True)
 def olap_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAD inter-order gaps + FIRST_VALUE/LAST_VALUE order bracketing,
     union-tagged; both legs ride the same per-customer sort."""
@@ -346,7 +346,7 @@ ORDER BY leg, bucket
 """
 
 
-@query("olap_distribution", oracle=_DISTRIBUTION_SQL)
+@query("olap_distribution", oracle=_DISTRIBUTION_SQL, defer=True)
 def olap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) spend quartiles + exact continuous percentiles per segment,
     union-tagged."""

@@ -99,7 +99,7 @@ def pack_sequences(
     )
 
 
-@query("pack_token_chunks", oracle=_PACK_SQL, defer=True)
+@query("pack_token_chunks", oracle=_PACK_SQL, headline=True)
 def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing over the documents table: every doc
     lands in a (bucket, chunk_id) training chunk of ~2048 BPE-ish tokens,
@@ -124,7 +124,7 @@ LIMIT 100
 """
 
 
-@query("vocab_top_terms", oracle=_VOCAB_SQL, defer=True)
+@query("vocab_top_terms", oracle=_VOCAB_SQL)
 def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary: top-k lowercased whitespace terms by term
     frequency, with document frequency — the seed statistics for tokenizer
@@ -222,7 +222,7 @@ def mix_resample(
     )
 
 
-@query("mix_lang_resample", oracle=_MIX_SQL, defer=True)
+@query("mix_lang_resample", oracle=_MIX_SQL, headline=True)
 def mix_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample the documents corpus to a target language mix (en 40 /
     fr 20 / de 15 / es 15 / zh 10) at half the corpus size, with

@@ -734,7 +734,7 @@ def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataF
     )
 
 
-@query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL, defer=True)
+@query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL)
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with a LEARNED blocking key (SemDeDup shape):
     nearest-coarse-centroid assignment replaces the given-label blocking of

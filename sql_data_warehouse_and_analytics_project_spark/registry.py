@@ -74,16 +74,19 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Ordering contract (the driver caps its correctness file at 50 entries
     # in registration order): non-deferred oracle-backed queries first —
-    # exactly the 50 keys hash-checked since r4, keeping CORRECTNESS
-    # comparable across rounds — then deferred oracle-backed queries (r6:
-    # curation_report, dedup_image_phash, dedup_embedding_ivf,
-    # pack_token_chunks, vocab_top_terms, mix_lang_resample — past the cap
-    # by explicit choice,
-    # cross-engine-verified in tests/test_oracle_parity.py), then the
-    # rows-only-by-design entries (q01_database_exploration,
-    # olap_approx_summary, multimodal_decode_real), pytest-verified. Sort is
-    # stable, so in-module registration order is preserved within each
-    # group. See COVERAGE.md preamble.
+    # exactly 50 keys. r7 (VERDICT r6 ask #1) promoted the six r6 flagship
+    # queries (curation_report, dedup_image_phash, dedup_embedding_ivf,
+    # pack_token_chunks, vocab_top_terms, mix_lang_resample) into the window
+    # and deferred six redundant single-window/join olap variants
+    # (olap_moving_avg_3m, olap_percent_rank_suppliers, olap_order_sequence,
+    # olap_distribution, olap_above_avg_spenders, olap_date_spine_monthly —
+    # each §2-covered by q06–q13) in their place, so the newest code carries
+    # the driver-verified hash proof. Deferred queries keep their oracle and
+    # stay cross-engine-verified in tests/test_oracle_parity.py. After the
+    # deferred group come the rows-only-by-design entries
+    # (q01_database_exploration, olap_approx_summary,
+    # multimodal_decode_real), pytest-verified. Sort is stable, so in-module
+    # registration order is preserved within each group. See COVERAGE.md.
     return dict(
         sorted(_REGISTRY.items(), key=lambda kv: (kv[1].oracle is None, kv[1].defer))
     )
