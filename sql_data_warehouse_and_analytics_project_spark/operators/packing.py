@@ -31,7 +31,25 @@ from ..sources import tpch
 from .text import _BPE_RE, _SQL_BPE_COUNT, SQL_TOKENS, tokens_col
 
 _PACK_BUDGET = 2048  # tokens per chunk
-_PACK_BUCKETS = 32  # independent packing lanes (scale with the cluster)
+
+# Packing-lane auto-sizing (r7, VERDICT r6 ask #2). A fixed lane count makes
+# each lane's running-sum window a sequential span of corpus/n_buckets — at
+# 100 TB with 32 lanes that is ~3 TB per reducer. Mirror similarity.py's
+# auto_n_lists: derive the lane count from ONE cheap count aggregate so the
+# per-lane span is bounded by _PACK_DOCS_PER_LANE regardless of corpus size.
+# The formula is pure integer arithmetic on the count — ceil-div then clamp —
+# so the DuckDB oracle replays the identical constant from the same COUNT(*)
+# (see the nb CTE in _PACK_SQL) and assignments stay engine-reproducible.
+_PACK_DOCS_PER_LANE = 50_000  # target lane span (rows per running-sum reducer)
+_PACK_MIN_BUCKETS = 32  # floor: keep local[32]-grade parallelism even when tiny
+_PACK_MAX_BUCKETS = 1 << 20  # sanity ceiling (at per-lane=50K: ~52e9 docs)
+
+
+def auto_pack_buckets(n_docs: int, docs_per_lane: int = _PACK_DOCS_PER_LANE) -> int:
+    """Lane count for ``n_docs`` documents: ceil(n_docs / docs_per_lane),
+    clamped to [_PACK_MIN_BUCKETS, _PACK_MAX_BUCKETS]."""
+    want = (n_docs + docs_per_lane - 1) // docs_per_lane
+    return max(_PACK_MIN_BUCKETS, min(_PACK_MAX_BUCKETS, want))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,10 +57,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_SQL = f"""
-WITH counted AS (
+WITH nb AS (
+  SELECT GREATEST({_PACK_MIN_BUCKETS}, LEAST({_PACK_MAX_BUCKETS},
+         (COUNT(*) + {_PACK_DOCS_PER_LANE - 1}) // {_PACK_DOCS_PER_LANE})) AS n_buckets
+  FROM documents
+),
+counted AS (
   SELECT doc_id,
          {_SQL_BPE_COUNT} AS n_bpe_tokens,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_BUCKETS} AS bucket
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % (SELECT n_buckets FROM nb) AS bucket
   FROM documents
 ),
 packed AS (
@@ -61,13 +84,20 @@ ORDER BY doc_id
 
 
 def pack_sequences(
-    docs: DataFrame, budget: int = _PACK_BUDGET, n_buckets: int = _PACK_BUCKETS
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    n_buckets: int | None = None,
+    docs_per_lane: int = _PACK_DOCS_PER_LANE,
 ) -> DataFrame:
     """(doc_id, bucket, n_bpe_tokens, chunk_id) chunk assignment — see the
     module docstring for the hash-bucketed packing shape. One narrow shuffle
-    (hash-partition by bucket for the running sum); the window's sequential
-    span is bounded by corpus/n_buckets and lanes are md5-uniform, so the
-    plan has no hot key at any corpus size."""
+    (hash-partition by bucket for the running sum); lanes are md5-uniform,
+    so the plan has no hot key at any corpus size. ``n_buckets=None``
+    (default) auto-sizes the lane count from a cheap count so each lane's
+    sequential span stays ≤ ~_PACK_DOCS_PER_LANE rows at any corpus size;
+    pass an explicit value to pin it."""
+    if n_buckets is None:
+        n_buckets = auto_pack_buckets(docs.count(), docs_per_lane)
     counted = docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),

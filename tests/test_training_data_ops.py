@@ -457,23 +457,15 @@ def test_semantic_dedup_learned_blocking_recall_and_plan(spark):
     assert "Window" not in plan, plan
 
 
-def test_sequence_packing_invariants(spark):
-    """pack_token_chunks (r6): within every bucket lane, chunk ids start at
-    0 and never decrease in doc order; every chunk's token load is bounded
-    by budget + the largest single doc (start-offset assignment can overflow
-    by at most one straddling doc, never unboundedly); and every non-final
-    chunk is filled to at least the budget minus its largest doc (no chunk
-    is left arbitrarily empty while later chunks exist)."""
+def _assert_packing_invariants(rows, budget):
+    """Within every bucket lane, chunk ids start at 0 and never decrease in
+    doc order; every chunk's token load is bounded by budget + the largest
+    single doc (start-offset assignment can overflow by at most one
+    straddling doc, never unboundedly); and every non-final chunk is filled
+    to at least the budget minus its largest doc (no chunk is left
+    arbitrarily empty while later chunks exist)."""
     from collections import defaultdict
 
-    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
-        _PACK_BUDGET,
-        pack_sequences,
-    )
-    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
-
-    docs = tpch.load(spark, SF_DIR, "documents")
-    rows = pack_sequences(docs).collect()
     assert rows
     by_bucket = defaultdict(list)
     for r in rows:
@@ -490,9 +482,71 @@ def test_sequence_packing_invariants(spark):
         max_doc = max(r["n_bpe_tokens"] for r in rs)
         final = max(chunks)
         for cid, total in chunks.items():
-            assert total <= _PACK_BUDGET + max_doc, (bucket, cid, total)
+            assert total <= budget + max_doc, (bucket, cid, total)
             if cid != final:
-                assert total >= _PACK_BUDGET - max_doc, (bucket, cid, total)
+                assert total >= budget - max_doc, (bucket, cid, total)
+    return by_bucket
+
+
+def test_sequence_packing_invariants(spark):
+    """pack_token_chunks over the real corpus: packing invariants hold and
+    the tiny corpus clamps to the minimum lane count."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _PACK_BUDGET,
+        _PACK_MIN_BUCKETS,
+        pack_sequences,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    by_bucket = _assert_packing_invariants(pack_sequences(docs).collect(), _PACK_BUDGET)
+    assert max(by_bucket) < _PACK_MIN_BUCKETS
+
+
+def test_sequence_packing_lane_span_auto_sizes(spark):
+    """r7 (VERDICT r6 ask #2): the auto-sized lane count bounds each lane's
+    sequential running-sum span at two corpus sizes. A 20K-doc corpus with
+    docs_per_lane=500 must open ceil(20000/500)=40 lanes (above the min
+    clamp) and leave every lane within hash-uniform tolerance of the target
+    span; the same corpus at docs_per_lane=50K clamps to the 32-lane floor.
+    The pure sizing formula is pinned at the boundaries."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _PACK_BUDGET,
+        _PACK_DOCS_PER_LANE,
+        _PACK_MAX_BUCKETS,
+        _PACK_MIN_BUCKETS,
+        auto_pack_buckets,
+        pack_sequences,
+    )
+
+    # formula boundaries
+    assert auto_pack_buckets(0) == _PACK_MIN_BUCKETS
+    assert auto_pack_buckets(_PACK_MIN_BUCKETS * _PACK_DOCS_PER_LANE) == _PACK_MIN_BUCKETS
+    assert (
+        auto_pack_buckets(_PACK_MIN_BUCKETS * _PACK_DOCS_PER_LANE + 1)
+        == _PACK_MIN_BUCKETS + 1
+    )
+    assert auto_pack_buckets(10**18) == _PACK_MAX_BUCKETS
+
+    n_docs, per_lane = 20_000, 500
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word "), F.col("id").cast("string")).alias("text"),
+    )
+    rows = pack_sequences(docs, budget=64, docs_per_lane=per_lane).collect()
+    by_bucket = _assert_packing_invariants(rows, 64)
+    assert len(by_bucket) == auto_pack_buckets(n_docs, per_lane) == 40
+    spans = Counter(r["bucket"] for r in rows)
+    # md5-uniform lanes: every lane's sequential span stays near target
+    assert max(spans.values()) <= 1.25 * per_lane, max(spans.values())
+
+    # default per-lane on the same corpus clamps to the floor
+    rows32 = pack_sequences(docs, budget=_PACK_BUDGET).collect()
+    assert len({r["bucket"] for r in rows32}) == _PACK_MIN_BUCKETS
 
 
 def test_incremental_minhash_index_cross_batch(spark, tmp_path):
