@@ -248,6 +248,20 @@ def ngram_jaccard_candidates(
     )
 
 
+def _materialized(df: DataFrame, caches: list) -> DataFrame:
+    """Registry-call cache discipline (ADVICE r6 / VERDICT r6 ask #5): run
+    the pipeline NOW — eagerly localCheckpoint the small result frame —
+    then free every internal cache, so no cached frame outlives the query
+    call. The checkpoint holds only the result rows (near-dup pair sets,
+    tiny by LSH/cap construction) and its blocks are released by Spark's
+    ContextCleaner once the returned frame is dropped. Total work is
+    unchanged: the harness was about to materialize the frame anyway."""
+    out = df.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 @query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.8.
@@ -258,15 +272,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cut skew guard in candidate generation (see
     :func:`ngram_jaccard_candidates`). The testdata plants ~6 true near-dup
     pairs (Jaccard ≥ 0.95; next candidate is at 0.05), so 0.8 separates
-    cleanly.
-
-    Registry invocations deliberately leave the shingle cache in place for
-    the session (same accepted contract as ``dedup_minhash_lsh``): the
-    bench/correctness harnesses call ``spark.catalog.clearCache()`` between
-    runs, which bounds the accumulation to one frame; callers that loop
-    in-process (curation) pass ``_caches`` and unpersist — see
-    :func:`ngram_jaccard_pairs`."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+    cleanly. The registry call materializes eagerly and releases the
+    internal shingle cache before returning (see :func:`_materialized`)."""
+    caches: list = []
+    return _materialized(
+        ngram_jaccard_pairs(_docs(spark, sf_dir), _caches=caches), caches
+    )
 
 
 def ngram_jaccard_pairs(
@@ -577,8 +588,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets → candidate rep pairs → exact-Jaccard verify at ≥ 0.8 →
     expand back to all member pairs. Oracle-checked end to end: every hash
     in the pipeline is md5-derived, so DuckDB replays signatures, banding,
-    the bucket cap, and verification bit-for-bit."""
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    the bucket cap, and verification bit-for-bit. The registry call
+    materializes eagerly and releases the three internal caches before
+    returning (see :func:`_materialized`)."""
+    caches: list = []
+    return _materialized(minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches), caches)
 
 
 def minhash_band_table(sigs: DataFrame) -> DataFrame:
@@ -796,8 +810,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking recall covers the whole confirm range) with the deterministic
     bucket cap, confirmed by bit_count(XOR) ≤ 7, then expanded back to all
     member pairs (intra-group Hamming is exactly 0). Oracle-checked end to
-    end — DuckDB replays signatures, banding, cap, and confirm."""
-    return simhash_pairs(_docs(spark, sf_dir))
+    end — DuckDB replays signatures, banding, cap, and confirm. The
+    registry call materializes eagerly and releases the internal caches
+    before returning (see :func:`_materialized`)."""
+    caches: list = []
+    return _materialized(simhash_pairs(_docs(spark, sf_dir), _caches=caches), caches)
 
 
 def simhash_pairs(
@@ -881,18 +898,38 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
     bucket list), ``<path>/members`` (doc_id → rep_id, so exact duplicates
     of indexed docs stay attributable). All writes are append-mode:
     :func:`append_minhash_index` is the same call on a later batch."""
-    mem = token_dedup_members(docs)
-    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = minhash_signatures(reps, spread=False)
-    sigs.write.mode("append").parquet(f"{path}/signatures")
-    # stored buckets carry the same deterministic cap as the batch pipeline
-    # (applied per append — capping across appends would need to read the
-    # stored bucket back; audit the union with lsh_bucket_overflow over
-    # spark.read.parquet(f"{path}/bands") before trusting recall at scale)
-    _cap_buckets(minhash_band_table(sigs), _LSH_BUCKET_CAP).write.mode(
-        "append"
-    ).partitionBy("band").parquet(f"{path}/bands")
-    mem.select("doc_id", "rep_id").write.mode("append").parquet(f"{path}/members")
+    # cache across the three component writes (released in the finally;
+    # MEMORY_AND_DISK default, so a large batch spills instead of failing):
+    # members feeds two writes, and sigs holds the CPU-heavy 64-min-hash
+    # projections the bands write would otherwise recompute — uncached,
+    # each write re-runs the collapse+signature plan from the source scan
+    # (which for the streaming sink would also re-list live index paths
+    # mid-append, ADVICE r6)
+    mem = token_dedup_members(docs).cache()
+    try:
+        reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select(
+            "doc_id", "lang", "text"
+        )
+        sigs = minhash_signatures(reps, spread=False).cache()
+        try:
+            sigs.write.mode("append").parquet(f"{path}/signatures")
+            # stored buckets carry the same deterministic cap as the batch
+            # pipeline, applied per append (capping across appends would
+            # need to read the stored bucket back); compact_minhash_index
+            # re-applies the cap across the union of all appends and
+            # returns the lsh_bucket_overflow audit of what it trimmed —
+            # run it periodically on a long-lived index (the streaming
+            # sink's compact_every_batches does this automatically)
+            _cap_buckets(minhash_band_table(sigs), _LSH_BUCKET_CAP).write.mode(
+                "append"
+            ).partitionBy("band").parquet(f"{path}/bands")
+            mem.select("doc_id", "rep_id").write.mode("append").parquet(
+                f"{path}/members"
+            )
+        finally:
+            sigs.unpersist()
+    finally:
+        mem.unpersist()
 
 
 def append_minhash_index(docs: DataFrame, path: str) -> None:
@@ -975,18 +1012,31 @@ def query_minhash_index(
     )
 
 
-def compact_minhash_index(spark: SparkSession, path: str, target_file_mb: int = 128) -> None:
+def compact_minhash_index(
+    spark: SparkSession, path: str, target_file_mb: int = 128, cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
     """Rewrite the index's append-accumulated small files into ~target-sized
-    ones. Every :func:`append_minhash_index` lands its own file set, so a
-    long-running ingest accumulates O(appends) files per component and each
-    query pays the listing + per-file open cost. The rewrite coalesces each
-    flat component (narrow, no shuffle) and re-clusters the band table one
-    file per band directory, publishing with the warehouse catalog's swap
-    discipline: the live directory is renamed ASIDE (atomic) before the
-    replacement moves in, so every crash window leaves the data recoverable
-    under ``<component>.old`` — never deleted-before-replaced. Local-
-    filesystem paths only (shutil/os.rename); an object-store index would
-    publish via a manifest swap instead."""
+    ones AND restore the global band-bucket cap. Every
+    :func:`append_minhash_index` lands its own file set and applies the
+    bucket cap only within its own batch, so a long-running ingest
+    accumulates O(appends) files per component and can grow a hot
+    (band, bucket) group to cap×n_appends members — eroding the
+    O(n²)-candidate guard the batch pipeline relies on. Compaction rewrites
+    the band table wholesale, so it first drops replay-duplicated rows,
+    re-applies :func:`_cap_buckets` across the UNION of all appends (the
+    same deterministic smallest-doc_ids rule), and returns the
+    :func:`lsh_bucket_overflow` audit of what the re-cap trimmed
+    (no-silent-caps rule) — materialized driver-side BEFORE the swap, so
+    the returned frame stays valid after the source directories move.
+    Query answers over the compacted index are unchanged except the
+    documented cap trims. The rewrite coalesces each flat component
+    (narrow, no shuffle) and re-clusters the band table one file per band
+    directory, publishing with the warehouse catalog's swap discipline: the
+    live directory is renamed ASIDE (atomic) before the replacement moves
+    in, so every crash window leaves the data recoverable under
+    ``<component>.old`` — never deleted-before-replaced. Local-filesystem
+    paths only (shutil/os.rename); an object-store index would publish via
+    a manifest swap instead."""
     import os
     import shutil
 
@@ -1000,13 +1050,26 @@ def compact_minhash_index(spark: SparkSession, path: str, target_file_mb: int = 
         shutil.move(tmp, src)
         shutil.rmtree(old)
 
-    for comp in ("signatures", "members"):
+    # "ingested" is the streaming sink's redelivery sidecar — present only
+    # on sink-managed indexes, compacted with the same discipline
+    flat = ["signatures", "members"] + (
+        ["ingested"] if os.path.exists(f"{path}/ingested") else []
+    )
+    for comp in flat:
         src = f"{path}/{comp}"
         tmp = f"{src}.compacting"
         compact_parquet(spark, src, tmp, target_file_mb=target_file_mb)
         swap(src, tmp)
     src = f"{path}/bands"
     tmp = f"{src}.compacting"
-    bands = spark.read.parquet(src)
-    bands.repartition("band").write.mode("overwrite").partitionBy("band").parquet(tmp)
+    bands = spark.read.parquet(src).select("doc_id", "band", "bucket").dropDuplicates(
+        ["doc_id", "band", "bucket"]
+    )
+    # overflow audit is tiny (only buckets past the cap) — checkpoint it
+    # eagerly so it survives the directory swap below
+    overflow = lsh_bucket_overflow(bands, cap).localCheckpoint(eager=True)
+    _cap_buckets(bands, cap).repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(tmp)
     swap(src, tmp)
+    return overflow

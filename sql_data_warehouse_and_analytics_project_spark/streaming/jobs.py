@@ -339,7 +339,9 @@ def sink_stream_neardedup(
     index_path: str,
     out_path: str,
     checkpoint: str,
-    threshold: float = 0.8,
+    threshold: float | None = None,
+    exact_confirm: bool = True,
+    compact_every_batches: int | None = 16,
 ):
     """Streaming NEAR-dedup sink: every microbatch is near-dedup'd both
     within itself and against EVERYTHING accepted so far, survivors are
@@ -363,18 +365,54 @@ def sink_stream_neardedup(
     remember forever — which is exactly why the state lives in the
     restartable on-disk index, not in executor memory.
 
+    Cross-batch confirm (r7, ADVICE r6): when ``exact_confirm`` is on
+    (default), an index hit is verified with the EXACT Jaccard before the
+    doc is dropped — the accepted side's text is re-read from the sink's
+    own output (filtered to the tiny candidate id set; the index itself
+    stays text-free), so streaming acceptance matches the batch pipeline's
+    exact-verify semantics instead of the signature-estimated Jaccard
+    (std ≈0.05 at the threshold, which can falsely drop a true ~0.7 pair
+    or keep a ~0.85 one). A candidate whose accepted text is not yet
+    published (the narrow crash window between index append and output
+    publish) falls back to the estimated score for that pair.
+
+    Redelivery (r7, ADVICE r6): a tiny ``<index>/ingested`` sidecar records
+    (doc_id, batch_id) for every accepted doc, so a doc redelivered in a
+    LATER batch (at-least-once source) is dropped from the output — the
+    output is doc_id-unique across batches — while a retry of the SAME
+    batch keeps its rows (the per-batch overwrite republishes them
+    idempotently). The sidecar is written BEFORE the index append: a crash
+    between the two writes leaves a doc recorded-but-unindexed, and the
+    mandatory retry of that same batch re-indexes it (to_index is keyed on
+    the signatures table, not the sidecar).
+
+    Compaction cadence (r7, VERDICT r6 ask #4): every
+    ``compact_every_batches`` batches the sink runs
+    ``compact_minhash_index`` — without it a long-running ingest
+    accumulates O(batches) files per index component and query latency
+    degrades linearly. Compaction also restores the global band-bucket cap
+    across appends; the overflow audit of what the re-cap trimmed is
+    appended to ``<index>/audit/bucket_overflow`` (with the compacting
+    batch_id) so a long-lived ingest surfaces its recall trims instead of
+    hiding them (no-silent-caps rule).
+
     Replay safety (foreachBatch is at-least-once): the output lands in a
     per-batch subdirectory written with OVERWRITE, so a retried batch
     replaces its own files instead of double-appending; docs whose own
     doc_id is already in the index (accepted by a prior attempt of the same
     batch) are not re-appended to the index; and a hit on the SAME doc_id
-    counts as this document re-observed, never as a duplicate to drop. The
-    index/output pair still isn't a single transaction — a crash exactly
-    between the two writes leaves the doc indexed but unpublished until the
-    retry republishes its batch directory (which the overwrite makes
-    idempotent)."""
+    from the same batch counts as this document re-observed, never as a
+    duplicate to drop. The index/output pair still isn't a single
+    transaction — a crash exactly between the two writes leaves the doc
+    indexed but unpublished until the retry republishes its batch directory
+    (which the overwrite makes idempotent)."""
 
     from ..operators import dedup
+
+    if threshold is None:
+        # shared constant, not a hand-synced literal: the sink must agree
+        # with the batch pipeline and query_minhash_index defaults
+        threshold = dedup._NEARDUP_THRESHOLD
 
     def _exists(spark: SparkSession, path: str) -> bool:
         # Hadoop FileSystem, not os.path: the index may live on any Spark-
@@ -384,6 +422,44 @@ def sink_stream_neardedup(
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs.exists(hpath)
+
+    def _confirmed_hits(spark: SparkSession, hits: DataFrame, survivors: DataFrame):
+        """Exact-Jaccard verify of cross-batch index hits: re-join the
+        accepted side's text from the sink's own published output (the
+        index stores no text) and score each candidate pair on its true
+        distinct-shingle Jaccard, falling back to the signature estimate
+        for a pair whose accepted text is not yet published. The accepted
+        ids are collected driver-side (LSH-bounded, tiny) and pushed down
+        as an IN filter so the output read prunes row groups by footer
+        stats instead of scanning the accepted corpus per batch; a
+        pathological candidate flood falls back to a semi join."""
+        ids = [r["doc_id"] for r in
+               hits.select(F.col("indexed_doc_id").alias("doc_id")).distinct().collect()]
+        accepted = spark.read.parquet(out_path).select("doc_id", "text")
+        if len(ids) <= 10_000:
+            accepted = accepted.filter(F.col("doc_id").isin(ids))
+        else:
+            idx_ids = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+            accepted = accepted.join(idx_ids, "doc_id", "left_semi")
+        new_texts = survivors.select(
+            F.col("doc_id").alias("new_doc_id"), F.col("text").alias("_new_text")
+        )
+        acc_texts = accepted.select(
+            F.col("doc_id").alias("indexed_doc_id"), F.col("text").alias("_acc_text")
+        )
+        sh_n = dedup.shingles_col(F.col("_new_text"))
+        sh_a = dedup.shingles_col(F.col("_acc_text"))
+        exact = F.size(F.array_intersect(sh_n, sh_a)).cast("double") / F.size(
+            F.array_union(sh_n, sh_a)
+        )
+        score = F.when(F.col("_acc_text").isNotNull(), exact).otherwise(
+            F.col("est_jaccard")
+        )
+        return (
+            hits.join(new_texts, "new_doc_id")
+            .join(acc_texts, "indexed_doc_id", "left")
+            .filter(score >= threshold)
+        )
 
     def _dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -395,35 +471,70 @@ def sink_stream_neardedup(
             survivors = batch.join(dups, "doc_id", "left_anti")
             indexed_ids = None
             if _exists(spark, f"{index_path}/bands"):
+                # exact_confirm probes at threshold 0 so ALL banding
+                # candidates reach the exact verify — the same
+                # candidates-then-exact-confirm shape as the batch pipeline
+                probe = 0.0 if exact_confirm else threshold
                 hits = dedup.query_minhash_index(
-                    spark, index_path, survivors, threshold=threshold, _caches=caches
-                )
-                seen = (
-                    hits.filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
-                    .select(F.col("new_doc_id").alias("doc_id"))
-                    .distinct()
-                )
+                    spark, index_path, survivors, threshold=probe, _caches=caches
+                ).filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
+                if exact_confirm and _exists(spark, out_path):
+                    confirmed = _confirmed_hits(spark, hits, survivors)
+                else:
+                    confirmed = hits.filter(F.col("est_jaccard") >= threshold)
+                seen = confirmed.select(F.col("new_doc_id").alias("doc_id")).distinct()
                 survivors = survivors.join(seen, "doc_id", "left_anti")
                 indexed_ids = spark.read.parquet(f"{index_path}/signatures").select(
                     "doc_id"
                 )
+            if _exists(spark, f"{index_path}/ingested"):
+                # at-least-once source: a doc accepted by an EARLIER batch
+                # and redelivered now must not re-enter the output; a retry
+                # of THIS batch (same batch_id) republishes its own rows
+                prior = (
+                    spark.read.parquet(f"{index_path}/ingested")
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("doc_id")
+                    .distinct()
+                )
+                survivors = survivors.join(prior, "doc_id", "left_anti")
             # localCheckpoint — NOT cache(): the survivor plan READS the
-            # index paths the next statement APPENDS to, and Spark's cache
+            # index paths the next statements APPEND to, and Spark's cache
             # manager invalidates-and-recomputes any cached plan whose
             # source path is written — the recomputed anti-join would then
             # see the batch's own just-appended signatures and drop every
             # row. The checkpoint cuts lineage to materialized partitions,
-            # so both writes consume the pre-append survivor set.
+            # so every write below consumes the pre-append survivor set.
             survivors = survivors.localCheckpoint(eager=True)
             to_index = survivors
             if indexed_ids is not None:
                 # replayed batch: survivors already indexed by the prior
-                # attempt must not append duplicate signatures
+                # attempt must not append duplicate signatures. Checkpoint
+                # the anti-join too (ADVICE r6): build_minhash_index's
+                # three writes would otherwise re-execute it against the
+                # live signatures path — the first write appends to that
+                # same path, so correctness would rest on the parquet
+                # scan's eager file-listing snapshot surviving refactors.
                 to_index = survivors.join(indexed_ids, "doc_id", "left_anti")
+            to_index = to_index.localCheckpoint(eager=True)
+            # sidecar BEFORE index append: a crash between the two leaves
+            # the doc recorded-but-unindexed, and the mandatory same-batch
+            # retry re-indexes it (to_index keys on signatures, not here)
+            to_index.select(
+                "doc_id", F.lit(batch_id).cast("bigint").alias("batch_id")
+            ).write.mode("append").parquet(f"{index_path}/ingested")
             dedup.append_minhash_index(to_index, index_path)
             survivors.write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={batch_id}"
             )
+            if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+                overflow = dedup.compact_minhash_index(spark, index_path)
+                # only write when the re-cap actually trimmed something —
+                # an empty parquet write would leave a schema-less directory
+                if overflow.take(1):
+                    overflow.withColumn(
+                        "batch_id", F.lit(batch_id).cast("bigint")
+                    ).write.mode("append").parquet(f"{index_path}/audit/bucket_overflow")
         finally:
             for c in caches:
                 c.unpersist()

@@ -26,14 +26,17 @@ def test_dedup_pipelines_handle_uniform_corpus(spark):
     uniform = spark.createDataFrame(
         [(i, "en", "alpha beta gamma delta epsilon zeta") for i in range(10)], _SCHEMA
     )
-    rows = dedup.minhash_lsh_pairs(uniform).collect()
+    caches = []
+    rows = dedup.minhash_lsh_pairs(uniform, _caches=caches).collect()
     assert len(rows) == 45
     assert all(r["jaccard"] == 1.0 for r in rows)
     assert all(r["doc_id_1"] < r["doc_id_2"] for r in rows)
 
-    sim = dedup.simhash_pairs(uniform).collect()
+    sim = dedup.simhash_pairs(uniform, _caches=caches).collect()
     assert len(sim) == 45
     assert all(r["hamming"] == 0 for r in sim)
+    for c in caches:
+        c.unpersist()
 
 
 def test_ivf_training_handles_empty_embeddings(spark, tmp_path):

@@ -141,9 +141,12 @@ def test_exact_dup_collapse_bounds_lsh_candidates(spark):
     assert reps.count() == 2
     assert minhash_signatures(reps).count() == 2
 
-    out = minhash_lsh_pairs(docs)
+    caches = []
+    out = minhash_lsh_pairs(docs, _caches=caches)
     assert out.count() == n * (n - 1) // 2
     assert out.filter(F.col("jaccard") < 1.0).count() == 0
+    for c in caches:
+        c.unpersist()
 
 
 def test_lsh_bucket_cap_is_deterministic_and_audited(spark):

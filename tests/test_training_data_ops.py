@@ -13,6 +13,21 @@ def _pairs(df, c1="doc_id_1", c2="doc_id_2"):
     return {(r[c1], r[c2]) for r in df.collect()}
 
 
+def test_dedup_registry_queries_leave_no_sql_cache(spark):
+    """r7 (VERDICT r6 ask #5): the dedup registry queries materialize
+    eagerly and release their internal caches before returning — the SQL
+    cache manager must be empty after each call, so repeated registry
+    invocations cannot accumulate session-lifetime cached frames."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    qs = all_queries()
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        df = qs[name].fn(spark, SF_DIR)
+        assert df.count() >= 0
+        assert cm.isEmpty(), f"{name} left a cached frame behind"
+
+
 def test_minhash_finds_jaccard_pairs(spark):
     qs = all_queries()
     truth = _pairs(qs["dedup_ngram_jaccard"].fn(spark, SF_DIR))
@@ -246,8 +261,13 @@ def test_curation_pipeline_end_to_end(spark):
 
     # no surviving near-dup pairs: re-running LSH over the curated corpus
     # must find nothing at the same threshold
-    residual = dedup.minhash_lsh_pairs(curated.select("doc_id", "lang", "text"))
+    caches = []
+    residual = dedup.minhash_lsh_pairs(
+        curated.select("doc_id", "lang", "text"), _caches=caches
+    )
     assert residual.count() == 0
+    for c in caches:
+        c.unpersist()
 
 
 def test_curation_prefix_matches_duckdb(spark, duck):
@@ -570,10 +590,13 @@ def test_incremental_minhash_index_cross_batch(spark, tmp_path):
     c = docs.filter(F.col("doc_id") % 3 == 2)
 
     # full-corpus ground truth (exact-Jaccard-verified member pairs)
+    truth_caches: list = []
     full = {
         (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
-        for r in dedup.minhash_lsh_pairs(docs).collect()
+        for r in dedup.minhash_lsh_pairs(docs, _caches=truth_caches).collect()
     }
+    for tc in truth_caches:
+        tc.unpersist()
 
     incr = str(tmp_path / "incr")
     dedup.build_minhash_index(a, incr)
@@ -603,6 +626,80 @@ def test_incremental_minhash_index_cross_batch(spark, tmp_path):
         for r in dedup.query_minhash_index(spark, fresh, c).collect()
     }
     assert got == got_fresh
+
+
+def test_minhash_index_compaction_recaps_hot_buckets(spark, tmp_path):
+    """r7 (VERDICT r6 ask #3): per-append bucket caps erode across appends —
+    K appends of a hot corpus can grow a stored (band, bucket) group to
+    K×cap members. compact_minhash_index must re-apply the deterministic
+    cap across the UNION of all appends, return the overflow audit of
+    exactly what it trimmed, and leave query answers unchanged except the
+    documented cap trims (hits after ⊆ hits before, still non-empty)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    # hot family: 120 DISTINCT docs = 100-token base + one unique token, so
+    # no exact-dup collapse fires; each pair's Jaccard ≈ 0.98, so ~96% of
+    # docs land in the base band bucket per band. Per append (40 docs) the
+    # bucket stays under the 64 cap; the 3-append union is ~115 > cap.
+    base = " ".join(f"tok{i:03d}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(i, "en", f"{base} unique{i:03d}") for i in range(120)],
+        "doc_id bigint, lang string, text string",
+    )
+    ix = str(tmp_path / "hotix")
+    for m in (0, 1, 2):
+        dedup.append_minhash_index(docs.filter(F.col("doc_id") % 3 == m), ix)
+
+    # materialize the pre-compaction state driver-side: the lazy reads
+    # would re-list the path compaction is about to swap out
+    stored_rows = (
+        spark.read.parquet(f"{ix}/bands").select("doc_id", "band", "bucket").collect()
+    )
+    full_members: dict = {}
+    for r in stored_rows:
+        full_members.setdefault((r["band"], r["bucket"]), []).append(r["doc_id"])
+    before = {
+        k: len(v) for k, v in full_members.items() if len(v) > dedup._LSH_BUCKET_CAP
+    }
+    assert before, "hot corpus failed to overflow any stored bucket"
+
+    probe = spark.createDataFrame(
+        [(999, "en", f"{base} uniqueprobe")], "doc_id bigint, lang string, text string"
+    )
+
+    def hits():
+        return {
+            r["indexed_doc_id"]
+            for r in dedup.query_minhash_index(spark, ix, probe).collect()
+        }
+
+    hits_before = hits()
+    assert hits_before
+
+    reported = {
+        (r["band"], r["bucket"]): r["n_docs"]
+        for r in dedup.compact_minhash_index(spark, ix).collect()
+    }
+    assert reported == before, "audit must report exactly the pre-cap overflow"
+
+    recapped = spark.read.parquet(f"{ix}/bands")
+    sizes = recapped.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    assert sizes <= dedup._LSH_BUCKET_CAP, sizes
+    # deterministic rule: smallest doc_ids survive in each trimmed bucket
+    for band, bucket in before:
+        kept_ids = sorted(
+            r["doc_id"]
+            for r in recapped.filter(
+                (F.col("band") == band) & (F.col("bucket") == bucket)
+            ).collect()
+        )
+        full_ids = sorted(full_members[(band, bucket)])
+        assert kept_ids == full_ids[: dedup._LSH_BUCKET_CAP], (band, bucket)
+
+    hits_after = hits()
+    assert hits_after and hits_after <= hits_before
 
 
 def test_mix_resample_hits_target_proportions(spark):
