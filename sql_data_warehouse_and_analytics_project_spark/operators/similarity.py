@@ -338,13 +338,29 @@ def train_ivf_centroids(
     return centroids
 
 
+def _assigned_frame(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``emb`` plus a ``list_id`` nearest-centroid column, picking the
+    literal-projection or broadcast-join assignment by list count — the one
+    assignment used by build, append, and the semantic-dedup blocking, so
+    every path is bit-identical."""
+    vcol = F.transform("embedding", lambda x: x.cast("double"))
+    if len(centroids) > _ASSIGN_JOIN_LISTS:
+        best = assign_via_join(
+            emb.select("vec_id", vcol.alias("v")), centroids, keep_vec=False
+        )
+        return emb.join(best, "vec_id")
+    return emb.withColumn("list_id", assign_list_col(vcol, centroids))
+
+
 def build_ivf_index(
     emb: DataFrame, path: str, n_lists: int | None = None, iters: int = 2
 ) -> list[list[float]]:
     """Train centroids, then write the vectors PARTITIONED BY their assigned
     list id (``<path>/vectors/list_id=N/``) plus the centroid matrix at
-    ``<path>/centroids``. Returns the centroids. ``n_lists=None`` auto-sizes
-    to ~√n lists (:func:`auto_n_lists`)."""
+    ``<path>/centroids`` and the per-list trained sizes at ``<path>/stats``
+    (the baseline :func:`ivf_index_staleness` audits append growth
+    against). Returns the centroids. ``n_lists=None`` auto-sizes to ~√n
+    lists (:func:`auto_n_lists`)."""
     centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
     spark = emb.sparkSession
     if not centroids:
@@ -360,20 +376,77 @@ def build_ivf_index(
         spark.createDataFrame([], "list_id int, centroid array<double>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame([], "list_id int, n_trained bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/stats")
         return []
-    vcol = F.transform("embedding", lambda x: x.cast("double"))
-    if len(centroids) > _ASSIGN_JOIN_LISTS:
-        best = assign_via_join(
-            emb.select("vec_id", vcol.alias("v")), centroids, keep_vec=False
-        )
-        assigned = emb.join(best, "vec_id")
-    else:
-        assigned = emb.withColumn("list_id", assign_list_col(vcol, centroids))
+    assigned = _assigned_frame(emb, centroids)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.read.parquet(f"{path}/vectors").groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trained")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return centroids
+
+
+def _stored_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def append_ivf_index(emb: DataFrame, path: str) -> None:
+    """Assign NEW vectors against the STORED centroid matrix (no retrain)
+    and partition-append them under ``<path>/vectors/list_id=N/`` — the
+    vector-side twin of :func:`~.dedup.append_minhash_index`: per-ingest
+    cost is O(batch) assignment work plus an append into the probed
+    directory layout, never a rebuild of the stored corpus. Assignment
+    reuses the exact build-time rule (:func:`_assigned_frame`), so an
+    appended index answers :func:`ivf_search` identically to an index whose
+    vectors were all assigned under the same centroids in one pass. The
+    trained quantizer does drift as the ingest distribution moves — audit
+    with :func:`ivf_index_staleness` and retrain (rebuild) when per-list
+    growth is skewed."""
+    centroids = _stored_centroids(emb.sparkSession, path)
+    if not centroids:
+        raise ValueError(
+            f"IVF index at {path!r} has no trained centroids; build_ivf_index "
+            "on a non-empty corpus before appending"
+        )
+    _assigned_frame(emb, centroids).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/vectors")
+
+
+def ivf_index_staleness(spark: SparkSession, path: str) -> DataFrame:
+    """(list_id, n_trained, n_now, growth) per list — the retrain audit for
+    an appended index. ``growth`` = n_now / n_trained (null for a list the
+    training pass left empty). The quantizer was fitted to the build-time
+    distribution; appends assign against it unchanged, so a drifting ingest
+    shows up here as skewed growth (one list absorbing the new mass ⇒
+    its scan cost grows past the ~n/n_lists design point). Reads only
+    parquet footers' row counts per directory plus the KB-sized stats
+    table."""
+    now = spark.read.parquet(f"{path}/vectors").groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_now")
+    )
+    trained = spark.read.parquet(f"{path}/stats")
+    return (
+        trained.join(now, "list_id", "full")
+        .select(
+            "list_id",
+            F.coalesce("n_trained", F.lit(0).cast("bigint")).alias("n_trained"),
+            F.coalesce("n_now", F.lit(0).cast("bigint")).alias("n_now"),
+        )
+        .withColumn(
+            "growth",
+            F.when(
+                F.col("n_trained") > 0, F.col("n_now") / F.col("n_trained")
+            ).cast("double"),
+        )
+        .orderBy("list_id")
+    )
 
 
 def ivf_search(

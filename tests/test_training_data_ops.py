@@ -164,6 +164,71 @@ def test_ivf_index_partitioned_layout_and_recall(spark, tmp_path):
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
 
 
+def test_ivf_append_and_staleness(spark, tmp_path):
+    """r7 (VERDICT r6 ask #6): append_ivf_index assigns new vectors against
+    the STORED centroids (no retrain) and partition-appends them. After two
+    appends the index must (a) hold every vector exactly once, (b) answer
+    ivf_search identically to a one-pass index assigned under the same
+    centroids, (c) keep good recall vs the exact brute-force baseline, and
+    (d) report ~3x growth in the staleness audit (the retrain signal)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    ix = str(tmp_path / "ivf_incr")
+    centroids = sim.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), ix, n_lists=8)
+    sim.append_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), ix)
+    sim.append_ivf_index(emb.filter(F.col("vec_id") % 3 == 2), ix)
+
+    # lossless across appends: every vector stored exactly once
+    stored = spark.read.parquet(f"{ix}/vectors").select("vec_id").collect()
+    assert sorted(r["vec_id"] for r in stored) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
+
+    # appended index ≡ one-pass index under the same centroids
+    fresh = str(tmp_path / "ivf_onepass")
+    sim._assigned_frame(emb, centroids).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{fresh}/vectors")
+    spark.read.parquet(f"{ix}/centroids").coalesce(1).write.mode("overwrite").parquet(
+        f"{fresh}/centroids"
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    got = [tuple(r) for r in sim.ivf_search(spark, ix, qvec, k=11, n_probes=3).collect()]
+    one_pass = [
+        tuple(r) for r in sim.ivf_search(spark, fresh, qvec, k=11, n_probes=3).collect()
+    ]
+    assert got == one_pass
+
+    # recall after two appends, vs the exact brute-force baseline
+    qs = all_queries()
+    exact = [r["vec_id"] for r in qs["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
+    approx = [r[0] for r in got if r[0] != 0]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
+
+    # staleness: trained on a third of the corpus, now holds all of it
+    audit_rows = sim.ivf_index_staleness(spark, ix).collect()
+    assert sum(r["n_now"] for r in audit_rows) == emb.count()
+    assert sum(r["n_trained"] for r in audit_rows) == emb.filter(
+        F.col("vec_id") % 3 == 0
+    ).count()
+    growths = [r["growth"] for r in audit_rows if r["growth"] is not None]
+    assert growths and 1.5 <= sum(growths) / len(growths) <= 6.0, growths
+
+    # appending to an untrained (empty) index is a hard error, not silence
+    empty = str(tmp_path / "ivf_empty")
+    sim.build_ivf_index(emb.limit(0), empty)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no trained centroids"):
+        sim.append_ivf_index(emb, empty)
+
+
 def test_ivf_kmeans_improves_over_init(spark):
     """Lloyd iterations must not increase total within-list distortion."""
     from pyspark.sql import functions as F
