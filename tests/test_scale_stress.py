@@ -1,0 +1,129 @@
+"""Planted-scale stress proof for the dedup family (r7, VERDICT r6 ask #8).
+
+The plan tests pin the SHAPES that make the LSH pipeline survive 100 TB
+(partial-agg collapse, capped buckets, candidate-restricted verification);
+this module drives those shapes DYNAMICALLY at ~10x the sf0.1 corpus with
+the two pathologies planted that break naive near-dedup at scale — heavy
+exact duplication and a hot near-dup family that floods LSH buckets — and
+asserts (a) wall-clock grows sub-quadratically between half- and full-size
+runs, and (b) every overflow audit reports exactly what the caps trimmed
+(no-silent-caps rule). This is the closest local[32] approximation of the
+100x claim: if a refactor reintroduces a quadratic reducer, the full-size
+run detonates against the ratio bound long before it would OOM a cluster.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+# segment layout of the synthetic corpus (fractions of n):
+#   60% unique docs (md5-derived tokens, no near-dups except one planted pair)
+#   25% exact duplicates over 100 distinct base texts (~n/400 copies each)
+#   15% hot near-dup family: one 50-token boilerplate + a unique suffix token
+#       per doc -> pairwise Jaccard ~0.96, so virtually the whole family
+#       collides into ONE bucket per band (the hot-bucket pathology)
+_HOT_BASE = " ".join(f"boiler{i:03d}" for i in range(50))
+_PLANTED = (29_998, 29_999)  # J = 36/40 = 0.9 pair inside the unique segment
+
+
+def _corpus(spark, n: int):
+    """Deterministic synthetic corpus of ``n`` docs, generated distributed
+    (spark.range + expressions — no driver-side row list)."""
+    uniq_hi = int(n * 0.60)
+    exact_hi = int(n * 0.85)
+    planted_prefix = " ".join(f"plant{i:02d}" for i in range(39))
+    md5 = F.md5(F.col("id").cast("string"))
+    uniq_text = F.concat_ws(
+        " ",
+        F.lit("unique doc"),
+        F.col("id").cast("string"),
+        *[F.substring(md5, 1 + 4 * j, 4) for j in range(8)],
+    )
+    base_j = F.pmod(F.col("id"), F.lit(100))
+    exact_text = F.concat_ws(
+        " ",
+        F.lit("shared boilerplate passage number"),
+        base_j.cast("string"),
+        *[F.substring(F.md5(base_j.cast("string")), 1 + 3 * j, 3) for j in range(10)],
+    )
+    hot_text = F.concat(F.lit(_HOT_BASE + " hotvariant"), F.col("id").cast("string"))
+    text = (
+        F.when(F.col("id") == _PLANTED[0], F.lit(planted_prefix + " endalpha"))
+        .when(F.col("id") == _PLANTED[1], F.lit(planted_prefix + " endbeta"))
+        .when(F.col("id") < uniq_hi, uniq_text)
+        .when(F.col("id") < exact_hi, exact_text)
+        .otherwise(hot_text)
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"), text.alias("text")
+    )
+
+
+def _timed_pairs(spark, docs):
+    """Materialize the full LSH pipeline, returning (seconds, pair_count)."""
+    spark.catalog.clearCache()
+    caches: list = []
+    t0 = time.perf_counter()
+    n_pairs = dedup.minhash_lsh_pairs(docs, _caches=caches).count()
+    elapsed = time.perf_counter() - t0
+    for c in caches:
+        c.unpersist()
+    return elapsed, n_pairs
+
+
+@pytest.mark.slow
+def test_minhash_lsh_survives_planted_scale(spark):
+    n_full = 50_000  # ~10x the sf0.1 documents corpus
+    docs_half = _corpus(spark, n_full // 2)
+    docs_full = _corpus(spark, n_full)
+
+    # warm the JIT/codegen on the small corpus so the half-size timing is
+    # not inflated by one-time class compilation (same discipline as bench)
+    _timed_pairs(spark, _corpus(spark, 2_000))
+
+    t_half, pairs_half = _timed_pairs(spark, docs_half)
+    t_full, pairs_full = _timed_pairs(spark, docs_full)
+
+    # sub-quadratic wall-clock: doubling the corpus must not ~4x the time.
+    # 3.5x + 15s slack absorbs VM noise while still failing a quadratic
+    # reducer (whose candidate stage alone would blow far past this).
+    assert t_full <= 3.5 * t_half + 15.0, (t_half, t_full)
+
+    # the planted unique-segment pair (J = 0.9) is found at both sizes
+    planted = docs_full.sparkSession.createDataFrame(
+        [_PLANTED], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    caches: list = []
+    found = (
+        dedup.minhash_lsh_pairs(docs_full, _caches=caches)
+        .join(planted, ["doc_id_1", "doc_id_2"], "left_semi")
+        .count()
+    )
+    for c in caches:
+        c.unpersist()
+    assert found == 1
+
+    # exact-dup segment: all C(group, 2) member pairs present at J = 1.0
+    # (100 groups; group size = 25% of n / 100)
+    g = int(n_full * 0.25) // 100
+    assert pairs_full >= 100 * g * (g - 1) // 2, (pairs_full, g)
+    assert pairs_full > pairs_half
+
+    # no-silent-caps: the hot family must overflow its band buckets and the
+    # audit must report the trim — bucket size ~ the whole family, far past
+    # the cap; candidate generation saw at most cap docs per bucket
+    mem = dedup.token_dedup_members(docs_full)
+    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "lang", "text"
+    )
+    bands = dedup.minhash_band_table(dedup.minhash_signatures(reps, spread=False))
+    overflow = dedup.lsh_bucket_overflow(bands).collect()
+    hot_n = n_full - int(n_full * 0.85)
+    big = [r for r in overflow if r["n_docs"] >= hot_n * 0.9]
+    assert big, f"hot family never overflowed a bucket: {overflow[:5]}"
+    assert all(r["n_docs"] > dedup._LSH_BUCKET_CAP for r in overflow)
