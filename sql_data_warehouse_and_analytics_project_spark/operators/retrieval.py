@@ -1,0 +1,229 @@
+"""Retrieval-side corpus operators: sliding-window chunking and BM25
+relevance scoring (north-star extension; the reference, a pure T-SQL
+warehouse, has no text-retrieval surface).
+
+- **Sliding-window chunking** is the standard preprocessing step for both
+  RAG indexing and long-document pretraining: split every document into
+  fixed-token windows with overlap so no boundary-spanning span is lost.
+  Scale shape: a pure projection + one explode of a per-doc chunk-id
+  sequence — zero shuffles, zero joins; the chunk count and every slice
+  boundary are integer arithmetic on the token array, so DuckDB replays the
+  exact assignment.
+
+- **BM25 top-k** scores a fixed query-term set against the corpus with the
+  classic Okapi weighting (k1=1.2, b=0.75). Scale shape: per-term term
+  frequencies are ARRAY-FILTER PROJECTIONS over the token array (no
+  explode, no per-term shuffle); the corpus statistics (N, df per term,
+  avg doclen) reduce to ONE KB-sized aggregate row that broadcasts back,
+  and the ranked cut compiles to TakeOrderedAndProject — one corpus scan
+  end to end. Floating-point parity note: the score sums the per-term
+  contributions in a FIXED term order (a column expression, not a row
+  aggregation), because a float sum over exploded term rows would be
+  partition-order-dependent and break cross-engine hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+from .text import SQL_TOKENS, tokens_col
+
+_CHUNK_TOKENS = 32  # window size
+_CHUNK_STRIDE = 24  # window stride (25% overlap)
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "vector")  # fixed demo query
+_BM25_K = 50
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t, len({SQL_TOKENS}) AS n FROM documents
+),
+counted AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+              ELSE ((n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}) + 1
+         END AS nc
+  FROM toks
+),
+expl AS (
+  SELECT doc_id, t, n, UNNEST(range(nc)) AS chunk_id FROM counted
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least({_CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         t[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+         ' '
+       ) AS chunk_text
+FROM expl
+ORDER BY doc_id, chunk_id
+"""
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = _CHUNK_TOKENS, stride: int = _CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) sliding windows of
+    ``chunk_tokens`` whitespace tokens every ``stride`` tokens. The final
+    window may be short; a doc at or under one window yields exactly one
+    chunk. Pure projection + sequence-explode: no shuffle at any corpus
+    size (the output order-by is presentation only)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride).cast("int") + 1
+    )
+    start = F.col("chunk_id").cast("int") * stride
+    return (
+        docs.select("doc_id", toks.alias("t"), n.alias("n"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.col("n") - start).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query("text_chunk_sliding", oracle=_CHUNK_SQL, defer=True)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk assignment over the documents table: 32-token
+    windows, 24-token stride, engine-reproducible boundaries."""
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({SQL_TOKENS}, x -> lower(x) = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    # fixed-order sum; formula shape mirrors the Spark expression exactly
+    parts = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1.0})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH freq AS (
+  SELECT doc_id,
+         len({SQL_TOKENS}) AS dl,
+         {tf_cols}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {df_aggs}
+  FROM freq
+)
+SELECT f.doc_id, ROUND({parts}, 6) AS bm25
+FROM freq f CROSS JOIN stats
+WHERE {" + ".join(f"tf_{i}" for i in range(len(terms)))} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _BM25_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """(doc_id, bm25) top-k Okapi BM25 scores for ``terms``. Per-term tf is
+    an array-filter projection; corpus stats are one broadcast aggregate
+    row; the cut is an ordered LIMIT. Scores round to 6 dp so the oracle
+    hash is insensitive to last-ulp libm differences between engines."""
+    toks = tokens_col(F.col("text"))
+    freq = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: F.lower(x) == F.lit(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = F.broadcast(
+        freq.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avgdl"
+            ),
+            *[
+                F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+    scored = freq.crossJoin(stats)
+    part = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + 0.5)
+            / (F.col(f"df_{i}").cast("double") + 0.5)
+        )
+        w = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            )
+        )
+        part.append(F.when(F.col(f"tf_{i}") > 0, w).otherwise(F.lit(0.0)))
+    score = part[0]
+    for p in part[1:]:
+        score = score + p
+    any_tf = sum(F.col(f"tf_{i}") for i in range(len(terms)))
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@query("text_bm25_topk", oracle=_bm25_sql(_BM25_TERMS, _BM25_K), defer=True)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Okapi BM25 for the fixed query (spark, join,
+    vector) — the relevance-scoring primitive a corpus search / quality
+    pipeline runs at full scale."""
+    return bm25_topk(_docs(spark, sf_dir))

@@ -63,6 +63,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         olap_extras,
         packing,
+        retrieval,
         sampling_json,
         security_queries,
         similarity,

@@ -799,6 +799,78 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_chunking_covers_every_token_with_overlap(spark):
+    """text_chunk_sliding (r7): chunk boundaries tile each document —
+    chunk i starts at token i·stride, full chunks hold exactly chunk_tokens
+    tokens, consecutive chunks overlap by chunk_tokens−stride, the final
+    chunk reaches the document's last token, and re-assembling the
+    non-overlapping prefixes reproduces the original token stream."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.retrieval import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    orig = {r["doc_id"]: r["text"].strip().split() for r in docs.collect()}
+    by_doc: dict = {}
+    for r in chunk_documents(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(orig)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = orig[doc_id]
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c["chunk_id"] * _CHUNK_STRIDE
+            expect = toks[start : start + _CHUNK_TOKENS]
+            assert c["chunk_text"].split() == expect, (doc_id, c["chunk_id"])
+            assert c["n_tokens"] == len(expect)
+        # final chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last["chunk_id"] * _CHUNK_STRIDE + last["n_tokens"] == len(toks)
+        # non-overlapping prefixes reassemble the document
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_text"].split()[:_CHUNK_STRIDE])
+        rebuilt.extend(chunks[-1]["chunk_text"].split())
+        assert rebuilt == toks, doc_id
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """text_bm25_topk (r7): scores are positive, only term-matching docs
+    appear, and on a planted corpus a document rich in all query terms
+    outranks single-term and longer diluted documents."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.retrieval import (
+        bm25_topk,
+        text_bm25_topk,
+    )
+
+    out = text_bm25_topk(spark, SF_DIR).collect()
+    assert 0 < len(out) <= 50
+    assert all(r["bm25"] > 0 for r in out)
+    assert sorted((-r["bm25"], r["doc_id"]) for r in out) == [
+        (-r["bm25"], r["doc_id"]) for r in out
+    ]
+
+    planted = spark.createDataFrame(
+        [
+            (1, "en", "spark join vector spark join vector spark"),
+            (2, "en", "spark alpha beta gamma delta epsilon"),
+            (3, "en", "spark " + " ".join(f"pad{i}" for i in range(60))),
+            (4, "en", "nothing relevant here at all"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = bm25_topk(planted, k=10).collect()
+    assert [r["doc_id"] for r in got][0] == 1
+    ids = [r["doc_id"] for r in got]
+    assert 4 not in ids
+    # same single term, shorter doc wins (length normalization)
+    assert ids.index(2) < ids.index(3)
+
+
 def test_semantic_cluster_sizes_audit(spark):
     """semantic_cluster_sizes: membership counts sum to n_vecs × n_probes
     (every vector probes exactly n_probes clusters) — the pre-join audit
