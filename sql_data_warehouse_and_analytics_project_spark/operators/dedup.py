@@ -875,6 +875,107 @@ def simhash_pairs(
     ).orderBy("doc_id_1", "doc_id_2")
 
 
+# --- Near-dup connected components ----------------------------------------
+#
+# The pair pipelines emit edges; an actual dedup DECISION needs the
+# transitive closure — docs a~b and b~c form ONE cluster even when a~c was
+# never scored. Components are computed by iterative min-label propagation
+# (each node repeatedly adopts the smallest label among itself and its
+# neighbors), which converges in O(graph diameter) rounds; near-dup graphs
+# are unions of near-cliques (member expansion emits every intra-group
+# pair), so the diameter — and the round count — is small. Each round is
+# one edge-join + partial-agg min per node (no hot key beyond a node's
+# degree, which the LSH bucket cap already bounds), and the frame is
+# localCheckpointed per round so the iterative plan never deepens. At
+# extreme diameters the alternating small-star/large-star formulation
+# (Kiveris et al., "Connected Components in MapReduce") drops rounds to
+# O(log n); not needed at near-dup shapes.
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id,
+       CAST(MIN(lab) AS BIGINT) AS component_id,
+       CAST(MIN(lab) = node AS BOOLEAN) AS is_survivor
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(doc_id, component_id, is_survivor) from an undirected edge list
+    (columns doc_id_1, doc_id_2): component_id = smallest doc_id reachable,
+    is_survivor marks the canonical keeper (min-id policy, matching every
+    pipeline's deterministic survivor rule). Driver-looped min-label
+    propagation with a convergence count per round — the loop moves one
+    scalar per round to the driver, never data."""
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+        .unionAll(pairs.select(F.col("doc_id_2").alias("a"), F.col("doc_id_1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+                (F.coalesce("nbr_lab", F.col("lab")) < F.col("lab")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").cast("bigint").alias("component_id"),
+        (F.col("lab") == F.col("node")).alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+@query("dedup_components", oracle=_COMPONENTS_SQL, defer=True)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash/LSH pair set: every doc
+    that appears in a near-dup pair, its component id (smallest reachable
+    doc_id), and whether it is the component's canonical survivor — the
+    decision surface a dedup pass actually consumes. Oracle: DuckDB
+    recomputes the same pairs and closes them with a recursive CTE."""
+    caches: list = []
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches)
+    out = connected_components(pairs)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 # --- Incremental MinHash index: dedup a NEW batch against a stored corpus --
 #
 # The batch pipelines above recompute signatures over the whole corpus every

@@ -799,6 +799,58 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_connected_components_closes_transitive_chains(spark):
+    """dedup_components (r7): labels agree with a driver-side union-find
+    over the same pair set on the real corpus, and a planted a~b, b~c edge
+    list WITHOUT the a~c pair still lands all three docs in one component
+    with the min-id survivor."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    # planted chain: closure must join what no single pair scored
+    chain = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["is_survivor"])
+        for r in dedup.connected_components(chain).collect()
+    }
+    assert got == {
+        10: (10, True),
+        20: (10, False),
+        30: (10, False),
+        50: (50, True),
+        60: (50, False),
+    }
+
+    # real corpus: agree with union-find over the emitted pairs
+    caches: list = []
+    pairs = dedup.minhash_lsh_pairs(
+        tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text"),
+        _caches=caches,
+    )
+    edge_rows = [(r["doc_id_1"], r["doc_id_2"]) for r in pairs.collect()]
+    comp = {r["doc_id"]: r["component_id"] for r in dedup.connected_components(pairs).collect()}
+    for c in caches:
+        c.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent[find(a)] = find(b)
+    groups: dict = {}
+    for d in parent:
+        groups.setdefault(find(d), set()).add(d)
+    expect = {d: min(g) for g in groups.values() for d in g}
+    assert comp == expect
+
+
 def test_chunking_covers_every_token_with_overlap(spark):
     """text_chunk_sliding (r7): chunk boundaries tile each document —
     chunk i starts at token i·stride, full chunks hold exactly chunk_tokens
