@@ -754,3 +754,89 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Unigram LM quality score ----------------------------------------------
+#
+# The KenLM-lite quality signal every pretraining pipeline runs: score each
+# document by its average per-token log-probability under a corpus-trained
+# unigram model — gibberish and boilerplate-free natural text separate
+# cleanly on this axis, and the score is the standard input to
+# perplexity-bucketed filtering. Scale shape: the model is the top-V
+# term-frequency table (ONE partial-aggregating groupBy + ordered LIMIT —
+# only V rows reach the driver), embedded as a broadcast map literal; the
+# per-doc score is then a PURE PROJECTION — a sequential fold over the
+# token array — so scoring adds zero shuffles to the corpus scan. Every
+# log is computed by the driver's libm (Python) or the oracle's (DuckDB),
+# never the JVM, and per-token contributions fold in TOKEN ORDER in both
+# engines, so the float result is engine- and partition-order-exact before
+# the defensive 6-dp round.
+
+_LM_VOCAB = 256  # top-V unigram model (driver-side literal; broadcast-join past ~100K)
+_LM_OOV_NUM = 0.5  # OOV floor numerator: p_oov = 0.5 / n_total
+
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({SQL_TOKENS}, x -> lower(x)) AS t FROM documents
+),
+tot AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n_total FROM toks),
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT UNNEST(t) AS term FROM toks)
+  GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT {_LM_VOCAB}
+),
+m AS (
+  SELECT map_from_entries(list((term, ln(tf / (SELECT n_total FROM tot))) ORDER BY term)) AS mp,
+         ln({_LM_OOV_NUM} / (SELECT n_total FROM tot)) AS oov
+  FROM vocab
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       ROUND(list_reduce(list_transform(t, x -> coalesce(mp[x][1], oov)), (a, b) -> a + b)
+             / CAST(len(t) AS DOUBLE), 6) AS avg_logprob
+FROM toks CROSS JOIN m
+ORDER BY doc_id
+"""
+
+
+def unigram_logprob(docs: DataFrame, vocab_size: int = _LM_VOCAB) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) under a corpus-trained top-``vocab_
+    size`` unigram model with an OOV floor of ``_LM_OOV_NUM / n_total``.
+    See the module note for the scale shape and the cross-engine float
+    discipline (driver-libm logs, token-order fold, 6-dp round)."""
+    import math
+
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    with_t = docs.select("doc_id", toks.alias("t"))
+    n_total = float(with_t.agg(F.sum(F.size("t"))).first()[0] or 0)
+    vocab = (
+        with_t.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+        .collect()
+    )
+    oov = math.log(_LM_OOV_NUM / n_total) if n_total else 0.0
+    entries: list = []
+    for r in vocab:
+        entries.append(F.lit(r["term"]))
+        entries.append(F.lit(math.log(r["tf"] / n_total)))
+    lookup = (
+        (lambda x: F.coalesce(F.element_at(F.create_map(*entries), x), F.lit(oov)))
+        if entries
+        else (lambda x: F.lit(oov))
+    )
+    score = F.aggregate(F.col("t"), F.lit(0.0), lambda acc, x: acc + lookup(x))
+    return with_t.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.round(score / F.size("t").cast("double"), 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+@query("text_unigram_logprob", oracle=_LM_SQL, defer=True)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token unigram log-probability per document — the
+    perplexity-style quality score, engine-reproducible to 6 dp."""
+    return unigram_logprob(_docs(spark, sf_dir))

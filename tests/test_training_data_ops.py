@@ -799,6 +799,32 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_unigram_logprob_separates_gibberish(spark):
+    """text_unigram_logprob (r7): a document made of corpus-frequent terms
+    scores strictly higher than an all-OOV gibberish document; every OOV
+    token gets the floor probability (score == ln(0.5/n_total) exactly for
+    a fully-OOV doc scored under the planted corpus model)."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        _LM_OOV_NUM,
+        unigram_logprob,
+    )
+
+    planted = spark.createDataFrame(
+        [
+            (1, "en", "common common common common word word word other"),
+            (2, "en", "zzqx qvrk xjwp aabf ccdk eefm"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    # vocab_size=2 -> model = {common: 4/14, word: 3/14}; doc 2 fully OOV
+    out = {r["doc_id"]: r for r in unigram_logprob(planted, vocab_size=2).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[2]["avg_logprob"] == round(math.log(_LM_OOV_NUM / 14), 6)
+    assert out[1]["n_tokens"] == 8 and out[2]["n_tokens"] == 6
+
+
 def test_connected_components_closes_transitive_chains(spark):
     """dedup_components (r7): labels agree with a driver-side union-find
     over the same pair set on the real corpus, and a planted a~b, b~c edge
