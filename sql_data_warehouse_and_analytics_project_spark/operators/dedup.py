@@ -248,17 +248,26 @@ def ngram_jaccard_candidates(
     )
 
 
-def _materialized(df: DataFrame, caches: list) -> DataFrame:
+def _materialized(df: DataFrame, caches: list, order: list[str] | None = None) -> DataFrame:
     """Registry-call cache discipline (ADVICE r6 / VERDICT r6 ask #5): run
     the pipeline NOW — eagerly localCheckpoint the small result frame —
     then free every internal cache, so no cached frame outlives the query
     call. The checkpoint holds only the result rows (near-dup pair sets,
     tiny by LSH/cap construction) and its blocks are released by Spark's
     ContextCleaner once the returned frame is dropped. Total work is
-    unchanged: the harness was about to materialize the frame anyway."""
+    unchanged: the harness was about to materialize the frame anyway.
+
+    ``order`` re-applies the presentation sort AFTER the checkpoint: the
+    checkpointed frame should be the pipeline's UNSORTED output, because
+    eagerly executing a global orderBy pays a range-sampling job over the
+    pipeline plus the sort itself — cost that an aggregate-only consumer
+    (bench's count()) never pays on the lazy path, where Catalyst elides
+    the sort. Sorting the checkpointed rows is trivial at result size."""
     out = df.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
+    if order:
+        out = out.orderBy(*order)
     return out
 
 
@@ -276,7 +285,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal shingle cache before returning (see :func:`_materialized`)."""
     caches: list = []
     return _materialized(
-        ngram_jaccard_pairs(_docs(spark, sf_dir), _caches=caches), caches
+        ngram_jaccard_pairs(_docs(spark, sf_dir), _caches=caches, _sorted=False),
+        caches,
+        order=["doc_id_1", "doc_id_2"],
     )
 
 
@@ -285,6 +296,7 @@ def ngram_jaccard_pairs(
     threshold: float = _NEARDUP_THRESHOLD,
     df_cut: int = _JACCARD_DF_CUT,
     _caches: list | None = None,
+    _sorted: bool = True,
 ) -> DataFrame:
     """The full Jaccard near-dup pipeline over an arbitrary documents frame
     (columns: doc_id, lang, text). The exploded shingle frame is
@@ -311,8 +323,8 @@ def ngram_jaccard_pairs(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_id_1", "doc_id_2")
     )
+    return out.orderBy("doc_id_1", "doc_id_2") if _sorted else out
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -592,7 +604,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes eagerly and releases the three internal caches before
     returning (see :func:`_materialized`)."""
     caches: list = []
-    return _materialized(minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches), caches)
+    return _materialized(
+        minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches, _sorted=False),
+        caches,
+        order=["doc_id_1", "doc_id_2"],
+    )
 
 
 def minhash_band_table(sigs: DataFrame) -> DataFrame:
@@ -622,6 +638,7 @@ def minhash_lsh_pairs(
     threshold: float = _NEARDUP_THRESHOLD,
     cap: int = _LSH_BUCKET_CAP,
     _caches: list | None = None,
+    _sorted: bool = True,
 ) -> DataFrame:
     """The full MinHash/LSH near-dup pipeline over an arbitrary documents
     frame (columns: doc_id, lang, text). See :func:`dedup_minhash_lsh`.
@@ -691,9 +708,10 @@ def minhash_lsh_pairs(
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return _expand_member_pairs(
+    out = _expand_member_pairs(
         rep_pairs, members, intra_cols=[F.lit(1.0).alias("jaccard")], carry=["jaccard"]
-    ).orderBy("doc_id_1", "doc_id_2")
+    )
+    return out.orderBy("doc_id_1", "doc_id_2") if _sorted else out
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -814,11 +832,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry call materializes eagerly and releases the internal caches
     before returning (see :func:`_materialized`)."""
     caches: list = []
-    return _materialized(simhash_pairs(_docs(spark, sf_dir), _caches=caches), caches)
+    return _materialized(
+        simhash_pairs(_docs(spark, sf_dir), _caches=caches, _sorted=False),
+        caches,
+        order=["doc_id_1", "doc_id_2"],
+    )
 
 
 def simhash_pairs(
-    docs: DataFrame, cap: int = _LSH_BUCKET_CAP, _caches: list | None = None
+    docs: DataFrame,
+    cap: int = _LSH_BUCKET_CAP,
+    _caches: list | None = None,
+    _sorted: bool = True,
 ) -> DataFrame:
     """The full SimHash near-dup pipeline over an arbitrary documents frame
     (columns: doc_id, lang, text). See :func:`dedup_simhash`. ``_caches``
@@ -867,12 +892,13 @@ def simhash_pairs(
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
-    return _expand_member_pairs(
+    out = _expand_member_pairs(
         rep_pairs,
         members,
         intra_cols=[F.lit(0).cast("bigint").alias("hamming")],
         carry=["hamming"],
-    ).orderBy("doc_id_1", "doc_id_2")
+    )
+    return out.orderBy("doc_id_1", "doc_id_2") if _sorted else out
 
 
 # --- Near-dup connected components ----------------------------------------
