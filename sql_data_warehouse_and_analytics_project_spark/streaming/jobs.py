@@ -475,9 +475,16 @@ def sink_stream_neardedup(
                 # candidates reach the exact verify — the same
                 # candidates-then-exact-confirm shape as the batch pipeline
                 probe = 0.0 if exact_confirm else threshold
-                hits = dedup.query_minhash_index(
-                    spark, index_path, survivors, threshold=probe, _caches=caches
-                ).filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
+                # eager checkpoint: the tiny candidate-pair frame is consumed
+                # by the id-collect, the confirm join, and the anti-join —
+                # uncheckpointed, each would re-run the index probe pipeline
+                hits = (
+                    dedup.query_minhash_index(
+                        spark, index_path, survivors, threshold=probe, _caches=caches
+                    )
+                    .filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
+                    .localCheckpoint(eager=True)
+                )
                 if exact_confirm and _exists(spark, out_path):
                     confirmed = _confirmed_hits(spark, hits, survivors)
                 else:
