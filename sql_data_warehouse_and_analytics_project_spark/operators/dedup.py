@@ -1159,28 +1159,29 @@ def compact_minhash_index(
     documented cap trims. The rewrite coalesces each flat component
     (narrow, no shuffle) and re-clusters the band table one file per band
     directory, publishing with the warehouse catalog's swap discipline: the
-    live directory is renamed ASIDE (atomic) before the replacement moves
-    in, so every crash window leaves the data recoverable under
-    ``<component>.old`` — never deleted-before-replaced. Local-filesystem
-    paths only (shutil/os.rename); an object-store index would publish via
-    a manifest swap instead."""
-    import os
-    import shutil
-
+    live directory is renamed ASIDE (atomic on posix/HDFS) before the
+    replacement moves in, so every crash window leaves the data recoverable
+    under ``<component>.old`` — never deleted-before-replaced. All
+    filesystem steps go through the Hadoop FileSystem resolved from the
+    path (r7), so any Spark-readable URI works — file:// in tests, hdfs://
+    on a cluster; on S3-style stores rename degrades to the connector's
+    copy+delete (still crash-recoverable, not atomic — a production object-
+    store index would layer a manifest pointer, see ``warehouse/hdfs.py``)."""
+    from ..warehouse import hdfs
     from ..warehouse.bucketing import compact_parquet
 
     def swap(src: str, tmp: str) -> None:
         old = f"{src}.old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(src, old)
-        shutil.move(tmp, src)
-        shutil.rmtree(old)
+        if hdfs.exists(spark, old):
+            hdfs.delete(spark, old)
+        hdfs.rename(spark, src, old)
+        hdfs.rename(spark, tmp, src)
+        hdfs.delete(spark, old)
 
     # "ingested" is the streaming sink's redelivery sidecar — present only
     # on sink-managed indexes, compacted with the same discipline
     flat = ["signatures", "members"] + (
-        ["ingested"] if os.path.exists(f"{path}/ingested") else []
+        ["ingested"] if hdfs.exists(spark, f"{path}/ingested") else []
     )
     for comp in flat:
         src = f"{path}/{comp}"

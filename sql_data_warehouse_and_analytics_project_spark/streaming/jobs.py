@@ -414,14 +414,10 @@ def sink_stream_neardedup(
         # with the batch pipeline and query_minhash_index defaults
         threshold = dedup._NEARDUP_THRESHOLD
 
-    def _exists(spark: SparkSession, path: str) -> bool:
-        # Hadoop FileSystem, not os.path: the index may live on any Spark-
-        # readable URI (hdfs://, s3a://), where a driver-local stat would
-        # be silently false and skip the cross-batch probe forever.
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(hpath)
+    # Hadoop FileSystem, not os.path: the index may live on any Spark-
+    # readable URI (hdfs://, s3a://), where a driver-local stat would be
+    # silently false and skip the cross-batch probe forever.
+    from ..warehouse.hdfs import exists as _exists
 
     def _confirmed_hits(spark: SparkSession, hits: DataFrame, survivors: DataFrame):
         """Exact-Jaccard verify of cross-batch index hits: re-join the

@@ -110,19 +110,15 @@ def compact_parquet(
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb``-sized files.
 
-    File count is derived from the actual on-disk bytes (spark reports input
-    files via the scan's inputFiles), and the rewrite is a COALESCE — a
-    narrow dependency that merges partitions without shuffling rows. Returns
-    the output file count."""
-    df = spark.read.parquet(src)
-    import os
+    File count is derived from the actual on-disk bytes (a recursive
+    Hadoop-FS listing, so any Spark-readable URI works — r7, not just
+    driver-local paths), and the rewrite is a COALESCE — a narrow
+    dependency that merges partitions without shuffling rows. Returns the
+    output file count."""
+    from . import hdfs
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(src)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    df = spark.read.parquet(src)
+    total_bytes = hdfs.dir_bytes(spark, src)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     return n_files
