@@ -840,3 +840,62 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token unigram log-probability per document — the
     perplexity-style quality score, engine-reproducible to 6 dp."""
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+# --- Corpus profile (data-card statistics) ---------------------------------
+
+_PROFILE_SQL = f"""
+WITH sized AS (
+  SELECT lang, len({SQL_TOKENS}) AS n_toks FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+         CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+         quantile_cont(n_toks, 0.5) AS p50_tokens,
+         quantile_cont(n_toks, 0.9) AS p90_tokens
+  FROM sized GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, min_tokens, max_tokens, p50_tokens, p90_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS corpus_share
+FROM per_lang
+ORDER BY lang
+"""
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Per-language data-card statistics: doc/token counts, token-length
+    min/max and exact p50/p90, and each language's share of the corpus.
+    Scale shape: ONE narrow (lang, n_toks) projection feeds a per-language
+    aggregate; the grand-total share is a window over the LANGUAGE-count
+    rows (a KB-sized frame — the window never touches corpus rows). Exact
+    percentiles sort each language's token-count multiset (narrow ints,
+    partial-aggregated); at extreme scale swap ``percentile`` for
+    ``approx_percentile`` and drop the oracle to rows-only. Cross-engine:
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` both
+    linear-interpolate, verified bit-identical."""
+    from pyspark.sql import Window
+
+    sized = docs.select("lang", F.size(tokens_col(F.col("text"))).alias("n_toks"))
+    per_lang = sized.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.min("n_toks").cast("bigint").alias("min_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_tokens"),
+        F.percentile("n_toks", 0.5).alias("p50_tokens"),
+        F.percentile("n_toks", 0.9).alias("p90_tokens"),
+    )
+    share = (
+        F.col("n_docs").cast("double")
+        / F.sum("n_docs").over(Window.partitionBy()).cast("double")
+    )
+    return per_lang.withColumn("corpus_share", share).orderBy("lang")
+
+
+@query("corpus_profile_by_lang", oracle=_PROFILE_SQL, defer=True)
+def corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data-card: per-language composition and token-length
+    distribution — the first report any training-data pipeline publishes."""
+    return corpus_profile(_docs(spark, sf_dir))

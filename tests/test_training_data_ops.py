@@ -799,6 +799,25 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_corpus_profile_consistent_with_raw_counts(spark):
+    """corpus_profile_by_lang (r7): per-language rows reconcile with raw
+    counts, shares sum to 1, and the exact percentiles are ordered
+    min ≤ p50 ≤ p90 ≤ max."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        corpus_profile_by_lang,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    rows = corpus_profile_by_lang(spark, SF_DIR).collect()
+    raw = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert {r["lang"]: r["n_docs"] for r in rows} == raw
+    assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["min_tokens"] <= r["p50_tokens"] <= r["p90_tokens"] <= r["max_tokens"]
+        assert r["n_tokens"] >= r["n_docs"] * r["min_tokens"]
+
+
 def test_unigram_logprob_separates_gibberish(spark):
     """text_unigram_logprob (r7): a document made of corpus-frequent terms
     scores strictly higher than an all-OOV gibberish document; every OOV
