@@ -799,6 +799,51 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_export_training_shards_deterministic_manifest(spark, tmp_path):
+    """export_training_shards (r7): the shard layout is partitioned by the
+    packing lane, the manifest reconciles exactly with the written rows
+    and with the curation report's train count, every doc carries its
+    chunk assignment, and a re-export produces bit-identical shards and
+    manifest (end-to-end determinism of the whole last-mile pipeline)."""
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.curation import (
+        curate_documents,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.operators.training_export import (
+        export_training_shards,
+    )
+
+    out = str(tmp_path / "ds")
+    manifest = {r["shard"]: r for r in export_training_shards(spark, SF_DIR, out).collect()}
+    parts = [d for d in os.listdir(f"{out}/shards") if d.startswith("shard=")]
+    assert parts and set(int(p.split("=")[1]) for p in parts) == set(manifest)
+
+    rows = spark.read.parquet(f"{out}/shards").collect()
+    _, report = curate_documents(spark, SF_DIR)
+    assert len(rows) == report.n_train
+    assert sum(m["n_docs"] for m in manifest.values()) == report.n_train
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        m = manifest[shard]
+        assert m["n_docs"] == len(rs)
+        assert m["n_chunks"] == len({r["chunk_id"] for r in rs})
+        assert m["n_tokens"] == sum(r["n_bpe_tokens"] for r in rs)
+        assert all(r["n_bpe_tokens"] > 0 for r in rs)
+
+    out2 = str(tmp_path / "ds2")
+    manifest2 = {r["shard"]: r for r in export_training_shards(spark, SF_DIR, out2).collect()}
+    assert {k: tuple(v) for k, v in manifest.items()} == {
+        k: tuple(v) for k, v in manifest2.items()
+    }
+    key = lambda r: (r["doc_id"], r["shard"], r["chunk_id"], r["n_bpe_tokens"])
+    assert sorted(map(key, rows)) == sorted(
+        map(key, spark.read.parquet(f"{out2}/shards").collect())
+    )
+
+
 def test_corpus_profile_consistent_with_raw_counts(spark):
     """corpus_profile_by_lang (r7): per-language rows reconcile with raw
     counts, shares sum to 1, and the exact percentiles are ordered
