@@ -548,3 +548,70 @@ def sink_stream_neardedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sink_stream_embeddings(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_lists: int | None = None,
+    staleness_every_batches: int = 16,
+):
+    """Streaming embedding-ingest sink: the vector-side twin of
+    :func:`sink_stream_neardedup`. The first microbatch trains and builds
+    the persisted IVF index (``similarity.build_ivf_index``); every later
+    batch assigns its vectors against the STORED centroids and
+    partition-appends them (``append_ivf_index``) — per-batch cost is
+    O(batch) assignment work, never a retrain or a rebuild, and
+    ``ivf_search`` over the index stays answerable between batches.
+
+    Replay safety (foreachBatch is at-least-once): appends are not
+    idempotent, so a ``<index>/ingested`` (vec_id, batch_id) sidecar —
+    same discipline as the near-dedup sink — drops already-ingested
+    vec_ids from a retried or redelivered batch before the append; the
+    sidecar is written before the vector append so the crash window
+    between the two heals on the mandatory same-batch retry (the re-run
+    drops the recorded ids, at the cost of re-appending the batch's
+    unrecorded remainder only).
+
+    Drift is surfaced, not silently absorbed: every
+    ``staleness_every_batches`` batches the per-list growth audit
+    (``ivf_index_staleness``) is appended under
+    ``<index>/audit/staleness`` with the batch id — the retrain signal a
+    production ingest alerts on (retraining itself is a rebuild decision
+    the owner takes, not something a sink should do mid-stream)."""
+
+    from ..operators import similarity
+    from ..warehouse.hdfs import exists as _exists
+
+    def _ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select("vec_id", "label", "embedding")
+        if _exists(spark, f"{index_path}/ingested"):
+            prior = (
+                spark.read.parquet(f"{index_path}/ingested")
+                .select("vec_id")
+                .distinct()
+            )
+            batch = batch.join(prior, "vec_id", "left_anti")
+        # cut lineage before the sidecar/vector appends: the anti-join
+        # reads the sidecar path the next statement appends to
+        batch = batch.localCheckpoint(eager=True)
+        batch.select(
+            "vec_id", F.lit(batch_id).cast("bigint").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/ingested")
+        if not _exists(spark, f"{index_path}/centroids"):
+            similarity.build_ivf_index(batch, index_path, n_lists=n_lists)
+        else:
+            similarity.append_ivf_index(batch, index_path)
+        if staleness_every_batches and (batch_id + 1) % staleness_every_batches == 0:
+            similarity.ivf_index_staleness(spark, index_path).withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(f"{index_path}/audit/staleness")
+
+    return (
+        emb_stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -311,6 +311,62 @@ def test_stream_neardedup_redelivery_exact_confirm_compaction(spark, tmp_path):
     assert len(sig_files) > 1, sig_files
 
 
+def test_stream_embeddings_ingest_builds_queryable_ivf(spark, tmp_path):
+    """sink_stream_embeddings (r7): the first microbatch trains and builds
+    the IVF index, later batches append against the stored centroids, and
+    the streamed index answers ivf_search identically to the batch
+    build+append API over the same splits (deterministic training). A
+    redelivered batch (at-least-once source) must not double-append —
+    stored vec_ids stay unique and search answers unchanged — and the
+    staleness audit lands with per-list growth rows."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    in_dir = str(tmp_path / "emb_in")
+    ix = str(tmp_path / "emb_ix")
+
+    def deliver_and_run(df):
+        df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(emb.schema).parquet(in_dir)
+        q = jobs.sink_stream_embeddings(
+            stream, ix, str(tmp_path / "ck"), n_lists=8, staleness_every_batches=1
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    deliver_and_run(a)
+    deliver_and_run(b)
+
+    # batch twin: same splits through the batch API, same trained centroids
+    ix2 = str(tmp_path / "emb_ix_batch")
+    sim.build_ivf_index(a, ix2, n_lists=8)
+    sim.append_ivf_index(b, ix2)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    got = [tuple(r) for r in sim.ivf_search(spark, ix, qvec, k=11, n_probes=3).collect()]
+    twin = [tuple(r) for r in sim.ivf_search(spark, ix2, qvec, k=11, n_probes=3).collect()]
+    assert got == twin
+
+    stored = sorted(r["vec_id"] for r in spark.read.parquet(f"{ix}/vectors").collect())
+    assert stored == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    # redelivery of batch B's rows as a NEW file: dropped by the sidecar
+    deliver_and_run(b)
+    stored2 = sorted(r["vec_id"] for r in spark.read.parquet(f"{ix}/vectors").collect())
+    assert stored2 == stored
+    got2 = [tuple(r) for r in sim.ivf_search(spark, ix, qvec, k=11, n_probes=3).collect()]
+    assert got2 == got
+
+    # staleness audit written with the compacting batch ids
+    audit_rows = spark.read.parquet(f"{ix}/audit/staleness").collect()
+    assert audit_rows and {r["batch_id"] for r in audit_rows} >= {0, 1}
+    assert sum(r["n_now"] for r in audit_rows if r["batch_id"] == 1) == emb.count()
+
+
 def test_stream_neardedup_across_batches(spark, tmp_path):
     """sink_stream_neardedup (r6): two file deliveries are near-dedup'd
     within each microbatch AND against the growing signature index — for
