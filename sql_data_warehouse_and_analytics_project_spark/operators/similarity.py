@@ -419,6 +419,42 @@ def append_ivf_index(emb: DataFrame, path: str) -> None:
     ).parquet(f"{path}/vectors")
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the IVF vector table one file per list directory. Every
+    :func:`append_ivf_index` lands its own file set inside each probed
+    ``list_id=N`` directory, so a long-running ingest accumulates
+    O(appends) files per list and every probe pays the listing + per-file
+    open cost. The rewrite clusters by list (one shuffle of the stored
+    vectors) and publishes with the same Hadoop-FS rename-aside swap as
+    ``compact_minhash_index`` — crash windows leave the data recoverable
+    under ``vectors.old``, and any Spark-readable URI works. Search
+    answers are unchanged (pure file-layout rewrite). The streaming
+    embedding sink runs this on a batch cadence; the ``ingested`` sidecar
+    (when present) is coalesced with the same discipline."""
+    from ..warehouse import hdfs
+    from ..warehouse.bucketing import compact_parquet
+
+    def swap(src: str, tmp: str) -> None:
+        old = f"{src}.old"
+        if hdfs.exists(spark, old):
+            hdfs.delete(spark, old)
+        hdfs.rename(spark, src, old)
+        hdfs.rename(spark, tmp, src)
+        hdfs.delete(spark, old)
+
+    src = f"{path}/vectors"
+    tmp = f"{src}.compacting"
+    spark.read.parquet(src).repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(tmp)
+    swap(src, tmp)
+    if hdfs.exists(spark, f"{path}/ingested"):
+        src = f"{path}/ingested"
+        tmp = f"{src}.compacting"
+        compact_parquet(spark, src, tmp)
+        swap(src, tmp)
+
+
 def ivf_index_staleness(spark: SparkSession, path: str) -> DataFrame:
     """(list_id, n_trained, n_now, growth) per list — the retrain audit for
     an appended index. ``growth`` = n_now / n_trained (null for a list the

@@ -556,6 +556,7 @@ def sink_stream_embeddings(
     checkpoint: str,
     n_lists: int | None = None,
     staleness_every_batches: int = 16,
+    compact_every_batches: int | None = 16,
 ):
     """Streaming embedding-ingest sink: the vector-side twin of
     :func:`sink_stream_neardedup`. The first microbatch trains and builds
@@ -608,6 +609,10 @@ def sink_stream_embeddings(
             similarity.ivf_index_staleness(spark, index_path).withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
             ).write.mode("append").parquet(f"{index_path}/audit/staleness")
+        if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+            # without a cadence a long ingest accumulates O(batches) files
+            # per list directory and probe latency degrades linearly
+            similarity.compact_ivf_index(spark, index_path)
 
     return (
         emb_stream.writeStream.foreachBatch(_ingest_batch)

@@ -332,7 +332,12 @@ def test_stream_embeddings_ingest_builds_queryable_ivf(spark, tmp_path):
         df.write.mode("append").parquet(in_dir)
         stream = spark.readStream.schema(emb.schema).parquet(in_dir)
         q = jobs.sink_stream_embeddings(
-            stream, ix, str(tmp_path / "ck"), n_lists=8, staleness_every_batches=1
+            stream,
+            ix,
+            str(tmp_path / "ck"),
+            n_lists=8,
+            staleness_every_batches=1,
+            compact_every_batches=1,
         )
         q.processAllAvailable()
         q.stop()
@@ -365,6 +370,14 @@ def test_stream_embeddings_ingest_builds_queryable_ivf(spark, tmp_path):
     audit_rows = spark.read.parquet(f"{ix}/audit/staleness").collect()
     assert audit_rows and {r["batch_id"] for r in audit_rows} >= {0, 1}
     assert sum(r["n_now"] for r in audit_rows if r["batch_id"] == 1) == emb.count()
+
+    # per-batch compaction keeps every list directory at one file
+    import os
+
+    for d in os.listdir(f"{ix}/vectors"):
+        if d.startswith("list_id="):
+            files = [f for f in os.listdir(f"{ix}/vectors/{d}") if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
 
 
 def test_stream_neardedup_across_batches(spark, tmp_path):

@@ -220,6 +220,28 @@ def test_ivf_append_and_staleness(spark, tmp_path):
     growths = [r["growth"] for r in audit_rows if r["growth"] is not None]
     assert growths and 1.5 <= sum(growths) / len(growths) <= 6.0, growths
 
+    # compaction: three append file-sets collapse to one file per list
+    # directory and answers are unchanged (pure layout rewrite)
+    import os
+
+    def files_per_list():
+        out = {}
+        for d in os.listdir(f"{ix}/vectors"):
+            if d.startswith("list_id="):
+                out[d] = len(
+                    [f for f in os.listdir(f"{ix}/vectors/{d}") if f.endswith(".parquet")]
+                )
+        return out
+
+    assert any(n > 1 for n in files_per_list().values())
+    sim.compact_ivf_index(spark, ix)
+    after = files_per_list()
+    assert after and all(n == 1 for n in after.values()), after
+    got_compacted = [
+        tuple(r) for r in sim.ivf_search(spark, ix, qvec, k=11, n_probes=3).collect()
+    ]
+    assert got_compacted == got
+
     # appending to an untrained (empty) index is a hard error, not silence
     empty = str(tmp_path / "ivf_empty")
     sim.build_ivf_index(emb.limit(0), empty)
