@@ -1,0 +1,245 @@
+"""Corpus-composition operators: per-source caps, percentile length
+filtering, and deterministic epoch shuffling (north-star extension; the
+reference, a pure T-SQL warehouse, has no corpus-budgeting surface — its
+closest analog is the gold-layer TOP-N reporting at
+scripts/gold/proc_load_gold.sql).
+
+Three standard composition steps of a large-scale training-data pipeline,
+each written in the shape that survives 100 TB:
+
+- **Per-source cap** (the RefinedWeb / C4 "domain cap"): keep at most N
+  documents per source so no single crawl domain dominates the mix. The
+  naive shape — rank every row in a per-source window — is fine ONLY
+  because Spark compiles ``row_number() <= N`` to WindowGroupLimit, which
+  keeps a PARTIAL top-N per map task BEFORE the exchange: each reducer
+  receives at most N rows per (source, upstream-partition), not the whole
+  hot source. The plan is pinned by a test; without the pushdown a single
+  viral domain would be one reducer's entire input.
+
+- **Percentile length filter** (trim the tails of the length
+  distribution): the naive shape is ``ntile(10) OVER (ORDER BY n_chars)``
+  — a GLOBAL window, i.e. a single-partition sort of the corpus, the
+  canonical scale-killer. The scale shape computes the decile THRESHOLDS
+  as one KB-sized aggregate row, broadcasts it back, and assigns each
+  row's decile with nine scalar comparisons — zero windows, zero extra
+  shuffles. The registry query uses Spark's exact ``percentile`` (bitwise
+  oracle parity); at 100 TB callers flip ``exact=False`` for
+  ``approx_percentile`` (a mergeable sketch) with the identical plan
+  shape.
+
+- **Epoch shuffle** (deterministic global permutation per training
+  epoch): trainers need a different-but-reproducible document order each
+  epoch WITHOUT a global sort. Shard assignment is an md5-derived hash of
+  (doc_id, epoch) — a pure row function, zero shuffles — and the
+  within-shard position is a window bounded by corpus/n_shards per
+  reducer (the same lane bound as sequence packing; n_shards scales with
+  the corpus via ``auto_pack_buckets``). The md5 13-hex-char uniform
+  (16^13 = 2^52 < 2^53, exact in a double) is the engine-portable
+  determinism trick shared with ``mix_resample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+_SOURCE_CAP = 15  # max docs kept per source (20 sources x 25 docs in testdata)
+
+_DECILE_PCTS = tuple(round(0.1 * i, 1) for i in range(1, 10))  # p10..p90
+_KEEP_LO = 1  # keep deciles [1, 8]: drop the shortest and longest ~10%
+_KEEP_HI = 8
+
+_EPOCH = 3  # registry demo epoch
+_EPOCH_SHARDS = 8
+
+# 13 md5 hex chars -> uniform in [0, 1): 16^13 = 2^52 < 2^53 so the
+# int -> double division is exact in both engines (shared with packing).
+_TWO_52 = float(1 << 52)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+# --- Per-source document cap ------------------------------------------------
+
+_SOURCE_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rank_in_source
+FROM ranked
+WHERE rk <= {_SOURCE_CAP}
+ORDER BY source, rank_in_source
+"""
+
+
+def cap_per_source(
+    docs: DataFrame, cap: int = _SOURCE_CAP, stratum: str = "source"
+) -> DataFrame:
+    """Keep the top ``cap`` documents per ``stratum`` under the
+    deterministic preference order (longest first, doc_id tiebreak).
+    Compiles to WindowGroupLimit — per-map-task partial top-N before the
+    exchange — so a hot source never becomes one reducer's whole input
+    (plan pinned in tests/test_plans.py)."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(stratum).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", stratum, "n_chars")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_source") <= cap)
+        .orderBy(stratum, "rank_in_source")
+    )
+
+
+@query("curation_source_cap", oracle=_SOURCE_CAP_SQL, defer=True)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap composition step: at most 15 documents per source,
+    longest-first — no crawl source dominates the training mix."""
+    return cap_per_source(_docs(spark, sf_dir))
+
+
+# --- Percentile length filter ----------------------------------------------
+
+_DECILE_TERMS_SQL = " + ".join(
+    f"(CASE WHEN CAST(n_chars AS DOUBLE) >= t{i} THEN 1 ELSE 0 END)"
+    for i in range(1, 10)
+)
+
+_LENGTH_FILTER_SQL = f"""
+WITH th AS (
+  SELECT {", ".join(
+      f"ROUND(quantile_cont(CAST(n_chars AS DOUBLE), {p}), 6) AS t{i}"
+      for i, p in enumerate(_DECILE_PCTS, start=1)
+  )}
+  FROM documents
+)
+SELECT d.doc_id, d.n_chars,
+       CAST({_DECILE_TERMS_SQL} AS BIGINT) AS decile,
+       (({_DECILE_TERMS_SQL}) BETWEEN {_KEEP_LO} AND {_KEEP_HI}) AS kept
+FROM documents d CROSS JOIN th
+ORDER BY d.doc_id
+"""
+
+
+def length_decile_filter(
+    docs: DataFrame,
+    keep_lo: int = _KEEP_LO,
+    keep_hi: int = _KEEP_HI,
+    exact: bool = True,
+) -> DataFrame:
+    """(doc_id, n_chars, decile, kept): each document's length decile
+    (0–9, the count of decile thresholds at or below it) and whether it
+    survives the tail trim. Thresholds are ONE aggregate row broadcast
+    back — never a global ntile window (see module note). ``exact=True``
+    uses Spark's exact ``percentile`` for bitwise oracle parity;
+    ``exact=False`` swaps in the mergeable ``approx_percentile`` sketch
+    with the identical plan shape for 100 TB runs. Thresholds round to
+    6 dp on both engines before comparison so a last-ulp interpolation
+    difference cannot flip an integer length across a boundary."""
+    nc = F.col("n_chars").cast("double")
+    pfn = F.percentile if exact else F.percentile_approx
+    th = F.broadcast(
+        docs.agg(
+            *[
+                F.round(pfn(nc, F.lit(p)), 6).alias(f"t{i}")
+                for i, p in enumerate(_DECILE_PCTS, start=1)
+            ]
+        )
+    )
+    decile_terms: Column = sum(
+        F.when(nc >= F.col(f"t{i}"), 1).otherwise(0) for i in range(1, 10)
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .crossJoin(th)
+        .select(
+            "doc_id",
+            "n_chars",
+            decile_terms.cast("bigint").alias("decile"),
+            decile_terms.between(keep_lo, keep_hi).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("quality_length_decile", oracle=_LENGTH_FILTER_SQL, defer=True)
+def quality_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution tail trim: per-document decile assignment via
+    broadcast thresholds; drops the shortest and longest ~10%."""
+    return length_decile_filter(_docs(spark, sf_dir))
+
+
+# --- Deterministic epoch shuffle -------------------------------------------
+
+
+def _uniform_sql(key: str) -> str:
+    return (
+        f"('0x' || substr(md5({key}), 1, 13))::BIGINT"
+        f" / CAST({1 << 52} AS DOUBLE)"
+    )
+
+
+_EPOCH_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_EPOCH}'), 1, 13))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_EPOCH} AS BIGINT) AS epoch,
+       CAST(h % {_EPOCH_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {_EPOCH_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
+def epoch_shuffle(
+    docs: DataFrame, epoch: int, n_shards: int = _EPOCH_SHARDS
+) -> DataFrame:
+    """(doc_id, epoch, shard, pos): a deterministic pseudo-random
+    permutation of the corpus for training epoch ``epoch`` — different
+    per epoch, bit-identical on re-run, engine-portable. Shard is a pure
+    hash row function (zero shuffles); pos is a per-shard window whose
+    reducer input is bounded by corpus/n_shards, so n_shards (use
+    ``packing.auto_pack_buckets`` at scale) is the knob that keeps the
+    sort local — there is never a global order-by."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{epoch}"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select("doc_id", h.alias("h"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("shard", (F.col("h") % n_shards).cast("bigint"))
+        .select(
+            "doc_id",
+            F.lit(epoch).cast("bigint").alias("epoch"),
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "h",
+        )
+        .drop("h")
+        .orderBy("shard", "pos")
+    )
+
+
+@query("training_epoch_shuffle", oracle=_EPOCH_SQL, defer=True)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-3 deterministic shuffle of the documents corpus into 8
+    shards — the reproducible data-order a trainer replays per epoch."""
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=_EPOCH)

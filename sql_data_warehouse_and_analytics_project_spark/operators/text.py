@@ -844,7 +844,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Corpus profile (data-card statistics) ---------------------------------
 
-_PROFILE_SQL = f"""
+# NOTE: distinct name from the earlier _PROFILE_SQL (text_profile's oracle):
+# decorators capture the value at definition time so a shadowed rebind would
+# be latent-refactor-hazard, not a live bug — keep the names apart anyway.
+_CORPUS_PROFILE_SQL = f"""
 WITH sized AS (
   SELECT lang, len({SQL_TOKENS}) AS n_toks FROM documents
 ),
@@ -894,7 +897,7 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     return per_lang.withColumn("corpus_share", share).orderBy("lang")
 
 
-@query("corpus_profile_by_lang", oracle=_PROFILE_SQL, defer=True)
+@query("corpus_profile_by_lang", oracle=_CORPUS_PROFILE_SQL, defer=True)
 def corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data-card: per-language composition and token-length
     distribution — the first report any training-data pipeline publishes."""

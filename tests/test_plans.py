@@ -456,3 +456,69 @@ def test_packing_and_mix_plan_shapes(spark):
     assert plan.count("Window") == 1, plan
     assert sum(audit.join_counts(plan).values()) == 0, plan
     assert audit.data_shuffle_count(plan) == 2, plan
+
+
+def test_composition_plan_shapes(spark):
+    """r7 composition ops keep their promised plans.
+
+    - curation_source_cap: the per-source rank cap must keep the
+      WindowGroupLimit pushdown (Partial group-limit before the exchange)
+      so a hot source is pre-trimmed per map task, never one reducer's
+      whole input.
+    - quality_length_decile: decile assignment is a broadcast threshold
+      row — NO window anywhere (the ntile formulation this op exists to
+      avoid would be a single-partition sort of the corpus).
+    - training_epoch_shuffle: exactly one window (the per-shard position),
+      no joins — shard assignment is a pure hash row function."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["curation_source_cap"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+
+    df = qs["quality_length_decile"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+    assert counts["broadcast"] + counts["nested_loop"] >= 1, plan
+
+    df = qs["training_epoch_shuffle"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert plan.count("Window") == 1, plan
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+
+
+def test_retrieval_plan_shapes(spark):
+    """r7 retrieval ops keep their promised plans.
+
+    - text_chunk_sliding: pure projection + sequence-explode — no joins, no
+      windows, and the only exchange is the presentation sort.
+    - text_bm25_topk: corpus stats arrive by broadcast (no keyed shuffle of
+      the scored frame) and the ranked cut compiles to
+      TakeOrderedAndProject, so only k rows reach the driver."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["text_chunk_sliding"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+    assert "Window" not in plan, plan
+    assert audit.data_shuffle_count(plan) <= 1, plan  # presentation sort only
+
+    df = qs["text_bm25_topk"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan

@@ -1141,3 +1141,95 @@ def test_minhash_index_expands_exact_dup_members(spark, tmp_path):
         for r in dedup.query_minhash_index(spark, ix, probe).collect()
     }
     assert got == {(3, 1), (3, 2)}, got
+
+
+# --- Corpus composition (r7) ------------------------------------------------
+
+
+def test_source_cap_bounds_every_source(spark):
+    """curation_source_cap: no source exceeds the cap, survivors are the
+    longest docs of their source, and rank is contiguous from 1."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.composition import (
+        _SOURCE_CAP,
+        curation_source_cap,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    out = curation_source_cap(spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = tpch.load(spark, SF_DIR, "documents").collect()
+    full: dict = {}
+    for d in docs:
+        full.setdefault(d["source"], []).append(d)
+    for src, rows in by_src.items():
+        assert len(rows) <= _SOURCE_CAP
+        assert sorted(r["rank_in_source"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        want = sorted(full[src], key=lambda d: (-d["n_chars"], d["doc_id"]))[
+            : _SOURCE_CAP
+        ]
+        assert sorted(r["doc_id"] for r in rows) == sorted(d["doc_id"] for d in want)
+
+
+def test_length_decile_filter_trims_tails(spark):
+    """quality_length_decile: deciles are monotone in n_chars, each decile
+    is roughly a tenth of the corpus, and `kept` drops only the extreme
+    deciles (0 and 9)."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.composition import (
+        quality_length_decile,
+    )
+
+    out = quality_length_decile(spark, SF_DIR).collect()
+    n = len(out)
+    assert n == 500
+    for r in out:
+        assert 0 <= r["decile"] <= 9
+        assert r["kept"] == (1 <= r["decile"] <= 8)
+    ordered = sorted(out, key=lambda r: r["n_chars"])
+    deciles = [r["decile"] for r in ordered]
+    assert deciles == sorted(deciles)  # monotone in length
+    kept = sum(r["kept"] for r in out)
+    assert 0.7 * n <= kept <= 0.9 * n
+    # threshold-join must agree with the definition: decile d covers ~10%
+    from collections import Counter
+
+    sizes = Counter(r["decile"] for r in out)
+    assert all(sizes[d] >= 1 for d in range(10))
+
+
+def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
+    """training_epoch_shuffle: bit-identical on re-run, a different
+    permutation per epoch, contiguous positions per shard, and every doc
+    appears exactly once."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.composition import (
+        _EPOCH_SHARDS,
+        epoch_shuffle,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    e3a = epoch_shuffle(docs, epoch=3).collect()
+    e3b = epoch_shuffle(docs, epoch=3).collect()
+    assert e3a == e3b
+    e4 = epoch_shuffle(docs, epoch=4).collect()
+    assert [r["doc_id"] for r in e3a] != [r["doc_id"] for r in e4]
+    assert sorted(r["doc_id"] for r in e3a) == sorted(r["doc_id"] for r in e4)
+    by_shard: dict = {}
+    for r in e3a:
+        assert 0 <= r["shard"] < _EPOCH_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(by_shard) == _EPOCH_SHARDS
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # hash sharding balances: no shard is more than 3x the smallest
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * min(sizes), sizes
