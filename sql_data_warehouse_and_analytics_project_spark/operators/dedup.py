@@ -1002,6 +1002,72 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Cross-source contamination matrix -------------------------------------
+#
+# A corpus assembled from many crawls/dumps needs to know WHERE its
+# near-duplicates come from: intra-source duplication (a crawler revisiting
+# pages) is curated differently from cross-source overlap (two dumps of the
+# same site — or an eval set leaking into a training source). This rolls the
+# near-dup pair set up to an (source_a, source_b) matrix. Scale shape: the
+# pair set is already LSH-bounded and bucket-capped; labeling it is two hash
+# joins against the NARROW (doc_id, source) projection, and the result is at
+# most n_sources² rows — a KB-sized report at any corpus size.
+
+_CROSS_SOURCE_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+lab AS (SELECT doc_id, source FROM documents),
+sided AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM pairs p
+  JOIN lab a ON p.doc_id_1 = a.doc_id
+  JOIN lab b ON p.doc_id_2 = b.doc_id
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (source_a = source_b) AS intra_source
+FROM sided
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+def cross_source_matrix(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs, intra_source) near-dup counts by
+    unordered source pair, from a (doc_id_1, doc_id_2) pair frame and the
+    (doc_id, source) labels in ``docs`` — the contamination report that
+    tells intra-source crawler dups apart from cross-dump overlap."""
+    lab = docs.select("doc_id", "source")
+    labeled = (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(lab.withColumnsRenamed({"doc_id": "doc_id_1", "source": "s1"}), "doc_id_1")
+        .join(lab.withColumnsRenamed({"doc_id": "doc_id_2", "source": "s2"}), "doc_id_2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("intra_source", F.col("source_a") == F.col("source_b"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL, defer=True)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup contamination matrix over the documents corpus: MinHash/LSH
+    pairs rolled up by (source_a, source_b)."""
+    caches: list = []
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, _caches=caches, _sorted=False)
+    out = cross_source_matrix(pairs, docs)
+    return _materialized(out, caches, order=["source_a", "source_b"])
+
+
 # --- Incremental MinHash index: dedup a NEW batch against a stored corpus --
 #
 # The batch pipelines above recompute signatures over the whole corpus every

@@ -227,3 +227,104 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) — the relevance-scoring primitive a corpus search / quality
     pipeline runs at full scale."""
     return bm25_topk(_docs(spark, sf_dir))
+
+
+# --- Hybrid ranking: reciprocal-rank fusion --------------------------------
+#
+# Production retrieval fuses several rankers (lexical relevance, fluency /
+# quality, embedding similarity) without calibrating their incomparable
+# score scales; reciprocal-rank fusion (RRF, Cormack et al. 2009) is the
+# standard scale-free combiner: score(d) = Σ_legs 1/(C + rank_leg(d)).
+# Scale shape: each leg is an independently-optimized top-k query (both
+# legs here cut to k rows via TakeOrderedAndProject), so the rank windows
+# and the fusion join touch only O(legs × k) rows — the corpus is scanned
+# once per leg and never joined against itself. Ranks are INTEGERS, so
+# cross-engine parity needs no float discipline beyond the fixed two-term
+# sum and a defensive 6-dp round of 1/(C+r).
+
+_RRF_C = 60  # the standard RRF damping constant
+_RRF_K = 30  # fused result size
+
+
+def _rrf_sql(terms: tuple[str, ...], k: int) -> str:
+    # legs re-rank their own top-k output by the leg's (score, doc_id)
+    # order, so rank values are independent of result-set row order
+    from .text import _LM_SQL
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ({_bm25_sql(terms, k)})
+),
+lm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS r
+  FROM (SELECT doc_id, avg_logprob FROM ({_LM_SQL})
+        ORDER BY avg_logprob DESC, doc_id LIMIT {k})
+)
+SELECT COALESCE(bm.doc_id, lm.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({_RRF_C} + bm.r), 0.0)
+             + COALESCE(1.0 / ({_RRF_C} + lm.r), 0.0), 6) AS rrf,
+       CAST(bm.r AS BIGINT) AS bm25_rank,
+       CAST(lm.r AS BIGINT) AS fluency_rank
+FROM bm FULL OUTER JOIN lm ON bm.doc_id = lm.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_K}
+"""
+
+
+def _ranked(leg: DataFrame, score: str, alias: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # global window over the leg's k rows only — the top-k cut has already
+    # happened upstream, so the single partition holds k rows, not the corpus
+    w = Window.orderBy(F.desc(score), F.asc("doc_id"))
+    return leg.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias(alias)
+    )
+
+
+def rrf_fuse(
+    legs: list[tuple[DataFrame, str, str]], k: int = _RRF_K, c: int = _RRF_C
+) -> DataFrame:
+    """Fuse ranked legs — each (top-k frame, score column, rank alias) —
+    by reciprocal-rank fusion. Returns (doc_id, rrf, <rank aliases...>);
+    a doc missing from a leg contributes 0 and carries a NULL rank."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    ranked = [_ranked(df, score, alias) for df, score, alias in legs]
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(r, "doc_id", "full_outer")
+    score_col = None
+    for _, _, alias in legs:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(alias)), F.lit(0.0)
+        )
+        score_col = term if score_col is None else score_col + term
+    return (
+        fused.select(
+            "doc_id",
+            F.round(score_col, 6).alias("rrf"),
+            *[alias for _, _, alias in legs],
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@query("retrieval_rrf_hybrid", oracle=_rrf_sql(_BM25_TERMS, _BM25_K), defer=True)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware hybrid retrieval: fuse the BM25 relevance top-50 with
+    the unigram-LM fluency top-50 by reciprocal-rank fusion and keep the
+    30 best — the scale-free multi-ranker combiner a corpus search runs."""
+    from .text import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    bm = bm25_topk(docs)
+    lm = (
+        unigram_logprob(docs)
+        .select("doc_id", "avg_logprob")
+        .orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+    return rrf_fuse([(bm, "bm25", "bm25_rank"), (lm, "avg_logprob", "fluency_rank")])

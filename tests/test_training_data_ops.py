@@ -1233,3 +1233,77 @@ def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
     # hash sharding balances: no shard is more than 3x the smallest
     sizes = [len(v) for v in by_shard.values()]
     assert max(sizes) <= 3 * min(sizes), sizes
+
+
+def test_rrf_fusion_rewards_docs_in_both_legs(spark):
+    """retrieval_rrf_hybrid: a doc ranked in both legs outscores a doc of
+    equal single-leg rank; docs from one leg carry a NULL rank for the
+    other; scores are the exact 1/(C+r) sums."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.retrieval import (
+        _RRF_C,
+        retrieval_rrf_hybrid,
+        rrf_fuse,
+    )
+
+    out = retrieval_rrf_hybrid(spark, SF_DIR).collect()
+    assert 0 < len(out) <= 30
+    for r in out:
+        want = sum(
+            1.0 / (_RRF_C + rank)
+            for rank in (r["bm25_rank"], r["fluency_rank"])
+            if rank is not None
+        )
+        assert abs(r["rrf"] - want) < 1e-6, r
+    scores = [r["rrf"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    both = [r for r in out if r["bm25_rank"] and r["fluency_rank"]]
+    single = [r for r in out if (r["bm25_rank"] is None) != (r["fluency_rank"] is None)]
+    if both and single:
+        # the best dual-leg doc beats any single-leg doc of rank >= its max
+        b = min(both, key=lambda r: max(r["bm25_rank"], r["fluency_rank"]))
+        worst_rank = max(b["bm25_rank"], b["fluency_rank"])
+        for s in single:
+            s_rank = s["bm25_rank"] or s["fluency_rank"]
+            if s_rank >= worst_rank:
+                assert b["rrf"] > s["rrf"]
+
+    # planted: two one-column legs with a controlled overlap
+    a = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s1 double")
+    b = spark.createDataFrame([(2, 5.0), (4, 3.0)], "doc_id long, s2 double")
+    fused = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([(a, "s1", "r1"), (b, "s2", "r2")], k=10).collect()
+    }
+    c = _RRF_C
+    assert abs(fused[2] - round(1 / (c + 2) + 1 / (c + 1), 6)) < 1e-9
+    assert abs(fused[1] - round(1 / (c + 1), 6)) < 1e-9
+    assert abs(fused[4] - round(1 / (c + 2), 6)) < 1e-9
+    assert fused[2] > fused[1] > fused[3]
+
+
+def test_cross_source_matrix_planted(spark):
+    """dedup_cross_source_matrix: planted near-dups roll up to the right
+    (source_a, source_b) cells with intra/cross flags."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        cross_source_matrix,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "doc_id_1 long, doc_id_2 long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "crawlA"), (2, "crawlA"), (3, "crawlB"), (4, "crawlB"),
+         (5, "crawlA"), (6, "crawlC"), (7, "crawlC")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["intra_source"])
+        for r in cross_source_matrix(pairs, docs).collect()
+    }
+    assert got == {
+        ("crawlA", "crawlA"): (1, True),   # 1-2
+        ("crawlA", "crawlB"): (2, False),  # 1-3, 4-5 (order-normalized)
+        ("crawlC", "crawlC"): (1, True),   # 6-7
+    }, got
