@@ -243,3 +243,51 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-3 deterministic shuffle of the documents corpus into 8
     shards — the reproducible data-order a trainer replays per epoch."""
     return epoch_shuffle(_docs(spark, sf_dir), epoch=_EPOCH)
+
+
+# --- Stratified evaluation sample ------------------------------------------
+
+_EVAL_PER_STRATUM = 20  # docs sampled per language
+
+_STRAT_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rank_in_stratum
+FROM ranked
+WHERE rk <= {_EVAL_PER_STRATUM}
+ORDER BY lang, rank_in_stratum
+"""
+
+
+def stratified_sample(
+    docs: DataFrame, per_stratum: int = _EVAL_PER_STRATUM, stratum: str = "lang"
+) -> DataFrame:
+    """Exactly ``per_stratum`` documents per ``stratum`` (fewer if the
+    stratum is smaller), chosen by md5 hash order — a deterministic,
+    engine-portable simple random sample per group, the balanced draw an
+    eval or annotation batch needs regardless of corpus skew. Same
+    WindowGroupLimit shape as the source cap: every map task pre-trims its
+    slice of each stratum to ``per_stratum`` rows before the exchange, so
+    a dominant language never concentrates on one reducer."""
+    if per_stratum <= 0:
+        raise ValueError("per_stratum must be positive")
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", stratum)
+        .withColumn("rank_in_stratum", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_stratum") <= per_stratum)
+        .orderBy(stratum, "rank_in_stratum")
+    )
+
+
+@query("eval_stratified_sample", oracle=_STRAT_SAMPLE_SQL, defer=True)
+def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced evaluation draw: 20 deterministic docs per
+    language, independent of how skewed the corpus mix is."""
+    return stratified_sample(_docs(spark, sf_dir))

@@ -1068,6 +1068,100 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized(out, caches, order=["source_a", "source_b"])
 
 
+# --- Leakage-free train/val/test split -------------------------------------
+#
+# Splitting a corpus doc-by-doc leaks: two near-duplicate documents can land
+# in train and test, and the model is then evaluated on (a paraphrase of)
+# its own training data. The leakage-free rule assigns the SPLIT TO THE
+# NEAR-DUP COMPONENT, not the document — every member of a component shares
+# its fate. Group id = the component's min doc_id (singletons group as
+# themselves); the split decision is the same md5-derived uniform used by
+# mix_resample/sample_hash_split, applied to the GROUP id — a pure row
+# function once components are known, so the only scale cost beyond the
+# (already-bounded) pair pipeline is the component propagation itself.
+
+_SPLIT_TRAIN_FRAC = 0.8  # u < 0.8          -> train
+_SPLIT_VAL_FRAC = 0.9    # 0.8 <= u < 0.9   -> val; else test
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+uni AS (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST({1 << 52} AS DOUBLE) AS u
+  FROM grouped
+)
+SELECT doc_id, group_id,
+       CASE WHEN u < {_SPLIT_TRAIN_FRAC} THEN 'train'
+            WHEN u < {_SPLIT_VAL_FRAC} THEN 'val'
+            ELSE 'test' END AS split
+FROM uni
+ORDER BY doc_id
+"""
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_frac: float = _SPLIT_TRAIN_FRAC,
+    val_frac: float = _SPLIT_VAL_FRAC,
+) -> DataFrame:
+    """(doc_id, group_id, split): train/val/test assignment where every
+    member of a near-dup component (edge list ``pairs``) shares a split.
+    group_id is the component's min doc_id (or the doc's own id for
+    singletons); membership is the engine-portable md5 uniform of the
+    GROUP id against the two fraction cut points."""
+    comp = connected_components(pairs).select("doc_id", "component_id")
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").cast("bigint").alias("group_id"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("group_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 52))
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(u < train_frac, "train")
+        .when(u < val_frac, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@query("split_leakage_free", oracle=_LEAKAGE_SPLIT_SQL, defer=True)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free corpus split: near-dup components (MinHash/LSH pairs,
+    transitively closed) move into train/val/test as units, so no test doc
+    has a near-duplicate in train."""
+    caches: list = []
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, _caches=caches, _sorted=False)
+    out = leakage_free_split(docs, pairs)
+    return _materialized(out, caches, order=["doc_id"])
+
+
 # --- Incremental MinHash index: dedup a NEW batch against a stored corpus --
 #
 # The batch pipelines above recompute signatures over the whole corpus every

@@ -1307,3 +1307,52 @@ def test_cross_source_matrix_planted(spark):
         ("crawlA", "crawlB"): (2, False),  # 1-3, 4-5 (order-normalized)
         ("crawlC", "crawlC"): (1, True),   # 6-7
     }, got
+
+
+def test_leakage_free_split_components_share_fate(spark):
+    """split_leakage_free: every near-dup component lands in ONE split;
+    singletons split independently; fractions are near 80/10/10."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        leakage_free_split,
+    )
+
+    # planted: components {1,2,3} (chain) and {10,11}; 20..119 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_1 long, doc_id_2 long"
+    )
+    docs = spark.range(20, 120).select(F.col("id").alias("doc_id")).unionAll(
+        spark.createDataFrame([(1,), (2,), (3,), (10,), (11,)], "doc_id long")
+    )
+    out = {r["doc_id"]: r for r in leakage_free_split(docs, pairs).collect()}
+    assert len(out) == 105
+    assert {out[i]["group_id"] for i in (1, 2, 3)} == {1}
+    assert {out[i]["split"] for i in (1, 2, 3)} == {out[1]["split"]}
+    assert {out[i]["group_id"] for i in (10, 11)} == {10}
+    assert out[10]["split"] == out[11]["split"]
+    assert out[50]["group_id"] == 50
+    splits = [r["split"] for r in out.values()]
+    assert 0.6 < splits.count("train") / len(splits) < 0.95
+    assert set(splits) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_balanced_per_lang(spark):
+    """eval_stratified_sample: exactly per_stratum docs per language (the
+    testdata has >20 docs of each), contiguous ranks, deterministic."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.composition import (
+        _EVAL_PER_STRATUM,
+        eval_stratified_sample,
+    )
+
+    a = eval_stratified_sample(spark, SF_DIR).collect()
+    b = eval_stratified_sample(spark, SF_DIR).collect()
+    assert a == b
+    by_lang: dict = {}
+    for r in a:
+        by_lang.setdefault(r["lang"], []).append(r["rank_in_stratum"])
+    assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, _EVAL_PER_STRATUM + 1))
