@@ -486,3 +486,93 @@ def etl_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").alias("cnt"),
     )
     return wm.unionByName(dist).unionByName(having).orderBy("leg", "k1", "label")
+
+
+# --- Snapshot diff / reconciliation ----------------------------------------
+#
+# Auditing an incremental load (SCD rewrite, MERGE fallback, replicated
+# copy) needs the DIFF of two table versions by business key: which rows
+# appeared, vanished, or changed. Scale shape: ONE null-safe full-outer
+# equi-join on the key — Catalyst shuffles both sides by o_orderkey once;
+# on bucketed layouts (pkg/warehouse/bucketing.py) the exchange disappears
+# entirely. Row equality uses eqNullSafe / IS NOT DISTINCT FROM so NULL
+# transitions (value -> NULL, NULL -> value) count as changes instead of
+# vanishing into three-valued logic. The demo derives both snapshots
+# deterministically from `orders` (mod-97 keys missing from the old
+# snapshot = added; mod-89 prices perturbed = changed; mod-101 keys
+# missing from the new snapshot = removed), so the oracle replays the
+# exact construction.
+
+_DIFF_ADD_MOD = 97   # keys absent from OLD  -> status 'added'
+_DIFF_CHG_MOD = 89   # prices perturbed in OLD -> status 'changed'
+_DIFF_DEL_MOD = 101  # keys absent from NEW  -> status 'removed'
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_DIFF_CHG_MOD} = 0
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % {_DIFF_ADD_MOD} <> 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+ORDER BY o_orderkey
+"""
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """(key, status): rows 'added' (new only), 'removed' (old only), or
+    'changed' (present in both with any compare column null-safely
+    different). Unchanged rows are dropped. One key-partitioned full-outer
+    join; zero-exchange on bucketed inputs."""
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    changed = None
+    for c in compare_cols:
+        term = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = term if changed is None else changed | term
+    ok, nk = F.col(f"o.{key}"), F.col(f"n.{key}")
+    return (
+        o.join(n, ok == nk, "full_outer")
+        .select(
+            F.coalesce(ok, nk).alias(key),
+            F.when(ok.isNull(), "added")
+            .when(nk.isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            (ok.isNull() | nk.isNull() | changed).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+        .orderBy(key)
+    )
+
+
+@query("etl_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL, defer=True)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between two deterministic snapshots of orders:
+    the added/removed/changed audit an incremental load publishes."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % _DIFF_ADD_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _DIFF_CHG_MOD == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 0)
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])

@@ -50,3 +50,37 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+_ATTRIB_HORIZON_HOURS = 24  # the testdata's user/ts density needs a day-scale window
+
+_ATTRIB_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       v.event_id AS view_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {_ATTRIB_HORIZON_HOURS} HOUR
+ORDER BY purchase_id, view_id
+"""
+
+
+@query("stream_purchase_attribution", oracle=_ATTRIB_SQL, defer=True)
+def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution within a 24-hour horizon — the batch twin
+    of the stream-stream interval join (``jobs.attribute_purchases``),
+    which the replay test proves bit-equal under availableNow triggers."""
+    from .jobs import attribute_purchases
+
+    events = _t(spark, sf_dir, "events")
+    return attribute_purchases(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=_ATTRIB_HORIZON_HOURS * 60,
+    ).orderBy("purchase_id", "view_id")

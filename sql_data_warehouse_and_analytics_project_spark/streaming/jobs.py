@@ -154,6 +154,54 @@ def enrich_events_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def attribute_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Stream–stream interval join: each purchase attributed to every view
+    by the same user within the preceding ``horizon_minutes`` — the
+    conversion-attribution query, and the one streaming join shape the
+    stream–static enrichment cannot express (BOTH sides arrive late).
+
+    State-bound discipline: both sides carry an event-time watermark and
+    the join condition is a closed time range anchored on the view side, so
+    Spark derives a state-eviction bound for BOTH buffers — view state
+    lives ``watermark + horizon``, purchase state ``watermark`` — instead
+    of growing forever. At scale the join shuffles both streams once by
+    user_id (the equi-key); the time-range residual is evaluated inside
+    the co-partition, and hot users are bounded by the horizon window, not
+    the stream's lifetime."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return v.join(p, cond).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 # -------------------------------------------- custom stateful operator (C1')
 
 _STATE_SCHEMA = "total_events bigint, total_value double, last_ts timestamp"

@@ -447,3 +447,57 @@ def test_stream_neardedup_across_batches(spark, tmp_path):
     in_any = {d for p in truth for d in p}
     missing = ({r["doc_id"] for r in docs.collect()} - in_any) - kept
     assert not missing, f"non-duplicate docs were dropped: {sorted(missing)[:10]}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """attribute_purchases: the stream-stream interval join over replayed
+    file batches produces exactly the rows of the batch interval join, and
+    the planted corpus pins the matching rules — in-horizon purchase
+    matches, out-of-horizon and pre-view purchases don't, cross-user never,
+    one purchase can attribute to several views. The two sides arrive as
+    SEPARATE file batches (views first, purchases a batch later), the
+    arrival asymmetry only a stream-stream join survives."""
+    from datetime import datetime as dt
+
+    input_dir = str(tmp_path / "input")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, minute, user, etype):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, 1.0, "{}")
+
+    views = [ev(1, 0, 7, "view"), ev(2, 30, 7, "view"), ev(3, 0, 8, "view")]
+    purchases = [
+        ev(10, 45, 7, "purchase"),   # matches views 1 (45m) and 2 (15m)
+        ev(11, 90, 7, "purchase"),   # matches view 2 only (view 1 is 90m back)
+        ev(12, 200, 8, "purchase"),  # out of horizon for view 3
+        ev(13, 10, 9, "purchase"),   # user with no view
+    ]
+    spark.createDataFrame(views, schema=jobs.EVENTS_SCHEMA).write.mode(
+        "append"
+    ).parquet(input_dir)
+    spark.createDataFrame(purchases, schema=jobs.EVENTS_SCHEMA).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    stream = jobs.read_events_stream(spark, input_dir, max_files_per_trigger=1)
+    jobs.run_available_now(
+        jobs.attribute_purchases(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+        "attrib_t1",
+        ckpt,
+    )
+    got = spark.sql("SELECT * FROM attrib_t1")
+    batch = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(input_dir)
+    expected = jobs.attribute_purchases(
+        batch.filter(F.col("event_type") == "view"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    assert _rows(got) == _rows(expected)
+    pairs = {(r["purchase_id"], r["view_id"]) for r in got.collect()}
+    assert pairs == {(10, 1), (10, 2), (11, 2)}, pairs
+    for r in got.collect():
+        delta = (r["purchase_ts"] - r["view_ts"]).total_seconds()
+        assert 0 <= delta <= 3600

@@ -541,3 +541,36 @@ def test_rbac_secure_read_and_access_audit(wh):
         for r in ctx.catalog.read(ACCESS_LOG).collect()
     }
     assert ("USUser", 1) in log and ("GlobalManager", 1) in log and ("intruder", 0) in log
+
+
+def test_snapshot_diff_planted_statuses(spark):
+    """etl_snapshot_diff's core: added/removed/changed classification with
+    null-safe compares — a value→NULL transition counts as changed, and
+    unchanged rows (including NULL == NULL) are dropped."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.etl_queries import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, None)],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 21.0, "B"), (3, None, "C"), (4, None, None), (5, 50.0, "E")],
+        "k long, price double, status string",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", ["price", "status"]).collect()
+    }
+    # k=1 unchanged (dropped), k=3 NULL==NULL unchanged (dropped)
+    assert got == {2: "changed", 4: "changed", 5: "added"}, got
+
+    removed = snapshot_diff(new, old, "k", ["price", "status"]).collect()
+    assert {r["k"]: r["status"] for r in removed} == {
+        2: "changed",
+        4: "changed",
+        5: "removed",
+    }
