@@ -55,11 +55,6 @@ _KEEP_HI = 8
 _EPOCH = 3  # registry demo epoch
 _EPOCH_SHARDS = 8
 
-# 13 md5 hex chars -> uniform in [0, 1): 16^13 = 2^52 < 2^53 so the
-# int -> double division is exact in both engines (shared with packing).
-_TWO_52 = float(1 << 52)
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.load(spark, sf_dir, "documents")
 
@@ -178,14 +173,6 @@ def quality_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Deterministic epoch shuffle -------------------------------------------
-
-
-def _uniform_sql(key: str) -> str:
-    return (
-        f"('0x' || substr(md5({key}), 1, 13))::BIGINT"
-        f" / CAST({1 << 52} AS DOUBLE)"
-    )
-
 
 _EPOCH_SQL = f"""
 WITH keyed AS (

@@ -73,6 +73,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         text,
     )
     from .streaming import batch_views  # noqa: F401
+    from .warehouse import incremental  # noqa: F401
 
     # Ordering contract (the driver caps its correctness file at 50 entries
     # in registration order): non-deferred oracle-backed queries first —
