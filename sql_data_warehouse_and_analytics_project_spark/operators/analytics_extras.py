@@ -422,3 +422,73 @@ def olap_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+# --- Numeric profiling: fixed-width histogram -------------------------------
+#
+# The profiling report a data platform publishes per numeric column. The
+# naive distribution shape (ntile over a global ORDER BY value) is a
+# single-partition corpus sort; the scale shape is the threshold-join
+# pattern: ONE (min, max) aggregate row broadcasts back and every row bins
+# itself with pure arithmetic — zero windows, one partial-agg count. The
+# bin expression (floor((v - lo) / step), clamped) runs the identical IEEE
+# double ops in both engines, so assignments are engine-exact.
+
+_HIST_BINS = 10
+
+_HISTOGRAM_SQL = f"""
+WITH mm AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT event_type,
+         least({_HIST_BINS - 1},
+               CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS}.0)) AS BIGINT)) AS bin,
+         lo, ((hi - lo) / {_HIST_BINS}.0) AS step
+  FROM events CROSS JOIN mm
+  WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(bin AS BIGINT) AS bin,
+       ROUND(lo + bin * step, 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM binned
+GROUP BY event_type, bin, lo, step
+ORDER BY event_type, bin
+"""
+
+
+def value_histogram(
+    df: DataFrame, group: str, measure: str, bins: int = _HIST_BINS
+) -> DataFrame:
+    """(group, bin, bin_lo, n): fixed-width histogram of ``measure`` per
+    ``group`` over the global [min, max] range — one broadcast min/max row,
+    arithmetic binning, one counting groupBy; no window, no sort of data
+    rows (the output order-by touches group×bins rows)."""
+    m = F.col(measure)
+    mm = F.broadcast(
+        df.filter(m.isNotNull()).agg(F.min(m).alias("lo"), F.max(m).alias("hi"))
+    )
+    step = (F.col("hi") - F.col("lo")) / float(bins)
+    bin_col = F.least(
+        F.lit(bins - 1), F.floor((m - F.col("lo")) / step).cast("bigint")
+    )
+    return (
+        df.filter(m.isNotNull())
+        .crossJoin(mm)
+        .select(
+            group,
+            bin_col.alias("bin"),
+            F.round(F.col("lo") + bin_col * step, 6).alias("bin_lo"),
+        )
+        .groupBy(group, "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(group, "bin")
+    )
+
+
+@query("events_value_histogram", oracle=_HISTOGRAM_SQL, defer=True)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of event value per event type — the
+    numeric-column profile of the data-card family."""
+    return value_histogram(_t(spark, sf_dir, "events"), "event_type", "value")

@@ -31,12 +31,20 @@ def export_training_shards(
     sf_dir: str,
     out_path: str,
     budget: int = _PACK_BUDGET,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Curate the ``documents`` table at ``sf_dir``, pack the surviving
     train-split docs into token-budget chunks on auto-sized hash lanes,
     and write them under ``<out_path>/shards/shard=N/`` with a manifest.
     Returns the manifest frame (shard, n_docs, n_chunks, n_tokens),
-    materialized before return so it reflects what was actually written."""
+    materialized before return so it reflects what was actually written.
+    ``fmt="jsonl"`` writes the shards as JSON-lines files instead of
+    parquet — the wire format most training loaders stream directly — with
+    the same layout and the manifest (always parquet) reconciling against
+    the re-read JSONL, so a schema drift between writer and loader fails
+    here, not in the trainer."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported shard format {fmt!r}")
     curated, _report = curate_documents(spark, sf_dir)
     train = curated.filter(F.col("split") == "train").select("doc_id", "lang", "text")
     packed = pack_sequences(train, budget=budget).withColumnRenamed("bucket", "shard")
@@ -44,9 +52,18 @@ def export_training_shards(
         train.join(packed, "doc_id")
         .select("doc_id", "lang", "text", "shard", "chunk_id", "n_bpe_tokens")
     )
-    rows.write.mode("overwrite").partitionBy("shard").parquet(f"{out_path}/shards")
+    writer = rows.write.mode("overwrite").partitionBy("shard")
+    if fmt == "jsonl":
+        writer.json(f"{out_path}/shards")
+        shards = spark.read.schema(
+            "doc_id bigint, lang string, text string, chunk_id bigint,"
+            " n_bpe_tokens bigint, shard int"
+        ).json(f"{out_path}/shards")
+    else:
+        writer.parquet(f"{out_path}/shards")
+        shards = spark.read.parquet(f"{out_path}/shards")
     manifest = (
-        spark.read.parquet(f"{out_path}/shards")
+        shards
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -1413,3 +1413,63 @@ def test_knn_join_exact_and_ivf_recall(spark):
         )
         cosines = [r["cosine"] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_export_training_shards_jsonl_equals_parquet(spark, tmp_path):
+    """export_training_shards(fmt='jsonl'): the JSON-lines layout carries
+    exactly the parquet export's rows (same manifest, same doc set), and
+    the files are genuine one-object-per-line JSON."""
+    import json
+    import glob
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.training_export import (
+        export_training_shards,
+    )
+
+    pq = str(tmp_path / "pq")
+    jl = str(tmp_path / "jl")
+    m_pq = {tuple(r) for r in export_training_shards(spark, SF_DIR, pq).collect()}
+    m_jl = {tuple(r) for r in export_training_shards(spark, SF_DIR, jl, fmt="jsonl").collect()}
+    assert m_pq == m_jl and len(m_pq) > 0
+
+    files = glob.glob(f"{jl}/shards/shard=*/part-*")
+    assert files
+    with open(files[0]) as f:
+        first = f.readline()
+    row = json.loads(first)
+    assert {"doc_id", "lang", "text", "chunk_id", "n_bpe_tokens"} <= set(row)
+
+    pq_ids = {
+        (r["doc_id"], r["chunk_id"])
+        for r in spark.read.parquet(f"{pq}/shards").collect()
+    }
+    jl_ids = {
+        (r["doc_id"], r["chunk_id"])
+        for r in spark.read.schema(
+            "doc_id bigint, lang string, text string, chunk_id bigint,"
+            " n_bpe_tokens bigint, shard int"
+        ).json(f"{jl}/shards").collect()
+    }
+    assert pq_ids == jl_ids
+
+
+def test_value_histogram_bins_and_clamp(spark):
+    """value_histogram: widths are uniform, the global max lands in the
+    LAST bin (clamped, not bin 10), and counts reconcile."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.analytics_extras import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(0, 101)] + [("b", 100.0), ("b", 0.0)],
+        "g string, v double",
+    )
+    out = value_histogram(df, "g", "v", bins=10).collect()
+    assert sum(r["n"] for r in out) == 103
+    maxbin = [r for r in out if r["g"] == "b" and r["bin"] == 9]
+    assert len(maxbin) == 1 and maxbin[0]["n"] == 1  # v=100.0 clamped into bin 9
+    a_bins = {r["bin"]: r["n"] for r in out if r["g"] == "a"}
+    assert set(a_bins) == set(range(10))
+    assert a_bins[9] == 11  # 90..100 inclusive: clamp folds the max in
+    los = sorted(r["bin_lo"] for r in out if r["g"] == "a")
+    assert los == [float(x) for x in range(0, 100, 10)]
