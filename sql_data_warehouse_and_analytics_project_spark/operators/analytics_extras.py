@@ -492,3 +492,85 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 10-bin histogram of event value per event type — the
     numeric-column profile of the data-card family."""
     return value_histogram(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+# --- Per-user outlier detection (z-score via exact moments) ------------------
+#
+# Outlier flagging against a per-group baseline normally reaches for
+# stddev() — but a distributed float stddev folds partition-ordered sums,
+# so the result (and any threshold decision near the boundary) is not
+# reproducible across engines or even runs. The exact-moments trick: the
+# per-group count / sum / sum-of-squares accumulate as DECIMALS (exact,
+# order-independent), the float math (mean, variance, sqrt, z) runs on
+# those identical inputs — so every z-score is bit-reproducible. Shape:
+# one partial-agg groupBy to a KB-sized per-user moment frame, broadcast
+# back; no window touches data rows.
+
+_Z_MIN_EVENTS = 5
+_Z_THRESHOLD = 2.5
+
+_ZSCORE_SQL = f"""
+WITH mom AS (
+  SELECT user_id,
+         CAST(COUNT(value) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+st AS (
+  SELECT user_id,
+         s1 / n AS mean,
+         sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n))) AS std
+  FROM mom WHERE n >= {_Z_MIN_EVENTS}
+)
+SELECT e.event_id, e.user_id, e.value,
+       ROUND((e.value - st.mean) / st.std, 6) AS zscore
+FROM events e JOIN st ON e.user_id = st.user_id
+WHERE e.value IS NOT NULL AND st.std > 0
+  AND abs((e.value - st.mean) / st.std) >= {_Z_THRESHOLD}
+ORDER BY e.event_id
+"""
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group: str,
+    measure: str,
+    min_rows: int = _Z_MIN_EVENTS,
+    threshold: float = _Z_THRESHOLD,
+) -> DataFrame:
+    """Rows whose ``measure`` sits ≥ ``threshold`` standard deviations from
+    their ``group`` mean, with bit-reproducible z-scores (see module note
+    on the exact-moments discipline)."""
+    m = F.col(measure)
+    rows = df.filter(m.isNotNull())
+    mom = rows.groupBy(group).agg(
+        F.count(measure).cast("bigint").alias("n"),
+        F.sum(m.cast("decimal(28,8)")).cast("double").alias("s1"),
+        F.sum((m * m).cast("decimal(38,8)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    st = (
+        mom.filter(F.col("n") >= min_rows)
+        .select(
+            group,
+            mean.alias("mean"),
+            F.sqrt(F.greatest(F.lit(0.0), F.col("s2") / F.col("n") - mean * mean)).alias(
+                "std"
+            ),
+        )
+    )
+    z = (m - F.col("mean")) / F.col("std")
+    return (
+        rows.join(F.broadcast(st), group)
+        .filter((F.col("std") > 0) & (F.abs(z) >= threshold))
+        .select("event_id", group, measure, F.round(z, 6).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+@query("events_zscore_outliers", oracle=_ZSCORE_SQL, defer=True)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is ≥ 2.5 σ from the user's own mean — per-entity
+    anomaly flagging with engine-exact scores."""
+    return zscore_outliers(_t(spark, sf_dir, "events"), "user_id", "value")

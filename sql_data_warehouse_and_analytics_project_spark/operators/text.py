@@ -902,3 +902,48 @@ def corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data-card: per-language composition and token-length
     distribution — the first report any training-data pipeline publishes."""
     return corpus_profile(_docs(spark, sf_dir))
+
+
+# --- Lang-id evaluation: confusion matrix -----------------------------------
+#
+# Any classifier in the curation path (language ID here; quality or safety
+# models in production) ships with its evaluation: the confusion matrix
+# against labels. Scale shape: the classifier is a pure projection; the
+# matrix is one partial-agg groupBy to ≤ |langs|² rows, and the per-actual
+# share window runs over those aggregated rows only — never corpus rows.
+
+_CONFUSION_SQL = f"""
+WITH preds AS ({_LANG_ID_SQL})
+SELECT actual_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY actual_lang) AS DOUBLE)
+         AS share_of_actual
+FROM preds
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+"""
+
+
+def lang_confusion(preds: DataFrame) -> DataFrame:
+    """(actual_lang, predicted_lang, n, share_of_actual) over a frame with
+    actual/predicted columns — the per-class evaluation report."""
+    from pyspark.sql import Window
+
+    counts = preds.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("actual_lang")
+    ).cast("double")
+    return counts.withColumn("share_of_actual", share).orderBy(
+        "actual_lang", "predicted_lang"
+    )
+
+
+@query("text_lang_confusion", oracle=_CONFUSION_SQL, defer=True)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-voting language identifier against
+    the labeled lang column — the classifier-eval surface of the curation
+    pipeline."""
+    return lang_confusion(text_lang_id(spark, sf_dir))

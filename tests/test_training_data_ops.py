@@ -1473,3 +1473,42 @@ def test_value_histogram_bins_and_clamp(spark):
     assert a_bins[9] == 11  # 90..100 inclusive: clamp folds the max in
     los = sorted(r["bin_lo"] for r in out if r["g"] == "a")
     assert los == [float(x) for x in range(0, 100, 10)]
+
+
+def test_zscore_outliers_planted(spark):
+    """zscore_outliers: a planted spike is flagged with the right score, a
+    tight group yields none, and sub-minimum groups are skipped."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.analytics_extras import (
+        zscore_outliers,
+    )
+
+    rows = (
+        [(i, 1, 10.0) for i in range(9)]
+        + [(9, 1, 100.0)]                      # spike for user 1
+        + [(i, 2, float(50 + i % 3)) for i in range(10, 20)]  # tight user 2
+        + [(100, 3, 0.0), (101, 3, 9999.0)]    # user 3: only 2 rows -> skipped
+    )
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = zscore_outliers(df, "user_id", "value", min_rows=5, threshold=2.5)
+    got = out.collect()
+    assert [(r["event_id"], r["user_id"]) for r in got] == [(9, 1)]
+    assert got[0]["zscore"] > 2.5
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    """text_lang_confusion: per-actual shares sum to 1 and counts cover the
+    corpus."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        text_lang_confusion,
+    )
+
+    out = text_lang_confusion(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in out) == 500
+    by_actual: dict = {}
+    for r in out:
+        by_actual.setdefault(r["actual_lang"], 0.0)
+        by_actual[r["actual_lang"]] += r["share_of_actual"]
+    for lang, s in by_actual.items():
+        assert abs(s - 1.0) < 1e-9, (lang, s)
