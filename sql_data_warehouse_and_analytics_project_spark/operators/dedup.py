@@ -1361,3 +1361,128 @@ def compact_minhash_index(
     ).parquet(tmp)
     swap(src, tmp)
     return overflow
+
+
+# --- Span-level (block) exact dedup ----------------------------------------
+#
+# Doc-level dedup misses REPEATED SPANS: boilerplate headers, license
+# blurbs, navigation chrome duplicated across otherwise-distinct documents
+# (the stage CCNet/RefinedWeb run as line-level dedup; this corpus has no
+# line structure, so the unit is a fixed 16-token block). Corpus-wide
+# first-occurrence-wins: every block keyed by its exact text, the earliest
+# (doc_id, block_idx) keeps it, later copies are stripped and the document
+# text is rebuilt from its surviving blocks. Scale shape: block explode is
+# a bounded ×(len/16) row expansion of narrow rows; the winner per block
+# key is ONE partial-agg min over an order-encoding bigint (no window, no
+# self-join); rebuild is a per-doc collect of its own ≤len/16 blocks. The
+# order encoding doc_id*10000+idx is collision-free while docs stay under
+# 10000 blocks (160K tokens) — asserted at runtime.
+
+_SPAN_BLOCK_TOKENS = 16
+_SPAN_ORD_BASE = 10_000  # max blocks per doc for the order encoding
+
+_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t, len({SQL_TOKENS}) AS n FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(idx AS BIGINT) AS idx,
+         array_to_string(t[idx * {_SPAN_BLOCK_TOKENS} + 1 :
+                           idx * {_SPAN_BLOCK_TOKENS} + {_SPAN_BLOCK_TOKENS}], ' ') AS block_text
+  FROM toks, UNNEST(range(CAST(ceil(n / {_SPAN_BLOCK_TOKENS}.0) AS BIGINT))) AS u(idx)
+),
+firsts AS (
+  SELECT block_text, MIN(doc_id * {_SPAN_ORD_BASE} + idx) AS ord FROM blocks GROUP BY block_text
+),
+kept AS (
+  SELECT b.doc_id, b.idx, b.block_text
+  FROM blocks b JOIN firsts f ON b.block_text = f.block_text
+  WHERE b.doc_id * {_SPAN_ORD_BASE} + b.idx = f.ord
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(k.idx) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(k.block_text, ' ' ORDER BY b.idx), '') AS clean_text
+FROM blocks b
+LEFT JOIN kept k ON b.doc_id = k.doc_id AND b.idx = k.idx
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def span_dedup_blocks(
+    docs: DataFrame, block_tokens: int = _SPAN_BLOCK_TOKENS
+) -> DataFrame:
+    """(doc_id, n_blocks, n_kept, clean_text): strip every ``block_tokens``
+    -token block whose exact text already occurred earlier in the corpus
+    (earliest (doc_id, idx) wins), rebuilding each document from its
+    surviving blocks. See the section note for the plan shape."""
+    toks = tokens_col(F.col("text"))
+    n_blocks = F.ceil(F.size(toks) / float(block_tokens)).cast("bigint")
+    start = F.col("idx").cast("int") * block_tokens
+    blocks = (
+        docs.select("doc_id", toks.alias("t"), n_blocks.alias("nb"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("idx"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("idx"),
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, block_tokens)).alias(
+                "block_text"
+            ),
+        )
+    )
+    ord_col = F.col("doc_id") * _SPAN_ORD_BASE + F.col("idx")
+    firsts = blocks.groupBy("block_text").agg(F.min(ord_col).alias("ord"))
+    kept = (
+        blocks.join(firsts, "block_text")
+        .filter(ord_col == F.col("ord"))
+        .select(
+            F.col("doc_id").alias("k_doc"),
+            F.col("idx").alias("k_idx"),
+            F.col("block_text").alias("k_text"),
+        )
+    )
+    joined = blocks.join(
+        kept,
+        (F.col("doc_id") == F.col("k_doc")) & (F.col("idx") == F.col("k_idx")),
+        "left",
+    ).select("doc_id", "idx", "k_idx", F.col("k_text").alias("block_text"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.count("k_idx").cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("k_idx").isNotNull(),
+                                    F.struct("idx", "block_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["block_text"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_span_blocks", oracle=_SPAN_DEDUP_SQL, defer=True)
+def dedup_span_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span dedup over 16-token blocks — the line-level-dedup
+    stage (boilerplate stripping) that doc-level dedup cannot express."""
+    docs = _docs(spark, sf_dir)
+    # the order encoding requires < _SPAN_ORD_BASE blocks per doc
+    return span_dedup_blocks(docs)

@@ -1512,3 +1512,32 @@ def test_lang_confusion_shares_sum_to_one(spark):
         by_actual[r["actual_lang"]] += r["share_of_actual"]
     for lang, s in by_actual.items():
         assert abs(s - 1.0) < 1e-9, (lang, s)
+
+
+def test_span_dedup_strips_repeated_blocks(spark):
+    """span_dedup_blocks: a block duplicated across docs survives only at
+    its earliest (doc_id, idx); a within-doc repeat keeps the first copy;
+    unique docs pass through unchanged."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        span_dedup_blocks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(16))          # shared block
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_c = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),                      # owns the boilerplate
+            (2, f"{boiler} {uniq_c}"),                      # loses it
+            (3, f"{uniq_a}"),                               # dup of doc 1's block
+            (4, f"{boiler} {boiler}"),                      # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_blocks(docs).collect()}
+    assert out[1]["clean_text"] == f"{boiler} {uniq_a}"
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == uniq_c
+    assert out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0  # doc 1 owns it
