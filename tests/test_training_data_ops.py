@@ -1541,3 +1541,59 @@ def test_span_dedup_strips_repeated_blocks(spark):
     assert out[2]["n_kept"] == 1
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0  # doc 1 owns it
+
+
+def test_composition_pipeline_end_to_end(spark):
+    """The r7 composition operators chain into a coherent dataset-assembly
+    pass: source-cap → length-decile filter → leakage-free split → mix
+    resample (train only) → epoch shuffle. Each stage only ever shrinks
+    the survivor set, the final order covers exactly the final survivors,
+    and no test doc has a near-dup partner in train."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.operators.composition import (
+        cap_per_source,
+        epoch_shuffle,
+        length_decile_filter,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        mix_resample,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+    from pyspark.sql import functions as F
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    capped_ids = cap_per_source(docs, cap=20).select("doc_id")
+    s1 = docs.join(capped_ids, "doc_id")
+    n1 = s1.count()
+    assert 0 < n1 <= n0
+
+    kept_ids = length_decile_filter(s1).filter(F.col("kept")).select("doc_id")
+    s2 = s1.join(kept_ids, "doc_id")
+    n2 = s2.count()
+    assert 0 < n2 <= n1
+
+    caches: list = []
+    pairs = dedup.minhash_lsh_pairs(s2, _caches=caches, _sorted=False)
+    split = dedup.leakage_free_split(s2, pairs).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    assert split.count() == n2
+    # leakage check: no near-dup pair straddles train and a held-out split
+    sp = {r["doc_id"]: r["split"] for r in split.collect()}
+    for p in pairs.collect():
+        assert sp[p["doc_id_1"]] == sp[p["doc_id_2"]]
+
+    train = s2.join(split.filter(F.col("split") == "train"), "doc_id")
+    mixed = mix_resample(train)
+    n3 = mixed.count()
+    assert 0 < n3 <= train.count()
+
+    order = epoch_shuffle(mixed.select("doc_id"), epoch=1, n_shards=4)
+    assert order.count() == n3
+    assert sorted(r["doc_id"] for r in order.collect()) == sorted(
+        r["doc_id"] for r in mixed.collect()
+    )
