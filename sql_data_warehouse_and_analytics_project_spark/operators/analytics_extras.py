@@ -538,10 +538,12 @@ def zscore_outliers(
     measure: str,
     min_rows: int = _Z_MIN_EVENTS,
     threshold: float = _Z_THRESHOLD,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Rows whose ``measure`` sits ≥ ``threshold`` standard deviations from
     their ``group`` mean, with bit-reproducible z-scores (see module note
-    on the exact-moments discipline)."""
+    on the exact-moments discipline). ``id_col`` names the row identifier
+    carried into the output."""
     m = F.col(measure)
     rows = df.filter(m.isNotNull())
     mom = rows.groupBy(group).agg(
@@ -564,8 +566,8 @@ def zscore_outliers(
     return (
         rows.join(F.broadcast(st), group)
         .filter((F.col("std") > 0) & (F.abs(z) >= threshold))
-        .select("event_id", group, measure, F.round(z, 6).alias("zscore"))
-        .orderBy("event_id")
+        .select(id_col, group, measure, F.round(z, 6).alias("zscore"))
+        .orderBy(id_col)
     )
 
 

@@ -538,6 +538,8 @@ def snapshot_diff(
     'changed' (present in both with any compare column null-safely
     different). Unchanged rows are dropped. One key-partitioned full-outer
     join; zero-exchange on bucketed inputs."""
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
     o = old.select(key, *compare_cols).alias("o")
     n = new.select(key, *compare_cols).alias("n")
     changed = None
