@@ -539,3 +539,17 @@ def test_knn_join_plan_broadcast_and_group_limit(spark):
     assert counts["broadcast"] + counts["nested_loop"] >= 1, plan
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_span_dedup_plan_no_window(spark):
+    """dedup_span_blocks: the first-occurrence winner must stay a
+    partial-agg MIN (no window over block rows), and the rebuild must not
+    introduce a sort-merge self-join of the full block table on doc_id —
+    the properties that keep span dedup linear at corpus scale."""
+    from conftest import SF_DIR
+
+    df = all_queries()["dedup_span_blocks"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "Partial" in plan, plan
