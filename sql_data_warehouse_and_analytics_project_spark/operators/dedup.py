@@ -1486,3 +1486,67 @@ def dedup_span_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # the order encoding requires < _SPAN_ORD_BASE blocks per doc
     return span_dedup_blocks(docs)
+
+
+# --- n-gram novelty score ---------------------------------------------------
+#
+# The inverse signal of span dedup: how much of a document exists NOWHERE
+# else? novelty = fraction of its distinct 3-gram shingles with corpus
+# document-frequency 1. Low-novelty docs are templated/boilerplate even
+# when no single block repeats verbatim; high-novelty docs carry unique
+# content worth keeping at dedup margins. Scale shape: reuses this
+# module's shingle explode, one partial-agg df groupBy, one 1-row-per-key
+# hash join back (the df side has one row per shingle, so a hot shingle
+# fans out 1:1 with its left rows — no reducer explosion), and a per-doc
+# counting groupBy. No window anywhere.
+
+_NOVELTY_SQL = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+per AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM shingles s JOIN dfreq d ON s.shingle = d.shingle
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       ROUND(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty
+FROM per
+ORDER BY doc_id
+"""
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty) per document with ≥3
+    tokens — the share of its distinct 3-gram shingles that no other
+    document contains."""
+    sh = _shingle_rows(docs).select("doc_id", "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.round(
+            F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_SQL, defer=True)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty profile: per-document share of 3-gram shingles unique
+    to that document — the templated-vs-original quality signal."""
+    return ngram_novelty(_docs(spark, sf_dir))

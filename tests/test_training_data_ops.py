@@ -1597,3 +1597,27 @@ def test_composition_pipeline_end_to_end(spark):
     assert sorted(r["doc_id"] for r in order.collect()) == sorted(
         r["doc_id"] for r in mixed.collect()
     )
+
+
+def test_ngram_novelty_planted(spark):
+    """text_ngram_novelty: a doc sharing every shingle with another scores
+    0, a fully unique doc scores 1, and a half-shared doc sits between."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    shared = "alpha beta gamma delta"          # shingles: 2, all shared
+    docs = spark.createDataFrame(
+        [
+            (1, "en", shared),
+            (2, "en", shared),                        # exact shingle twin of 1
+            (3, "en", "unique words only here now"),  # 3 shingles, all unique
+            (4, "en", f"{shared} epsilon zeta"),      # shares 2 of 4 shingles
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 4 and got[4]["n_unique"] == 2
+    assert got[4]["novelty"] == 0.5
