@@ -1550,3 +1550,77 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty profile: per-document share of 3-gram shingles unique
     to that document — the templated-vs-original quality signal."""
     return ngram_novelty(_docs(spark, sf_dir))
+
+
+# --- Corpus fingerprints: source-level similarity ---------------------------
+#
+# Doc-pair dedup answers "which documents repeat"; dataset governance also
+# needs the CORPUS-level question — how similar are two sources' shingle
+# SPACES overall (two dumps of the same site, a re-crawl, a vendor
+# re-delivery) — without comparing any document pairs. Union-MinHash: the
+# elementwise MIN of a source's shingle hashes under the same 64 hash
+# functions is exactly the MinHash signature of the UNION of its shingle
+# sets, so signature agreement between two sources estimates the Jaccard
+# of their corpus-wide shingle spaces (std ≈ √(J(1−J)/64)). Scale shape:
+# one shingle explode + ONE partial-agg 64-min groupBy to |sources| rows;
+# the pairwise compare runs over a |sources|² grid of 520-byte rows.
+# No collapse first — an exact dup present in two sources must count
+# toward both unions.
+
+_FINGERPRINT_SIM_SQL = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+lab AS (SELECT doc_id, source FROM documents),
+hashed AS (
+  SELECT l.source, {_sql_md5_long("shingle", 15)} % {_P} AS h
+  FROM shingles s JOIN lab l ON s.doc_id = l.doc_id
+),
+sigs AS (
+  SELECT source,
+         {_SQL_MINHASH_SIGS}
+  FROM hashed GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(({" + ".join(f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(len(_HASH_AB)))})
+             / {len(_HASH_AB)}.0, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
+def source_fingerprint_similarity(docs: DataFrame, stratum: str = "source") -> DataFrame:
+    """(source_a, source_b, est_jaccard): corpus-level shingle-space
+    similarity for every source pair via union-MinHash — see the section
+    note. Exact doc duplicates intentionally count toward every source
+    that carries them."""
+    sh = _shingle_rows(docs).select("doc_id", "shingle")
+    lab = docs.select("doc_id", stratum)
+    h = F.pmod(_md5_long(F.col("shingle"), 15), F.lit(_P))
+    hashed = sh.join(lab, "doc_id").select(stratum, h.alias("h"))
+    sigs = hashed.groupBy(stratum).agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(_HASH_AB)
+        ]
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = None
+    for i in range(len(_HASH_AB)):
+        term = F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        a.join(b, F.col(f"a.{stratum}") < F.col(f"b.{stratum}"))
+        .select(
+            F.col(f"a.{stratum}").alias("source_a"),
+            F.col(f"b.{stratum}").alias("source_b"),
+            F.round(agree / float(len(_HASH_AB)), 6).alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query("dedup_source_fingerprints", oracle=_FINGERPRINT_SIM_SQL, defer=True)
+def dedup_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-level similarity of every source's shingle space —
+    the re-delivery / re-crawl detector that needs no document pairs."""
+    return source_fingerprint_similarity(_docs(spark, sf_dir))

@@ -1621,3 +1621,45 @@ def test_ngram_novelty_planted(spark):
     assert got[3]["novelty"] == 1.0
     assert got[4]["n_shingles"] == 4 and got[4]["n_unique"] == 2
     assert got[4]["novelty"] == 0.5
+
+
+def test_source_fingerprint_similarity_planted(spark):
+    """dedup_source_fingerprints: an exact re-delivery of a source scores
+    ~1.0, disjoint shingle spaces score ~0.0, and a half-overlapping
+    source lands in between (estimator std ~= 1/8 at 64 components)."""
+    import random
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.dedup import (
+        source_fingerprint_similarity,
+    )
+
+    rng = random.Random(7)
+    words_a = [f"w{i}" for i in range(200)]
+    words_c = [f"x{i}" for i in range(200)]
+
+    def doc(words, k):
+        return " ".join(rng.choice(words) for _ in range(k))
+
+    rows = []
+    did = 0
+    texts_a = [doc(words_a, 40) for _ in range(10)]
+    for t in texts_a:
+        rows.append((did, "en", t, "dumpA")); did += 1
+    for t in texts_a:                         # exact re-delivery under a new name
+        rows.append((did, "en", t, "dumpA2")); did += 1
+    for _ in range(10):                       # disjoint vocabulary
+        rows.append((did, "en", doc(words_c, 40), "dumpC")); did += 1
+    # half-overlap: half dumpA docs, half dumpC-vocab docs
+    for t in texts_a[:5]:
+        rows.append((did, "en", t, "dumpM")); did += 1
+    for _ in range(5):
+        rows.append((did, "en", doc(words_c, 40), "dumpM")); did += 1
+
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in source_fingerprint_similarity(docs).collect()
+    }
+    assert got[("dumpA", "dumpA2")] == 1.0          # identical shingle space
+    assert got[("dumpA", "dumpC")] <= 0.1           # disjoint
+    assert 0.15 <= got[("dumpA", "dumpM")] <= 0.85  # partial overlap
