@@ -127,3 +127,43 @@ def test_minhash_lsh_survives_planted_scale(spark):
     big = [r for r in overflow if r["n_docs"] >= hot_n * 0.9]
     assert big, f"hot family never overflowed a bucket: {overflow[:5]}"
     assert all(r["n_docs"] > dedup._LSH_BUCKET_CAP for r in overflow)
+
+
+@pytest.mark.slow
+def test_span_dedup_survives_planted_scale(spark):
+    """Span dedup at the planted 10x corpus: the 15% hot segment shares one
+    boilerplate block across ~n*0.15 docs — the hot-groupBy-key pathology
+    for the first-occurrence MIN. Partial aggregation must keep doubling
+    the corpus sub-quadratic, and exactly ONE document may keep each hot
+    boilerplate block."""
+    n_full = 50_000
+    hot_lo = int(n_full * 0.85)
+
+    def timed(docs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = dedup.span_dedup_blocks(docs)
+        n = out.count()
+        return time.perf_counter() - t0, out, n
+
+    timed(_corpus(spark, 2_000))  # codegen warm-up
+
+    t_half, _, n_half = timed(_corpus(spark, n_full // 2))
+    t_full, full, n_full_rows = timed(_corpus(spark, n_full))
+    assert n_full_rows > n_half
+    assert t_full <= 3.5 * t_half + 15.0, (t_half, t_full)
+
+    # the hot segment's docs start with the same 48-token boilerplate run
+    # (3 full 16-token blocks); every copy after the first must be stripped
+    hot = full.filter(
+        (F.col("doc_id") >= hot_lo) & (F.col("doc_id") < n_full)
+    ).select("doc_id", "n_blocks", "n_kept")
+    agg = hot.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_blocks").alias("blocks"),
+        F.count(F.lit(1)).alias("docs"),
+    ).first()
+    # each hot doc: 51 tokens -> 4 blocks; the first hot doc keeps its three
+    # boilerplate blocks + tail; every other keeps at most its tail block
+    assert agg["docs"] == n_full - hot_lo
+    assert agg["kept"] <= agg["docs"] + 3, (agg["kept"], agg["docs"])
