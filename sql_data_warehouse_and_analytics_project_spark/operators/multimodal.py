@@ -565,35 +565,44 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def phash_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
-    """Near-duplicate image pairs from (media_id, phash) signatures.
-
-    Same scale shape as the SimHash text pipeline (dedup.py): exact-dup
-    collapse on the hash (partial-agg groupBy over narrow rows + rejoin —
-    never a Window over the content key), band blocking over DISTINCT
-    hashes only, deterministic 64-member bucket cap (audit with
-    dedup.lsh_bucket_overflow), bit_count(XOR) <= 7 confirm, then linear
-    expansion back to all member pairs (intra-group Hamming is exactly 0)."""
+def _hamming_band_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    n_bands: int,
+    band_bits: int,
+    hamming_max: int,
+    cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate (media_id_1, media_id_2, hamming) pairs from a
+    (media_id, <sig_col>) integer-signature frame — the one Hamming-band
+    skeleton every perceptual-hash modality shares (image dHash, audio
+    envelope hash; same shape as the SimHash text pipeline in dedup.py):
+    exact-dup collapse on the hash (partial-agg groupBy over narrow rows +
+    rejoin — never a Window over the content key), band blocking over
+    DISTINCT hashes only, the deterministic bucket cap (audit with
+    dedup.lsh_bucket_overflow), bit_count(XOR) <= hamming_max confirm,
+    then linear expansion back to all member pairs (intra-group Hamming is
+    exactly 0)."""
     from .dedup import _LSH_BUCKET_CAP, _cap_buckets, _expand_member_pairs
 
     if cap is None:
         cap = _LSH_BUCKET_CAP
-    rep_min = sigs.groupBy("phash").agg(F.min("media_id").alias("rep_id"))
-    members = sigs.join(rep_min, "phash").select(
+    rep_min = sigs.groupBy(sig_col).agg(F.min("media_id").alias("rep_id"))
+    members = sigs.join(rep_min, sig_col).select(
         F.col("media_id").alias("doc_id"), F.col("rep_id")
     )
-    reps = rep_min.select(F.col("rep_id").alias("doc_id"), "phash")
+    reps = rep_min.select(F.col("rep_id").alias("doc_id"), sig_col)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
             F.expr(
-                f"shiftright(phash, {band * _PHASH_BAND_BITS})"
-                f" & {(1 << _PHASH_BAND_BITS) - 1}"
+                f"shiftright({sig_col}, {band * band_bits})"
+                f" & {(1 << band_bits) - 1}"
             )
             .cast("string")
             .alias("bucket"),
         )
-        for band in range(_PHASH_N_BANDS)
+        for band in range(n_bands)
     ]
     bands = reps.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -611,13 +620,13 @@ def phash_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
         .distinct()
     )
-    h1 = reps.select(F.col("doc_id").alias("doc_id_1"), F.col("phash").alias("h1"))
-    h2 = reps.select(F.col("doc_id").alias("doc_id_2"), F.col("phash").alias("h2"))
+    h1 = reps.select(F.col("doc_id").alias("doc_id_1"), F.col(sig_col).alias("h1"))
+    h2 = reps.select(F.col("doc_id").alias("doc_id_2"), F.col(sig_col).alias("h2"))
     rep_pairs = (
         candidates.join(h1, "doc_id_1")
         .join(h2, "doc_id_2")
         .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint"))
-        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
     return (
@@ -633,6 +642,15 @@ def phash_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
             "hamming",
         )
         .orderBy("media_id_1", "media_id_2")
+    )
+
+
+def phash_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
+    """Near-duplicate image pairs from (media_id, phash) signatures —
+    the shared Hamming-band skeleton at the image constants (8 bands ×
+    7 bits, confirm ≤ 7; pigeonhole-complete for the confirm threshold)."""
+    return _hamming_band_pairs(
+        sigs, "phash", _PHASH_N_BANDS, _PHASH_BAND_BITS, _PHASH_HAMMING_MAX, cap
     )
 
 
@@ -733,3 +751,161 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine hash proof for this query runs in
     tests/test_oracle_parity.py instead."""
     return phash_pairs(phash_signatures(spark, sf_dir))
+
+
+# --- Audio near-dup: energy-envelope fingerprint ----------------------------
+#
+# The audio member of the perceptual-dedup triad (text SimHash, image
+# dHash, audio envelope hash). Signature: 16 frames × 25 samples of mono
+# PCM; per-frame energy E_k = Σ|sample| (exact integers), quantized to a
+# 3-bit level on a FIXED scale (no max-coupling: a local edit moves only
+# its own frame's field), packed into a 48-bit hash. Banding 8 × 6 bits =
+# exactly 2 level fields per band, so an edit to one frame touches one
+# band and every ≤2-frame variant is pigeonhole-guaranteed a candidate;
+# confirm bit_count(XOR) ≤ 6 (two 3-bit fields). The PCM is a closed-form
+# integer function of (t, seed) — groups of 4 ids share a base waveform
+# and each member perturbs ONE frame (id % 16) — so DuckDB replays the
+# exact fingerprint without parsing a WAV, proving the codec round trip
+# (encode_wav → stdlib wave decode) plus banding end to end.
+
+_AFP_FRAMES = 16
+_AFP_FRAME_LEN = 25
+_AFP_LEVEL_BITS = 3
+_AFP_LEVEL_SCALE = 6250  # E_k <= 25*2000 = 50000 -> levels 0..7
+_AFP_BAND_BITS = 6
+_AFP_N_BANDS = (_AFP_FRAMES * _AFP_LEVEL_BITS) // _AFP_BAND_BITS
+_AFP_HAMMING_MAX = 6
+_AFP_KA = 7919
+_AFP_KB = 104729
+_AFP_MOD = 4001  # samples in [-2000, 2000]
+_AFP_BUMP = 1500
+
+
+def _afp_samples(media_id: int) -> np.ndarray:
+    """Deterministic mono PCM for ``media_id``: base waveform from seed
+    s = id//4, one perturbed frame at id % 16 — the audio twin of
+    :func:`_noise_pixels`."""
+    s = media_id // 4
+    f = media_id % _AFP_FRAMES
+    t = np.arange(_AFP_FRAMES * _AFP_FRAME_LEN, dtype=np.int64)
+    raw = (t * _AFP_KA + s * _AFP_KB) % _AFP_MOD
+    lo, hi = f * _AFP_FRAME_LEN, (f + 1) * _AFP_FRAME_LEN
+    raw[lo:hi] = (t[lo:hi] * _AFP_KA + s * _AFP_KB + _AFP_BUMP) % _AFP_MOD
+    return (raw - (_AFP_MOD - 1) // 2).astype(np.int64)
+
+
+def _afp48(samples: np.ndarray) -> int:
+    """48-bit envelope hash from decoded PCM — exact integer arithmetic."""
+    e = np.abs(samples).reshape(_AFP_FRAMES, _AFP_FRAME_LEN).sum(axis=1)
+    levels = np.minimum(7, e // _AFP_LEVEL_SCALE)
+    val = 0
+    for k in range(_AFP_FRAMES):
+        val |= int(levels[k]) << (_AFP_LEVEL_BITS * k)
+    return val
+
+
+def afp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, afp) over executor-generated WAVs: samples → encode_wav
+    → stdlib wave decode → envelope hash, all in one Arrow-batched
+    mapInPandas — the real audio codec stays in the lineage and only the
+    8-byte signature crosses a shuffle."""
+    ids = tpch.load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for mid in pdf["media_id"]:
+                payload = encode_wav(_afp_samples(int(mid)))
+                with wave.open(io.BytesIO(payload), "rb") as wf:
+                    raw = wf.readframes(wf.getnframes())
+                decoded = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                hashes.append(_afp48(decoded))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": hashes})
+
+    return ids.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, "media_id bigint, afp bigint"
+    )
+
+
+def afp_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
+    """Near-duplicate audio pairs — the shared Hamming-band skeleton at the
+    audio constants (8 bands × 6 bits, confirm ≤ 6)."""
+    return _hamming_band_pairs(
+        sigs, "afp", _AFP_N_BANDS, _AFP_BAND_BITS, _AFP_HAMMING_MAX, cap
+    )
+
+
+def _sql_afp_sample(t: str, bumped: bool) -> str:
+    base = f"(({t})*{_AFP_KA} + s*{_AFP_KB}{f' + {_AFP_BUMP}' if bumped else ''}) % {_AFP_MOD}"
+    return f"({base} - {(_AFP_MOD - 1) // 2})"
+
+
+_AFP_SQL = f"""
+WITH clips AS (
+  SELECT doc_id AS media_id, doc_id // 4 AS s, doc_id % {_AFP_FRAMES} AS f
+  FROM documents
+),
+energies AS (
+  SELECT media_id, k,
+         SUM(ABS(CASE WHEN k = f THEN {_sql_afp_sample("t", True)}
+                      ELSE {_sql_afp_sample("t", False)} END)) AS e
+  FROM clips,
+       range({_AFP_FRAMES}) tk(k),
+       LATERAL (SELECT UNNEST(range(k * {_AFP_FRAME_LEN}, (k+1) * {_AFP_FRAME_LEN})) AS t) tt
+  GROUP BY media_id, k
+),
+sigs AS (
+  SELECT media_id,
+         SUM(LEAST(7, e // {_AFP_LEVEL_SCALE}) << ({_AFP_LEVEL_BITS} * k))::BIGINT AS afp
+  FROM energies GROUP BY media_id
+),
+members AS (
+  SELECT media_id, afp, MIN(media_id) OVER (PARTITION BY afp) AS rep_id
+  FROM sigs
+),
+reps AS (SELECT media_id, afp FROM members WHERE media_id = rep_id),
+bands AS (
+{chr(10).join(
+    f"  SELECT media_id, {band} AS band,"
+    f" ((afp >> {band * _AFP_BAND_BITS}) & {(1 << _AFP_BAND_BITS) - 1}) AS bucket"
+    f" FROM reps" + ("" if band == _AFP_N_BANDS - 1 else chr(10) + "  UNION ALL")
+    for band in range(_AFP_N_BANDS)
+)}
+),
+capped AS (
+  SELECT media_id, band, bucket FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY media_id) <= {_PHASH_CAP}
+),
+candidates AS (
+  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id
+),
+rep_pairs AS (
+  SELECT c.id1, c.id2,
+         CAST(bit_count(xor(r1.afp, r2.afp)) AS BIGINT) AS hamming
+  FROM candidates c
+  JOIN reps r1 ON r1.media_id = c.id1
+  JOIN reps r2 ON r2.media_id = c.id2
+  WHERE bit_count(xor(r1.afp, r2.afp)) <= {_AFP_HAMMING_MAX}
+)
+SELECT least(m1.media_id, m2.media_id) AS media_id_1,
+       greatest(m1.media_id, m2.media_id) AS media_id_2,
+       p.hamming
+FROM rep_pairs p
+JOIN members m1 ON m1.rep_id = p.id1
+JOIN members m2 ON m2.rep_id = p.id2
+UNION ALL
+SELECT a.media_id, b.media_id, 0::BIGINT
+FROM members a JOIN members b ON a.rep_id = b.rep_id AND a.media_id < b.media_id
+ORDER BY media_id_1, media_id_2
+"""
+
+
+@query("dedup_audio_fingerprint", oracle=_AFP_SQL, defer=True)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by 48-bit envelope fingerprint, Hamming
+    <= 6 — executor-generated WAVs through the real codec round trip, with
+    the whole pipeline (closed-form PCM → envelope quantization → banding
+    → confirm) replayed in DuckDB."""
+    return afp_pairs(afp_signatures(spark, sf_dir))

@@ -462,3 +462,40 @@ def test_phash_banding_pigeonhole_complete(spark):
     )
     out = mm.phash_pairs(sigs).collect()
     assert [(r.media_id_1, r.media_id_2, r.hamming) for r in out] == [(1, 2, 7)]
+
+
+def test_audio_fingerprint_groups_are_near_dups(spark):
+    """dedup_audio_fingerprint: members of a seed group (same base
+    waveform, one perturbed frame each) pair up within the confirm bound;
+    signatures survive the real WAV encode/decode round trip."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        _AFP_HAMMING_MAX,
+        _afp48,
+        _afp_samples,
+        afp_pairs,
+        afp_signatures,
+        encode_wav,
+    )
+    from conftest import SF_DIR
+
+    # codec round trip is lossless for the int16-range samples
+    s = _afp_samples(5)
+    buf = encode_wav(s)
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        back = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2").astype(np.int64)
+    assert (back == s).all()
+    assert 0 <= _afp48(back) < (1 << 48)
+
+    sigs = afp_signatures(spark, SF_DIR)
+    pairs = afp_pairs(sigs).collect()
+    got = {(r["media_id_1"], r["media_id_2"]) for r in pairs}
+    # every pair within seed group 0 (ids 0..3) must be found
+    want = {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert want <= got, want - got
+    for r in pairs:
+        assert 0 <= r["hamming"] <= _AFP_HAMMING_MAX
