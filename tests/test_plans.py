@@ -553,3 +553,28 @@ def test_span_dedup_plan_no_window(spark):
     plan = audit.executed_plan(df)
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "Partial" in plan, plan
+
+
+def test_novelty_and_fingerprint_plans_no_window(spark):
+    """r7 corpus-analysis ops keep their promised plans.
+
+    - text_ngram_novelty: df + per-doc rollup are partial-agg groupBys and
+      the df join is 1-row-per-key — no window may appear.
+    - dedup_source_fingerprints: the union-MinHash is ONE 64-min
+      partial-agg groupBy to |sources| rows — no window, and the pairwise
+      compare joins the tiny signature frame to itself (broadcast)."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["text_ngram_novelty"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+
+    df = qs["dedup_source_fingerprints"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+    counts = audit.join_counts(plan)
+    assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
