@@ -258,3 +258,97 @@ def mix_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr 20 / de 15 / es 15 / zh 10) at half the corpus size, with
     deterministic engine-reproducible membership."""
     return mix_resample(_docs(spark, sf_dir))
+
+
+# --- Length-bucketed batching ----------------------------------------------
+#
+# Batches of similar-length sequences minimize padding waste (every batch
+# pads to ITS max, not the corpus max — typically a 2-3x token saving for
+# ragged corpora). The naive shape ranks the whole corpus in one
+# ORDER BY n_tokens window; worse, real length distributions PILE UP
+# around the median, so even banding alone leaves the median band a hot
+# reducer. The scale shape reuses the packing-lane trick: partition by
+# (length band × md5 lane) so every rank window's span is bounded by
+# band_population/n_lanes, then cut each lane's hash-ordered run into
+# fixed-size batches. Per-batch padding accounting (n·max − Σ) comes out
+# of the same aggregate.
+
+_BATCH_SIZE = 16       # sequences per batch
+_BATCH_BAND_TOKENS = 8  # band width in BPE tokens
+_BATCH_LANES = 8       # md5 lanes per band (auto-size like packing at scale)
+
+_BATCH_SQL = f"""
+WITH counted AS (
+  SELECT doc_id,
+         {_SQL_BPE_COUNT} AS n_toks,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % {_BATCH_LANES} AS lane
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, n_toks, lane, n_toks // {_BATCH_BAND_TOKENS} AS band FROM counted
+),
+pos AS (
+  SELECT band, lane, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY band, lane
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p
+  FROM banded
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(lane AS BIGINT) AS lane,
+       CAST(p // {_BATCH_SIZE} AS BIGINT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(MAX(n_toks) AS BIGINT) AS max_len,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * MAX(n_toks) - SUM(n_toks) AS BIGINT) AS padded_tokens
+FROM pos
+GROUP BY band, lane, p // {_BATCH_SIZE}
+ORDER BY band, lane, batch_idx
+"""
+
+
+def batch_by_length(
+    docs: DataFrame,
+    batch_size: int = _BATCH_SIZE,
+    band_tokens: int = _BATCH_BAND_TOKENS,
+    n_lanes: int = _BATCH_LANES,
+) -> DataFrame:
+    """(band, lane, batch_idx, n_seqs, max_len, total_tokens,
+    padded_tokens): fixed-size batches of length-banded sequences with
+    per-batch padding accounting — see the section note for why the rank
+    window partitions by (band × lane), never the corpus."""
+    from pyspark.sql import Window
+
+    if batch_size <= 0 or band_tokens <= 0 or n_lanes <= 0:
+        raise ValueError("batch_size, band_tokens and n_lanes must be positive")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint").alias("n_toks"),
+        (F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint") % n_lanes).alias("lane"),
+    ).withColumn("band", F.floor(F.col("n_toks") / band_tokens).cast("bigint"))
+    w = Window.partitionBy("band", "lane").orderBy(md5, F.asc("doc_id"))
+    pos = counted.withColumn("p", F.row_number().over(w) - 1)
+    return (
+        pos.groupBy(
+            F.col("band").cast("bigint").alias("band"),
+            F.col("lane").cast("bigint").alias("lane"),
+            F.floor(F.col("p") / batch_size).cast("bigint").alias("batch_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.max("n_toks").cast("bigint").alias("max_len"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            (F.count(F.lit(1)) * F.max("n_toks") - F.sum("n_toks"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .orderBy("band", "lane", "batch_idx")
+    )
+
+
+@query("pack_length_batches", oracle=_BATCH_SQL, defer=True)
+def pack_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training batches over the documents corpus: 16
+    sequences per batch within 8-token length bands, with the per-batch
+    padding cost the trainer would pay."""
+    return batch_by_length(_docs(spark, sf_dir))

@@ -1663,3 +1663,33 @@ def test_source_fingerprint_similarity_planted(spark):
     assert got[("dumpA", "dumpA2")] == 1.0          # identical shingle space
     assert got[("dumpA", "dumpC")] <= 0.1           # disjoint
     assert 0.15 <= got[("dumpA", "dumpM")] <= 0.85  # partial overlap
+
+
+def test_length_batches_bound_padding(spark):
+    """pack_length_batches: every batch has at most batch_size sequences,
+    padding accounting is internally consistent, and padding per sequence
+    is bounded by the band width (all batch members share a band)."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _BATCH_BAND_TOKENS,
+        _BATCH_SIZE,
+        pack_length_batches,
+    )
+
+    out = pack_length_batches(spark, SF_DIR).collect()
+    assert sum(r["n_seqs"] for r in out) == 500
+    for r in out:
+        assert 1 <= r["n_seqs"] <= _BATCH_SIZE
+        assert r["padded_tokens"] == r["n_seqs"] * r["max_len"] - r["total_tokens"]
+        # all members share a band -> per-seq padding < band width
+        assert r["padded_tokens"] < r["n_seqs"] * _BATCH_BAND_TOKENS
+        assert r["max_len"] // _BATCH_BAND_TOKENS == r["band"]
+    # batch indices are contiguous from 0 within each (band, lane)
+    from collections import defaultdict
+
+    idxs = defaultdict(list)
+    for r in out:
+        idxs[(r["band"], r["lane"])].append(r["batch_idx"])
+    for ix in idxs.values():
+        assert sorted(ix) == list(range(len(ix)))
