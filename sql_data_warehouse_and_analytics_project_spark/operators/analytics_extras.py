@@ -442,8 +442,10 @@ WITH mm AS (
 ),
 binned AS (
   SELECT event_type,
-         least({_HIST_BINS - 1},
-               CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS}.0)) AS BIGINT)) AS bin,
+         CASE WHEN hi = lo THEN 0
+              ELSE least({_HIST_BINS - 1},
+                         CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS}.0)) AS BIGINT))
+         END AS bin,
          lo, ((hi - lo) / {_HIST_BINS}.0) AS step
   FROM events CROSS JOIN mm
   WHERE value IS NOT NULL
@@ -470,8 +472,11 @@ def value_histogram(
         df.filter(m.isNotNull()).agg(F.min(m).alias("lo"), F.max(m).alias("hi"))
     )
     step = (F.col("hi") - F.col("lo")) / float(bins)
-    bin_col = F.least(
-        F.lit(bins - 1), F.floor((m - F.col("lo")) / step).cast("bigint")
+    # degenerate range (constant-valued measure): step would be 0 and the
+    # bin expression 0.0/0.0 — engines diverge on floor(NaN), so pin every
+    # row to bin 0 (a single full bin at lo) instead
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(F.lit(bins - 1), F.floor((m - F.col("lo")) / step).cast("bigint"))
     )
     return (
         df.filter(m.isNotNull())

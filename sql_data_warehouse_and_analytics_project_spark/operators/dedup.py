@@ -1376,7 +1376,9 @@ def compact_minhash_index(
 # key is ONE partial-agg min over an order-encoding bigint (no window, no
 # self-join); rebuild is a per-doc collect of its own ≤len/16 blocks. The
 # order encoding doc_id*10000+idx is collision-free while docs stay under
-# 10000 blocks (160K tokens) — asserted at runtime.
+# 10000 blocks (160K tokens) — enforced by a raise_error guard on the idx
+# feeding the encoding, so an over-long document fails the job loudly
+# instead of silently electing the wrong first-occurrence winner.
 
 _SPAN_BLOCK_TOKENS = 16
 _SPAN_ORD_BASE = 10_000  # max blocks per doc for the order encoding
@@ -1436,7 +1438,23 @@ def span_dedup_blocks(
             ),
         )
     )
-    ord_col = F.col("doc_id") * _SPAN_ORD_BASE + F.col("idx")
+    # hard guard on the order encoding: any doc reaching _SPAN_ORD_BASE
+    # blocks would collide with the next doc_id's block 0 — fail the job
+    # per-row (no extra action/scan) rather than mis-pick a winner
+    idx_checked = F.when(F.col("idx") < _SPAN_ORD_BASE, F.col("idx")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("span_dedup_blocks: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" has >= {_SPAN_ORD_BASE} blocks; the"
+                    f" doc_id*{_SPAN_ORD_BASE}+idx order encoding would collide"
+                    " across documents — raise block_tokens or split the doc"
+                ),
+            )
+        ).cast("bigint")
+    )
+    ord_col = F.col("doc_id") * _SPAN_ORD_BASE + idx_checked
     firsts = blocks.groupBy("block_text").agg(F.min(ord_col).alias("ord"))
     kept = (
         blocks.join(firsts, "block_text")
