@@ -1388,8 +1388,16 @@ WITH toks AS (
   SELECT doc_id, {SQL_TOKENS} AS t, len({SQL_TOKENS}) AS n FROM documents
 ),
 blocks AS (
+  -- same ord-collision guard as the DataFrame path: a doc reaching
+  -- _SPAN_ORD_BASE blocks would collide with the next doc_id's block 0,
+  -- so both engines fail loudly instead of electing a collided winner
+  -- (DuckDB CASE is lazily evaluated per-row, so error() fires only on
+  -- offending rows)
   SELECT doc_id,
-         CAST(idx AS BIGINT) AS idx,
+         CASE WHEN idx < {_SPAN_ORD_BASE} THEN CAST(idx AS BIGINT)
+              ELSE CAST(error('span_dedup_blocks: doc ' || doc_id ||
+                              ' exceeds {_SPAN_ORD_BASE} blocks; ord encoding would collide')
+                        AS BIGINT) END AS idx,
          array_to_string(t[idx * {_SPAN_BLOCK_TOKENS} + 1 :
                            idx * {_SPAN_BLOCK_TOKENS} + {_SPAN_BLOCK_TOKENS}], ' ') AS block_text
   FROM toks, UNNEST(range(CAST(ceil(n / {_SPAN_BLOCK_TOKENS}.0) AS BIGINT))) AS u(idx)

@@ -581,10 +581,12 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     folding the other two thirds in as deltas yields BIT-IDENTICAL rollup
     state to a single full-scan build — the algebraic-merge property that
     makes per-ingest cost O(delta) instead of a corpus scan."""
+    from conftest import SF_DIR
+
     from sql_data_warehouse_and_analytics_project_spark.sources import tpch
     from sql_data_warehouse_and_analytics_project_spark.warehouse import incremental
 
-    li = tpch.load(spark, "/root/testdata/sf0.001", "lineitem")
+    li = tpch.load(spark, SF_DIR, "lineitem")
     keys, measure = ["l_returnflag", "l_linestatus"], "l_quantity"
     p_inc = str(tmp_path / "inc")
     p_full = str(tmp_path / "full")
