@@ -121,7 +121,7 @@ FROM stages
 """
 
 
-@query("events_funnel", oracle=_FUNNEL_SQL)
+@query("events_funnel", oracle=_FUNNEL_SQL, defer=True)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup→view→click→purchase: one conditional-min
     aggregation per user (single shuffle, map-side partial agg), then a
@@ -174,7 +174,7 @@ ORDER BY p_brand, rnk
 """
 
 
-@query("olap_topn_per_group", oracle=_TOPN_SQL)
+@query("olap_topn_per_group", oracle=_TOPN_SQL, defer=True)
 def olap_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 revenue parts per brand: aggregate then row_number per brand.
     The partitioned window never needs a global sort — each brand ranks
@@ -214,7 +214,7 @@ ORDER BY priority, order_year
 """
 
 
-@query("olap_cube_priority_year", oracle=_CUBE_SQL)
+@query("olap_cube_priority_year", oracle=_CUBE_SQL, defer=True)
 def olap_cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(priority, year): all four grouping combinations from one Expand
     + single-shuffle aggregation (Catalyst multiplies rows 4× map-side; at

@@ -94,7 +94,7 @@ def cap_per_source(
     )
 
 
-@query("curation_source_cap", oracle=_SOURCE_CAP_SQL, defer=True)
+@query("curation_source_cap", oracle=_SOURCE_CAP_SQL)
 def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap composition step: at most 15 documents per source,
     longest-first — no crawl source dominates the training mix."""

@@ -271,7 +271,7 @@ def _materialized(df: DataFrame, caches: list, order: list[str] | None = None) -
     return out
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL, defer=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.8.
 
@@ -987,7 +987,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("dedup_components", oracle=_COMPONENTS_SQL, defer=True)
+@query("dedup_components", oracle=_COMPONENTS_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash/LSH pair set: every doc
     that appears in a near-dup pair, its component id (smallest reachable
@@ -1150,7 +1150,7 @@ def leakage_free_split(
     ).orderBy("doc_id")
 
 
-@query("split_leakage_free", oracle=_LEAKAGE_SPLIT_SQL, defer=True)
+@query("split_leakage_free", oracle=_LEAKAGE_SPLIT_SQL)
 def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free corpus split: near-dup components (MinHash/LSH pairs,
     transitively closed) move into train/val/test as units, so no test doc
@@ -1505,7 +1505,7 @@ def span_dedup_blocks(
     )
 
 
-@query("dedup_span_blocks", oracle=_SPAN_DEDUP_SQL, defer=True)
+@query("dedup_span_blocks", oracle=_SPAN_DEDUP_SQL)
 def dedup_span_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide span dedup over 16-token blocks — the line-level-dedup
     stage (boilerplate stripping) that doc-level dedup cannot express."""

@@ -232,7 +232,7 @@ ORDER BY mktsegment
 """
 
 
-@query("olap_pivot_segment_year", oracle=_PIVOT_SQL)
+@query("olap_pivot_segment_year", oracle=_PIVOT_SQL, defer=True)
 def olap_pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: revenue by market segment × year. Spark's pivot with an
     explicit value list compiles to conditional aggregation — a single
@@ -378,7 +378,7 @@ ORDER BY op, o_custkey
 """
 
 
-@query("olap_set_ops", oracle=_SET_OPS_SQL)
+@query("olap_set_ops", oracle=_SET_OPS_SQL, defer=True)
 def olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT + EXCEPT (both DISTINCT semantics), union-tagged."""
     inter = olap_intersect_repeat_customers(spark, sf_dir).select(

@@ -346,7 +346,7 @@ def batch_by_length(
     )
 
 
-@query("pack_length_batches", oracle=_BATCH_SQL, defer=True)
+@query("pack_length_batches", oracle=_BATCH_SQL)
 def pack_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed training batches over the documents corpus: 16
     sequences per batch within 8-token length bands, with the per-batch

@@ -79,7 +79,7 @@ ORDER BY event_type
 """
 
 
-@query("events_json_extract", oracle=_JSON_SQL)
+@query("events_json_extract", oracle=_JSON_SQL, defer=True)
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the integer `k` property from the JSON `props` column and
     profile it per event type. `get_json_object` evaluates the path in the
@@ -119,7 +119,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_fuzzy_blocked", oracle=_FUZZY_SQL)
+@query("dedup_fuzzy_blocked", oracle=_FUZZY_SQL, defer=True)
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage blocking + edit-distance compare: equi-join on
     (lang, 16-char prefix) confines the O(n²) Levenshtein to within-block
@@ -210,7 +210,7 @@ ORDER BY leg, doc_id, lang, split
 """
 
 
-@query("sample_hash_split", oracle=_HASH_SPLIT_SQL)
+@query("sample_hash_split", oracle=_HASH_SPLIT_SQL, defer=True)
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1/16 hash sample + reproducible train/test split,
     union-tagged — both membership functions are pure md5(doc_id) nibble

@@ -88,7 +88,7 @@ LIMIT 10
 """
 
 
-@query("ann_cosine_topk", oracle=_ANN_TOPK_SQL)
+@query("ann_cosine_topk", oracle=_ANN_TOPK_SQL, defer=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id 0 — the exact baseline
     every ANN variant is measured against. Single scan, no shuffle: the
@@ -932,7 +932,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = _KNN_K) -> DataFram
     )
 
 
-@query("ann_knn_join", oracle=_KNN_JOIN_SQL, defer=True)
+@query("ann_knn_join", oracle=_KNN_JOIN_SQL)
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact batch kNN join: top-5 cosine neighbors for every 50th vector
     against the rest of the corpus — the retrieval-eval workhorse."""

@@ -78,14 +78,19 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # Ordering contract (the driver caps its correctness file at 50 entries
     # in registration order): non-deferred oracle-backed queries first —
     # exactly 50 keys. r7 (VERDICT r6 ask #1) promoted the six r6 flagship
-    # queries (curation_report, dedup_image_phash, dedup_embedding_ivf,
-    # pack_token_chunks, vocab_top_terms, mix_lang_resample) into the window
-    # and deferred six redundant single-window/join olap variants
-    # (olap_moving_avg_3m, olap_percent_rank_suppliers, olap_order_sequence,
-    # olap_distribution, olap_above_avg_spenders, olap_date_spine_monthly —
-    # each §2-covered by q06–q13) in their place, so the newest code carries
-    # the driver-verified hash proof. Deferred queries keep their oracle and
-    # stay cross-engine-verified in tests/test_oracle_parity.py. After the
+    # queries into the window; r9 (VERDICT r8 ask #1) rotated again,
+    # promoting the ten round-7 flagships (dedup_span_blocks,
+    # dedup_components, split_leakage_free, text_bm25_topk,
+    # warehouse_incremental_rollup, etl_snapshot_diff, ann_knn_join,
+    # stream_purchase_attribution, curation_source_cap, pack_length_batches)
+    # and deferring ten redundant long-stable keys whose §2 coverage is
+    # duplicated by rows that stay (olap_topn_per_group,
+    # olap_cube_priority_year, olap_pivot_segment_year, olap_set_ops,
+    # events_json_extract, dedup_fuzzy_blocked, sample_hash_split,
+    # dedup_ngram_jaccard, ann_cosine_topk, events_funnel), so the newest
+    # ~3,000 LoC carries the driver-verified hash proof. Deferred queries
+    # keep their oracle and stay cross-engine-verified in
+    # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
     # (q01_database_exploration, olap_approx_summary,
     # multimodal_decode_real), pytest-verified. Sort is stable, so in-module

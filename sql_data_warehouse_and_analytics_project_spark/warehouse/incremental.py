@@ -119,7 +119,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("warehouse_incremental_rollup", oracle=_ROLLUP_SQL, defer=True)
+@query("warehouse_incremental_rollup", oracle=_ROLLUP_SQL)
 def warehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the FULL incremental lifecycle — bootstrap on a third of
     lineitem, fold the other two thirds in as deltas, read the final state
