@@ -9,12 +9,15 @@ except *every* table gets it for free.
 Mutation model: Spark has no in-place UPDATE/DELETE on parquet, so the
 reference's MERGE/UPDATE/DELETE (ref: proc_load_silver.sql:58-113,148-165;
 proc_load_gold.sql:38,92) are realized as *transform-and-rewrite*: read,
-compute the new state as a DataFrame, atomically swap the directory. On a
-production lake the same code targets Delta/Iceberg `MERGE INTO` (SURVEY
-§7.3); the rewrite fallback keeps this repo dependency-free. Writes
-materialize through a temp dir + rename so a failed job never leaves a
-half-written table, and reads-before-overwrite are snapshotted by the swap
-(the old files persist until the new ones are complete).
+compute the new state as a DataFrame, commit it as a new table version. The
+commit (``commit.publish``) is the manifest-pointer protocol — write the
+complete new state into an immutable version dir, then atomically flip the
+one-line pointer file — the plain-parquet analog of the reference's BEGIN
+TRAN/COMMIT per table load (ref: proc_load_silver.sql:57) and of a
+Delta/Iceberg commit (SURVEY §7.3; delta-spark is not installable here). A
+crash at any instant leaves readers on a complete old or new state, never
+neither, and reads-before-overwrite are snapshotted (old version files
+persist until the pointer names the new one).
 
 Scale note (100 TB): overwrite-rewrites are per-*table* here only because the
 reference rebuilds dims wholesale; the fact table is written
@@ -28,9 +31,10 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import commit
 
 
 class Catalog:
@@ -42,11 +46,20 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
+        """The table's ROOT directory (pointer + version dirs live here).
+        For the directory holding the current data files, use
+        :meth:`data_dir`."""
         db, _, table = name.partition(".")
         return os.path.join(self.root, db, table)
 
+    def data_dir(self, name: str) -> str:
+        """The directory holding the current committed data: the pointer's
+        version dir for committed tables, the root itself for legacy
+        files-at-root layouts (appends, streaming sinks)."""
+        return commit.resolve(self.path(name))
+
     def exists(self, name: str) -> bool:
-        p = self.path(name)
+        p = self.data_dir(name)
         # a table is "present" if it has data files or hive-style partition
         # dirs (e.g. order_year=2024, _key_bucket=17)
         return os.path.isdir(p) and any(
@@ -54,33 +67,27 @@ class Catalog:
         )
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        return self.spark.read.parquet(self.data_dir(name))
 
     def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Full-table swap (TRUNCATE+INSERT / DELETE+INSERT analog).
+        """Full-table swap (TRUNCATE+INSERT / DELETE+INSERT analog) via the
+        manifest-pointer commit: the new state becomes visible at the atomic
+        pointer flip, after it is completely written.
 
         Returns the row count written (the reference records @@ROWCOUNT into
         audit.etl_log after every load, ref: proc_load_bronze.sql:43).
         """
-        target = self.path(name)
-        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
-        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        if os.path.isdir(old):
-            # table properties (sidecar) describe the TABLE, not a data
-            # version — carry them across the swap like a catalog would
-            old_props = os.path.join(old, "_table_properties.json")
-            if os.path.exists(old_props):
-                shutil.copy(old_props, self._props_path(name))
-            shutil.rmtree(old, ignore_errors=True)
-        return n
+
+        def _write(vdir: str) -> None:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(vdir)
+
+        vdir = commit.publish(self.path(name), _write)
+        # the table-properties sidecar lives at the table ROOT, outside
+        # version dirs, so it survives commits without copying
+        return self.spark.read.parquet(vdir).count()
 
     def overwrite_partitions(self, name: str, df: DataFrame, partition_by: list[str]) -> int:
         """Dynamic partition overwrite: replace ONLY the partitions present
@@ -96,7 +103,7 @@ class Catalog:
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
-            .parquet(self.path(name))
+            .parquet(self.data_dir(name))
         )
         return n
 
@@ -106,7 +113,7 @@ class Catalog:
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(name))
+        writer.parquet(self.data_dir(name))
         return n
 
     def drop(self, name: str) -> None:

@@ -1,0 +1,125 @@
+"""Manifest-pointer table commits: atomic full-table swaps on plain parquet.
+
+The reference wraps every table load in BEGIN TRAN/COMMIT
+(ref: scripts/silver/proc_load_silver.sql:57; scripts/init_load_all.sql:78-107)
+so a failed load never exposes a half-written table. The lakehouse answer is
+a Delta/Iceberg commit log, but delta-spark is not installable here — this
+module is the plain-parquet analog of that commit: the DATA for each table
+state lives in an immutable version directory, and the one-line POINTER file
+names the current version. Readers resolve the pointer; writers prepare the
+next version dir in full, then flip the pointer with a single atomic
+``os.replace`` — the commit point. A crash at ANY instant leaves the pointer
+naming a complete version: before the flip readers keep seeing the old
+state, after it the new one; there is no torn intermediate. Stale version
+dirs and tmp files from crashed publishes are swept on the next publish.
+
+Layout of a committed table directory::
+
+    <target>/
+      _CURRENT                  # one line, e.g. "v00000003"  (the manifest)
+      v00000003/  *.parquet     # current state (immutable once published)
+      _table_properties.json    # catalog sidecar, OUTSIDE version dirs
+
+Directories never published through this module (streaming sinks, plain
+appends, dynamic-partition facts) keep the legacy files-at-root layout;
+``resolve`` falls back to the root so both layouts read through the same
+call. At 100 TB the same protocol holds on an object store with
+put-if-absent on the pointer object; only the GC wait differs (retain old
+versions for in-flight readers instead of deleting eagerly).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+POINTER = "_CURRENT"
+_VERSION_RE = re.compile(r"^v\d{8}$")
+
+
+def current_version(target: str) -> str | None:
+    """The committed version name, or None for legacy/empty directories."""
+    p = os.path.join(target, POINTER)
+    try:
+        with open(p) as f:
+            v = f.read().strip()
+    except FileNotFoundError:
+        return None
+    return v if _VERSION_RE.match(v) and os.path.isdir(os.path.join(target, v)) else None
+
+
+def resolve(target: str) -> str:
+    """The directory holding the current table DATA: the committed version
+    dir when a pointer exists, else ``target`` itself (legacy layout)."""
+    v = current_version(target)
+    return os.path.join(target, v) if v else target
+
+
+def _next_version(target: str) -> str:
+    versions = [d for d in os.listdir(target) if _VERSION_RE.match(d)]
+    n = max((int(v[1:]) for v in versions), default=0) + 1
+    return f"v{n:08d}"
+
+
+def _sweep(target: str) -> None:
+    """Remove debris from crashed publishes: version dirs that are not the
+    committed one, pointer tmp files, and legacy ``.tmp-*``/``.old-*``
+    sibling dirs from the pre-manifest rename protocol."""
+    cur = current_version(target)
+    for d in os.listdir(target):
+        full = os.path.join(target, d)
+        if _VERSION_RE.match(d) and d != cur:
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith(POINTER + ".tmp-"):
+            os.remove(full)
+    parent, base = os.path.dirname(target) or ".", os.path.basename(target)
+    for d in os.listdir(parent):
+        if d.startswith(base + ".tmp-") or d.startswith(base + ".old-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
+def _flip_pointer(target: str, version: str) -> None:
+    """THE commit point: publish ``version`` with one atomic rename."""
+    tmp = os.path.join(target, f"{POINTER}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(target, POINTER))
+
+
+def _gc(target: str, keep: str) -> None:
+    """After a successful flip: drop superseded version dirs and any legacy
+    root-level data files/partition dirs (first publish over a table that
+    was previously written files-at-root). Sidecar ``_*`` metadata files and
+    the pointer stay."""
+    for d in os.listdir(target):
+        full = os.path.join(target, d)
+        if d == keep or d == POINTER or d.startswith("_"):
+            continue
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.remove(full)
+
+
+def publish(target: str, write_fn: Callable[[str], None]) -> str:
+    """Commit a new full state for ``target``: ``write_fn(data_dir)`` must
+    write the complete new table into the (fresh) ``data_dir`` it is given.
+    Returns the data dir of the newly committed version.
+
+    Crash-safety: a failure inside ``write_fn`` leaves the pointer — and
+    therefore every reader — on the old state; the orphaned version dir is
+    swept by the next publish. The old state is removed only AFTER the
+    pointer names the new one, so there is no instant with neither state
+    readable (the defect of the old rename-rename swap)."""
+    os.makedirs(target, exist_ok=True)
+    _sweep(target)
+    version = _next_version(target)
+    vdir = os.path.join(target, version)
+    write_fn(vdir)
+    _flip_pointer(target, version)
+    _gc(target, keep=version)
+    return vdir

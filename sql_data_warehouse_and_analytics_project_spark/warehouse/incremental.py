@@ -11,21 +11,21 @@ each combinable by a further sum/min/max), fold each arriving delta's
 KB-sized partial aggregate into the stored state with one tiny groupBy,
 and DERIVE the non-mergeable measures (avg) at read time. Per-ingest
 cost is O(delta) + a merge over distinct keys — the corpus is scanned
-exactly once, at bootstrap. The stored state swaps via the same
-tmp+rename discipline as the catalog loader, so a failed refresh never
-leaves a half-merged rollup.
+exactly once, at bootstrap. The stored state commits via the same
+manifest-pointer protocol as the catalog loader (``warehouse.commit``),
+so a failed refresh never leaves a half-merged rollup — readers stay on
+the complete old state until the atomic pointer flip.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from . import commit
 
 
 def _partial(df: DataFrame, keys: list[str], measure: str) -> DataFrame:
@@ -40,15 +40,12 @@ def _partial(df: DataFrame, keys: list[str], measure: str) -> DataFrame:
     )
 
 
-def _swap_in(spark: SparkSession, df: DataFrame, target: str) -> None:
-    tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{target}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(target):
-        os.rename(target, old)
-    os.rename(tmp, target)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+def _swap_in(df: DataFrame, target: str) -> None:
+    """Commit ``df`` as the new rollup state via the manifest-pointer
+    protocol (``commit.publish``): a crash mid-commit leaves readers on the
+    complete old state, and stale dirs from crashed commits are swept on
+    the next one — the crash-safety the old rename-rename swap lacked."""
+    commit.publish(target, lambda vdir: df.write.mode("overwrite").parquet(vdir))
 
 
 def build_rollup(
@@ -56,7 +53,7 @@ def build_rollup(
 ) -> None:
     """Bootstrap the persisted rollup state from a full scan of ``df`` —
     the only corpus-wide pass this rollup will ever need."""
-    _swap_in(df.sparkSession, _partial(df, keys, measure), path)
+    _swap_in(_partial(df, keys, measure), path)
 
 
 def refresh_rollup(
@@ -66,10 +63,10 @@ def refresh_rollup(
     delta alone (partial agg over O(delta) rows), union with the stored
     component frame, and re-merge by key — sums add, counts add, min/max
     fold. The merge input is two KB-per-key component frames, never data
-    rows. The union frame is materialized into the tmp dir BEFORE the
-    stored directory is swapped, so the read-own-input hazard of
-    overwriting a parquet path being read does not arise."""
-    stored = spark.read.parquet(path)
+    rows. The union frame is materialized into the next VERSION dir before
+    the pointer flips, so the read-own-input hazard of overwriting a
+    parquet path being read does not arise."""
+    stored = spark.read.parquet(commit.resolve(path))
     merged = (
         stored.unionByName(_partial(delta, keys, measure))
         .groupBy(*keys)
@@ -80,7 +77,7 @@ def refresh_rollup(
             F.max("m_max").alias("m_max"),
         )
     )
-    _swap_in(spark, merged, path)
+    _swap_in(merged, path)
 
 
 def read_rollup(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
@@ -90,7 +87,7 @@ def read_rollup(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
     # decimal-division result scale differs between engines
     total = F.col("m_sum").cast("double")
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(commit.resolve(path))
         .select(
             *keys,
             total.alias("total"),

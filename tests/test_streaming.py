@@ -209,7 +209,10 @@ def test_stream_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         q.awaitTermination()
 
     def snapshot():
-        root = cat.path("silver.user_latest_b")
+        # walk the committed version dir (the bootstrap overwrite publishes
+        # via the manifest-pointer commit; later microbatches
+        # dynamic-overwrite partitions within that same version)
+        root = cat.data_dir("silver.user_latest_b")
         out = {}
         for dirpath, _, files in os.walk(root):
             for f in files:

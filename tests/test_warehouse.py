@@ -424,7 +424,7 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
         F.col("id"), (2020 + F.col("id") % 3).cast("int").alias("y")
     )
     cat.overwrite("gold.t", full, partition_by=["y"])
-    p = cat.path("gold.t")
+    p = cat.data_dir("gold.t")
 
     def snapshot(y):
         d = os.path.join(p, f"y={y}")
