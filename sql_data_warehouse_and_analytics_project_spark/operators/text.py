@@ -763,17 +763,23 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram model — gibberish and boilerplate-free natural text separate
 # cleanly on this axis, and the score is the standard input to
 # perplexity-bucketed filtering. Scale shape: the model is the top-V
-# term-frequency table (ONE partial-aggregating groupBy + ordered LIMIT —
-# only V rows reach the driver), embedded as a broadcast map literal; the
-# per-doc score is then a PURE PROJECTION — a sequential fold over the
-# token array — so scoring adds zero shuffles to the corpus scan. Every
-# log is computed by the driver's libm (Python) or the oracle's (DuckDB),
-# never the JVM, and per-token contributions fold in TOKEN ORDER in both
-# engines, so the float result is engine- and partition-order-exact before
-# the defensive 6-dp round.
+# term-frequency table (ONE partial-aggregating groupBy + ordered LIMIT);
+# the per-doc score is then a PURE PROJECTION — a sequential fold over the
+# token array — so scoring adds zero shuffles to the corpus scan. Two
+# physical forms of the model (see unigram_logprob): a driver-side map
+# literal (V rows collected; logs via driver libm, matching the oracle's
+# DuckDB libm bit-for-bit) and, past _LM_BROADCAST_CUTOVER, a JVM-built
+# one-row map frame broadcast onto the corpus (no collect anywhere; logs
+# via JVM libm, ≤1 ULP off driver libm — invisible at the 6-dp output
+# surface). Both strategies fold per-token contributions in TOKEN ORDER,
+# so the float result is partition-order-exact before the defensive 6-dp
+# round.
 
-_LM_VOCAB = 256  # top-V unigram model (driver-side literal; broadcast-join past ~100K)
+_LM_VOCAB = 256  # top-V unigram model
 _LM_OOV_NUM = 0.5  # OOV floor numerator: p_oov = 0.5 / n_total
+# past this vocab size the model auto-switches from the driver-side literal
+# map to the broadcast-join strategy (JVM-built 1-row map frame, no collect)
+_LM_BROADCAST_CUTOVER = 100_000
 
 _LM_SQL = f"""
 WITH toks AS (
@@ -799,24 +805,81 @@ ORDER BY doc_id
 """
 
 
-def unigram_logprob(docs: DataFrame, vocab_size: int = _LM_VOCAB) -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, vocab_size: int = _LM_VOCAB, strategy: str | None = None
+) -> DataFrame:
     """(doc_id, n_tokens, avg_logprob) under a corpus-trained top-``vocab_
     size`` unigram model with an OOV floor of ``_LM_OOV_NUM / n_total``.
     See the module note for the scale shape and the cross-engine float
-    discipline (driver-libm logs, token-order fold, 6-dp round)."""
+    discipline (driver-libm logs, token-order fold, 6-dp round).
+
+    Two physical strategies, same semantics:
+
+    - ``"literal"`` — collect the top-V vocab (a KB frame) and bake the
+      term→logprob map into the plan as literals; logs via the driver's
+      libm so the oracle hash-matches bit-for-bit. Right up to ~100K terms.
+    - ``"broadcast"`` — NO driver collect: the vocab aggregates JVM-side
+      into a ONE-ROW model frame (``map_from_entries(collect_list(...))``)
+      that broadcast-cross-joins onto the corpus; ``element_at`` on the map
+      COLUMN keeps the per-token lookup inside the same token-order
+      ``F.aggregate`` fold, so the scale path preserves the fold-order
+      exactness the literal path pins. Logs come from the JVM's libm, which
+      may differ from driver libm by ≤1 ULP per term — invisible on the
+      6-dp-rounded output surface (parity-pytested against the literal
+      path at two vocab sizes), which is why the oracle stays on the
+      literal path.
+
+    ``strategy=None`` auto-selects: literal below
+    ``_LM_BROADCAST_CUTOVER``, broadcast above."""
     import math
 
+    if strategy is None:
+        strategy = "literal" if vocab_size <= _LM_BROADCAST_CUTOVER else "broadcast"
     toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
     with_t = docs.select("doc_id", toks.alias("t"))
-    n_total = float(with_t.agg(F.sum(F.size("t"))).first()[0] or 0)
-    vocab = (
+    vocab_df = (
         with_t.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(vocab_size)
-        .collect()
     )
+
+    if strategy == "broadcast":
+        tot = with_t.agg(F.sum(F.size("t")).cast("double").alias("n_total"))
+        model = (
+            vocab_df.crossJoin(F.broadcast(tot))
+            .select(
+                "n_total",
+                F.struct(
+                    F.col("term"),
+                    F.log(F.col("tf").cast("double") / F.col("n_total")).alias("logp"),
+                ).alias("e"),
+            )
+            .groupBy("n_total")
+            .agg(F.map_from_entries(F.collect_list("e")).alias("mp"))
+            .select(
+                "mp", F.log(F.lit(_LM_OOV_NUM) / F.col("n_total")).alias("oov")
+            )
+        )
+        score = F.aggregate(
+            F.col("t"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.coalesce(F.element_at(F.col("mp"), x), F.col("oov")),
+        )
+        return (
+            with_t.crossJoin(F.broadcast(model))
+            .select(
+                "doc_id",
+                F.size("t").cast("bigint").alias("n_tokens"),
+                F.round(score / F.size("t").cast("double"), 6).alias("avg_logprob"),
+            )
+            .orderBy("doc_id")
+        )
+
+    n_total = float(with_t.agg(F.sum(F.size("t"))).first()[0] or 0)
+    vocab = vocab_df.collect()
     oov = math.log(_LM_OOV_NUM / n_total) if n_total else 0.0
     entries: list = []
     for r in vocab:

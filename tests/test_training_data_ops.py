@@ -911,6 +911,35 @@ def test_unigram_logprob_separates_gibberish(spark):
     assert out[1]["n_tokens"] == 8 and out[2]["n_tokens"] == 6
 
 
+def test_unigram_logprob_broadcast_strategy_parity(spark):
+    """unigram_logprob (r9, VERDICT r8 ask #5): the broadcast-join scale
+    strategy (JVM-built one-row map frame, NO driver collect) produces
+    output identical to the driver-literal strategy on the 6-dp-rounded
+    surface, at the pinned V=256 and at a vocab wider than the corpus's
+    distinct-term count (every term in-vocab, OOV floor unused); the auto
+    cutover picks broadcast past _LM_BROADCAST_CUTOVER."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        _LM_BROADCAST_CUTOVER,
+        unigram_logprob,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    for v in (256, 50_000):
+        lit = unigram_logprob(docs, vocab_size=v, strategy="literal").collect()
+        bc = unigram_logprob(docs, vocab_size=v, strategy="broadcast").collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in bc], f"vocab={v}"
+
+    # the broadcast plan really broadcasts the one-row model frame
+    plan = unigram_logprob(docs, strategy="broadcast")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # auto cutover: above the threshold the broadcast strategy is chosen
+    auto = unigram_logprob(docs, vocab_size=_LM_BROADCAST_CUTOVER + 1)
+    assert "Broadcast" in auto._jdf.queryExecution().executedPlan().toString()
+
+
 def test_connected_components_closes_transitive_chains(spark):
     """dedup_components (r7): labels agree with a driver-side union-find
     over the same pair set on the real corpus, and a planted a~b, b~c edge
