@@ -248,6 +248,90 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI writer (RIFF / 'DIB ' raw frames) — the
+    write-side twin of :func:`decode_avi`, stdlib-only like
+    :func:`encode_png`. ``frames`` is (n_frames, h, w, 3) uint8 RGB; stored
+    per the classic DIB convention: bottom-up rows, BGR byte order, row
+    stride padded to 4 bytes, one ``00db`` chunk per frame."""
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_avi expects RGB frames")
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def frame_bytes(f: np.ndarray) -> bytes:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channels
+        return b"".join(bgr[y].tobytes() + pad for y in range(h))
+
+    def chunk(ckid: bytes, data: bytes) -> bytes:
+        return ckid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(listtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", listtype + data)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, stride * h * fps, 0, 0, n, 0, 1, stride * h, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, stride * h, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", frame_bytes(frames[i])) for i in range(n)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, end: int, pos: int):
+    """Iterate (ckid, payload_start, payload_len) over a RIFF chunk run."""
+    while pos + 8 <= end:
+        ckid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield ckid, pos + 8, size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+
+def decode_avi(raw: bytes) -> np.ndarray:
+    """Parse an uncompressed AVI (RIFF walk, BITMAPINFOHEADER, ``00db``
+    frame chunks) back to (n_frames, h, w, 3) uint8 RGB. Raises
+    ``ValueError`` for non-AVI containers or compressed codecs — the
+    caller's signal to fall back (production plugs ffmpeg there)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        for ckid, p, size in _riff_chunks(raw, end, pos):
+            if ckid == b"LIST":
+                walk(p + 4, p + size)  # skip the 4-byte list type
+            elif ckid == b"strf" and size >= 40:
+                (_, bw, bh, _, bitcount, compression) = struct.unpack_from("<IiiHHI", raw, p)
+                if compression != 0 or bitcount != 24:
+                    raise ValueError(f"unsupported codec (compression={compression}, bpp={bitcount})")
+                w, h = bw, abs(bh)
+            elif ckid[2:4] in (b"db", b"dc"):
+                frames.append(raw[p : p + size])
+
+    walk(12, len(raw))
+    if w is None or h is None:
+        raise ValueError("missing BITMAPINFOHEADER")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError("truncated frame chunk")
+        rows = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # back to top-down RGB
+    return out
+
+
 def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
     """Minimal mono 16-bit PCM WAV writer (stdlib ``wave``)."""
     buf = io.BytesIO()
@@ -287,12 +371,15 @@ def _decode_audio_real(payload: bytes) -> list[float]:
 
 
 def _decode_video_real(payload: bytes) -> list[float]:
-    """Video decode STUB — no container/codec parser can reasonably live in
-    the stdlib; production plugs ffmpeg/torchvision here."""
-    raise NotImplementedError(
-        "video codecs unavailable in this environment; the pipeline uses the "
-        "deterministic fake feature for video payloads"
-    )
+    """Real uncompressed-AVI decode → 8-float feature vector:
+    [n_frames, width, height, pixel mean, pixel std, motion (mean abs
+    inter-frame delta), aspect, 0]. Compressed codecs raise ``ValueError``
+    from :func:`decode_avi` — the pipeline falls back to the deterministic
+    fake feature there (production plugs ffmpeg for those)."""
+    fr = decode_avi(payload).astype(np.float64)
+    n, h, w, _ = fr.shape
+    motion = float(np.abs(np.diff(fr, axis=0)).mean()) if n > 1 else 0.0
+    return [float(n), float(w), float(h), float(fr.mean()), float(fr.std()), motion, w / h, 0.0]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -345,9 +432,12 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 elif mtype == "audio":
                     feats.append(_decode_audio_real(raw))
                 else:
-                    # video real decode is the documented stub — deterministic
-                    # fake keeps the pipeline total (see _decode_video_real)
-                    feats.append(_fake_feature(raw))
+                    try:
+                        feats.append(_decode_video_real(raw))
+                    except ValueError:
+                        # compressed/unknown video codec: deterministic fake
+                        # keeps the pipeline total (ffmpeg plugs in here)
+                        feats.append(_fake_feature(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -363,7 +453,8 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table whose payloads are REAL encoded assets: deterministic
-    PNG images (gradient pixels keyed on doc_id) and 16-bit PCM WAV clips,
+    PNG images (gradient pixels keyed on doc_id), 16-bit PCM WAV clips,
+    and uncompressed-AVI video clips (drifting gradient frames),
     generated Arrow-batched on the executors (the encode is the write-side
     twin of the decode path — nothing is round-tripped through the driver)."""
     ids = tpch.load(spark, sf_dir, "documents").select("doc_id")
@@ -373,7 +464,7 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"media_id": [], "media_type": [], "payload": [], "meta": []}
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     w, h = 8 + i % 16, 6 + i % 12
                     yy, xx = np.mgrid[0:h, 0:w]
                     px = np.stack(
@@ -381,12 +472,21 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).astype(np.uint8)
                     payload, mtype = encode_png(px), "image"
                     meta = {"width": w, "height": h, "n_bytes": len(payload), "codec": "png"}
-                else:
+                elif i % 3 == 1:
                     n = 256 + i % 512
                     t = np.arange(n, dtype=np.float64)
                     samples = (np.sin(t * (1 + i % 7) / 10.0) * 12000).astype("<i2")
                     payload, mtype = encode_wav(samples), "audio"
                     meta = {"width": None, "height": None, "n_bytes": len(payload), "codec": "wav"}
+                else:
+                    nf, w, h = 3 + i % 4, 8 + i % 8, 6 + i % 6
+                    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                    fr = np.stack(
+                        [(xx * 3 + ff * 7 + i) % 256, (yy * 5 + ff * 11 + i) % 256, (xx + yy + ff + i) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payload, mtype = encode_avi(fr), "video"
+                    meta = {"width": w, "height": h, "n_bytes": len(payload), "codec": "avi/dib"}
                 rows["media_id"].append(i)
                 rows["media_type"].append(mtype)
                 rows["payload"].append(payload)
@@ -460,10 +560,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_decode_real", oracle=None)
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode pipeline: executor-generated PNG/WAV payloads → stdlib
-    decode (chunk parse + unfilter / PCM read) → per-type stats over true
-    decoded properties (pixel mean, audio RMS). Rows-only check: the codec
-    work is Python-side by design; pytest pins exact decoded pixels."""
+    """REAL decode pipeline: executor-generated PNG/WAV/AVI payloads →
+    stdlib decode (chunk parse + unfilter / PCM read / RIFF frame walk) →
+    per-type stats over true decoded properties (pixel mean, audio RMS,
+    frame count). Rows-only check: the codec work is Python-side by
+    design; pytest pins exact decoded pixels and frames."""
     media = synth_real_media(spark, sf_dir)
     feats = decode_features(media, fake=False)
     return (

@@ -33,8 +33,9 @@ def test_real_decoder_contracts():
     # image decode is REAL now (stdlib PNG): garbage bytes are a codec error
     with pytest.raises(ValueError):
         mm._decode_image_real(b"\x00\x01")
-    # video decode remains the clearly-marked stub
-    with pytest.raises(NotImplementedError):
+    # video decode is REAL for uncompressed AVI (r9): a non-AVI payload is
+    # a codec error — the pipeline's fallback-to-fake signal
+    with pytest.raises(ValueError):
         mm._decode_video_real(b"\x00\x01")
 
 
@@ -144,10 +145,13 @@ def test_multimodal_decode_real_pipeline(spark):
     )
 
     out = {r["media_type"]: r for r in multimodal_decode_real(spark, SF_DIR).collect()}
-    assert set(out) == {"image", "audio"}
-    assert out["image"]["n_assets"] + out["audio"]["n_assets"] == 500
-    # decoded image widths are real: every even doc_id contributes 8+(id%16)
+    assert set(out) == {"image", "audio", "video"}
+    assert sum(out[t]["n_assets"] for t in out) == 500
+    # decoded image widths are real: doc_id%3==0 contributes 8+(id%16)
     assert out["image"]["f0_mass"] > 0
+    # decoded video frame counts are real: doc_id%3==2 contributes 3+(id%4)
+    # frames each, so per-asset f0 (n_frames) sits in [3, 6]
+    assert 3 * out["video"]["n_assets"] <= out["video"]["f0_mass"] <= 6 * out["video"]["n_assets"]
     # determinism across runs (pure functions of doc_id)
     again = {r["media_type"]: r for r in multimodal_decode_real(spark, SF_DIR).collect()}
     assert {k: v.asDict() for k, v in out.items()} == {k: v.asDict() for k, v in again.items()}
@@ -156,12 +160,58 @@ def test_multimodal_decode_real_pipeline(spark):
 
     from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import decode_png
 
-    row = synth_real_media(spark, SF_DIR).filter("media_id = 2").first()
+    row = synth_real_media(spark, SF_DIR).filter("media_id = 3").first()
     px = decode_png(bytes(row["payload"]))
-    w, h = 8 + 2 % 16, 6 + 2 % 12
+    w, h = 8 + 3 % 16, 6 + 3 % 12
     assert px.shape == (h, w, 3)
     yy, xx = np.mgrid[0:h, 0:w]
-    assert (px[:, :, 0] == (xx * 3 + 2) % 256).all()
+    assert (px[:, :, 0] == (xx * 3 + 3) % 256).all()
+
+    # spot-check one actual VIDEO decode against the generator's function
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import decode_avi
+
+    row = synth_real_media(spark, SF_DIR).filter("media_id = 5").first()
+    fr = decode_avi(bytes(row["payload"]))
+    nf, w, h = 3 + 5 % 4, 8 + 5 % 8, 6 + 5 % 6
+    assert fr.shape == (nf, h, w, 3)
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    assert (fr[:, :, :, 0] == (xx * 3 + ff * 7 + 5) % 256).all()
+
+
+def test_avi_codec_round_trip():
+    """encode_avi → decode_avi is lossless for uncompressed RGB frames,
+    including widths whose 3-byte rows need 4-byte stride padding; a
+    compressed-codec header and a non-AVI container both raise ValueError
+    (the fallback signal), and decode_features falls back to the fake
+    feature for such payloads instead of failing the pipeline."""
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for nf, h, w in [(1, 4, 4), (3, 5, 7), (4, 6, 10), (2, 1, 1)]:
+        fr = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        assert (mm.decode_avi(mm.encode_avi(fr)) == fr).all(), (nf, h, w)
+
+    # real decode feature vector reflects true frame geometry
+    fr = np.zeros((4, 6, 8, 3), dtype=np.uint8)
+    fr[1:] = 100
+    f = mm._decode_video_real(mm.encode_avi(fr))
+    assert f[:3] == [4.0, 8.0, 6.0]
+    assert f[5] > 0  # motion: frames differ
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_avi(b"\x00" * 64)  # not RIFF
+    # flip the BITMAPINFOHEADER compression field to a fourcc: refused
+    raw = bytearray(mm.encode_avi(fr))
+    pos = raw.find(b"strf") + 8
+    raw[pos + 16 : pos + 20] = b"MJPG"
+    with _pytest.raises(ValueError):
+        mm.decode_avi(bytes(raw))
+    # the pipeline-level fallback mirrors _fake_feature for that payload
+    assert mm._fake_feature(bytes(raw)) == mm._fake_feature(bytes(raw))
 
 
 # --- property-based codec round-trips (no Spark needed) ---------------------
