@@ -13,8 +13,12 @@ decode path is real for those two formats: ``_decode_png`` parses PNG
 chunks, inflates IDAT with zlib, and undoes all five scanline filters
 (None/Sub/Up/Average/Paeth, per the public PNG spec) into a numpy pixel
 array; ``_decode_wav`` reads PCM frames via the ``wave`` module. VIDEO
-decode remains a clearly-marked stub (no container codec can be expressed
-in stdlib) and falls back to the deterministic fake feature.
+(r9): uncompressed AVI gets a real stdlib codec round trip too —
+``encode_avi``/``decode_avi`` walk the RIFF container and raw DIB frames —
+so real frame sampling, per-frame dHash, and video near-dup all run on
+true decoded pixels; COMPRESSED video codecs raise from the parser and
+fall back to the deterministic fake feature (production plugs ffmpeg in
+exactly there).
 """
 
 from __future__ import annotations
@@ -479,12 +483,14 @@ def synth_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload, mtype = encode_wav(samples), "audio"
                     meta = {"width": None, "height": None, "n_bytes": len(payload), "codec": "wav"}
                 else:
+                    # seeded-random frames: clips are CONTENT-DISTINCT per
+                    # media_id (a shared gradient would make every clip a
+                    # legitimate dHash near-dup of every other — brightness
+                    # shifts are gradient-invariant), still deterministic
                     nf, w, h = 3 + i % 4, 8 + i % 8, 6 + i % 6
-                    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
-                    fr = np.stack(
-                        [(xx * 3 + ff * 7 + i) % 256, (yy * 5 + ff * 11 + i) % 256, (xx + yy + ff + i) % 256],
-                        axis=-1,
-                    ).astype(np.uint8)
+                    fr = np.random.RandomState(977 + i).randint(
+                        0, 256, size=(nf, h, w, 3), dtype=np.uint8
+                    )
                     payload, mtype = encode_avi(fr), "video"
                     meta = {"width": w, "height": h, "n_bytes": len(payload), "codec": "avi/dib"}
                 rows["media_id"].append(i)
@@ -510,6 +516,72 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         "media_id",
         F.posexplode(frames).alias("frame_no", "frame_bytes"),
     )
+
+
+def frame_sample_real(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL frame sampling (r9): decode each uncompressed-AVI payload once,
+    pick ``n_frames`` evenly-spaced frames, and re-encode each as PNG —
+    so every downstream image operator (resize, dHash near-dup, feature
+    extract) composes onto video content unchanged. Arrow-batched, one
+    decode per video; payloads whose codec the parser refuses (compressed
+    video) yield no rows — count them against the input for the audit.
+    Scale shape: pure ``mapInPandas`` projection, output ≤ n_frames rows
+    per video, zero shuffles."""
+    videos = media.filter(F.col("media_type") == "video").select("media_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "width": [], "height": [], "frame_png": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fr = decode_avi(bytes(payload))
+                except ValueError:
+                    continue
+                n = fr.shape[0]
+                if n == 0:
+                    continue
+                take = min(n_frames, n)
+                idxs = sorted({(i * (n - 1)) // max(take - 1, 1) for i in range(take)})
+                for fi, idx in enumerate(idxs):
+                    px = fr[idx]
+                    out["media_id"].append(int(mid))
+                    out["frame_no"].append(fi)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["frame_png"].append(encode_png(px))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        sample, schema="media_id bigint, frame_no int, width int, height int, frame_png binary"
+    )
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour image resize (r9): decode PNG payloads, index-map
+    to (out_h, out_w), re-encode — the Arrow-batched resize stage the
+    brief's multimodal pipeline needs before fixed-input-size feature
+    models. Same mapInPandas shape as the decoders: one Python round trip,
+    no shuffle; undecodable payloads are dropped (audit by count)."""
+    imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = decode_png(bytes(payload))
+                except ValueError:
+                    continue
+                h, w, _ = px.shape
+                ys = ((np.arange(out_h) * h) // out_h).clip(0, h - 1)
+                xs = ((np.arange(out_w) * w) // out_w).clip(0, w - 1)
+                out["media_id"].append(int(mid))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(encode_png(px[np.ix_(ys, xs)]))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(rz, schema="media_id bigint, width int, height int, payload binary")
 
 
 _MM_FEATURES_SQL = """
@@ -1010,3 +1082,121 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole pipeline (closed-form PCM → envelope quantization → banding
     → confirm) replayed in DuckDB."""
     return afp_pairs(afp_signatures(spark, sf_dir))
+
+
+# --- Video near-dup: aligned sampled-frame dHash ----------------------------
+#
+# Composition of the r9 real-frame pipeline with the image pHash skeleton:
+# each video contributes its sampled frames' 56-bit dHashes, frame hashes
+# band-block and confirm through the SAME _hamming_band_pairs machinery as
+# images (exact-collapse, capped buckets, pigeonhole-complete bands), and a
+# video pair is a near-dup when >= _VFP_MATCH_MIN aligned frame POSITIONS
+# match — re-encoded/trimmed copies agree on most sampled positions while
+# unrelated clips agree on none. Scale shape: everything linear in
+# n_videos x n_frames narrow signature rows; rows-only proof (AVI decode is
+# not SQL-expressible), planted-pair pytest pins recall and the negative
+# control. Reference analog: none (LLM-training-data extension, SURVEY §6).
+
+_VFP_FRAMES = 4
+_VFP_SLOT = 16  # frame_no packs into the entity id; requires n_frames <= 16
+_VFP_MATCH_MIN = 3
+
+
+def video_frame_signatures(media: DataFrame, n_frames: int = _VFP_FRAMES) -> DataFrame:
+    """(media_id, frame_no, fhash): 56-bit dHash of each evenly-sampled
+    decoded frame — one AVI decode per video, no PNG round trip; codec
+    refusals contribute no rows (same convention as frame_sample_real)."""
+    videos = media.filter(F.col("media_type") == "video").select("media_id", "payload")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "fhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fr = decode_avi(bytes(payload))
+                except ValueError:
+                    continue
+                n = fr.shape[0]
+                if n == 0:
+                    continue
+                take = min(n_frames, n)
+                idxs = sorted({(i * (n - 1)) // max(take - 1, 1) for i in range(take)})
+                for fi, idx in enumerate(idxs):
+                    out["media_id"].append(int(mid))
+                    out["frame_no"].append(fi)
+                    out["fhash"].append(_dhash56(fr[idx]))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(sig, schema="media_id bigint, frame_no int, fhash bigint")
+
+
+def video_phash_pairs(
+    sigs: DataFrame, match_min: int = _VFP_MATCH_MIN, cap: int | None = None
+) -> DataFrame:
+    """(media_id_1, media_id_2, n_frames_matched, avg_hamming) video
+    near-dup pairs: frame signatures ride the image Hamming-band skeleton
+    as packed (media_id * 16 + frame_no) entities, matches are kept only
+    for ALIGNED frame positions, and pairs roll up per video."""
+    ent = sigs.select(
+        (F.col("media_id") * _VFP_SLOT + F.col("frame_no")).alias("media_id"),
+        F.col("fhash"),
+    )
+    fp = _hamming_band_pairs(
+        ent, "fhash", _PHASH_N_BANDS, _PHASH_BAND_BITS, _PHASH_HAMMING_MAX, cap
+    )
+    aligned = fp.filter(
+        F.col("media_id_1") % _VFP_SLOT == F.col("media_id_2") % _VFP_SLOT
+    )
+    return (
+        aligned.groupBy(
+            (F.col("media_id_1") - F.col("media_id_1") % _VFP_SLOT)
+            .cast("bigint")
+            .alias("e1"),
+            (F.col("media_id_2") - F.col("media_id_2") % _VFP_SLOT)
+            .cast("bigint")
+            .alias("e2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames_matched"),
+            F.round(F.avg(F.col("hamming").cast("double")), 6).alias("avg_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= match_min)
+        .select(
+            (F.col("e1") / _VFP_SLOT).cast("bigint").alias("media_id_1"),
+            (F.col("e2") / _VFP_SLOT).cast("bigint").alias("media_id_2"),
+            "n_frames_matched",
+            "avg_hamming",
+        )
+        .orderBy("media_id_1", "media_id_2")
+    )
+
+
+@query("dedup_video_frames", oracle=None)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs over the real-decode corpus with planted
+    re-encodes: every 5th video gains a +2-brightness copy (media_id +
+    10,000,000) — a uniform shift preserves dHash gradient comparisons
+    except where pixels clip at 255, so each copy pairs with its source
+    within the Hamming confirm threshold (exact-collapse leg where no
+    pixel clipped, banding leg otherwise). Rows-only proof (AVI decode has
+    no SQL twin); recall and the negative control are pytest-pinned."""
+
+    def brighten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                fr = decode_avi(raw)
+                out["media_id"].append(int(mid) + 10_000_000)
+                out["media_type"].append("video")
+                out["payload"].append(
+                    encode_avi(np.clip(fr.astype(np.int16) + 2, 0, 255).astype(np.uint8))
+                )
+            yield pd.DataFrame(out)
+
+    media = synth_real_media(spark, sf_dir).select("media_id", "media_type", "payload")
+    vids = media.filter(F.col("media_type") == "video")
+    copies = vids.filter(F.col("media_id") % 5 == 2).mapInPandas(
+        brighten, schema="media_id bigint, media_type string, payload binary"
+    )
+    return video_phash_pairs(video_frame_signatures(vids.unionByName(copies)))

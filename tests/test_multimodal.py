@@ -174,8 +174,8 @@ def test_multimodal_decode_real_pipeline(spark):
     fr = decode_avi(bytes(row["payload"]))
     nf, w, h = 3 + 5 % 4, 8 + 5 % 8, 6 + 5 % 6
     assert fr.shape == (nf, h, w, 3)
-    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
-    assert (fr[:, :, :, 0] == (xx * 3 + ff * 7 + 5) % 256).all()
+    expected = np.random.RandomState(977 + 5).randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    assert (fr == expected).all()
 
 
 def test_avi_codec_round_trip():
@@ -549,3 +549,101 @@ def test_audio_fingerprint_groups_are_near_dups(spark):
     assert want <= got, want - got
     for r in pairs:
         assert 0 <= r["hamming"] <= _AFP_HAMMING_MAX
+
+
+# --- real frame sampling / resize / video near-dup (r9) ---------------------
+
+
+def test_frame_sample_real_and_resize(spark):
+    """frame_sample_real returns true decoded frames as PNG (first/last
+    frame of the clip at the sampled positions), and resize_image
+    nearest-neighbour maps pixels exactly."""
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    media = mm.synth_real_media(spark, SF_DIR)
+    vid = media.filter("media_id = 5").first()
+    frames = {
+        r["frame_no"]: r
+        for r in mm.frame_sample_real(media.filter("media_id = 5"), n_frames=2).collect()
+    }
+    src = mm.decode_avi(bytes(vid["payload"]))
+    assert set(frames) == {0, 1}
+    assert (mm.decode_png(bytes(frames[0]["frame_png"])) == src[0]).all()
+    assert (mm.decode_png(bytes(frames[1]["frame_png"])) == src[-1]).all()
+
+    img = media.filter("media_id = 3").first()
+    out = mm.resize_image(media.filter("media_id = 3"), 4, 3).first()
+    px = mm.decode_png(bytes(img["payload"]))
+    h, w, _ = px.shape
+    got = mm.decode_png(bytes(out["payload"]))
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(4) * w) // 4
+    assert (got == px[np.ix_(ys, xs)]).all()
+
+
+def test_video_near_dup_planted(spark):
+    """video_phash_pairs: a +2-brightness re-encode (dHash-invariant) and a
+    single-grid-point perturbation (hamming <= 2 per frame) both pair with
+    their source on >= 3 aligned frame positions; unrelated synthetic clips
+    pair with nothing (negative control)."""
+    import numpy as np
+    import pandas as pd
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    media = mm.synth_real_media(spark, SF_DIR)
+    vids = media.filter("media_type = 'video' and media_id < 60").select(
+        "media_id", "media_type", "payload"
+    )
+    originals = vids.collect()
+    planted_rows = []
+    for r in originals[:4]:
+        fr = mm.decode_avi(bytes(r["payload"]))
+        bright = np.clip(fr.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+        planted_rows.append((r["media_id"] + 1000, "video", mm.encode_avi(bright)))
+    # grid-point perturbation: +100 at a sampled dHash grid coordinate of
+    # every frame — flips at most 2 gradient comparisons per frame
+    r = originals[4]
+    fr = mm.decode_avi(bytes(r["payload"])).astype(np.int16)
+    h, w = fr.shape[1], fr.shape[2]
+    y, x = (2 * (h - 1)) // 6, (3 * (w - 1)) // 8
+    fr[:, y, x, :] = np.clip(fr[:, y, x, :] + 100, 0, 255)
+    planted_rows.append((r["media_id"] + 1000, "video", mm.encode_avi(fr.astype(np.uint8))))
+
+    planted = spark.createDataFrame(
+        pd.DataFrame(planted_rows, columns=["media_id", "media_type", "payload"]),
+        schema="media_id bigint, media_type string, payload binary",
+    )
+    sigs = mm.video_frame_signatures(vids.unionByName(planted))
+    pairs = mm.video_phash_pairs(sigs).collect()
+    got = {(p["media_id_1"], p["media_id_2"]) for p in pairs}
+    for orig_id, _, _ in [(r[0] - 1000, None, None) for r in planted_rows]:
+        assert (orig_id, orig_id + 1000) in got, (orig_id, sorted(got))
+    # negative control: only planted pairs — unrelated clips never match
+    assert got == {(r[0] - 1000, r[0]) for r in planted_rows}
+    by_pair = {(p["media_id_1"], p["media_id_2"]): p for p in pairs}
+    exact = by_pair[(planted_rows[0][0] - 1000, planted_rows[0][0])]
+    assert exact["avg_hamming"] == 0.0  # brightness shift is dHash-invariant
+    pert = by_pair[(planted_rows[-1][0] - 1000, planted_rows[-1][0])]
+    assert 0.0 <= pert["avg_hamming"] <= 2.0
+
+
+def test_dedup_video_frames_query(spark):
+    """Registry query: every 5th video's planted +2-brightness copy is
+    found, nothing else pairs, and the result is deterministic."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.multimodal import (
+        dedup_video_frames,
+    )
+
+    rows = dedup_video_frames(spark, SF_DIR).collect()
+    assert rows, "planted copies must produce pairs"
+    assert all(r["media_id_2"] == r["media_id_1"] + 10_000_000 for r in rows)
+    assert all(r["media_id_1"] % 5 == 2 for r in rows)
+    # +2 brightness is dHash-invariant except where pixels clip at 255, so
+    # matched frames sit well inside the confirm threshold but not all at 0
+    assert all(0.0 <= r["avg_hamming"] <= 7.0 for r in rows)
+    assert all(r["n_frames_matched"] >= 3 for r in rows)
+    again = dedup_video_frames(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
