@@ -40,9 +40,13 @@ from . import commit
 class Catalog:
     """Maps ``db.table`` names to parquet directories under a root."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, history: int = 0):
+        """``history`` historical table versions are retained past each
+        overwrite (time travel via :meth:`read_version`; 0 = trim
+        eagerly)."""
         self.spark = spark
         self.root = root
+        self.history = history
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -69,6 +73,16 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.data_dir(name))
 
+    def versions(self, name: str) -> list[str]:
+        """Retained version names, oldest first (current is the last)."""
+        return commit.list_versions(self.path(name))
+
+    def read_version(self, name: str, version: str) -> DataFrame:
+        """Time-travel read of a retained historical version (requires the
+        catalog's ``history`` retention; raises FileNotFoundError for
+        trimmed or never-committed versions)."""
+        return self.spark.read.parquet(commit.resolve_version(self.path(name), version))
+
     def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Full-table swap (TRUNCATE+INSERT / DELETE+INSERT analog) via the
         manifest-pointer commit: the new state becomes visible at the atomic
@@ -84,7 +98,7 @@ class Catalog:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(vdir)
 
-        vdir = commit.publish(self.path(name), _write)
+        vdir = commit.publish(self.path(name), _write, keep_versions=self.history)
         # the table-properties sidecar lives at the table ROOT, outside
         # version dirs, so it survives commits without copying
         return self.spark.read.parquet(vdir).count()

@@ -63,14 +63,38 @@ def _next_version(target: str) -> str:
     return f"v{n:08d}"
 
 
+def list_versions(target: str) -> list[str]:
+    """Version dirs present on disk, oldest first (retained history plus
+    the current version; see ``publish``'s ``keep_versions``)."""
+    if not os.path.isdir(target):
+        return []
+    return sorted(d for d in os.listdir(target) if _VERSION_RE.match(d))
+
+
+def resolve_version(target: str, version: str) -> str:
+    """Time-travel read: the data dir of a RETAINED historical version.
+    Raises ``FileNotFoundError`` for versions never committed or already
+    trimmed by the retention policy."""
+    p = os.path.join(target, version)
+    if not (_VERSION_RE.match(version) and os.path.isdir(p)):
+        raise FileNotFoundError(
+            f"version {version!r} not retained at {target!r}; "
+            f"available: {list_versions(target)}"
+        )
+    return p
+
+
 def _sweep(target: str) -> None:
-    """Remove debris from crashed publishes: version dirs that are not the
-    committed one, pointer tmp files, and legacy ``.tmp-*``/``.old-*``
-    sibling dirs from the pre-manifest rename protocol."""
+    """Remove debris from crashed publishes: version dirs NEWER than the
+    committed pointer (written but never committed), pointer tmp files,
+    and legacy ``.tmp-*``/``.old-*`` sibling dirs from the pre-manifest
+    rename protocol. Retained history (versions <= current) is the GC
+    policy's business, not sweep's."""
     cur = current_version(target)
+    cur_n = int(cur[1:]) if cur else 0
     for d in os.listdir(target):
         full = os.path.join(target, d)
-        if _VERSION_RE.match(d) and d != cur:
+        if _VERSION_RE.match(d) and (cur is None or int(d[1:]) > cur_n):
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(POINTER + ".tmp-"):
             os.remove(full)
@@ -90,14 +114,17 @@ def _flip_pointer(target: str, version: str) -> None:
     os.replace(tmp, os.path.join(target, POINTER))
 
 
-def _gc(target: str, keep: str) -> None:
-    """After a successful flip: drop superseded version dirs and any legacy
-    root-level data files/partition dirs (first publish over a table that
-    was previously written files-at-root). Sidecar ``_*`` metadata files and
+def _gc(target: str, keep: str, keep_versions: int = 0) -> None:
+    """After a successful flip: drop superseded version dirs beyond the
+    newest ``keep_versions`` historical ones, plus any legacy root-level
+    data files/partition dirs (first publish over a table that was
+    previously written files-at-root). Sidecar ``_*`` metadata files and
     the pointer stay."""
+    history = [d for d in list_versions(target) if d != keep]
+    retained = set(history[len(history) - keep_versions :] if keep_versions else [])
     for d in os.listdir(target):
         full = os.path.join(target, d)
-        if d == keep or d == POINTER or d.startswith("_"):
+        if d == keep or d == POINTER or d.startswith("_") or d in retained:
             continue
         if os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
@@ -105,7 +132,9 @@ def _gc(target: str, keep: str) -> None:
             os.remove(full)
 
 
-def publish(target: str, write_fn: Callable[[str], None]) -> str:
+def publish(
+    target: str, write_fn: Callable[[str], None], keep_versions: int = 0
+) -> str:
     """Commit a new full state for ``target``: ``write_fn(data_dir)`` must
     write the complete new table into the (fresh) ``data_dir`` it is given.
     Returns the data dir of the newly committed version.
@@ -114,12 +143,18 @@ def publish(target: str, write_fn: Callable[[str], None]) -> str:
     therefore every reader — on the old state; the orphaned version dir is
     swept by the next publish. The old state is removed only AFTER the
     pointer names the new one, so there is no instant with neither state
-    readable (the defect of the old rename-rename swap)."""
+    readable (the defect of the old rename-rename swap).
+
+    ``keep_versions`` historical version dirs are retained after the commit
+    (time travel via ``resolve_version``; snapshot isolation for readers
+    still scanning the superseded state — the local analog of the
+    object-store GC wait the module note describes). The default 0 trims
+    history eagerly."""
     os.makedirs(target, exist_ok=True)
     _sweep(target)
     version = _next_version(target)
     vdir = os.path.join(target, version)
     write_fn(vdir)
     _flip_pointer(target, version)
-    _gc(target, keep=version)
+    _gc(target, keep=version, keep_versions=keep_versions)
     return vdir
