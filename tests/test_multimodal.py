@@ -647,3 +647,21 @@ def test_dedup_video_frames_query(spark):
     assert all(r["n_frames_matched"] >= 3 for r in rows)
     again = dedup_video_frames(spark, SF_DIR).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(min_value=1, max_value=5),
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_avi_roundtrip_property(nf, h, w, seed):
+        """Property: encode_avi → decode_avi is the identity for any frame
+        geometry (incl. widths needing stride padding) and pixel content."""
+        import numpy as np
+
+        fr = np.random.RandomState(seed).randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        assert (mm.decode_avi(mm.encode_avi(fr)) == fr).all()
