@@ -36,7 +36,12 @@ import shutil
 from collections.abc import Callable
 
 POINTER = "_CURRENT"
+LOCK = "_LOCK"
 _VERSION_RE = re.compile(r"^v\d{8}$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to publish while a commit was in flight."""
 
 
 def current_version(target: str) -> str | None:
@@ -132,6 +137,37 @@ def _gc(target: str, keep: str, keep_versions: int = 0) -> None:
             os.remove(full)
 
 
+def _acquire_lock(target: str) -> str:
+    """Single-writer guard: create ``_LOCK`` with O_EXCL (atomic on POSIX
+    and NFS-class filesystems). A live competing writer raises
+    ``ConcurrentWriteError`` — the local analog of Delta's optimistic
+    put-if-absent on the next log entry. A lock whose recorded pid is dead
+    (crashed publish) is broken and re-acquired; the dead writer's
+    uncommitted version dir is debris for ``_sweep``."""
+    lock = os.path.join(target, LOCK)
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = int(f.read().strip() or 0)
+                os.kill(holder, 0)  # raises if the holder is dead
+            except (ProcessLookupError, ValueError, FileNotFoundError):
+                try:  # stale lock from a crashed writer: break and retry
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentWriteError(
+                f"table {target!r} has a commit in flight (writer pid {holder})"
+            )
+    raise ConcurrentWriteError(f"could not acquire writer lock for {target!r}")
+
+
 def publish(
     target: str, write_fn: Callable[[str], None], keep_versions: int = 0
 ) -> str:
@@ -149,12 +185,23 @@ def publish(
     (time travel via ``resolve_version``; snapshot isolation for readers
     still scanning the superseded state — the local analog of the
     object-store GC wait the module note describes). The default 0 trims
-    history eagerly."""
+    history eagerly.
+
+    Single-writer: a concurrent publish against the same table raises
+    ``ConcurrentWriteError`` instead of racing the version counter; a lock
+    left by a crashed writer is broken automatically."""
     os.makedirs(target, exist_ok=True)
-    _sweep(target)
-    version = _next_version(target)
-    vdir = os.path.join(target, version)
-    write_fn(vdir)
-    _flip_pointer(target, version)
-    _gc(target, keep=version, keep_versions=keep_versions)
-    return vdir
+    lock = _acquire_lock(target)
+    try:
+        _sweep(target)
+        version = _next_version(target)
+        vdir = os.path.join(target, version)
+        write_fn(vdir)
+        _flip_pointer(target, version)
+        _gc(target, keep=version, keep_versions=keep_versions)
+        return vdir
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass

@@ -267,3 +267,28 @@ def test_commit_history_retention_and_time_travel(spark, tmp_path):
     vs = cat.versions("gold.t")
     assert len(vs) == 3 and _rows(cat, "gold.t") == [500, 501, 502]
     assert sorted(r["id"] for r in cat.read_version("gold.t", vs[0]).collect()) != [900, 901, 902]
+
+
+def test_commit_single_writer_lock(spark, tmp_path):
+    """A publish against a table whose lock is held by a LIVE process
+    raises ConcurrentWriteError (no version-counter race); a lock left by
+    a dead writer is broken automatically and the publish proceeds."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite("gold.t", _df(spark, 0, 3))
+    root = cat.path("gold.t")
+
+    # live holder: our own pid
+    lock = os.path.join(root, commit.LOCK)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(commit.ConcurrentWriteError):
+        cat.overwrite("gold.t", _df(spark, 10, 13))
+    assert _rows(cat, "gold.t") == [0, 1, 2]  # blocked writer changed nothing
+    os.remove(lock)
+
+    # stale holder: a pid that cannot be alive
+    with open(lock, "w") as f:
+        f.write("999999999")
+    cat.overwrite("gold.t", _df(spark, 20, 23))  # breaks the stale lock
+    assert _rows(cat, "gold.t") == [20, 21, 22]
+    assert not os.path.exists(lock)
