@@ -308,22 +308,30 @@ def decode_avi(raw: bytes) -> np.ndarray:
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     w = h = None
+    bottom_up = True
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h
-        for ckid, p, size in _riff_chunks(raw, end, pos):
+        nonlocal w, h, bottom_up
+        # clamp: a lying LIST size field must not walk past the buffer
+        for ckid, p, size in _riff_chunks(raw, min(end, len(raw)), pos):
+            if p + size > len(raw):
+                raise ValueError("truncated/oversized RIFF chunk")
             if ckid == b"LIST":
                 walk(p + 4, p + size)  # skip the 4-byte list type
             elif ckid == b"strf" and size >= 40:
                 (_, bw, bh, _, bitcount, compression) = struct.unpack_from("<IiiHHI", raw, p)
                 if compression != 0 or bitcount != 24:
                     raise ValueError(f"unsupported codec (compression={compression}, bpp={bitcount})")
-                w, h = bw, abs(bh)
+                # negative biHeight = TOP-DOWN row order (per the DIB spec)
+                w, h, bottom_up = bw, abs(bh), bh > 0
             elif ckid[2:4] in (b"db", b"dc"):
                 frames.append(raw[p : p + size])
 
-    walk(12, len(raw))
+    try:
+        walk(12, len(raw))
+    except struct.error as exc:  # truncated header bytes → codec error,
+        raise ValueError(f"malformed AVI structure: {exc}") from exc  # not a job-killer
     if w is None or h is None:
         raise ValueError("missing BITMAPINFOHEADER")
     stride = (w * 3 + 3) & ~3
@@ -332,7 +340,8 @@ def decode_avi(raw: bytes) -> np.ndarray:
         if len(fb) < stride * h:
             raise ValueError("truncated frame chunk")
         rows = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(h, stride)
-        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # back to top-down RGB
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        out[i] = px[::-1] if bottom_up else px  # bottom-up → top-down
     return out
 
 
@@ -518,6 +527,15 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def _sample_frame_idxs(n: int, n_frames: int) -> list[int]:
+    """Evenly-spaced frame indices: ``min(n_frames, n)`` positions over a
+    clip of ``n`` frames, always including first and last. Shared by
+    :func:`frame_sample_real` and :func:`video_frame_signatures` — the
+    alignment convention video near-dup depends on lives in ONE place."""
+    take = min(n_frames, n)
+    return sorted({(i * (n - 1)) // max(take - 1, 1) for i in range(take)})
+
+
 def frame_sample_real(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """REAL frame sampling (r9): decode each uncompressed-AVI payload once,
     pick ``n_frames`` evenly-spaced frames, and re-encode each as PNG —
@@ -540,9 +558,7 @@ def frame_sample_real(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 n = fr.shape[0]
                 if n == 0:
                     continue
-                take = min(n_frames, n)
-                idxs = sorted({(i * (n - 1)) // max(take - 1, 1) for i in range(take)})
-                for fi, idx in enumerate(idxs):
+                for fi, idx in enumerate(_sample_frame_idxs(n, n_frames)):
                     px = fr[idx]
                     out["media_id"].append(int(mid))
                     out["frame_no"].append(fi)
@@ -1105,7 +1121,15 @@ _VFP_MATCH_MIN = 3
 def video_frame_signatures(media: DataFrame, n_frames: int = _VFP_FRAMES) -> DataFrame:
     """(media_id, frame_no, fhash): 56-bit dHash of each evenly-sampled
     decoded frame — one AVI decode per video, no PNG round trip; codec
-    refusals contribute no rows (same convention as frame_sample_real)."""
+    refusals contribute no rows (same convention as frame_sample_real).
+    ``n_frames`` is bounded by the entity-packing slot width: frame_no
+    must stay below ``_VFP_SLOT`` or packed ids would collide across
+    videos in :func:`video_phash_pairs`."""
+    if n_frames > _VFP_SLOT:
+        raise ValueError(
+            f"n_frames={n_frames} exceeds the entity-packing slot width "
+            f"{_VFP_SLOT}; frame_no would collide across videos"
+        )
     videos = media.filter(F.col("media_type") == "video").select("media_id", "payload")
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1119,9 +1143,7 @@ def video_frame_signatures(media: DataFrame, n_frames: int = _VFP_FRAMES) -> Dat
                 n = fr.shape[0]
                 if n == 0:
                     continue
-                take = min(n_frames, n)
-                idxs = sorted({(i * (n - 1)) // max(take - 1, 1) for i in range(take)})
-                for fi, idx in enumerate(idxs):
+                for fi, idx in enumerate(_sample_frame_idxs(n, n_frames)):
                     out["media_id"].append(int(mid))
                     out["frame_no"].append(fi)
                     out["fhash"].append(_dhash56(fr[idx]))

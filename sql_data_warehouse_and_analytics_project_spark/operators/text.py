@@ -847,20 +847,22 @@ def unigram_logprob(
 
     if strategy == "broadcast":
         tot = with_t.agg(F.sum(F.size("t")).cast("double").alias("n_total"))
-        model = (
+        # global agg (no groupBy) so the map frame is ALWAYS exactly one
+        # row — an empty vocab yields an empty map, not zero rows, keeping
+        # the crossJoin from annihilating the corpus (the literal strategy
+        # returns per-doc rows for the same degenerate input)
+        map_row = (
             vocab_df.crossJoin(F.broadcast(tot))
             .select(
-                "n_total",
                 F.struct(
                     F.col("term"),
                     F.log(F.col("tf").cast("double") / F.col("n_total")).alias("logp"),
-                ).alias("e"),
+                ).alias("e")
             )
-            .groupBy("n_total")
             .agg(F.map_from_entries(F.collect_list("e")).alias("mp"))
-            .select(
-                "mp", F.log(F.lit(_LM_OOV_NUM) / F.col("n_total")).alias("oov")
-            )
+        )
+        model = tot.crossJoin(map_row).select(
+            "mp", F.log(F.lit(_LM_OOV_NUM) / F.col("n_total")).alias("oov")
         )
         score = F.aggregate(
             F.col("t"),

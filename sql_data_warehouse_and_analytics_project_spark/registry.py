@@ -93,7 +93,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
     # (q01_database_exploration, olap_approx_summary,
-    # multimodal_decode_real), pytest-verified. Sort is stable, so in-module
+    # multimodal_decode_real, dedup_video_frames), pytest-verified. Sort is
+    # stable, so in-module
     # registration order is preserved within each group. See COVERAGE.md.
     return dict(
         sorted(_REGISTRY.items(), key=lambda kv: (kv[1].oracle is None, kv[1].defer))

@@ -117,6 +117,15 @@ def _flip_pointer(target: str, version: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(target, POINTER))
+    # fsync the DIRECTORY so the rename itself is durable before _gc
+    # deletes the superseded version — otherwise a power loss after eager
+    # GC could leave a persisted pointer naming a deleted dir (the
+    # process-crash tests can't see this; only the journal can)
+    fd = os.open(target, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _gc(target: str, keep: str, keep_versions: int = 0) -> None:
@@ -126,7 +135,7 @@ def _gc(target: str, keep: str, keep_versions: int = 0) -> None:
     previously written files-at-root). Sidecar ``_*`` metadata files and
     the pointer stay."""
     history = [d for d in list_versions(target) if d != keep]
-    retained = set(history[len(history) - keep_versions :] if keep_versions else [])
+    retained = set(history[-keep_versions:] if keep_versions else [])
     for d in os.listdir(target):
         full = os.path.join(target, d)
         if d == keep or d == POINTER or d.startswith("_") or d in retained:
@@ -152,16 +161,25 @@ def _acquire_lock(target: str) -> str:
             os.close(fd)
             return lock
         except FileExistsError:
+            holder = None
             try:
                 with open(lock) as f:
-                    holder = int(f.read().strip() or 0)
-                os.kill(holder, 0)  # raises if the holder is dead
+                    # an EMPTY lock (writer died between O_EXCL create and
+                    # write) must parse as stale, never as pid 0 — kill(0,…)
+                    # signals our own process group and always "succeeds"
+                    holder = int(f.read().strip())
+                if holder <= 0:
+                    raise ValueError(holder)
+                os.kill(holder, 0)  # ESRCH (dead) raises; EPERM (live,
+                # other user) also raises — caught as alive below
             except (ProcessLookupError, ValueError, FileNotFoundError):
                 try:  # stale lock from a crashed writer: break and retry
                     os.remove(lock)
                 except FileNotFoundError:
                     pass
                 continue
+            except PermissionError:
+                pass  # pid exists under another uid — a live writer
             raise ConcurrentWriteError(
                 f"table {target!r} has a commit in flight (writer pid {holder})"
             )

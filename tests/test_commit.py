@@ -292,3 +292,31 @@ def test_commit_single_writer_lock(spark, tmp_path):
     cat.overwrite("gold.t", _df(spark, 20, 23))  # breaks the stale lock
     assert _rows(cat, "gold.t") == [20, 21, 22]
     assert not os.path.exists(lock)
+
+
+def test_commit_history_retention_depth_three(spark, tmp_path):
+    """Regression (r9 review): keep_versions >= 3 must retain exactly that
+    many historical versions at steady state — the old slice arithmetic
+    went negative and silently kept only one."""
+    cat = Catalog(spark, str(tmp_path / "wh"), history=3)
+    for gen in range(6):  # v1..v6
+        cat.overwrite("gold.t", _df(spark, gen * 10, gen * 10 + 2))
+    vs = cat.versions("gold.t")
+    assert vs == ["v00000003", "v00000004", "v00000005", "v00000006"], vs
+    for i, v in enumerate(vs):
+        got = sorted(r["id"] for r in cat.read_version("gold.t", v).collect())
+        assert got == [(i + 2) * 10, (i + 2) * 10 + 1]
+
+
+def test_commit_empty_lock_is_stale(spark, tmp_path):
+    """Regression (r9 review): a 0-byte _LOCK (writer died between O_EXCL
+    create and pid write) must be broken as stale, not parsed as pid 0 —
+    kill(0, 0) signals our own process group and always 'succeeds', which
+    would wedge the table forever."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite("gold.t", _df(spark, 0, 3))
+    lock = os.path.join(cat.path("gold.t"), commit.LOCK)
+    open(lock, "w").close()  # empty lock file
+    cat.overwrite("gold.t", _df(spark, 10, 13))  # must break the stale lock
+    assert _rows(cat, "gold.t") == [10, 11, 12]
+    assert not os.path.exists(lock)

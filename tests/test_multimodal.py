@@ -665,3 +665,57 @@ if HAVE_HYPOTHESIS:
 
         fr = np.random.RandomState(seed).randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
         assert (mm.decode_avi(mm.encode_avi(fr)) == fr).all()
+
+
+def test_avi_malformed_payloads_raise_value_error_only():
+    """Regression (r9 review): every malformed-AVI shape must surface as
+    ValueError (the pipeline's fallback signal) — struct.error from
+    truncated headers or lying chunk sizes would kill the Spark job."""
+    import numpy as np
+
+    fr = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    good = mm.encode_avi(fr)
+    cases = {
+        "truncated mid-header": good[:40],
+        "truncated mid-frame": good[:-10],
+        "oversized LIST size": None,  # built below
+    }
+    raw = bytearray(good)
+    pos = raw.find(b"LIST")
+    raw[pos + 4 : pos + 8] = (2**31 - 1).to_bytes(4, "little")
+    cases["oversized LIST size"] = bytes(raw)
+    for label, payload in cases.items():
+        with pytest.raises(ValueError, match="."):
+            mm.decode_avi(payload), label
+
+
+def test_avi_top_down_dib_decodes_unmirrored():
+    """Regression (r9 review): negative biHeight (top-down DIB) must not be
+    vertically mirrored on decode."""
+    import numpy as np
+    import struct as _struct
+
+    fr = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    raw = bytearray(mm.encode_avi(fr))
+    # flip biHeight sign in BITMAPINFOHEADER and rewrite frames TOP-DOWN
+    pos = raw.find(b"strf") + 8
+    (h,) = _struct.unpack_from("<i", raw, pos + 8)
+    _struct.pack_into("<i", raw, pos + 8, -h)
+    # frames were written bottom-up; reverse each frame's rows in place
+    stride = (4 * 3 + 3) & ~3
+    fpos = raw.find(b"00db")
+    while fpos != -1:
+        (size,) = _struct.unpack_from("<I", raw, fpos + 4)
+        body = raw[fpos + 8 : fpos + 8 + size]
+        rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+        raw[fpos + 8 : fpos + 8 + size] = b"".join(reversed(rows))
+        fpos = raw.find(b"00db", fpos + 8 + size)
+    assert (mm.decode_avi(bytes(raw)) == fr).all()
+
+
+def test_video_frame_signatures_rejects_overflowing_n_frames(spark):
+    """Regression (r9 review): n_frames beyond the entity-packing slot
+    width must fail loudly, not silently collide packed ids."""
+    media = mm.synth_real_media(spark, SF_DIR)
+    with pytest.raises(ValueError, match="slot width"):
+        mm.video_frame_signatures(media, n_frames=17)

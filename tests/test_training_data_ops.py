@@ -940,6 +940,22 @@ def test_unigram_logprob_broadcast_strategy_parity(spark):
     assert "Broadcast" in auto._jdf.queryExecution().executedPlan().toString()
 
 
+def test_unigram_logprob_degenerate_vocab_strategy_parity(spark):
+    """Regression (r9 review): a corpus whose texts all tokenize to empty
+    arrays yields an EMPTY vocab — the broadcast strategy must still return
+    one row per doc (null avg, zero tokens... same surface as the literal
+    strategy), not annihilate the corpus through an empty model frame."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import unigram_logprob
+
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id bigint, text string"
+    )
+    lit = unigram_logprob(degenerate, vocab_size=8, strategy="literal").collect()
+    bc = unigram_logprob(degenerate, vocab_size=8, strategy="broadcast").collect()
+    assert len(lit) == len(bc) == 2
+    assert [tuple(r) for r in lit] == [tuple(r) for r in bc]
+
+
 def test_connected_components_closes_transitive_chains(spark):
     """dedup_components (r7): labels agree with a driver-side union-find
     over the same pair set on the real corpus, and a planted a~b, b~c edge
