@@ -64,6 +64,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         olap_extras,
         packing,
+        pq,
         retrieval,
         sampling_json,
         security_queries,

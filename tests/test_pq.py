@@ -1,0 +1,105 @@
+"""Product-quantization ANN: recall, determinism, persistence, plan shape.
+
+Oracle parity for ``ann_pq_topk`` (training + encoding + ADC replayed in
+DuckDB) runs in tests/test_oracle_parity.py like every registered query.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators import pq
+from sql_data_warehouse_and_analytics_project_spark.plans import audit
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+
+def _emb(spark):
+    return tpch.load(spark, SF_DIR, "embeddings")
+
+
+def _query_q(spark) -> list[int]:
+    row = pq._quantized(_emb(spark)).filter(F.col("vec_id") == 0).select("q").collect()
+    return [int(v) for v in row[0]["q"]]
+
+
+def _exact_topk(spark, query_q, k=10) -> list[int]:
+    """Brute-force exact int64 L2 top-k — the baseline PQ is measured against."""
+    qcol = F.array(*[F.lit(int(x)) for x in query_q])
+    rows = (
+        pq._quantized(_emb(spark))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", pq._sqdist_q(F.col("q"), qcol).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return [r["vec_id"] for r in rows]
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    """ADC shortlist (compressed domain) + exact re-rank must recover the
+    exact top-10 almost perfectly — the production search contract. The
+    raw ADC ranking alone is lossy (32 bits/vector); the shortlist size is
+    the recall knob."""
+    emb = _emb(spark)
+    query_q = _query_q(spark)
+    cbs = pq.train_pq_codebooks(emb)
+    enc = pq.pq_encode(emb, cbs).filter(F.col("vec_id") != 0)
+    exact = _exact_topk(spark, query_q, k=10)
+
+    rerank = pq.pq_search_rerank(emb.filter(F.col("vec_id") != 0), enc, query_q, cbs, k=10, shortlist=100)
+    got = [r["vec_id"] for r in rerank.collect()]
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.8, (recall, got, exact)
+
+    # widening the shortlist can only help: full-width shortlist IS exact
+    full = pq.pq_search_rerank(
+        emb.filter(F.col("vec_id") != 0), enc, query_q, cbs, k=10, shortlist=10_000
+    )
+    assert [r["vec_id"] for r in full.collect()] == exact
+
+
+def test_pq_training_deterministic(spark):
+    emb = _emb(spark)
+    a = pq.train_pq_codebooks(emb)
+    b = pq.train_pq_codebooks(emb)
+    assert a == b
+    assert len(a) == pq._PQ_M and all(len(m) == pq._PQ_K for m in a)
+    assert all(len(cw) == pq._PQ_DSUB for m in a for cw in m)
+
+
+def test_pq_index_roundtrip_and_scan_shape(spark, tmp_path):
+    """Persisted index answers identically to the in-memory path, and the
+    query-time scan is the plan PQ exists for: zero data shuffles, a
+    TakeOrderedAndProject cut, and a ReadSchema that touches only the
+    narrow code columns — never the 64-float vector payload."""
+    emb = _emb(spark)
+    path = str(tmp_path / "pqidx")
+    pq.build_pq_index(emb, path)
+
+    cbs = pq.train_pq_codebooks(emb)
+    assert pq.load_pq_codebooks(spark, path) == cbs
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    persisted = pq.pq_search(spark, path, qvec, k=11)
+    query_q = _query_q(spark)
+    memory = pq.pq_adc_topk(pq.pq_encode(emb, cbs), query_q, cbs, k=11)
+    assert [tuple(r) for r in persisted.collect()] == [tuple(r) for r in memory.collect()]
+
+    plan = audit.executed_plan(persisted)
+    assert audit.data_shuffle_count(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    fplan = audit.formatted_plan(persisted)
+    for cols in audit.scan_columns(fplan):
+        assert "embedding" not in cols, fplan
+
+
+def test_pq_empty_corpus(spark, tmp_path):
+    emb = _emb(spark).filter(F.lit(False))
+    assert pq.train_pq_codebooks(emb) == []
+    path = str(tmp_path / "pqempty")
+    pq.build_pq_index(emb, path)
+    out = pq.pq_search(spark, path, [0.0] * 64, k=5)
+    assert out.count() == 0
