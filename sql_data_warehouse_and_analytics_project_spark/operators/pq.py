@@ -83,8 +83,10 @@ def _assign_code(sub: Column, codebook: list[list[int]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _quantized(emb: DataFrame) -> DataFrame:
-    return emb.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+def _quantized(emb: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    return emb.select(
+        "vec_id", "label", *extra, quantize(F.col("embedding")).alias("q")
+    )
 
 
 def train_pq_codebooks(
@@ -162,15 +164,19 @@ def train_pq_codebooks(
 
 
 def pq_encode(
-    emb: DataFrame, codebooks: list[list[list[int]]], dsub: int = _PQ_DSUB
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    dsub: int = _PQ_DSUB,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, label, codes array<int>) — the compressed representation.
-    Pure shuffle-free projection: the codebook is a KB literal, each code an
-    exact-int argmin over one sub-slice."""
-    normed = _quantized(emb)
+    """(vec_id, label, *extra, codes array<int>) — the compressed
+    representation. Pure shuffle-free projection: the codebook is a KB
+    literal, each code an exact-int argmin over one sub-slice. ``extra``
+    carries pass-through columns (the IVF-PQ layout threads ``list_id``)."""
+    normed = _quantized(emb, extra)
     subs = _sub_slices(F.col("q"), len(codebooks), dsub)
     codes = F.array(*[_assign_code(subs[m], codebooks[m]) for m in range(len(codebooks))])
-    return normed.select("vec_id", "label", codes.alias("codes"))
+    return normed.select("vec_id", "label", *extra, codes.alias("codes"))
 
 
 def _adc_lut(query_q: list[int], codebooks: list[list[list[int]]], dsub: int) -> list[list[int]]:
@@ -290,6 +296,125 @@ def pq_search(
         return encoded.select("vec_id", "label", F.lit(None).cast("bigint").alias("adist"))
     query_q = [math.floor(float(x) * 10_000_000.0) for x in query_vec]
     return pq_adc_topk(encoded, query_q, codebooks, k=k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100 TB layout — codes partitioned by coarse cell
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    m_subs: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = 2,
+) -> None:
+    """The composed scale layout (FAISS's IVFPQ shape, re-expressed as a
+    table design): train the IVF coarse quantizer (``similarity.py``
+    k-means) AND the PQ codebooks, then store the 8-byte codes PARTITIONED
+    BY the coarse cell — ``<path>/codes/list_id=N/`` — plus the KB
+    ``centroids``, ``codebook``, and per-list ``stats`` sidecars. A probe
+    then prunes to ~n_probes/n_lists of the files AND each file holds only
+    ~1/32 of the raw bytes: the two reductions multiply, which is what
+    makes exhaustive-quality ANN affordable at 100 TB. Raw vectors stay in
+    the source table; re-rank fetches them by id (broadcast semi-join).
+
+    Training order matters for determinism only in that both models train
+    on the SAME input frame; they are independent (codes quantize the
+    vector itself, not the residual — residual PQ would couple them and
+    break the engine-exact integer replay)."""
+    from .similarity import _assigned_frame, train_ivf_centroids
+
+    centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
+    codebooks = train_pq_codebooks(emb, m_subs=m_subs, k=k)
+    spark = emb.sparkSession
+    if not centroids or not codebooks:
+        spark.createDataFrame(
+            [], "vec_id int, label int, codes array<int>, list_id int"
+        ).write.mode("overwrite").parquet(f"{path}/codes")
+        spark.createDataFrame([], "list_id int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame([], "m int, code int, cw array<bigint>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/codebook")
+        spark.createDataFrame([], "list_id int, n_trained bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        return
+    assigned = _assigned_frame(emb, centroids)
+    codes = pq_encode(assigned, codebooks, extra=("list_id",))
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (m, c, [int(v) for v in codebooks[m][c]])
+        for m in range(len(codebooks))
+        for c in range(len(codebooks[m]))
+    ]
+    spark.createDataFrame(rows, "m int, code int, cw array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    spark.read.parquet(f"{path}/codes").groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trained")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def append_ivfpq_index(emb: DataFrame, path: str) -> None:
+    """Ingest new vectors without retraining either model: assign the
+    coarse cell against the STORED centroids, encode against the STORED
+    codebook, partition-append under ``codes/list_id=N/`` — per-ingest cost
+    is O(batch) projection work. Both stored models drift as the ingest
+    distribution moves; audit with
+    ``similarity.ivf_index_staleness(spark, path, table="codes")`` and
+    rebuild when per-list growth skews."""
+    from .similarity import _assigned_frame, _stored_centroids
+
+    centroids = _stored_centroids(emb.sparkSession, path)
+    codebooks = load_pq_codebooks(emb.sparkSession, path)
+    if not centroids or not codebooks:
+        raise ValueError(
+            f"IVF-PQ index at {path!r} has no trained models; build_ivfpq_index "
+            "on a non-empty corpus before appending"
+        )
+    assigned = _assigned_frame(emb, centroids)
+    pq_encode(assigned, codebooks, extra=("list_id",)).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(f"{path}/codes")
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Probe the ``n_probes`` nearest coarse cells (driver-side argsort of
+    the KB centroid table), then ADC-scan ONLY the probed partitions: the
+    scan carries a ``list_id IN (probes)`` partition filter (plan-pinned)
+    and reads nothing but the code column. Top-k ascending by the exact
+    integer ADC distance, ties to the lowest vec_id."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    codebooks = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    if not cents or not codebooks:
+        return codes.select(
+            "vec_id", "label", F.lit(None).cast("bigint").alias("adist")
+        ).limit(0)
+    qd = [float(x) for x in query_vec]
+    by_dist = sorted(
+        cents, key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["centroid"], qd)), r["list_id"])
+    )
+    probes = [r["list_id"] for r in by_dist[:n_probes]]
+    query_q = [math.floor(x * 10_000_000.0) for x in qd]
+    probed = codes.filter(F.col("list_id").isin(probes))
+    return pq_adc_topk(probed.select("vec_id", "label", "codes"), query_q, codebooks, k=k)
 
 
 _ANN_PQ_SQL = """

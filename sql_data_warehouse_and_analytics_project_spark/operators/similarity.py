@@ -455,7 +455,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         swap(src, tmp)
 
 
-def ivf_index_staleness(spark: SparkSession, path: str) -> DataFrame:
+def ivf_index_staleness(spark: SparkSession, path: str, table: str = "vectors") -> DataFrame:
     """(list_id, n_trained, n_now, growth) per list — the retrain audit for
     an appended index. ``growth`` = n_now / n_trained (null for a list the
     training pass left empty). The quantizer was fitted to the build-time
@@ -463,8 +463,9 @@ def ivf_index_staleness(spark: SparkSession, path: str) -> DataFrame:
     shows up here as skewed growth (one list absorbing the new mass ⇒
     its scan cost grows past the ~n/n_lists design point). Reads only
     parquet footers' row counts per directory plus the KB-sized stats
-    table."""
-    now = spark.read.parquet(f"{path}/vectors").groupBy("list_id").agg(
+    table. ``table`` names the partitioned payload directory — "vectors"
+    for a raw IVF index, "codes" for the IVF-PQ layout (``pq.py``)."""
+    now = spark.read.parquet(f"{path}/{table}").groupBy("list_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_now")
     )
     trained = spark.read.parquet(f"{path}/stats")

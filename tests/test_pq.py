@@ -96,6 +96,75 @@ def test_pq_index_roundtrip_and_scan_shape(spark, tmp_path):
         assert "embedding" not in cols, fplan
 
 
+def test_ivfpq_probe_pruning_and_full_probe_exactness(spark, tmp_path):
+    """The composed layout: a full-width probe must answer exactly like the
+    flat PQ scan (the coarse partitioning is pure layout, not a second
+    approximation), and a narrow probe's scan must carry a list_id
+    PartitionFilter and never touch the embedding column."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(emb, path, n_lists=4)
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    query_q = _query_q(spark)
+    cbs = pq.load_pq_codebooks(spark, path)
+
+    full = pq.ivfpq_search(spark, path, qvec, k=11, n_probes=4)
+    flat = pq.pq_adc_topk(pq.pq_encode(emb, cbs), query_q, cbs, k=11)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in flat.collect()]
+
+    narrow = pq.ivfpq_search(spark, path, qvec, k=11, n_probes=2)
+    plan = audit.executed_plan(narrow)
+    assert audit.data_shuffle_count(plan) == 0, plan
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120], plan
+    fplan = audit.formatted_plan(narrow)
+    for cols in audit.scan_columns(fplan):
+        assert "embedding" not in cols, fplan
+    # narrow-probe results are a subset of the probed cells, still k rows
+    assert narrow.count() == 11
+
+
+def test_ivfpq_append_is_lossless_under_stored_models(spark, tmp_path):
+    """Appending encodes against the STORED models, so an appended index
+    must answer a full-width probe exactly like encoding the whole corpus
+    in one pass under those same models — and the staleness audit must
+    surface the growth."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import (
+        ivf_index_staleness,
+    )
+
+    emb = _emb(spark)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_inc")
+    pq.build_ivfpq_index(even, path, n_lists=4)
+    pq.append_ivfpq_index(odd, path)
+
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    query_q = _query_q(spark)
+    cbs = pq.load_pq_codebooks(spark, path)
+    got = pq.ivfpq_search(spark, path, qvec, k=10, n_probes=4)
+    want = pq.pq_adc_topk(pq.pq_encode(emb, cbs), query_q, cbs, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    stale = ivf_index_staleness(spark, path, table="codes").collect()
+    assert sum(r["n_now"] for r in stale) == emb.count()
+    assert any(r["growth"] and r["growth"] > 1.0 for r in stale)
+
+    # appending to an untrained index is a hard error
+    empty_path = str(tmp_path / "ivfpq_none")
+    pq.build_ivfpq_index(emb.filter(F.lit(False)), empty_path)
+    try:
+        pq.append_ivfpq_index(odd, empty_path)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_pq_empty_corpus(spark, tmp_path):
     emb = _emb(spark).filter(F.lit(False))
     assert pq.train_pq_codebooks(emb) == []
