@@ -1,0 +1,196 @@
+"""Distributed BPE tokenizer training + corpus encoding.
+
+The engine's token counting (``text.py``) assumes a tokenizer exists; this
+module TRAINS one — byte-pair-encoding merge rules learned from the corpus
+— and applies it, completing the tokenizer-induction stage of a training-
+data pipeline.
+
+Scale design (the part that matters at 100 TB): BPE statistics live on the
+WORD VOCABULARY, not the corpus. The corpus is touched exactly twice —
+once to build the (word, count) frame (one shuffle), once at encode time.
+Every merge round then runs on the vocabulary frame only (|V| rows — tens
+of millions at web scale, never terabytes): one adjacent-pair count
+(partial-aggregated groupBy), one driver-side argmax over that KB-sized
+aggregate, one shuffle-free merge projection. ``localCheckpoint`` per
+round truncates the growing lineage the same way ``connected_components``
+does (dedup.py). Encoding never replays merges over documents: the trained
+vocabulary frame IS a word→tokens lookup table, so tokenization is a
+broadcast join on the exploded words (word-level memoization — exactly how
+fast BPE encoders work), with a character fallback for OOV words.
+
+Determinism: the winning pair each round is (max count, then lexicographic
+smallest left, then right) — total order, no RNG, so two trainings on the
+same corpus are identical and a pure-Python reference implementation can
+assert the merges bit-for-bit (tests/test_bpe.py). Training is inherently
+sequential (merge N+1's counts depend on merge N), so there is no SQL
+oracle; the registered query is rows-only by design and the cross-check
+is the Python reference.
+
+Pre-tokenization follows the house convention (``text.py``): whitespace
+words of lowercased, trimmed text; each word gets a ``</w>`` end-of-word
+marker so word-final units stay distinct (Sennrich et al., 2016).
+
+ref: beyond the reference surface (north-star training-data extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import SparkSession
+
+from ..registry import query
+from ..sources import tpch
+from .text import normalize_content
+
+_EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over whitespace words of normalized text — the ONE
+    corpus-wide shuffle training pays. Empty strings (blank docs) drop."""
+    return (
+        docs.select(F.explode(F.split(normalize_content(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    )
+
+
+def _init_symbols(word: Column) -> Column:
+    """Character-split plus the end-of-word marker: "ab" → [a, b, </w>]."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol words)."""
+    n = F.size(symbols)
+    return F.zip_with(
+        F.slice(symbols, 1, n - 1),
+        F.slice(symbols, 2, n - 1),
+        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+    )
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of the adjacent pair (left, right)
+    with the concatenated symbol — one array fold, shuffle-free. The fold
+    merges when the accumulator's last element is ``left`` and the incoming
+    symbol is ``right``; a just-merged token can't re-trigger (it is longer
+    than ``left``), which reproduces the standard non-overlapping scan —
+    e.g. merge (a,a) turns aaaa into [aa, aa]."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lit_l) & (x == lit_r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 32, min_freq: int = 2, text_col: str = "text"
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` merge rules; returns (merges, segmentation)
+    where segmentation is the final (word, count, symbols) vocabulary frame
+    — the lookup table :func:`bpe_encode` joins against. Stops early when
+    no pair reaches ``min_freq`` (rarer merges would be corpus noise).
+
+    Per round: pair-count groupBy over |V| rows → ONE collected argmax row
+    → merge projection. Driver state is the merge list (N rows)."""
+    words = (
+        word_counts(docs, text_col)
+        .select("word", "count", _init_symbols(F.col("word")).alias("symbols"))
+        .repartition(4)
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            words.select("count", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("count").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_freq:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        words = words.withColumn(
+            "symbols", _merge_pair(F.col("symbols"), left, right)
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_encode(
+    docs: DataFrame,
+    segmentation: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_tokens, tokens) per document — tokenization by
+    LOOKUP, never by replaying merges: explode the document's words in
+    position order, broadcast-join the trained word→symbols table, fall
+    back to character units for OOV words, reassemble in order. The only
+    corpus-wide work is the explode + one aggregation back to documents;
+    the vocabulary side is broadcast (KBs–MBs)."""
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_content(F.col(text_col)), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    seg = F.broadcast(segmentation.select("word", "symbols"))
+    toks = wpos.join(seg, "word", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("symbols"), _init_symbols(F.col("word"))).alias("toks"),
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.array_sort(F.collect_list(F.struct("pos", "toks"))).alias("ordered"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.flatten(F.transform("ordered", lambda s: s.toks)).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+        .select(id_col, "n_words", "n_tokens", "tokens")
+    )
+
+
+@query("text_bpe_tokenize")
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 32-merge BPE tokenizer on the documents corpus and encode
+    the corpus with it: per-doc word/token counts plus the compression the
+    learned merges bought over raw character units. Rows-only by design:
+    training is an iterative argmax loop no single SQL statement expresses;
+    the cross-engine check is the pure-Python reference parity test
+    (tests/test_bpe.py)."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    _, seg = train_bpe(docs, n_merges=32)
+    enc = bpe_encode(docs, seg)
+    n_chars = F.aggregate(
+        F.col("tokens"),
+        F.lit(0).cast("bigint"),
+        # </w> markers are segmentation bookkeeping, not characters
+        lambda acc, t: acc + F.length(F.replace(t, F.lit(_EOW), F.lit(""))).cast("bigint"),
+    )
+    return (
+        enc.withColumn("n_char_units", n_chars + F.col("n_words"))  # chars + one </w>/word
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_char_units").cast("double"), 6
+            ).alias("tokens_per_char_unit"),
+        )
+        .orderBy("doc_id")
+    )

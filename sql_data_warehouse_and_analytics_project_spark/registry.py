@@ -57,6 +57,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import (  # noqa: F401
         analytics_extras,
         approx,
+        bpe,
         composition,
         curation,
         dedup,
@@ -94,7 +95,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
     # (q01_database_exploration, olap_approx_summary,
-    # multimodal_decode_real, dedup_video_frames), pytest-verified. Sort is
+    # multimodal_decode_real, dedup_video_frames, text_bpe_tokenize),
+    # pytest-verified. Sort is
     # stable, so in-module
     # registration order is preserved within each group. See COVERAGE.md.
     return dict(

@@ -1,0 +1,114 @@
+"""BPE tokenizer training: pure-Python reference parity, greedy-merge
+semantics, OOV fallback, determinism, and the broadcast-encode plan pin.
+
+``text_bpe_tokenize`` is rows-only by design (iterative argmax training has
+no single-statement SQL twin); the reference parity here IS its
+cross-implementation check.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators import bpe
+from sql_data_warehouse_and_analytics_project_spark.plans import audit
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+
+def _ref_bpe(texts, n_merges, min_freq=2):
+    """Reference BPE (Sennrich-style) with the module's exact conventions:
+    whitespace words of lowercased text, </w> marker, greedy left-to-right
+    merge, winner = (max count, lexicographic l, lexicographic r)."""
+    wc = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_freq:
+            break
+        merges.append((l, r))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
+def _planted(spark):
+    return spark.createDataFrame(
+        [
+            (0, "low low low lower lower newest newest newest widest"),
+            (1, "newest newest newest widest widest low"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_bpe_matches_reference_on_planted_corpus(spark):
+    docs = _planted(spark)
+    merges, seg = bpe.train_bpe(docs, n_merges=10, min_freq=2)
+    ref_merges, ref_vocab = _ref_bpe([r["text"] for r in docs.collect()], 10)
+    assert merges == ref_merges
+    assert {r["word"]: list(r["symbols"]) for r in seg.collect()} == ref_vocab
+
+
+def test_bpe_matches_reference_on_documents(spark):
+    """The real corpus at sf0.001: merge list and final segmentation must be
+    bit-identical to the reference implementation."""
+    docs = tpch.load(spark, SF_DIR, "documents")
+    merges, seg = bpe.train_bpe(docs, n_merges=16, min_freq=2)
+    ref_merges, ref_vocab = _ref_bpe([r["text"] for r in docs.select("text").collect()], 16)
+    assert merges == ref_merges
+    assert len(merges) == 16  # a real corpus has at least 16 frequent pairs
+    assert {r["word"]: list(r["symbols"]) for r in seg.collect()} == ref_vocab
+
+
+def test_merge_pair_is_greedy_left_to_right(spark):
+    """merge (a,a) over aaaa → [aa, aa], never the overlapping [a, aa, a]."""
+    df = spark.createDataFrame([(["a", "a", "a", "a"],)], "symbols array<string>")
+    out = df.select(bpe._merge_pair(F.col("symbols"), "a", "a").alias("s")).collect()
+    assert list(out[0]["s"]) == ["aa", "aa"]
+
+
+def test_bpe_encode_oov_falls_back_to_chars(spark):
+    docs = _planted(spark)
+    _, seg = bpe.train_bpe(docs, n_merges=10, min_freq=2)
+    new = spark.createDataFrame([(9, "zq low")], "doc_id int, text string")
+    row = bpe.bpe_encode(new, seg).collect()[0]
+    toks = list(row["tokens"])
+    assert toks[:3] == ["z", "q", "</w>"]  # OOV word → character units
+    assert row["n_words"] == 2 and row["n_tokens"] == 3 + 1  # low → low</w> (1 unit)
+
+
+def test_bpe_training_deterministic(spark):
+    docs = _planted(spark)
+    a, _ = bpe.train_bpe(docs, n_merges=8)
+    b, _ = bpe.train_bpe(docs, n_merges=8)
+    assert a == b
+
+
+def test_bpe_encode_plan_broadcasts_vocab(spark):
+    """Tokenization-by-lookup must broadcast the vocabulary side — the
+    corpus is never shuffled by word for the join."""
+    docs = tpch.load(spark, SF_DIR, "documents")
+    _, seg = bpe.train_bpe(docs, n_merges=4, min_freq=2)
+    plan = audit.executed_plan(bpe.bpe_encode(docs, seg))
+    assert "BroadcastHashJoin" in plan, plan
