@@ -63,6 +63,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         etl_queries,
         multimodal,
+        nb,
         olap_extras,
         packing,
         pq,
