@@ -260,6 +260,110 @@ def mix_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_resample(_docs(spark, sf_dir))
 
 
+# --- Temperature resampling -------------------------------------------------
+#
+# The multilingual-pretraining mixing rule (mBERT/XLM-R style): target
+# share q_s ∝ p_s^α of the OBSERVED share p_s, α = 1/T < 1 (temperature
+# T > 1), which flattens the distribution — tail strata keep a larger
+# share than they have — without hand-writing a weights table. Same scale shape as mix_resample — membership stays a pure
+# md5-threshold row function, zero data shuffle; only the per-stratum RATE
+# derivation changes. Cross-engine float discipline: the exponent comes in
+# as a literal, pow/floor/divide run on identical doubles via the SAME
+# libm on both sides (rates are computed DRIVER-side with CPython's glibc
+# pow — the oracle's DuckDB pow is the same glibc; a JVM Math.pow could
+# drift a ulp, which is why the rate never touches F.pow), and the
+# normalizer Σ p^(1/T) folds in SORTED-STRATUM order in both engines.
+
+_TEMP_T = 2.0  # temperature; exponent alpha = 1/T = 0.5 as a literal in both engines
+_TEMP_EXP = 0.5
+
+_MIX_TEMP_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM documents GROUP BY lang
+),
+expo AS (
+  SELECT lang, n_lang, n_total,
+         pow(CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE), {_TEMP_EXP}) AS e
+  FROM counts
+),
+z AS (
+  SELECT list_reduce(list(e ORDER BY lang), (a, b) -> a + b) AS z FROM expo
+),
+rates AS (
+  SELECT lang, n_lang,
+         least(1.0, (floor({_MIX_BUDGET_FRAC} * n_total) * (e / (SELECT z FROM z))) / n_lang) AS p
+  FROM expo
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / CAST(4503599627370496 AS DOUBLE) < r.p
+ORDER BY d.doc_id
+"""
+
+
+def temperature_rates(
+    docs: DataFrame,
+    exponent: float = _TEMP_EXP,
+    budget_frac: float = _MIX_BUDGET_FRAC,
+    stratum: str = "lang",
+) -> dict[str, float]:
+    """Per-stratum keep probabilities for temperature resampling, computed
+    driver-side from the KB (stratum, count) aggregate: q_s ∝ (n_s/n)^exp
+    normalized over a sorted-stratum fold, rate = min(1, ⌊budget·n⌋·q_s/n_s);
+    exponent < 1 flattens, 1 is proportional thinning, > 1 sharpens.
+    Driver libm == the oracle's libm, so rates are engine-exact."""
+    import math
+
+    rows = sorted(
+        docs.groupBy(stratum).agg(F.count(F.lit(1)).cast("bigint").alias("n_s")).collect(),
+        key=lambda r: r[stratum],
+    )
+    if not rows:
+        return {}
+    n_total = sum(r["n_s"] for r in rows)
+    exps = [(r[stratum], math.pow(float(r["n_s"]) / float(n_total), exponent), r["n_s"]) for r in rows]
+    z = 0.0
+    for _, e, _ in exps:  # sorted-stratum fold, mirrored by the oracle
+        z = z + e
+    return {
+        k: min(1.0, (math.floor(budget_frac * n_total) * (e / z)) / float(n_s))
+        for k, e, n_s in exps
+    }
+
+
+def mix_temperature_resample(
+    docs: DataFrame,
+    exponent: float = _TEMP_EXP,
+    budget_frac: float = _MIX_BUDGET_FRAC,
+    stratum: str = "lang",
+) -> DataFrame:
+    """Deterministic temperature resample: tail strata keep a larger share
+    than their observed one (exponent < 1 ⇔ T > 1 flattens). Membership is
+    the same md5-threshold row function as :func:`mix_resample` — a scan-
+    side filter with literal rates, no joins, no shuffle of the corpus."""
+    rates = temperature_rates(docs, exponent, budget_frac, stratum)
+    if not rates:
+        return docs.select("doc_id", stratum).limit(0)
+    p = F.lit(0.0)
+    for k, rate in rates.items():
+        p = F.when(F.col(stratum) == k, F.lit(rate)).otherwise(p)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(1 << 52))
+    return docs.filter(u < p).select("doc_id", stratum).orderBy("doc_id")
+
+
+@query("mix_temperature_lang", oracle=_MIX_TEMP_SQL, defer=True)
+def mix_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language resample (T = 2, half-corpus
+    budget) with engine-reproducible membership."""
+    return mix_temperature_resample(_docs(spark, sf_dir))
+
+
 # --- Length-bucketed batching ----------------------------------------------
 #
 # Batches of similar-length sequences minimize padding waste (every batch

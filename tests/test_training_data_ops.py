@@ -821,6 +821,43 @@ def test_mix_resample_hits_target_proportions(spark):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_mix_temperature_flattens_the_distribution(spark):
+    """mix_temperature_resample (r9): exponent 1 reduces to uniform
+    thinning (every stratum keeps ~budget of itself); exponent < 1
+    (T > 1) flattens — tail strata keep a strictly HIGHER rate and the
+    head a lower one than under exponent 1; membership is bit-stable."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.packing import (
+        _MIX_BUDGET_FRAC,
+        mix_temperature_resample,
+        temperature_rates,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+
+    r1 = temperature_rates(docs, exponent=1.0)
+    for lang, rate in r1.items():
+        # q_s = p_s at T=1 → keep rate ≈ budget for every stratum (floor slack)
+        assert abs(rate - _MIX_BUDGET_FRAC) < 0.01, (lang, rate)
+
+    r2 = temperature_rates(docs, exponent=0.5)
+    assert r2[tail] > r1[tail] and r2[head] < r1[head], (r1, r2)
+
+    kept = mix_temperature_resample(docs).collect()
+    again = mix_temperature_resample(docs).collect()
+    assert [tuple(r) for r in kept] == [tuple(r) for r in again]
+    # the flattened draw keeps a larger share of the tail than the corpus has
+    from collections import Counter
+
+    by = Counter(r["lang"] for r in kept)
+    assert by[tail] / len(kept) > counts[tail] / sum(counts.values()), (by, counts)
+
+
 def test_export_training_shards_deterministic_manifest(spark, tmp_path):
     """export_training_shards (r7): the shard layout is partitioned by the
     packing lane, the manifest reconciles exactly with the written rows
