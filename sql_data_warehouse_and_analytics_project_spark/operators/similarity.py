@@ -852,6 +852,129 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(_emb(spark, sf_dir))
 
 
+# --- Contrastive triplet mining ---------------------------------------------
+#
+# Embedding models train on (anchor, positive, hard-negative) triplets; the
+# classic recipe (DPR-style) takes positives from verified near-duplicates
+# and HARD negatives from the nearest neighbors that are NOT duplicates —
+# random negatives are too easy to teach a margin. This composes the
+# semantic-dedup machinery directly: the SAME 2-probe cluster blocking
+# produces one within-cluster candidate join, and a single conditional
+# aggregation splits each anchor's candidates at the near-dup threshold —
+# argmax cosine ABOVE it is the positive, argmax BELOW it is the hard
+# negative (the closest thing that is still a non-duplicate). Anchors
+# lacking either side drop. One extra narrow shuffle (the per-anchor
+# rollup) beyond the dedup plan, no windows; everything stays on the exact
+# int64 fixed-point cosine, so DuckDB replays the mining bit-for-bit.
+
+_TRIPLET_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, q, {SQL_NORM_Q} AS nq FROM quant
+),
+expl AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS val FROM quant
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM expl GROUP BY label, pos
+),
+centlist AS (
+  SELECT label AS cluster, list(cval ORDER BY pos) AS cent FROM cent GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, q, nq, cluster FROM (
+    SELECT n.vec_id, n.q, n.nq, c.cluster,
+           CAST(list_sum([(n.q[i+1] - c.cent[i+1]) * (n.q[i+1] - c.cent[i+1]) FOR i IN range(len(n.q))]) AS BIGINT) AS d
+    FROM normed n, centlist c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= {_SEM_PROBES}
+),
+cands AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cosine
+  FROM cands WHERE cosine >= {_SEM_THRESHOLD}
+  QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cand_id) = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cosine
+  FROM cands WHERE cosine < {_SEM_THRESHOLD}
+  QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cand_id) = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine
+FROM pos p JOIN neg n USING (anchor_id)
+ORDER BY p.anchor_id
+"""
+
+
+def contrastive_triplets(
+    emb: DataFrame, threshold: float = _SEM_THRESHOLD, n_probes: int = _SEM_PROBES
+) -> DataFrame:
+    """(anchor_id, pos_id, pos_cosine, neg_id, neg_cosine) training triplets
+    — see the module note. The positive/negative argmaxes come out of ONE
+    conditional aggregation over the within-cluster candidates (min over a
+    (-cosine, cand_id) struct, so ties break to the lowest candidate id in
+    both engines); no windows, no second pass over the pair space."""
+    normed = emb.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    assigned = (
+        normed.crossJoin(F.broadcast(_label_cent_arr(normed)))
+        .select(
+            "vec_id",
+            "q",
+            "nq",
+            F.explode(_nearest_clusters(F.col("cents"), n_probes)).alias("pc"),
+        )
+        .select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
+    cands = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("b.vec_id").alias("cand_id"),
+        cos.alias("cosine"),
+    )
+    # multi-probe co-blocking duplicates a candidate row with IDENTICAL
+    # values — harmless under min(), so no DISTINCT shuffle is spent on it
+    key = F.struct((-F.col("cosine")).alias("nc"), "cand_id", "cosine")
+    rolled = cands.groupBy("anchor_id").agg(
+        F.min(F.when(F.col("cosine") >= threshold, key)).alias("p"),
+        F.min(F.when(F.col("cosine") < threshold, key)).alias("n"),
+    )
+    return (
+        rolled.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "anchor_id",
+            F.col("p.cand_id").alias("pos_id"),
+            F.col("p.cosine").alias("pos_cosine"),
+            F.col("n.cand_id").alias("neg_id"),
+            F.col("n.cosine").alias("neg_cosine"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+@query("train_contrastive_triplets", oracle=_TRIPLET_SQL, defer=True)
+def train_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) triplets from the embeddings
+    table: positives are verified near-dups (cosine ≥ 0.35), hard negatives
+    the nearest sub-threshold neighbor within the probed clusters."""
+    return contrastive_triplets(_emb(spark, sf_dir))
+
+
 # --- Batch kNN join ---------------------------------------------------------
 #
 # Retrieval evaluation, embedding-based decontamination, and RAG indexing

@@ -858,6 +858,41 @@ def test_mix_temperature_flattens_the_distribution(spark):
     assert by[tail] / len(kept) > counts[tail] / sum(counts.values()), (by, counts)
 
 
+def test_contrastive_triplets_planted_geometry(spark):
+    """contrastive_triplets (r9): positives are the max-cosine verified
+    near-dup, hard negatives the max-cosine SUB-threshold neighbor, and an
+    anchor with no sub-threshold candidate (everything near it is a dup)
+    drops — checked on a planted 3-vector geometry where every cosine is
+    hand-computable, then invariants + determinism on the real corpus."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import (
+        _SEM_THRESHOLD,
+        contrastive_triplets,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    planted = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0, 0.0, 0.0]),   # anchor: dup of v1, far from v2
+            (1, 1, [0.9, 0.1, 0.0, 0.0]),   # cos(v0,v1) ≈ 0.994
+            (2, 1, [0.3, 0.95, 0.0, 0.0]),  # cos(v0,v2) ≈ 0.30 < th ≤ cos(v1,v2) ≈ 0.40
+        ],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    rows = {r["anchor_id"]: r for r in contrastive_triplets(planted).collect()}
+    # anchor 1 sees only positives (both neighbors ≥ th) → no triplet
+    assert set(rows) == {0, 2}, rows
+    assert rows[0]["pos_id"] == 1 and rows[0]["neg_id"] == 2
+    assert rows[2]["pos_id"] == 1 and rows[2]["neg_id"] == 0
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    out = contrastive_triplets(emb).collect()
+    assert out, "the real corpus should yield triplets"
+    for r in out:
+        assert r["pos_cosine"] >= _SEM_THRESHOLD > r["neg_cosine"], r
+        assert len({r["anchor_id"], r["pos_id"], r["neg_id"]}) == 3, r
+    assert [tuple(r) for r in contrastive_triplets(emb).collect()] == [tuple(r) for r in out]
+
+
 def test_export_training_shards_deterministic_manifest(spark, tmp_path):
     """export_training_shards (r7): the shard layout is partitioned by the
     packing lane, the manifest reconciles exactly with the written rows
