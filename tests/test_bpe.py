@@ -88,6 +88,38 @@ def test_merge_pair_is_greedy_left_to_right(spark):
     assert list(out[0]["s"]) == ["aa", "aa"]
 
 
+def test_merge_pair_exhaustive_vs_reference(spark):
+    """The fold must reproduce greedy left-to-right pair replacement on
+    EVERY symbol sequence up to length 4 over {a, b, ab} — including the
+    overlap traps (aaa under (a,a)) and the re-formed-pair traps (ab,a
+    under (ab,a) producing aba that must NOT re-merge)."""
+    import itertools
+
+    def ref_merge(syms, l, r):
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    alphabet = ["a", "b", "ab"]
+    seqs = [
+        list(s)
+        for n in range(1, 5)
+        for s in itertools.product(alphabet, repeat=n)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "i int, symbols array<string>")
+    for l, r in [("a", "a"), ("a", "b"), ("ab", "a"), ("b", "ab")]:
+        got = {
+            row["i"]: list(row["m"])
+            for row in df.select("i", bpe._merge_pair(F.col("symbols"), l, r).alias("m")).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == ref_merge(s, l, r), (s, l, r, got[i])
+
+
 def test_bpe_encode_oov_falls_back_to_chars(spark):
     docs = _planted(spark)
     _, seg = bpe.train_bpe(docs, n_merges=10, min_freq=2)
