@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r10, VERDICT r9 ask #2): the FINAL stdout line is a
+COMPACT JSON summary — {"metric", "value", "unit", "queries" (per-query
+minima), "probe" (medians only), "sf"} — sized to survive the driver's
+tail-capture window (BENCH_r09 grew the single line past it and parsed as
+null).  The verbose per-run dispersion and full probe samples are printed
+on an EARLIER stdout line (prefixed "BENCH_DETAIL ") and also written to
+``bench_detail.json`` next to this script.
 
 Each query is materialized with a count() after a cold plan build; the
 timing includes scan + shuffle + aggregation (what a user pays), not
@@ -128,6 +134,30 @@ def main() -> None:
         median = srt[mid] if len(srt) % 2 else round((srt[mid - 1] + srt[mid]) / 2, 3)
         return {"runs": s, "min": min(s), "median": median, "max": max(s)}
 
+    # Verbose record: full per-run dispersion + full pinned-probe samples
+    # (the drift instrument — identical code every round; divide a round's
+    # probe median by another round's to get the environment drift factor
+    # between their bench windows). Printed on an EARLY line and persisted
+    # to a sidecar so the driver's tail capture never has to carry it.
+    detail = {
+        "dispersion": {
+            n: {"runs": s, "spread": round(max(s) - min(s), 3)}
+            for n, s in samples.items()
+        },
+        "probe": {k: _stats(v) for k, v in probe_samples.items()},
+    }
+    detail_json = json.dumps(detail)
+    print("BENCH_DETAIL " + detail_json, flush=True)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+            "w",
+        ) as fh:
+            fh.write(detail_json + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; the stdout detail line already has it
+
+    # FINAL line: compact, driver-parseable (probe medians only).
     print(
         json.dumps(
             {
@@ -135,17 +165,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "dispersion": {
-                    n: {"runs": s, "spread": round(max(s) - min(s), 3)}
-                    for n, s in samples.items()
+                "probe": {
+                    k: _stats(v)["median"] for k, v in probe_samples.items()
                 },
-                # pinned-probe drift instrument: identical code every round;
-                # divide a round's probe median by another round's to get the
-                # environment drift factor between their bench windows
-                "probe": {k: _stats(v) for k, v in probe_samples.items()},
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

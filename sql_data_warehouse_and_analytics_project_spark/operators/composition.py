@@ -94,7 +94,7 @@ def cap_per_source(
     )
 
 
-@query("curation_source_cap", oracle=_SOURCE_CAP_SQL)
+@query("curation_source_cap", oracle=_SOURCE_CAP_SQL, defer=True)
 def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap composition step: at most 15 documents per source,
     longest-first — no crawl source dominates the training mix."""
@@ -165,7 +165,7 @@ def length_decile_filter(
     )
 
 
-@query("quality_length_decile", oracle=_LENGTH_FILTER_SQL, defer=True)
+@query("quality_length_decile", oracle=_LENGTH_FILTER_SQL)
 def quality_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution tail trim: per-document decile assignment via
     broadcast thresholds; drops the shortest and longest ~10%."""

@@ -51,7 +51,7 @@ ORDER BY keeper_doc_id
 """
 
 
-@query("dedup_exact", oracle=_EXACT_SQL)
+@query("dedup_exact", oracle=_EXACT_SQL, defer=True)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (normalized-content) deduplication: hash-groupBy on SHA-256,
     min-doc_id survivor policy. One shuffle on the hash key; at 100 TB the
@@ -1057,7 +1057,7 @@ def cross_source_matrix(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL, defer=True)
+@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL)
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup contamination matrix over the documents corpus: MinHash/LSH
     pairs rolled up by (source_a, source_b)."""

@@ -154,7 +154,7 @@ LIMIT 100
 """
 
 
-@query("vocab_top_terms", oracle=_VOCAB_SQL)
+@query("vocab_top_terms", oracle=_VOCAB_SQL, defer=True)
 def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary: top-k lowercased whitespace terms by term
     frequency, with document frequency — the seed statistics for tokenizer
@@ -357,7 +357,7 @@ def mix_temperature_resample(
     return docs.filter(u < p).select("doc_id", stratum).orderBy("doc_id")
 
 
-@query("mix_temperature_lang", oracle=_MIX_TEMP_SQL, defer=True)
+@query("mix_temperature_lang", oracle=_MIX_TEMP_SQL)
 def mix_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened language resample (T = 2, half-corpus
     budget) with engine-reproducible membership."""

@@ -108,7 +108,7 @@ def chunk_documents(
     )
 
 
-@query("text_chunk_sliding", oracle=_CHUNK_SQL, defer=True)
+@query("text_chunk_sliding", oracle=_CHUNK_SQL)
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunk assignment over the documents table: 32-token
     windows, 24-token stride, engine-reproducible boundaries."""

@@ -133,7 +133,7 @@ ORDER BY vec_id_1, vec_id_2
 """
 
 
-@query("dedup_embedding_cosine", oracle=_NEARDUP_SQL)
+@query("dedup_embedding_cosine", oracle=_NEARDUP_SQL, defer=True)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked self-join.
 
@@ -844,7 +844,7 @@ def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataF
     )
 
 
-@query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL)
+@query("dedup_embedding_ivf", oracle=_SEMANTIC_DEDUP_SQL, defer=True)
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with a LEARNED blocking key (SemDeDup shape):
     nearest-coarse-centroid assignment replaces the given-label blocking of
@@ -967,7 +967,7 @@ def contrastive_triplets(
     )
 
 
-@query("train_contrastive_triplets", oracle=_TRIPLET_SQL, defer=True)
+@query("train_contrastive_triplets", oracle=_TRIPLET_SQL)
 def train_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets from the embeddings
     table: positives are verified near-dups (cosine ≥ 0.35), hard negatives

@@ -94,7 +94,7 @@ ORDER BY mktsegment
 """
 
 
-@query("etl_salted_join_orders", oracle=_SALTED_SQL)
+@query("etl_salted_join_orders", oracle=_SALTED_SQL, defer=True)
 def etl_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders×customer revenue by market segment computed through
     :func:`salted_join` — the oracle (a plain join) proves salting is

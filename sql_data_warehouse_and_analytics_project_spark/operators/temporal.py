@@ -132,7 +132,7 @@ ORDER BY band
 """
 
 
-@query("temporal_range_band_join", oracle=_BAND_SQL)
+@query("temporal_range_band_join", oracle=_BAND_SQL, defer=True)
 def temporal_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitem price banding through the broadcast range join."""
     li = tpch.load(spark, sf_dir, "lineitem").select("l_extendedprice")

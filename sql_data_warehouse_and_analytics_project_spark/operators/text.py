@@ -311,7 +311,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_profile", oracle=_PROFILE_SQL)
+@query("text_profile", oracle=_PROFILE_SQL, defer=True)
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis tier — token stats, quality scoring, language
     ID, and fingerprinting — as ONE narrow projection over one documents
@@ -900,7 +900,7 @@ def unigram_logprob(
     ).orderBy("doc_id")
 
 
-@query("text_unigram_logprob", oracle=_LM_SQL, defer=True)
+@query("text_unigram_logprob", oracle=_LM_SQL)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token unigram log-probability per document — the
     perplexity-style quality score, engine-reproducible to 6 dp."""
