@@ -225,7 +225,7 @@ def epoch_shuffle(
     )
 
 
-@query("training_epoch_shuffle", oracle=_EPOCH_SQL, defer=True)
+@query("training_epoch_shuffle", oracle=_EPOCH_SQL)
 def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-3 deterministic shuffle of the documents corpus into 8
     shards — the reproducible data-order a trainer replays per epoch."""
@@ -273,7 +273,7 @@ def stratified_sample(
     )
 
 
-@query("eval_stratified_sample", oracle=_STRAT_SAMPLE_SQL, defer=True)
+@query("eval_stratified_sample", oracle=_STRAT_SAMPLE_SQL)
 def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced evaluation draw: 20 deterministic docs per
     language, independent of how skewed the corpus mix is."""

@@ -820,7 +820,7 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
-@query("dedup_simhash", oracle=_SIMHASH_SQL, headline=True)
+@query("dedup_simhash", oracle=_SIMHASH_SQL, headline=True, defer=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: exact-dup collapse (token-sequence key), 48-bit
     md5-derived signatures over representatives, candidates from 6-bit band
@@ -1150,7 +1150,7 @@ def leakage_free_split(
     ).orderBy("doc_id")
 
 
-@query("split_leakage_free", oracle=_LEAKAGE_SPLIT_SQL)
+@query("split_leakage_free", oracle=_LEAKAGE_SPLIT_SQL, defer=True)
 def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free corpus split: near-dup components (MinHash/LSH pairs,
     transitively closed) move into train/val/test as units, so no test doc
@@ -1571,7 +1571,7 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("text_ngram_novelty", oracle=_NOVELTY_SQL, defer=True)
+@query("text_ngram_novelty", oracle=_NOVELTY_SQL)
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty profile: per-document share of 3-gram shingles unique
     to that document — the templated-vs-original quality signal."""
@@ -1645,7 +1645,7 @@ def source_fingerprint_similarity(docs: DataFrame, stratum: str = "source") -> D
     )
 
 
-@query("dedup_source_fingerprints", oracle=_FINGERPRINT_SIM_SQL, defer=True)
+@query("dedup_source_fingerprints", oracle=_FINGERPRINT_SIM_SQL)
 def dedup_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise corpus-level similarity of every source's shingle space —
     the re-delivery / re-crawl detector that needs no document pairs."""

@@ -563,7 +563,7 @@ def snapshot_diff(
     )
 
 
-@query("etl_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+@query("etl_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL, defer=True)
 def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation diff between two deterministic snapshots of orders:
     the added/removed/changed audit an incremental load publishes."""

@@ -129,7 +129,7 @@ def pack_sequences(
     )
 
 
-@query("pack_token_chunks", oracle=_PACK_SQL, headline=True)
+@query("pack_token_chunks", oracle=_PACK_SQL, headline=True, defer=True)
 def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing over the documents table: every doc
     lands in a (bucket, chunk_id) training chunk of ~2048 BPE-ish tokens,
@@ -252,7 +252,7 @@ def mix_resample(
     )
 
 
-@query("mix_lang_resample", oracle=_MIX_SQL, headline=True)
+@query("mix_lang_resample", oracle=_MIX_SQL, headline=True, defer=True)
 def mix_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample the documents corpus to a target language mix (en 40 /
     fr 20 / de 15 / es 15 / zh 10) at half the corpus size, with

@@ -312,7 +312,7 @@ def rrf_fuse(
     )
 
 
-@query("retrieval_rrf_hybrid", oracle=_rrf_sql(_BM25_TERMS, _BM25_K), defer=True)
+@query("retrieval_rrf_hybrid", oracle=_rrf_sql(_BM25_TERMS, _BM25_K))
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware hybrid retrieval: fuse the BM25 relevance top-50 with
     the unigram-LM fluency top-50 by reciprocal-rank fusion and keep the

@@ -551,7 +551,7 @@ LIMIT 10
 """
 
 
-@query("ann_ivf_topk", oracle=_ANN_IVF_SQL, headline=True)
+@query("ann_ivf_topk", oracle=_ANN_IVF_SQL, headline=True, defer=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer (per-label centroid, a stand-in for
     trained k-means) → probe the 3 nearest centroids → exact rerank only

@@ -962,7 +962,7 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     return per_lang.withColumn("corpus_share", share).orderBy("lang")
 
 
-@query("corpus_profile_by_lang", oracle=_CORPUS_PROFILE_SQL, defer=True)
+@query("corpus_profile_by_lang", oracle=_CORPUS_PROFILE_SQL)
 def corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data-card: per-language composition and token-length
     distribution — the first report any training-data pipeline publishes."""

@@ -116,7 +116,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("warehouse_incremental_rollup", oracle=_ROLLUP_SQL)
+@query("warehouse_incremental_rollup", oracle=_ROLLUP_SQL, defer=True)
 def warehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the FULL incremental lifecycle — bootstrap on a third of
     lineitem, fold the other two thirds in as deltas, read the final state

@@ -1,0 +1,45 @@
+"""Registry window contract.
+
+The driver caps its CORRECTNESS file at 50 entries taken in
+``all_queries()`` order, with oracle-backed non-deferred queries sorted
+first. These asserts make a window rotation that goes off-by-one (r10
+promoted 9 keys but deferred only 8, silently ejecting
+``warehouse_incremental_rollup`` by registration-order luck) a hard test
+failure instead of a silent driver-window corruption.
+"""
+
+from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+DRIVER_WINDOW = 50
+
+
+def test_exactly_50_non_deferred_oracle_backed():
+    qs = all_queries()
+    non_deferred = [k for k, v in qs.items() if v.oracle is not None and not v.defer]
+    assert len(non_deferred) == DRIVER_WINDOW, (
+        f"driver window must hold exactly {DRIVER_WINDOW} non-deferred "
+        f"oracle-backed queries, got {len(non_deferred)}: a rotation must "
+        f"defer one key for every key it promotes. Window: {non_deferred}"
+    )
+
+
+def test_window_is_a_prefix_of_registration_order():
+    """The 50 driver-checked keys must be the FIRST 50 of all_queries() —
+    i.e. every non-deferred oracle-backed query sorts before every deferred
+    or rows-only query, so the driver's cap cuts exactly at the intended
+    boundary."""
+    qs = all_queries()
+    ordered = list(qs.values())
+    head, tail = ordered[:DRIVER_WINDOW], ordered[DRIVER_WINDOW:]
+    assert all(q.oracle is not None and not q.defer for q in head)
+    assert all(q.oracle is None or q.defer for q in tail)
+
+
+def test_deferred_queries_keep_their_oracle():
+    """defer=True parks a query outside the driver window but it must stay
+    cross-engine-verified by tests/test_oracle_parity.py — a deferred query
+    without an oracle would silently lose all value checking."""
+    qs = all_queries()
+    for k, v in qs.items():
+        if v.defer:
+            assert v.oracle is not None, f"{k} is deferred but has no oracle"
