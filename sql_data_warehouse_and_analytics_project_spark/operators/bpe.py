@@ -91,16 +91,94 @@ def _merge_pair(symbols: Column, left: str, right: str) -> Column:
     )
 
 
+def _select_merge_batch(
+    rows, min_freq: int, collection_full: bool
+) -> list[tuple[str, str]]:
+    """Greedily pick the longest PREFIX of the rank-ordered top-K pair
+    counts that is provably identical to applying them one at a time —
+    the r11 answer to "one driver round-trip per merge rule" (a 32K-merge
+    vocabulary must not be 32K sequential Spark jobs).
+
+    Exactness argument (each accepted pair is the pair sequential BPE would
+    pick next): merging (a,b)→ab only touches adjacencies involving a or b
+    — counts of symbol-disjoint pairs never change — and every NEW pair it
+    creates is bounded by an old interacting pair's count ((x,ab) ≤ old
+    (x,a), (ab,y) ≤ old (b,y)) or by floor(cnt/2) for (ab,ab). So a
+    candidate is accepted only while ALL of:
+
+    - it shares no symbol (including the merged symbols) with any accepted
+      pair — its own count is therefore still exact;
+    - its count strictly exceeds floor(cnt_j/2) for every accepted pair j —
+      no (m_j,m_j) pair can outrank it;
+    - the scan has not yet hit a pair that interacts with an accepted pair
+      (first such hit STOPS the batch: that pair's post-merge count is
+      unknown, and it outranks everything below it); interacting pairs
+      STRICTLY below the candidate's count stay strictly below — their
+      post-merge counts only decrease and the pairs they spawn are bounded
+      by them;
+    - no LATER collected row TIED at the candidate's count interacts with
+      the batch's symbols (its spawned pair can keep the tied count under
+      a brand-new name — e.g. merging (e,w) turns (w, est</w>) into
+      (ew, est</w>), which beats a tied (l, o) lexicographically — so the
+      batch stops rather than guess the tie-break);
+    - if the collection hit its limit, its count strictly exceeds the
+      collection floor — an uncollected pair (or a new pair bounded by
+      one) could otherwise tie it.
+
+    Worst case the batch is a single pair — exactly the old behavior;
+    typical corpora yield large disjoint prefixes (the most frequent pairs
+    live on different characters), so driver round-trips drop from
+    O(n_merges) to O(n_merges / batch)."""
+    floor_k = rows[-1]["cnt"] if (rows and collection_full) else 0
+    batch: list[tuple[str, str]] = []
+    dirty: set[str] = set()
+    accepted_cnts: list[int] = []
+    for idx, row in enumerate(rows):
+        left, right, cnt = row["l"], row["r"], row["cnt"]
+        if cnt < min_freq:
+            break
+        merged = left + right
+        if batch:
+            if {left, right, merged} & dirty:
+                break
+            if any(cnt <= c // 2 for c in accepted_cnts):
+                break
+            if collection_full and cnt <= floor_k:
+                break
+            nd = dirty | {left, right, merged}
+            tied_interacting = any(
+                rows[j]["cnt"] == cnt
+                and ({rows[j]["l"], rows[j]["r"], rows[j]["l"] + rows[j]["r"]} & nd)
+                for j in range(idx + 1, len(rows))
+            )
+            if tied_interacting:
+                break
+        batch.append((left, right))
+        dirty |= {left, right, merged}
+        accepted_cnts.append(cnt)
+    return batch
+
+
 def train_bpe(
-    docs: DataFrame, n_merges: int = 32, min_freq: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 32,
+    min_freq: int = 2,
+    text_col: str = "text",
+    batch_k: int = 16,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` merge rules; returns (merges, segmentation)
     where segmentation is the final (word, count, symbols) vocabulary frame
     — the lookup table :func:`bpe_encode` joins against. Stops early when
     no pair reaches ``min_freq`` (rarer merges would be corpus noise).
 
-    Per round: pair-count groupBy over |V| rows → ONE collected argmax row
-    → merge projection. Driver state is the merge list (N rows)."""
+    Per round: ONE pair-count groupBy over |V| rows → collect the top
+    ``batch_k`` pairs → :func:`_select_merge_batch` picks the provably
+    sequential-identical prefix → ALL selected merges apply as one composed
+    shuffle-free projection. Driver state is the merge list (N rows) plus
+    one ``batch_k``-row collect per round; a 32K-merge production
+    vocabulary costs ~n_merges/batch driver round-trips instead of 32K
+    (parity with one-at-a-time training is asserted bit-for-bit by
+    tests/test_bpe.py against the pure-Python reference)."""
     words = (
         word_counts(docs, text_col)
         .select("word", "count", _init_symbols(F.col("word")).alias("symbols"))
@@ -108,22 +186,24 @@ def train_bpe(
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        rows = (
             words.select("count", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("count").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_freq:
+        batch = _select_merge_batch(rows, min_freq, collection_full=len(rows) == k)
+        if not batch:
             break
-        left, right = best[0]["l"], best[0]["r"]
-        merges.append((left, right))
-        words = words.withColumn(
-            "symbols", _merge_pair(F.col("symbols"), left, right)
-        ).localCheckpoint()
+        sym = F.col("symbols")
+        for left, right in batch:  # disjoint ⇒ order-free; keep rank order anyway
+            sym = _merge_pair(sym, left, right)
+        merges.extend(batch)
+        words = words.withColumn("symbols", sym).localCheckpoint()
     return merges, words
 
 

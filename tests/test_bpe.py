@@ -144,3 +144,67 @@ def test_bpe_encode_plan_broadcasts_vocab(spark):
     _, seg = bpe.train_bpe(docs, n_merges=4, min_freq=2)
     plan = audit.executed_plan(bpe.bpe_encode(docs, seg))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_batched_training_parity_adversarial(spark):
+    """_select_merge_batch (r11): batched rounds must be bit-identical to
+    one-at-a-time training even on corpora BUILT to interact — chained
+    merges ((a,b) then (ab,ab)), merged-symbol collisions ((a,bc) vs
+    (ab,c) both producing "abc"), and near-tie counts at the batch
+    boundary. batch_k=1 degenerates to the old per-merge loop; every
+    batch_k must agree with it and with the Python reference."""
+    corpora = [
+        # heavy repetition: (a,b) spawns (ab,ab) whose count rivals rank 2
+        ["abababab abababab cdcdcdcd", "abababab cdcd cd cd"],
+        # collision trap: "abc" reachable as (ab,c) and (a,bc)
+        ["abc abc abc ab bc abc", "ab ab bc bc abc"],
+        # flat counts: everything ties, lexicographic order decides all
+        ["aa bb cc dd", "aa bb cc dd", "aa bb cc dd"],
+        # one hot word dominating + long tail
+        ["zzzz " * 8, "zz zy yz zzzz", "yy zz zzzz yyyy"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        ref_merges, ref_vocab = _ref_bpe(texts, 12, min_freq=2)
+        for bk in (1, 4, 16):
+            merges, seg = bpe.train_bpe(docs, n_merges=12, min_freq=2, batch_k=bk)
+            assert merges == ref_merges, (texts, bk, merges, ref_merges)
+            got = {r["word"]: list(r["symbols"]) for r in seg.collect()}
+            assert got == ref_vocab, (texts, bk)
+
+
+def test_batched_training_fewer_rounds(spark):
+    """The batch must actually buy round-trips: on a corpus whose frequent
+    pairs live on distinct characters (the typical shape — different words
+    dominated by different letters), the 16-wide trainer needs strictly
+    fewer pair-count rounds than merges learned (each round = one collect,
+    so count rounds via a wrapped _select_merge_batch)."""
+    import sql_data_warehouse_and_analytics_project_spark.operators.bpe as bpe_mod
+
+    # doubled inner letters give each word a dominant pair that is disjoint
+    # from the other words' dominant pairs AND strictly more frequent than
+    # its own word-final (x, </w>) pairs — the shape that lets a round
+    # accept several merges at once
+    texts = ["aaab " * 5 + "cccd " * 4 + "eeef " * 3 + "gggh " * 2]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    calls = []
+    orig = bpe_mod._select_merge_batch
+
+    def counting(rows, min_freq, collection_full):
+        out = orig(rows, min_freq, collection_full)
+        calls.append(len(out))
+        return out
+
+    bpe_mod._select_merge_batch = counting
+    try:
+        merges, _ = bpe_mod.train_bpe(docs, n_merges=6, min_freq=2)
+    finally:
+        bpe_mod._select_merge_batch = orig
+    ref_merges, _ = _ref_bpe(texts, 6, min_freq=2)
+    assert merges == ref_merges
+    assert len(merges) == sum(calls)
+    assert len(calls) < len(merges), (calls, merges)
