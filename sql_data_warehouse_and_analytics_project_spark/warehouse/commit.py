@@ -31,8 +31,10 @@ versions for in-flight readers instead of deleting eagerly).
 from __future__ import annotations
 
 import os
+import random
 import re
 import shutil
+import time
 from collections.abc import Callable
 
 POINTER = "_CURRENT"
@@ -186,8 +188,19 @@ def _acquire_lock(target: str) -> str:
     raise ConcurrentWriteError(f"could not acquire writer lock for {target!r}")
 
 
+def _default_backoff(attempt: int) -> None:
+    """Full-jitter exponential backoff (the standard optimistic-commit retry
+    shape): sleep uniform(0, 0.1 × 2^attempt) seconds, so colliding writers
+    desynchronize instead of re-colliding in lockstep."""
+    time.sleep(random.uniform(0, 0.1 * (2**attempt)))
+
+
 def publish(
-    target: str, write_fn: Callable[[str], None], keep_versions: int = 0
+    target: str,
+    write_fn: Callable[[str], None],
+    keep_versions: int = 0,
+    attempts: int = 3,
+    backoff: Callable[[int], None] = _default_backoff,
 ) -> str:
     """Commit a new full state for ``target``: ``write_fn(data_dir)`` must
     write the complete new table into the (fresh) ``data_dir`` it is given.
@@ -205,11 +218,24 @@ def publish(
     object-store GC wait the module note describes). The default 0 trims
     history eagerly.
 
-    Single-writer: a concurrent publish against the same table raises
-    ``ConcurrentWriteError`` instead of racing the version counter; a lock
-    left by a crashed writer is broken automatically."""
+    Single-writer: a concurrent publish against the same table retries the
+    lock up to ``attempts`` times with injectable jittered backoff (r11,
+    VERDICT r9 ask #6 — the local analog of Delta's bounded
+    optimistic-commit loop, so an automated pipeline rides out transient
+    writer overlap), then raises ``ConcurrentWriteError``; a lock left by
+    a crashed writer is broken automatically. ``backoff(attempt)`` is
+    called between attempts — inject a no-op (tests) or a coordinator
+    hook; ``attempts=1`` restores the old fail-fast behavior."""
     os.makedirs(target, exist_ok=True)
-    lock = _acquire_lock(target)
+    lock = None
+    for attempt in range(max(1, attempts)):
+        try:
+            lock = _acquire_lock(target)
+            break
+        except ConcurrentWriteError:
+            if attempt == max(1, attempts) - 1:
+                raise
+            backoff(attempt)
     try:
         _sweep(target)
         version = _next_version(target)

@@ -320,3 +320,54 @@ def test_commit_empty_lock_is_stale(spark, tmp_path):
     cat.overwrite("gold.t", _df(spark, 10, 13))  # must break the stale lock
     assert _rows(cat, "gold.t") == [10, 11, 12]
     assert not os.path.exists(lock)
+
+
+def test_commit_retry_succeeds_after_lock_release(spark, tmp_path):
+    """publish retry/backoff (r11, VERDICT r9 ask #6): a second writer that
+    collides with a live lock must retry with backoff and SUCCEED once the
+    first writer releases — and the backoff hook is injectable, so the
+    test releases the lock from inside it (no sleeps, no threads)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite("gold.t", _df(spark, 0, 3))
+    root = cat.path("gold.t")
+
+    lock = os.path.join(root, commit.LOCK)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # a LIVE competing writer
+
+    released_at = []
+
+    def release_on_second(attempt):
+        released_at.append(attempt)
+        if attempt == 1:  # first writer finishes between attempts 2 and 3
+            os.remove(lock)
+
+    def write_fn(vdir):
+        _df(spark, 10, 13).write.mode("overwrite").parquet(vdir)
+
+    commit.publish(root, write_fn, attempts=3, backoff=release_on_second)
+    assert _rows(cat, "gold.t") == [10, 11, 12]
+    assert released_at == [0, 1]  # two collisions, then success
+    assert not os.path.exists(lock)
+
+
+def test_commit_retry_exhaustion_raises(spark, tmp_path):
+    """A lock held by a live writer for the WHOLE retry budget still
+    raises ConcurrentWriteError — bounded retry, not a spin — after
+    exactly attempts-1 backoff calls, leaving the table untouched."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite("gold.t", _df(spark, 0, 3))
+    root = cat.path("gold.t")
+    with open(os.path.join(root, commit.LOCK), "w") as f:
+        f.write(str(os.getpid()))
+
+    calls = []
+    with pytest.raises(commit.ConcurrentWriteError):
+        commit.publish(
+            root,
+            lambda vdir: _df(spark, 10, 13).write.parquet(vdir),
+            attempts=3,
+            backoff=calls.append,
+        )
+    assert calls == [0, 1]
+    assert _rows(cat, "gold.t") == [0, 1, 2]
