@@ -287,3 +287,97 @@ def test_ivf_staleness_audit_flags_skewed_append(spark):
         qvec = [float(x) for x in drift.limit(1).collect()[0]["embedding"]]
         hits = similarity.ivf_search(spark, path, qvec, k=5, n_probes=2).collect()
         assert len(hits) == 5 and all(h["cosine"] > 0.99 for h in hits)
+
+
+@pytest.mark.slow
+def test_ivfpq_survives_planted_scale(spark, tmp_path):
+    """IVF-PQ at the planted 10x corpus (r11, VERDICT r9 ask #8): build the
+    composed index on 20,000 clustered vectors (one coarse list per planted
+    cluster) and assert the three scale contracts the layout exists for:
+
+    1. probe cost is sub-linear in lists — every list is balanced, so an
+       n_probes-wide scan touches ~n_probes/n_lists of the corpus (row
+       count bound) and the probed scan carries the list_id
+       PartitionFilter (plan pin at 10x, matching tests/test_pq.py:120);
+    2. the ADC scan beats the exact brute-force scan over raw vectors at
+       the same corpus size (timed, generous bound — the compressed table
+       is the thing a 100 TB search can afford to read);
+    3. an ADC shortlist wider than one cluster + exact re-rank recovers
+       the EXACT top-10 (recall 1.0) — approximate nomination, exact
+       answer."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import pq
+    from sql_data_warehouse_and_analytics_project_spark.plans import audit
+
+    n_full = 20_000
+    m_subs = 4  # 4 x 8-dim subspaces = the planted corpus's 32 dims
+    spark.catalog.clearCache()
+    emb = _vec_corpus(spark, n_full).localCheckpoint()
+    path = str(tmp_path / "ivfpq10x")
+    pq.build_ivfpq_index(emb, path, n_lists=_VEC_CLUSTERS, m_subs=m_subs)
+
+    # 1 — balanced lists bound the probe: no list over 2x the even share,
+    # so any 2-probe scan reads <= 4/24 of the corpus
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) == _VEC_CLUSTERS
+    assert max(sizes.values()) <= 2 * n_full // _VEC_CLUSTERS, sizes
+
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    query_q = [math.floor(x * 10_000_000.0) for x in qvec]
+
+    narrow = pq.ivfpq_search(spark, path, qvec, k=10, n_probes=2)
+    plan = audit.executed_plan(narrow)
+    assert "PartitionFilters" in plan, plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:120], plan
+    assert narrow.count() == 10
+
+    # 2 — ADC over the compressed table vs exact L2 over raw vectors
+    cbs = pq.load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes").select("vec_id", "label", "codes")
+    codes.count()  # materialize file listing before timing
+
+    def t_adc():
+        t0 = time.perf_counter()
+        pq.pq_adc_topk(codes, query_q, cbs, k=10).collect()
+        return time.perf_counter() - t0
+
+    qcol = F.array(*[F.lit(int(x)) for x in query_q])
+
+    def t_brute():
+        t0 = time.perf_counter()
+        (
+            pq._quantized(emb)
+            .select("vec_id", "label", pq._sqdist_q(F.col("q"), qcol).alias("dist"))
+            .orderBy(F.asc("dist"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    t_adc(), t_brute()  # codegen warm-up for both shapes
+    adc = min(t_adc(), t_adc())
+    brute = min(t_brute(), t_brute())
+    assert adc <= 1.5 * brute + 1.0, (adc, brute)
+
+    # 3 — shortlist wider than one cluster (~833 members) + exact re-rank
+    # == exact brute-force top-10 (true neighbors all live in the query's
+    # cluster, which the ADC ties nominate wholesale)
+    exact = (
+        pq._quantized(emb)
+        .select("vec_id", "label", pq._sqdist_q(F.col("q"), qcol).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    rr = pq.pq_search_rerank(emb, codes, query_q, cbs, k=10, shortlist=1200).collect()
+    assert [(r["vec_id"], r["dist"]) for r in rr] == [
+        (r["vec_id"], r["dist"]) for r in exact
+    ]
