@@ -109,9 +109,39 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     warms = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "1")))
+
+    # r11 (VERDICT r10 ask #2): rotate the query ORDER deterministically per
+    # round so tail-window machine contention doesn't always land on the
+    # same queries (r10's five >2x readings all sat in the last third of the
+    # alphabetical order). The rotation seeds off git HEAD — stable within a
+    # round, different across rounds, no RNG — and is recorded in the
+    # detail sidecar. Per-query minima and the pinned probes are
+    # order-independent, so cross-round comparison is unaffected.
+    names = sorted(headline)
+    seed = 0
+    try:
+        import hashlib
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            timeout=10,
+        ).stdout.strip()
+        if head:
+            seed = int(hashlib.md5(head).hexdigest()[:8], 16)
+    except Exception:
+        pass  # no git → fixed order, still a valid bench
+    rot = seed % len(names) if names else 0
+    order = names[rot:] + names[:rot]
+    if (seed >> 8) & 1:
+        order = order[::-1]
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name, rq in sorted(headline.items()):
+    for name in order:
+        rq = headline[name]
         for _ in range(warms):
             spark.catalog.clearCache()
             rq.fn(spark, sf_dir).count()
@@ -140,6 +170,7 @@ def main() -> None:
     # between their bench windows). Printed on an EARLY line and persisted
     # to a sidecar so the driver's tail capture never has to carry it.
     detail = {
+        "order": order,
         "dispersion": {
             n: {"runs": s, "spread": round(max(s) - min(s), 3)}
             for n, s in samples.items()
