@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import tpch
+from .text import SQL_NORM, normalize_content
 
 _SCALE = 10_000_000.0  # 1e7 fixed-point quantization
 
@@ -929,7 +930,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rollup) beyond the dedup plan, no windows; everything stays on the exact
 # int64 fixed-point cosine, so DuckDB replays the mining bit-for-bit.
 
-_TRIPLET_SQL = f"""
+_TRIPLET_CTES = f"""
 WITH quant AS (
   SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
 ),
@@ -971,11 +972,16 @@ neg AS (
   SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cosine
   FROM cands WHERE cosine < {_SEM_THRESHOLD}
   QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cand_id) = 1
-)
+)"""
+
+_TRIPLET_SQL = (
+    _TRIPLET_CTES
+    + """
 SELECT p.anchor_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine
 FROM pos p JOIN neg n USING (anchor_id)
 ORDER BY p.anchor_id
 """
+)
 
 
 def contrastive_triplets(
@@ -1043,6 +1049,144 @@ def train_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: positives are verified near-dups (cosine ≥ 0.35), hard negatives
     the nearest sub-threshold neighbor within the probed clusters."""
     return contrastive_triplets(_emb(spark, sf_dir))
+
+
+# --- Cross-encoder-style triplet re-scoring ---------------------------------
+#
+# Bi-encoder mining (above) nominates hard negatives by embedding cosine
+# alone; production pipelines then RE-SCORE each (anchor, candidate) pair
+# with a second-stage model that sees both documents jointly (a
+# cross-encoder) and DROP false negatives — candidates the stronger scorer
+# says are actually positives (the ANCE/RocketQA denoising step). The
+# engine ships the full Spark shape of that stage with a deterministic,
+# SQL-replayable stand-in for the model: the pair score blends the mined
+# cosine with the lexical Jaccard overlap of the two documents' capped
+# token signatures (0.5·cos + 0.5·jaccard). A real model drops into the
+# same pair frame as a Pandas-UDF mapInPandas over (anchor_text,
+# cand_text) batches — the join topology, not the scorer, is the scale
+# design: the pair frame is O(|triplets|) (one row per mined anchor), doc
+# signatures are semi-joined down to exactly the ids the triplets touch
+# before the three narrow id-keyed joins, so the corpus is scanned once
+# and nothing quadratic ever forms.
+
+_SIG_CAP = 64  # tokens per doc signature — bounds join width at scale
+
+_CROSS_SIG_SQL = (
+    f"list_sort(list_distinct(regexp_split_to_array({SQL_NORM}, '\\s+')))[1:{_SIG_CAP}]"
+)
+
+
+def _sql_cross(sig_a: str, sig_b: str, cosine: str) -> str:
+    inter = f"len(list_intersect({sig_a}, {sig_b}))"
+    return (
+        f"CAST(0.5 AS DOUBLE) * {cosine} + CAST(0.5 AS DOUBLE) * "
+        f"(CAST({inter} AS DOUBLE) / "
+        f"CAST(len({sig_a}) + len({sig_b}) - {inter} AS DOUBLE))"
+    )
+
+
+_RESCORE_SQL = (
+    _TRIPLET_CTES
+    + f""",
+trip AS (
+  SELECT p.anchor_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine
+  FROM pos p JOIN neg n USING (anchor_id)
+),
+sig AS (
+  SELECT doc_id, {_CROSS_SIG_SQL} AS sig FROM documents
+),
+scored AS (
+  SELECT t.anchor_id, t.pos_id, t.neg_id,
+         {_sql_cross('sa.sig', 'sp.sig', 't.pos_cosine')} AS pos_cross,
+         {_sql_cross('sa.sig', 'sn.sig', 't.neg_cosine')} AS neg_cross
+  FROM trip t
+  JOIN sig sa ON t.anchor_id = sa.doc_id
+  JOIN sig sp ON t.pos_id = sp.doc_id
+  JOIN sig sn ON t.neg_id = sn.doc_id
+)
+SELECT anchor_id, pos_id, neg_id,
+       ROUND(pos_cross, 6) AS pos_cross,
+       ROUND(neg_cross, 6) AS neg_cross,
+       ROUND(pos_cross - neg_cross, 6) AS margin
+FROM scored
+WHERE neg_cross < pos_cross
+ORDER BY anchor_id
+"""
+)
+
+
+def _doc_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): the capped sorted distinct-token signature each pair
+    score compares — deterministic, ≤ {_SIG_CAP} strings per doc."""
+    sig = F.slice(
+        F.array_sort(F.array_distinct(F.split(normalize_content(F.col("text")), r"\s+"))),
+        1,
+        _SIG_CAP,
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def _cross_score(sig_a: Column, sig_b: Column, cosine: Column) -> Column:
+    inter = F.size(F.array_intersect(sig_a, sig_b))
+    union = F.size(sig_a) + F.size(sig_b) - inter
+    return F.lit(0.5) * cosine + F.lit(0.5) * (
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def rescore_triplets(trip: DataFrame, docs: DataFrame) -> DataFrame:
+    """(anchor_id, pos_id, neg_id, pos_cross, neg_cross, margin): second-
+    stage pair scores over mined triplets, false negatives dropped — rows
+    where the joint scorer rates the "negative" at or above the positive
+    (``neg_cross >= pos_cross``) are denoising casualties, not training
+    signal. See the module note for the scale topology and the
+    cross-encoder plug point."""
+    ids = (
+        trip.select(F.col("anchor_id").alias("doc_id"))
+        .unionAll(trip.select(F.col("pos_id").alias("doc_id")))
+        .unionAll(trip.select(F.col("neg_id").alias("doc_id")))
+        .distinct()
+    )
+    sig = F.broadcast(
+        _doc_signatures(docs).join(F.broadcast(ids), "doc_id", "left_semi")
+    )
+    joined = (
+        trip.join(sig.select(F.col("doc_id").alias("anchor_id"), F.col("sig").alias("sig_a")), "anchor_id")
+        .join(sig.select(F.col("doc_id").alias("pos_id"), F.col("sig").alias("sig_p")), "pos_id")
+        .join(sig.select(F.col("doc_id").alias("neg_id"), F.col("sig").alias("sig_n")), "neg_id")
+    )
+    pos_cross = _cross_score(F.col("sig_a"), F.col("sig_p"), F.col("pos_cosine"))
+    neg_cross = _cross_score(F.col("sig_a"), F.col("sig_n"), F.col("neg_cosine"))
+    return (
+        joined.select(
+            "anchor_id",
+            "pos_id",
+            "neg_id",
+            pos_cross.alias("_pc"),
+            neg_cross.alias("_nc"),
+        )
+        .filter(F.col("_nc") < F.col("_pc"))
+        .select(
+            "anchor_id",
+            "pos_id",
+            "neg_id",
+            F.round(F.col("_pc"), 6).alias("pos_cross"),
+            F.round(F.col("_nc"), 6).alias("neg_cross"),
+            F.round(F.col("_pc") - F.col("_nc"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+@query("train_triplets_rescored", oracle=_RESCORE_SQL, defer=True)
+def train_triplets_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine triplets from the embeddings table, then re-score each pair
+    with the joint (cross-encoder-style) scorer over the paired documents
+    and drop false negatives. Registered deferred per the 50-slot window
+    rule; oracle-verified in tests/test_oracle_parity.py."""
+    trip = contrastive_triplets(_emb(spark, sf_dir))
+    docs = tpch.load(spark, sf_dir, "documents")
+    return rescore_triplets(trip, docs)
 
 
 # --- Batch kNN join ---------------------------------------------------------

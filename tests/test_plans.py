@@ -578,3 +578,19 @@ def test_novelty_and_fingerprint_plans_no_window(spark):
     assert "Window" not in plan, plan
     counts = audit.join_counts(plan)
     assert counts["sort_merge"] == 0 and counts["shuffled_hash"] == 0, plan
+
+
+def test_rescore_triplets_plan_broadcasts_signatures(spark):
+    """rescore_triplets (r11): the three signature joins must broadcast the
+    semi-joined signature side — the triplet frame is never shuffled by
+    doc id, and the corpus text is scanned only for the signature build."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    trip = sim.contrastive_triplets(tpch.load(spark, SF_DIR, "embeddings"))
+    docs = tpch.load(spark, SF_DIR, "documents")
+    plan = audit.executed_plan(sim.rescore_triplets(trip, docs))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan

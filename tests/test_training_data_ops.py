@@ -1867,3 +1867,42 @@ def test_length_batches_bound_padding(spark):
         idxs[(r["band"], r["lane"])].append(r["batch_idx"])
     for ix in idxs.values():
         assert sorted(ix) == list(range(len(ix)))
+
+
+def test_rescore_triplets_drops_planted_false_negative(spark):
+    """rescore_triplets (r11): a planted mined "negative" whose document is
+    lexically identical to the anchor must be rated above the positive by
+    the joint scorer and DROPPED (the denoising step); a genuinely
+    dissimilar negative survives with a positive margin."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import (
+        rescore_triplets,
+    )
+
+    trip = spark.createDataFrame(
+        [
+            # anchor 0: neg doc 2 is a copy of the anchor text — the joint
+            # score 0.5*0.34 + 0.5*1.0 = 0.67 beats the positive's
+            # 0.5*0.40 + 0.5*(3/5) = 0.50 -> false negative, dropped
+            (0, 1, 0.40, 2, 0.34),
+            # anchor 3: neg doc 5 shares nothing with anchor -> survives
+            (3, 4, 0.90, 5, 0.30),
+        ],
+        "anchor_id bigint, pos_id bigint, pos_cosine double, neg_id bigint, neg_cosine double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),
+            (2, "alpha beta gamma delta"),       # clone of anchor 0
+            (3, "one two three four"),
+            (4, "one two three five"),
+            (5, "zz yy xx ww"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["anchor_id"]: r for r in rescore_triplets(trip, docs).collect()}
+    assert set(rows) == {3}, rows  # anchor 0's triplet denoised away
+    r = rows[3]
+    # pos: 0.5*0.9 + 0.5*(3/5) = 0.75 ; neg: 0.5*0.3 + 0.5*0 = 0.15
+    assert abs(r["pos_cross"] - 0.75) < 1e-9 and abs(r["neg_cross"] - 0.15) < 1e-9
+    assert abs(r["margin"] - 0.60) < 1e-9
