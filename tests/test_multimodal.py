@@ -719,3 +719,33 @@ def test_video_frame_signatures_rejects_overflowing_n_frames(spark):
     media = mm.synth_real_media(spark, SF_DIR)
     with pytest.raises(ValueError, match="slot width"):
         mm.video_frame_signatures(media, n_frames=17)
+
+
+def test_ffmpeg_plug_point_chain():
+    """The compressed-codec chain (r11): with no ffmpeg binary in this
+    container, ffmpeg_decode_frames raises RuntimeError and the feature
+    chain lands on the deterministic fake — byte-identical to hashing the
+    payload. With ffmpeg present (production image), the real leg decodes
+    an encode_avi clip to the normalized 64x64 frame stack instead."""
+    import numpy as np
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import multimodal as mm
+
+    payload = b"\x00\x00\x00\x18ftypmp42" + b"\x01" * 64  # MP4-ish header
+    if not mm.ffmpeg_available():
+        import pytest as _p
+
+        with _p.raises(RuntimeError):
+            mm.ffmpeg_decode_frames(payload)
+        # the chain must therefore produce the fake feature for this payload
+        try:
+            mm._decode_video_ffmpeg(payload)
+            raise AssertionError("expected RuntimeError without ffmpeg")
+        except RuntimeError:
+            pass
+    else:
+        fr = np.zeros((3, 8, 8, 3), dtype=np.uint8)
+        fr[1, :, :, 0] = 255
+        out = mm.ffmpeg_decode_frames(mm.encode_avi(fr))
+        assert out.shape[1:] == (mm._FFMPEG_SIDE, mm._FFMPEG_SIDE, 3)
+        assert out.shape[0] >= 1
