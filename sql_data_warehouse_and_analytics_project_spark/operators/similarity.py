@@ -37,6 +37,10 @@ _SCALE = 10_000_000.0  # 1e7 fixed-point quantization
 # one constant drives the Spark defaults AND the oracle SQL thresholds for
 # BOTH embedding near-dup variants (label-blocked and learned-cluster)
 _SEM_THRESHOLD = 0.35
+# one deterministic per-block candidate cap for the WHOLE semantic family —
+# label-blocked, learned-cluster, and triplet mining (see the r11 note at
+# its main usage site below _SEM_PROBES)
+_SEM_CLUSTER_CAP = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,12 +126,16 @@ WITH quant AS (
 ),
 normed AS (
   SELECT vec_id, label, q, {SQL_NORM_Q} AS nq FROM quant
+),
+capped AS (
+  SELECT vec_id, label, q, nq FROM normed
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= {_SEM_CLUSTER_CAP}
 )
 SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
        CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
          / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
-FROM normed a
-JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM capped a
+JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(CAST(list_sum([a.q[i+1] * b.q[i+1] FOR i IN range(len(a.q))]) AS BIGINT) AS DOUBLE)
         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_SEM_THRESHOLD}
 ORDER BY vec_id_1, vec_id_2
@@ -139,14 +147,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked self-join.
 
     The label acts as the blocking key (at scale: a clustering/LSH bucket id,
-    so the quadratic join only happens within buckets). Threshold 0.35 sits
-    above the corpus' random-pair cosine mass but below its planted top pairs."""
+    so the quadratic join only happens within buckets — bounded at O(cap²)
+    per label by the family-wide r11 candidate cap, overflow auditable via
+    ``semantic_cluster_sizes``-style counts on the label key). Threshold
+    0.35 sits above the corpus' random-pair cosine mass but below its
+    planted top pairs."""
     emb = _emb(spark, sf_dir)
     normed = emb.select(
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
-    a = normed.alias("a")
-    b = normed.alias("b")
+    capped = _cap_cluster_members(normed, _SEM_CLUSTER_CAP, key="label")
+    a = capped.alias("a")
+    b = capped.alias("b")
     cos = cosine_q(F.col("a.q"), F.col("b.q"), F.col("a.nq"), F.col("b.nq"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -637,8 +649,9 @@ _SEM_PROBES = 2
 # cluster — deterministic, so DuckDB replays it via QUALIFY — and surface
 # everything dropped through semantic_cluster_overflow (no-silent-caps
 # rule). A production run that sees overflow re-trains with more lists (or
-# shards the hot cluster) instead of raising the cap.
-_SEM_CLUSTER_CAP = 64
+# shards the hot cluster) instead of raising the cap. (_SEM_CLUSTER_CAP is
+# defined next to _SEM_THRESHOLD so the label-blocked variant's oracle,
+# which precedes this block, can interpolate it.)
 
 _SQL_SEM_CAP = f"""capped AS (
   SELECT vec_id, q, nq, cluster FROM assigned
@@ -727,7 +740,9 @@ def _nearest_clusters(cents: Column, n_probes: int) -> Column:
     return F.slice(F.array_sort(d_structs), 1, n_probes)
 
 
-def _cap_cluster_members(assigned: DataFrame, cap: int | None) -> DataFrame:
+def _cap_cluster_members(
+    assigned: DataFrame, cap: int | None, key: str = "cluster"
+) -> DataFrame:
     """Keep the ``cap`` smallest vec_ids per probed cluster — the semantic
     analog of ``dedup._cap_buckets`` (r11): bounds every within-cluster
     join at O(cap²) per cluster so one hot cluster can never become a
@@ -741,7 +756,7 @@ def _cap_cluster_members(assigned: DataFrame, cap: int | None) -> DataFrame:
         return assigned
     from pyspark.sql import Window
 
-    w = Window.partitionBy("cluster").orderBy("vec_id")
+    w = Window.partitionBy(key).orderBy("vec_id")
     return (
         assigned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
