@@ -208,3 +208,82 @@ def test_batched_training_fewer_rounds(spark):
     assert merges == ref_merges
     assert len(merges) == sum(calls)
     assert len(calls) < len(merges), (calls, merges)
+
+
+def test_select_merge_batch_property_parity():
+    """Property test (r11): for randomized corpora, a pure-Python trainer
+    that advances by _select_merge_batch rounds must produce EXACTLY the
+    sequential reference merge list. This drives the subtle acceptance
+    conditions (tie look-ahead, floor(cnt/2) bound, collection floor)
+    through hundreds of corpora without paying a Spark job per example —
+    the Spark trainer shares the same loop shape, so selection parity here
+    plus the Spark-side adversarial test pins the whole algorithm."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    def pair_counts(vocab, wc):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        return pc
+
+    def apply_merge(vocab, l, r):
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+    def sequential(wc, n_merges, min_freq):
+        vocab = {w: list(w) + ["</w>"] for w in wc}
+        merges = []
+        for _ in range(n_merges):
+            pc = pair_counts(vocab, wc)
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if cnt < min_freq:
+                break
+            merges.append((l, r))
+            apply_merge(vocab, l, r)
+        return merges
+
+    def batched(wc, n_merges, min_freq, batch_k):
+        vocab = {w: list(w) + ["</w>"] for w in wc}
+        merges = []
+        while len(merges) < n_merges:
+            k = min(batch_k, n_merges - len(merges))
+            pc = pair_counts(vocab, wc)
+            rows = [
+                {"l": l, "r": r, "cnt": c}
+                for (l, r), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            ][:k]
+            batch = _select_merge_batch(rows, min_freq, collection_full=len(rows) == k)
+            if not batch:
+                break
+            for l, r in batch:
+                apply_merge(vocab, l, r)
+            merges.extend(batch)
+        return merges
+
+    words = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.dictionaries(words, st.integers(min_value=1, max_value=9), min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(corpus, st.integers(min_value=1, max_value=12), st.sampled_from([2, 4, 16]))
+    def check(wc, n_merges, batch_k):
+        ref = sequential(wc, n_merges, min_freq=2)
+        got = batched(wc, n_merges, min_freq=2, batch_k=batch_k)
+        assert got == ref, (wc, n_merges, batch_k, got, ref)
+
+    check()
