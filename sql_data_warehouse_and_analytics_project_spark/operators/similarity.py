@@ -149,7 +149,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label acts as the blocking key (at scale: a clustering/LSH bucket id,
     so the quadratic join only happens within buckets — bounded at O(cap²)
     per label by the family-wide r11 candidate cap, overflow auditable via
-    ``semantic_cluster_sizes``-style counts on the label key). Threshold
+    :func:`block_overflow` on the label key). Threshold
     0.35 sits above the corpus' random-pair cosine mass but below its
     planted top pairs."""
     emb = _emb(spark, sf_dir)
@@ -906,6 +906,21 @@ def semantic_cluster_sizes(emb: DataFrame, n_probes: int = _SEM_PROBES) -> DataF
     )
 
 
+def block_overflow(
+    blocked: DataFrame, key: str, cap: int = _SEM_CLUSTER_CAP
+) -> DataFrame:
+    """(key, n_vecs, n_dropped) for ANY blocking key whose membership
+    exceeds the candidate cap — the generic no-silent-caps audit behind
+    :func:`semantic_cluster_overflow`; pass the label-blocked frame with
+    ``key="label"`` to audit :func:`dedup_embedding_cosine`'s blocks."""
+    return (
+        blocked.groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .filter(F.col("n_vecs") > cap)
+        .withColumn("n_dropped", (F.col("n_vecs") - F.lit(cap)).cast("bigint"))
+    )
+
+
 def semantic_cluster_overflow(
     emb: DataFrame, n_probes: int = _SEM_PROBES, cap: int = _SEM_CLUSTER_CAP
 ) -> DataFrame:
@@ -915,9 +930,9 @@ def semantic_cluster_overflow(
     vectors beyond the cap's smallest-id window are excluded from the pair
     join, so a run at scale should count/log these and re-train with more
     lists (or shard the hot cluster) before trusting recall."""
+    sizes = semantic_cluster_sizes(emb, n_probes)
     return (
-        semantic_cluster_sizes(emb, n_probes)
-        .filter(F.col("n_vecs") > cap)
+        sizes.filter(F.col("n_vecs") > cap)
         .withColumn("n_dropped", (F.col("n_vecs") - F.lit(cap)).cast("bigint"))
     )
 

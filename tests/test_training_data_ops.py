@@ -1906,3 +1906,16 @@ def test_rescore_triplets_drops_planted_false_negative(spark):
     # pos: 0.5*0.9 + 0.5*(3/5) = 0.75 ; neg: 0.5*0.3 + 0.5*0 = 0.15
     assert abs(r["pos_cross"] - 0.75) < 1e-9 and abs(r["neg_cross"] - 0.15) < 1e-9
     assert abs(r["margin"] - 0.60) < 1e-9
+
+
+def test_block_overflow_generic_audit(spark):
+    """block_overflow (r11): the generic cap audit reports any blocking
+    key's oversize membership with exact drop counts — here the label key
+    behind dedup_embedding_cosine's capped join."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+
+    rows = [(i, 1 if i < 12 else 2) for i in range(15)]  # label 1: 12, label 2: 3
+    df = spark.createDataFrame(rows, "vec_id bigint, label int")
+    got = {r["label"]: r for r in sim.block_overflow(df, "label", cap=8).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_vecs"] == 12 and got[1]["n_dropped"] == 4
