@@ -907,6 +907,194 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+# --- Bigram-LM fluency scoring (r11) ---------------------------------------
+#
+# The conditional upgrade of the unigram score — the shape CCNet-style
+# perplexity filters actually use (KenLM is an n-gram model): score each
+# document by its average per-token log P(w_i | w_{i-1}) under a
+# corpus-trained bigram model. Word order now matters, so shuffled
+# boilerplate and keyword-stuffed spam that the unigram model rates as
+# fluent separate cleanly. Model recipe (all engine-exact):
+#
+# - vocabulary: the top-V unigram terms (same (tf DESC, term) order as the
+#   unigram model); every corpus token maps to itself or '<unk>' BEFORE
+#   counting, and each document is prefixed with '<s>' — so the bigram
+#   table is bounded by (V+2)^2 TYPES regardless of corpus size, which is
+#   what keeps the model a KB-scale broadcast at 100 TB;
+# - probabilities: Laplace smoothing, P(c|p) = (count(p,c)+1) /
+#   (ctx(p)+classes) with classes = |vocab|+1 — every pair scores without
+#   a backoff model, unseen pairs fall to the per-context floor and
+#   never-seen contexts to the uniform floor;
+# - scoring: the two model maps (pair → logp, context → floor-logp)
+#   aggregate JVM-side into ONE broadcast row (no driver collect anywhere)
+#   and the per-doc score is a TOKEN-ORDER fold over the zipped
+#   (prev, cur) array — zero shuffles beyond the two narrow model
+#   groupBys, partition-order-exact floats, defensive 6-dp round (JVM vs
+#   DuckDB libm ln differ ≤1 ULP — invisible at 6 dp, same argument as
+#   the unigram broadcast strategy).
+
+_BLM_VOCAB = 256
+_BLM_UNK = "<unk>"
+_BLM_START = "<s>"
+_BLM_SEP = "\x1f"  # unit separator — cannot occur inside whitespace tokens
+
+_BLM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({SQL_TOKENS}, x -> lower(x)) AS t FROM documents
+),
+vocab AS (
+  SELECT term FROM (SELECT UNNEST(t) AS term FROM toks)
+  GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT {_BLM_VOCAB}
+),
+vset AS (
+  SELECT map_from_entries(list((term, 1) ORDER BY term)) AS vm,
+         CAST(COUNT(*) + 1 AS DOUBLE) AS classes
+  FROM vocab
+),
+mapped AS (
+  SELECT doc_id,
+         list_transform(t, x -> CASE WHEN vm[x][1] IS NOT NULL THEN x ELSE '{_BLM_UNK}' END) AS m
+  FROM toks CROSS JOIN vset
+),
+seq AS (
+  SELECT doc_id, m, list_prepend('{_BLM_START}', m) AS fseq FROM mapped
+),
+pairs AS (
+  SELECT fseq[i + 1] AS prev, m[i + 1] AS cur
+  FROM (SELECT UNNEST(range(len(m))) AS i, fseq, m FROM seq)
+),
+bgc AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(COUNT(*) AS DOUBLE) AS n FROM pairs GROUP BY prev),
+model AS (
+  SELECT
+    (SELECT map_from_entries(list((b.prev || chr(31) || b.cur,
+             ln((b.c + 1) / (x.n + (SELECT classes FROM vset)))) ORDER BY b.prev, b.cur))
+     FROM bgc b JOIN ctx x ON b.prev = x.prev) AS mpb,
+    (SELECT map_from_entries(list((prev, -ln(n + (SELECT classes FROM vset))) ORDER BY prev))
+     FROM ctx) AS mpc,
+    -ln((SELECT classes FROM vset)) AS fb
+)
+SELECT doc_id,
+       CAST(len(m) AS BIGINT) AS n_tokens,
+       ROUND(list_reduce(
+               [coalesce(mpb[fseq[i + 1] || chr(31) || m[i + 1]][1],
+                         mpc[fseq[i + 1]][1], fb) FOR i IN range(len(m))],
+               (a, b) -> a + b) / CAST(len(m) AS DOUBLE), 6) AS avg_logprob
+FROM seq CROSS JOIN model
+ORDER BY doc_id
+"""
+
+
+def bigram_logprob(docs: DataFrame, vocab_size: int = _BLM_VOCAB) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) under the corpus-trained bigram
+    model — see the module note for the recipe and the scale/float
+    discipline. Collect-free: both model maps are JVM-built one-row
+    frames broadcast onto the corpus."""
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    with_t = docs.select("doc_id", toks.alias("t"))
+    vocab_df = (
+        with_t.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    vrow = vocab_df.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.lit(1).alias("one")))
+        ).alias("vm"),
+        (F.count(F.lit(1)) + 1).cast("double").alias("classes"),
+    )
+    mapped = with_t.crossJoin(F.broadcast(vrow)).select(
+        "doc_id",
+        F.transform(
+            F.col("t"),
+            lambda x: F.when(F.element_at(F.col("vm"), x).isNotNull(), x).otherwise(
+                F.lit(_BLM_UNK)
+            ),
+        ).alias("m"),
+        "classes",
+    )
+    full = F.concat(F.array(F.lit(_BLM_START)), F.col("m"))
+    seq = mapped.select(
+        "doc_id", "m", "classes", F.slice(full, 1, F.size("m")).alias("prevs")
+    )
+    pairs = seq.select(
+        F.explode(
+            F.zip_with(
+                F.col("prevs"),
+                F.col("m"),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("pc")
+    ).select(F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    bgc = pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    classes_row = F.broadcast(vrow.select("classes"))
+    mpb_row = (
+        bgc.join(F.broadcast(ctx), "prev")
+        .crossJoin(classes_row)
+        .select(
+            F.struct(
+                F.concat(F.col("prev"), F.lit(_BLM_SEP), F.col("cur")).alias("k"),
+                F.log((F.col("c") + 1) / (F.col("n") + F.col("classes"))).alias("lp"),
+            ).alias("e")
+        )
+        .agg(F.map_from_entries(F.collect_list("e")).alias("mpb"))
+    )
+    mpc_row = (
+        ctx.crossJoin(classes_row)
+        .select(
+            F.struct(
+                F.col("prev").alias("k"),
+                (-F.log(F.col("n") + F.col("classes"))).alias("lp"),
+            ).alias("e")
+        )
+        .agg(F.map_from_entries(F.collect_list("e")).alias("mpc"))
+    )
+    model = (
+        mpb_row.crossJoin(mpc_row)
+        .crossJoin(classes_row)
+        .select("mpb", "mpc", (-F.log(F.col("classes"))).alias("fb"))
+    )
+    zipped = F.zip_with(
+        F.col("prevs"),
+        F.col("m"),
+        lambda p, c: F.struct(
+            p.alias("p"), F.concat(p, F.lit(_BLM_SEP), c).alias("k")
+        ),
+    )
+    score = F.aggregate(
+        zipped,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.coalesce(
+            F.element_at(F.col("mpb"), s["k"]),
+            F.element_at(F.col("mpc"), s["p"]),
+            F.col("fb"),
+        ),
+    )
+    return (
+        seq.crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            F.size("m").cast("bigint").alias("n_tokens"),
+            F.round(score / F.size("m").cast("double"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("text_bigram_logprob", oracle=_BLM_SQL, defer=True)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token bigram conditional log-probability per document —
+    the word-order-aware perplexity-style quality score (CCNet-shape
+    n-gram filter). Registered deferred per the 50-slot window rule."""
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 # --- Corpus profile (data-card statistics) ---------------------------------
 
 # NOTE: distinct name from the earlier _PROFILE_SQL (text_profile's oracle):

@@ -594,3 +594,18 @@ def test_rescore_triplets_plan_broadcasts_signatures(spark):
     plan = audit.executed_plan(sim.rescore_triplets(trip, docs))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_logprob_plan_broadcast_model(spark):
+    """bigram_logprob (r11): the model side (vocab map + two logprob maps)
+    must reach the corpus via broadcast — the document scan is never
+    shuffled by token or joined sort-merge; the only exchanges are the two
+    narrow model groupBys."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import bigram_logprob
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    plan = audit.executed_plan(bigram_logprob(tpch.load(spark, SF_DIR, "documents")))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row model crossJoins

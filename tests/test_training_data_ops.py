@@ -1919,3 +1919,42 @@ def test_block_overflow_generic_audit(spark):
     got = {r["label"]: r for r in sim.block_overflow(df, "label", cap=8).collect()}
     assert set(got) == {1}
     assert got[1]["n_vecs"] == 12 and got[1]["n_dropped"] == 4
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """bigram_logprob (r11): Laplace-smoothed conditional scores on a
+    two-document corpus where every count is hand-checkable, plus the
+    word-order sensitivity the unigram model lacks — a shuffled copy of a
+    fluent document must score strictly lower under the bigram model."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # vocab {a, b} -> classes = 3; pairs: (<s>,a):2 (a,a):1 (a,b):2
+    # ctx: <s>:2  a:3
+    lp_sa = math.log((2 + 1) / (2 + 3))  # P(a|<s>)
+    lp_aa = math.log((1 + 1) / (3 + 3))  # P(a|a)
+    lp_ab = math.log((2 + 1) / (3 + 3))  # P(b|a)
+    assert rows[0]["n_tokens"] == 3
+    assert abs(rows[0]["avg_logprob"] - round((lp_sa + lp_aa + lp_ab) / 3, 6)) <= 1e-6
+    assert abs(rows[1]["avg_logprob"] - round((lp_sa + lp_ab) / 2, 6)) <= 1e-6
+
+    # word order: repeat a fluent pattern vs its scrambled permutation —
+    # same unigram profile, different bigram score
+    fluent = "the cat sat on the mat " * 5 + "the cat sat on the mat"
+    scrambled = "cat the on sat mat the " * 5 + "mat on the sat cat the"
+    docs2 = spark.createDataFrame(
+        [(0, fluent), (1, scrambled), (2, fluent), (3, fluent)],
+        "doc_id bigint, text string",
+    )
+    bg = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs2).collect()}
+    ug = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs2).collect()}
+    assert bg[1] < bg[0], bg  # scrambled reads worse conditionally
+    assert abs(ug[1] - ug[0]) < 1e-6, ug  # ...but identically unigram-wise
