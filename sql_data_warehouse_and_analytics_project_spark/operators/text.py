@@ -938,7 +938,7 @@ _BLM_UNK = "<unk>"
 _BLM_START = "<s>"
 _BLM_SEP = "\x1f"  # unit separator — cannot occur inside whitespace tokens
 
-_BLM_SQL = f"""
+_BLM_CTES = f"""
 WITH toks AS (
   SELECT doc_id, list_transform({SQL_TOKENS}, x -> lower(x)) AS t FROM documents
 ),
@@ -973,16 +973,25 @@ model AS (
     (SELECT map_from_entries(list((prev, -ln(n + (SELECT classes FROM vset))) ORDER BY prev))
      FROM ctx) AS mpc,
     -ln((SELECT classes FROM vset)) AS fb
-)
-SELECT doc_id,
-       CAST(len(m) AS BIGINT) AS n_tokens,
-       ROUND(list_reduce(
+)"""
+
+# the per-doc 6-dp score expression, shared by the per-doc query and the
+# perplexity-bucket rollup so the two oracles can never drift
+_BLM_SCORE = """ROUND(list_reduce(
                [coalesce(mpb[fseq[i + 1] || chr(31) || m[i + 1]][1],
                          mpc[fseq[i + 1]][1], fb) FOR i IN range(len(m))],
-               (a, b) -> a + b) / CAST(len(m) AS DOUBLE), 6) AS avg_logprob
+               (a, b) -> a + b) / CAST(len(m) AS DOUBLE), 6)"""
+
+_BLM_SQL = (
+    _BLM_CTES
+    + f"""
+SELECT doc_id,
+       CAST(len(m) AS BIGINT) AS n_tokens,
+       {_BLM_SCORE} AS avg_logprob
 FROM seq CROSS JOIN model
 ORDER BY doc_id
 """
+)
 
 
 def bigram_logprob(docs: DataFrame, vocab_size: int = _BLM_VOCAB) -> DataFrame:
@@ -1093,6 +1102,78 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-order-aware perplexity-style quality score (CCNet-shape
     n-gram filter). Registered deferred per the 50-slot window rule."""
     return bigram_logprob(_docs(spark, sf_dir))
+
+
+# CCNet's actual corpus-partitioning step: rank every document by the LM
+# score and cut the corpus into head/middle/tail TERCILES — head feeds the
+# highest-quality training mix, tail is dropped or downsampled. Thresholds
+# are exact linear-interpolated percentiles over the 6-dp-rounded scores
+# (Spark percentile == DuckDB quantile_cont, thresholds re-rounded to 6 dp
+# before comparison per the house convention); the per-bucket mean goes
+# through a DECIMAL(18,6) sum — the rounded scores are exactly
+# representable, so the mean is partition-order-exact.
+
+_PPL_BUCKETS_SQL = (
+    _BLM_CTES
+    + f""",
+scored AS (
+  SELECT doc_id, {_BLM_SCORE} AS avg_logprob
+  FROM seq CROSS JOIN model
+),
+th AS (
+  SELECT ROUND(quantile_cont(avg_logprob, 1.0/3), 6) AS t1,
+         ROUND(quantile_cont(avg_logprob, 2.0/3), 6) AS t2
+  FROM scored
+)
+SELECT CASE WHEN s.avg_logprob > th.t2 THEN 'head'
+            WHEN s.avg_logprob > th.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(s.avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
+FROM scored s CROSS JOIN th
+GROUP BY 1
+ORDER BY bucket
+"""
+)
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """(bucket, n_docs, mean_logprob): head/middle/tail terciles of the
+    corpus by bigram-LM score — see the note above. One extra tiny agg
+    (the two thresholds) broadcast back onto the scored frame; the rollup
+    is a 3-group aggregation."""
+    scored = bigram_logprob(docs).select("doc_id", "avg_logprob")
+    th = scored.agg(
+        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("t2"), "head")
+        .when(F.col("avg_logprob") > F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "avg_logprob")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_logprob"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query("quality_perplexity_buckets", oracle=_PPL_BUCKETS_SQL, defer=True)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by bigram-LM
+    perplexity tercile. Registered deferred per the 50-slot window rule."""
+    return perplexity_buckets(_docs(spark, sf_dir))
 
 
 # --- Corpus profile (data-card statistics) ---------------------------------

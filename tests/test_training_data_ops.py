@@ -1958,3 +1958,24 @@ def test_bigram_logprob_hand_computed(spark):
     ug = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs2).collect()}
     assert bg[1] < bg[0], bg  # scrambled reads worse conditionally
     assert abs(ug[1] - ug[0]) < 1e-6, ug  # ...but identically unigram-wise
+
+
+def test_perplexity_buckets_tercile_invariants(spark):
+    """perplexity_buckets (r11): three buckets partition the corpus, the
+    tercile populations are near-equal on the real corpus, and bucket
+    means order head > middle > tail by construction."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        perplexity_buckets,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    rows = {r["bucket"]: r for r in perplexity_buckets(docs).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n = docs.count()
+    assert sum(r["n_docs"] for r in rows.values()) == n
+    for r in rows.values():  # terciles: each within ±20% of n/3 (score ties shift cuts)
+        assert abs(r["n_docs"] - n / 3) <= 0.2 * n, rows
+    assert rows["head"]["mean_logprob"] > rows["middle"]["mean_logprob"] > rows["tail"]["mean_logprob"]
