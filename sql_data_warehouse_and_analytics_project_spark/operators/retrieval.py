@@ -328,3 +328,239 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_K)
     )
     return rrf_fuse([(bm, "bm25", "bm25_rank"), (lm, "avg_logprob", "fluency_rank")])
+
+
+# --- Persisted inverted index + indexed BM25 (r11) -------------------------
+#
+# ``bm25_topk`` scans the CORPUS once per query — the right shape when
+# queries are rare and ad-hoc, the wrong one for a serving or eval loop
+# that runs many term queries against a fixed 100 TB corpus. The classic
+# fix is the inverted index: postings (term, doc_id, tf, dl) built ONCE
+# (one explode + one partial-aggregating groupBy), persisted PARTITIONED
+# BY an md5 term-hash bucket (`postings/bucket=N/`), so a query reads only
+# the partitions its terms hash to — PartitionFilters prune the rest
+# (plan-pinned in tests) and query cost scales with the queried posting
+# lists, not the corpus. Per-term document frequencies persist beside the
+# postings under the same bucket layout (`terms/bucket=N/`) and the two
+# corpus scalars (n_docs, avgdl, and the bucket modulus) in a one-row
+# `stats/` table, so serving a query touches no document text at all.
+#
+# Cross-engine float discipline: the per-(doc, term) Okapi weight is the
+# same expression as ``bm25_topk``; the per-doc score folds the matched
+# weights in SORTED TERM ORDER (sort_array over (term, w) structs →
+# ordered ``F.aggregate`` fold; ``list(w ORDER BY term)`` + list_reduce
+# in DuckDB), because a plain float SUM over postings rows would be
+# partition-order-dependent; defensive 6-dp round on the output surface.
+
+_IDX_TERMS = ("merge", "stream", "filter")  # fixed demo query (≠ _BM25_TERMS)
+_IDX_BUCKETS = 64  # term-hash partitions in the persisted layout
+
+
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) inverted postings over lowered whitespace
+    tokens — one explode + one partial-aggregating groupBy; (doc_id, term)
+    is unique so downstream df counts are plain row counts."""
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    return (
+        docs.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    toks = tokens_col(F.col("text"))
+    return docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+
+
+def _score_postings(
+    matched: DataFrame, k: int, k1: float = _BM25_K1, b: float = _BM25_B
+) -> DataFrame:
+    """Fold matched postings — (doc_id, dl, term, tf, df, n_docs, avgdl)
+    rows — into (doc_id, bm25) top-k. Sorted-term-order fold, 6-dp round."""
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    w = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    return (
+        matched.select("doc_id", F.struct("term", w.alias("w")).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("arr"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.transform("arr", lambda s: s["w"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_postings_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _IDX_TERMS,
+    k: int = _BM25_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """(doc_id, bm25) top-k via the postings-join shape — the same logical
+    plan the persisted index serves, built in memory: postings filtered to
+    the query terms, df as a broadcast per-term count, corpus stats as a
+    broadcast one-row aggregate. Equals ``bm25_topk`` on the same input
+    (pytest-pinned) but supports arbitrary term sets without one
+    array-filter column per term."""
+    lowered = sorted({t.lower() for t in terms})
+    posts = doc_postings(docs).filter(F.col("term").isin(lowered))
+    dfreq = F.broadcast(
+        posts.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    matched = posts.join(dfreq, "term").crossJoin(F.broadcast(_corpus_stats(docs)))
+    return _score_postings(matched, k=k, k1=k1, b=b)
+
+
+def _bm25_indexed_sql(terms: tuple[str, ...], k: int) -> str:
+    lowered = sorted({t.lower() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in lowered)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({SQL_TOKENS}, x -> lower(x)) AS t FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM toks
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+w AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
+            / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+               + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))) AS w
+  FROM postings p JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(list_reduce(list(w ORDER BY term), (a, b) -> a + b), 6) AS bm25
+FROM w GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
+@query(
+    "retrieval_bm25_indexed",
+    oracle=_bm25_indexed_sql(_IDX_TERMS, _BM25_K),
+    defer=True,
+)
+def retrieval_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Okapi BM25 for the fixed query (merge, stream,
+    filter) through the postings-join shape — the logical plan the
+    persisted inverted index serves at scale."""
+    return bm25_postings_topk(_docs(spark, sf_dir))
+
+
+def _term_bucket_col(term, n_buckets: int):
+    from .dedup import _md5_long
+
+    return (_md5_long(term, 13) % n_buckets).cast("int")
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:13], 16) % n_buckets
+
+
+def build_inverted_index(
+    docs: DataFrame, path: str, n_buckets: int = _IDX_BUCKETS
+) -> None:
+    """Build the persisted inverted index under ``path``:
+
+    - ``postings/bucket=N/`` — (term, doc_id, dl, tf) partitioned by the
+      md5 term-hash bucket (the same 13-hex md5 base hash every other
+      deterministic uniform in this engine uses);
+    - ``terms/bucket=N/`` — (term, df) per-term document frequency,
+      same bucket layout;
+    - ``stats/`` — one row (n_docs, avgdl, n_buckets).
+
+    One corpus scan builds all three; the postings groupBy is the only
+    shuffle. A 100 TB corpus shards by bucket — no reducer ever sees more
+    than one bucket's terms, and a hot term is still one posting LIST, not
+    one posting ROW."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    posts = doc_postings(docs).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    spark = docs.sparkSession
+    # df per term from the WRITTEN postings (one narrow re-scan, no second
+    # corpus pass); (doc_id, term) is unique so df is a row count
+    spark.read.parquet(f"{path}/postings").groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/terms")
+    _corpus_stats(docs).withColumn("n_buckets", F.lit(n_buckets)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    k: int = _BM25_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """Serve a BM25 top-k query from the persisted index: the query terms
+    hash to their buckets DRIVER-side, so both the postings and the terms
+    scan carry ``bucket IN (...)`` partition filters — only the queried
+    buckets' files are read (plan-pinned). Answers equal
+    ``bm25_postings_topk`` over the indexed corpus (pytest-pinned)."""
+    st = spark.read.parquet(f"{path}/stats").first()
+    lowered = sorted({t.lower() for t in terms})
+    buckets = sorted({_term_bucket_py(t, st["n_buckets"]) for t in lowered})
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(lowered))
+        .drop("bucket")
+    )
+    dfreq = F.broadcast(
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(lowered))
+        .select("term", "df")
+    )
+    matched = posts.join(dfreq, "term").withColumns(
+        {
+            "n_docs": F.lit(st["n_docs"]).cast("bigint"),
+            "avgdl": F.lit(st["avgdl"]).cast("double"),
+        }
+    )
+    return _score_postings(matched, k=k, k1=k1, b=b)

@@ -1,0 +1,100 @@
+"""Persisted inverted index + indexed BM25 (r11).
+
+Pins: (1) the postings-join scoring path answers exactly like the
+array-filter ``bm25_topk`` path on the same query, (2) the persisted
+index serves the SAME rows as the in-memory postings path, (3) a search
+against the persisted layout prunes to the query terms' bucket
+partitions (PartitionFilters), never scanning the whole postings table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators import retrieval as rt
+from sql_data_warehouse_and_analytics_project_spark.plans import audit
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return tpch.load(spark, SF_DIR, "documents")
+
+
+def test_postings_path_equals_array_filter_path(spark):
+    """Same terms, same corpus: the postings-join shape and the per-term
+    array-filter shape are the same math — scores agree to the 6-dp output
+    surface (fold order differs: sorted-term vs literal-term order)."""
+    docs = _docs(spark)
+    a = {r["doc_id"]: r["bm25"] for r in rt.bm25_topk(docs, rt._BM25_TERMS, k=500).collect()}
+    b = {
+        r["doc_id"]: r["bm25"]
+        for r in rt.bm25_postings_topk(docs, rt._BM25_TERMS, k=500).collect()
+    }
+    assert set(a) == set(b)
+    for d in a:
+        assert abs(a[d] - b[d]) <= 2e-6, (d, a[d], b[d])
+
+
+def test_persisted_index_serves_identical_answers(spark, tmp_path):
+    """build → search must reproduce the in-memory postings path row for
+    row: df and stats read back from the index are the exact values the
+    in-memory path computes."""
+    docs = _docs(spark)
+    path = str(tmp_path / "invidx")
+    rt.build_inverted_index(docs, path, n_buckets=16)
+    got = rt.bm25_search_indexed(spark, path, rt._IDX_TERMS).collect()
+    want = rt.bm25_postings_topk(docs, rt._IDX_TERMS).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_index_layout_and_df_values(spark, tmp_path):
+    """Bucket partition dirs exist, the spark-side bucket column matches
+    the driver-side hash used at query time, and stored df equals a direct
+    recount from the corpus."""
+    docs = _docs(spark)
+    path = str(tmp_path / "invidx2")
+    nb = 8
+    rt.build_inverted_index(docs, path, n_buckets=nb)
+    dirs = {d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")}
+    assert dirs and dirs <= {f"bucket={i}" for i in range(nb)}
+    terms = spark.read.parquet(f"{path}/terms")
+    sample = terms.limit(50).collect()
+    for r in sample:
+        assert r["bucket"] == rt._term_bucket_py(r["term"], nb), r
+    # df for one known term equals a direct corpus recount
+    t = "merge"
+    stored = terms.filter(F.col("term") == t).select("df").collect()
+    direct = (
+        docs.filter(
+            F.array_contains(
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x)
+                ),
+                t,
+            )
+        ).count()
+    )
+    assert stored and stored[0]["df"] == direct
+
+
+def test_indexed_search_prunes_partitions(spark, tmp_path):
+    """The postings scan of an indexed search carries a bucket
+    PartitionFilter — the 100 TB property: query cost scales with the
+    queried buckets' files, not the corpus."""
+    docs = _docs(spark)
+    path = str(tmp_path / "invidx3")
+    rt.build_inverted_index(docs, path, n_buckets=32)
+    q = rt.bm25_search_indexed(spark, path, rt._IDX_TERMS)
+    plan = audit.executed_plan(q)
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "bucket" in seg, plan
+    # the pruned scan reads at most the terms' buckets, not all 32
+    want_buckets = {rt._term_bucket_py(t, 32) for t in rt._IDX_TERMS}
+    assert len(want_buckets) < 32
+    got = q.collect()
+    assert got, "indexed search returned no rows for common terms"
