@@ -61,6 +61,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         composition,
         curation,
         dedup,
+        dsir,
         etl_queries,
         multimodal,
         nb,
