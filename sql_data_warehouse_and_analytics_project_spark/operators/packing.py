@@ -364,6 +364,109 @@ def mix_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_temperature_resample(_docs(spark, sf_dir))
 
 
+# --- Epoch-aware upsampling mix (r11) ---------------------------------------
+#
+# The missing half of the mixing family: mix_resample / temperature
+# resampling can only THIN a stratum (keep-probability capped at 1), but
+# real pretraining recipes REPEAT small high-quality sources — a stratum
+# whose target share exceeds its observed share gets a rate r > 1, i.e.
+# ~r epochs of that stratum in the output (the LLaMA-style "epochs per
+# source" column). Deterministic shape: every doc of a stratum with rate
+# r is emitted floor(r) times, plus one more iff its md5-13-hex uniform
+# u < frac(r) — so the realized stratum size concentrates at r·n_s
+# (exactly the hash-threshold rule, extended past 1.0). The replication
+# is a per-row ``explode(sequence(1, c))`` with c ≤ ceil(r) — a pure
+# row function over a broadcast rate table, zero corpus shuffle, and the
+# output carries the epoch index so downstream packing can interleave
+# epochs instead of concatenating them. Cross-engine: rates are plain
+# double arithmetic on counts (identical IEEE ops in both engines — the
+# mix_resample precedent), floor/frac/compare replay bit-for-bit.
+
+_EPOCH_MIX_WEIGHTS = {"zh": 0.40, "en": 0.30, "fr": 0.10, "de": 0.10, "es": 0.10}
+_EPOCH_MIX_BUDGET = 1.0  # output size target = 1.0x the corpus, re-mixed
+
+_EPOCH_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {w}" for k, w in _EPOCH_MIX_WEIGHTS.items()
+) + " ELSE 0.0 END"
+
+_EPOCH_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         (floor({_EPOCH_MIX_BUDGET} * n_total) * ({_EPOCH_MIX_CASE})) / n_lang AS r
+  FROM counts
+),
+kept AS (
+  SELECT d.doc_id, d.lang,
+         CAST(FLOOR(r) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+                       / CAST(4503599627370496 AS DOUBLE) < r - FLOOR(r)
+                THEN 1 ELSE 0 END AS c
+  FROM documents d JOIN rates USING (lang)
+)
+SELECT doc_id, lang, CAST(UNNEST(range(1, c + 1)) AS BIGINT) AS epoch
+FROM kept
+WHERE c >= 1
+ORDER BY doc_id, epoch
+"""
+
+
+def mix_epoch_resample(
+    docs: DataFrame,
+    weights: dict | None = None,
+    budget_frac: float = _EPOCH_MIX_BUDGET,
+    stratum: str = "lang",
+) -> DataFrame:
+    """(doc_id, stratum, epoch): the corpus re-mixed toward ``weights`` at
+    ``budget_frac``x its size, with strata whose target exceeds their
+    supply UPSAMPLED (docs repeated across epoch indices 1..c) — see the
+    section note for the deterministic replication rule and why it stays
+    a zero-shuffle row function at 100 TB."""
+    if weights is None:
+        weights = _EPOCH_MIX_WEIGHTS
+    counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_col = F.lit(0.0)
+    for k, w in weights.items():
+        w_col = F.when(F.col(stratum) == k, F.lit(float(w))).otherwise(w_col)
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        stratum,
+        ((F.floor(F.lit(budget_frac) * F.col("n_total")) * w_col) / F.col("n_s")).alias(
+            "r"
+        ),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(1 << 52))
+    c = (
+        F.floor("r").cast("bigint")
+        + F.when(u < F.col("r") - F.floor("r"), F.lit(1)).otherwise(F.lit(0))
+    ).alias("c")
+    return (
+        docs.join(F.broadcast(rates), stratum)
+        .select("doc_id", stratum, c)
+        .filter(F.col("c") >= 1)
+        .select(
+            "doc_id",
+            stratum,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("c"))).alias("epoch"),
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+@query("mix_epoch_upsample", oracle=_EPOCH_MIX_SQL, defer=True)
+def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware re-mix of the documents corpus toward (zh 40 / en 30 /
+    fr 10 / de 10 / es 10) at 1.0x size — zh is upsampled to ~2.7 epochs,
+    the rest thinned, all engine-reproducible."""
+    return mix_epoch_resample(_docs(spark, sf_dir))
+
+
 # --- Length-bucketed batching ----------------------------------------------
 #
 # Batches of similar-length sequences minimize padding waste (every batch
