@@ -369,9 +369,13 @@ def doc_postings(docs: DataFrame) -> DataFrame:
 
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """One-row (n_docs, sum_dl, avgdl). ``sum_dl`` is the algebraic half of
+    avgdl — two corpora merge by adding (n_docs, sum_dl) and re-deriving
+    avgdl, which is what ``append_inverted_index`` does."""
     toks = tokens_col(F.col("text"))
     return docs.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
 
@@ -529,6 +533,83 @@ def build_inverted_index(
     _corpus_stats(docs).withColumn("n_buckets", F.lit(n_buckets)).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def append_inverted_index(docs_new: DataFrame, path: str) -> None:
+    """Incrementally fold NEW documents into an existing persisted index —
+    the maintenance leg that makes the index real at 100 TB, where a full
+    rebuild per ingest batch is off the table.
+
+    Contract: ``docs_new`` doc_ids are disjoint from the already-indexed
+    corpus (append, not upsert — the same contract as the incremental
+    MinHash index in ``dedup.py``). Under it every merge is algebraic:
+
+    - ``postings/`` — new (term, doc_id, dl, tf) rows APPEND into the same
+      bucket partitions; old files are never touched or read.
+    - ``terms/`` — per-term df adds. Only the buckets the new terms hash
+      into are rewritten (dynamic partition overwrite); an ingest batch
+      touching 5 of 64 buckets rewrites 5. The merged rows stage through a
+      temp dir because Spark refuses to overwrite a path it is reading.
+    - ``stats/`` — (n_docs, sum_dl) add driver-side (one row); avgdl is
+      re-derived as double(sum_dl)/double(n_docs), bit-identical to what a
+      full rebuild over the union corpus would store.
+
+    Write order is postings → terms → stats: a crash between steps leaves
+    a serving index that undercounts df/n_docs for the newest batch but
+    never returns wrong postings; production would wrap the three writes
+    in the manifest-pointer commit of ``warehouse/commit.py``.
+    """
+    spark = docs_new.sparkSession
+    st = spark.read.parquet(f"{path}/stats").first()
+    nb = int(st["n_buckets"])
+
+    posts = doc_postings(docs_new).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), nb)
+    )
+    posts.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+
+    # df delta per (bucket, term) from the appended batch; (doc_id, term)
+    # unique + disjoint doc_ids → df merges by plain addition
+    delta = posts.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    if touched:
+        existing = spark.read.parquet(f"{path}/terms").filter(
+            F.col("bucket").isin(touched)
+        )
+        merged = (
+            existing.select("bucket", "term", "df")
+            .unionByName(delta)
+            .groupBy("bucket", "term")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+        )
+        stage = f"{path}/_terms_stage"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        try:
+            spark.conf.set(mode_key, "dynamic")
+            spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{path}/terms")
+        finally:
+            spark.conf.set(mode_key, prev)
+        _rm_tree(stage)
+
+    new = _corpus_stats(docs_new).first()
+    n_docs = int(st["n_docs"]) + int(new["n_docs"])
+    sum_dl = int(st["sum_dl"]) + int(new["sum_dl"])
+    spark.createDataFrame(
+        [(n_docs, sum_dl, float(sum_dl) / float(n_docs), nb)],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _rm_tree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def bm25_search_indexed(

@@ -98,3 +98,65 @@ def test_indexed_search_prunes_partitions(spark, tmp_path):
     assert len(want_buckets) < 32
     got = q.collect()
     assert got, "indexed search returned no rows for common terms"
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """build(prefix) + append(rest) must serve exactly what build(full)
+    serves: identical top-k rows for the fixed query, identical per-term
+    df for every term of the appended batch's buckets, and a stats row
+    whose merged (n_docs, sum_dl, avgdl) is bit-equal to the full build's."""
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    rt.build_inverted_index(old, p_inc, n_buckets=16)
+    rt.append_inverted_index(new, p_inc)
+
+    p_full = str(tmp_path / "full")
+    rt.build_inverted_index(docs, p_full, n_buckets=16)
+
+    got = rt.bm25_search_indexed(spark, p_inc, rt._IDX_TERMS).collect()
+    want = rt.bm25_search_indexed(spark, p_full, rt._IDX_TERMS).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    t_inc = {(r["term"]): r["df"] for r in spark.read.parquet(f"{p_inc}/terms").collect()}
+    t_full = {(r["term"]): r["df"] for r in spark.read.parquet(f"{p_full}/terms").collect()}
+    assert t_inc == t_full
+
+    s_inc = spark.read.parquet(f"{p_inc}/stats").first()
+    s_full = spark.read.parquet(f"{p_full}/stats").first()
+    assert (s_inc["n_docs"], s_inc["sum_dl"], s_inc["n_buckets"]) == (
+        s_full["n_docs"],
+        s_full["sum_dl"],
+        s_full["n_buckets"],
+    )
+    assert s_inc["avgdl"] == s_full["avgdl"]  # bit-equal by construction
+
+    # no staging residue
+    assert not os.path.exists(f"{p_inc}/_terms_stage")
+
+
+def test_two_appends_compose(spark, tmp_path):
+    """Append is associative over batches: two sequential appends land on
+    the same index state as one append of their union."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+
+    p_two = str(tmp_path / "two")
+    rt.build_inverted_index(base, p_two, n_buckets=8)
+    rt.append_inverted_index(b1, p_two)
+    rt.append_inverted_index(b2, p_two)
+
+    p_one = str(tmp_path / "one")
+    rt.build_inverted_index(base, p_one, n_buckets=8)
+    rt.append_inverted_index(b1.unionByName(b2), p_one)
+
+    got = rt.bm25_search_indexed(spark, p_two, rt._IDX_TERMS).collect()
+    want = rt.bm25_search_indexed(spark, p_one, rt._IDX_TERMS).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    s_two = spark.read.parquet(f"{p_two}/stats").first()
+    s_one = spark.read.parquet(f"{p_one}/stats").first()
+    assert tuple(s_two) == tuple(s_one)
