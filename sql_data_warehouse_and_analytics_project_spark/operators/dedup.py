@@ -1330,13 +1330,7 @@ def compact_minhash_index(
     from ..warehouse import hdfs
     from ..warehouse.bucketing import compact_parquet
 
-    def swap(src: str, tmp: str) -> None:
-        old = f"{src}.old"
-        if hdfs.exists(spark, old):
-            hdfs.delete(spark, old)
-        hdfs.rename(spark, src, old)
-        hdfs.rename(spark, tmp, src)
-        hdfs.delete(spark, old)
+    swap = lambda src, tmp: hdfs.swap_aside(spark, src, tmp)
 
     # "ingested" is the streaming sink's redelivery sidecar — present only
     # on sink-managed indexes, compacted with the same discipline

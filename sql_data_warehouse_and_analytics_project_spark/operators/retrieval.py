@@ -612,6 +612,30 @@ def _rm_tree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def compact_inverted_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the index's append-accumulated small files: every
+    :func:`append_inverted_index` lands its own file set inside each
+    ``bucket=N`` directory (postings) and each dynamic-overwrite rewrite
+    of a terms bucket emits one file per shuffle partition, so a
+    long-running ingest accumulates O(appends) files per bucket and every
+    pruned serving scan pays the listing + per-file open cost. The
+    rewrite re-clusters each table by bucket (one shuffle of the stored
+    rows, no document text) and publishes with the same rename-aside swap
+    as ``compact_minhash_index`` / ``compact_ivf_index``
+    (``hdfs.swap_aside`` — crash windows leave the data recoverable under
+    ``<table>.old``; any Spark-readable URI works). Search answers are
+    unchanged: a pure file-layout rewrite."""
+    from ..warehouse import hdfs
+
+    for table in ("postings", "terms"):
+        src = f"{path}/{table}"
+        tmp = f"{src}.compacting"
+        spark.read.parquet(src).repartition("bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(tmp)
+        hdfs.swap_aside(spark, src, tmp)
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     path: str,

@@ -447,13 +447,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     from ..warehouse import hdfs
     from ..warehouse.bucketing import compact_parquet
 
-    def swap(src: str, tmp: str) -> None:
-        old = f"{src}.old"
-        if hdfs.exists(spark, old):
-            hdfs.delete(spark, old)
-        hdfs.rename(spark, src, old)
-        hdfs.rename(spark, tmp, src)
-        hdfs.delete(spark, old)
+    swap = lambda src, tmp: hdfs.swap_aside(spark, src, tmp)
 
     src = f"{path}/vectors"
     tmp = f"{src}.compacting"

@@ -46,6 +46,20 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src!r} -> {dst!r}")
 
 
+def swap_aside(spark: SparkSession, src: str, tmp: str) -> None:
+    """Publish ``tmp`` over ``src`` with the rename-aside discipline every
+    index compaction in this engine uses: the live directory moves ASIDE
+    to ``<src>.old`` (atomic on posix/HDFS) before the replacement moves
+    in, then the aside copy is dropped — every crash window leaves the
+    data recoverable, never deleted-before-replaced."""
+    old = f"{src}.old"
+    if exists(spark, old):
+        delete(spark, old)
+    rename(spark, src, old)
+    rename(spark, tmp, src)
+    delete(spark, old)
+
+
 def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
     """Total bytes of files under ``path`` whose name ends with ``suffix``
     — file METADATA only (a recursive listing, no data read)."""

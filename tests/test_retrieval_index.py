@@ -160,3 +160,42 @@ def test_two_appends_compose(spark, tmp_path):
     s_two = spark.read.parquet(f"{p_two}/stats").first()
     s_one = spark.read.parquet(f"{p_one}/stats").first()
     assert tuple(s_two) == tuple(s_one)
+
+
+def test_compaction_shrinks_files_and_preserves_answers(spark, tmp_path):
+    """Three appends accumulate one file set per batch inside the touched
+    bucket dirs; compaction rewrites to one file per bucket and the served
+    top-k is byte-identical before/after."""
+    docs = _docs(spark)
+    path = str(tmp_path / "cidx")
+    rt.build_inverted_index(docs.filter(F.col("doc_id") % 4 == 0), path, n_buckets=8)
+    for m in (1, 2, 3):
+        rt.append_inverted_index(docs.filter(F.col("doc_id") % 4 == m), path)
+
+    def n_files(table):
+        total = 0
+        for d in os.listdir(f"{path}/{table}"):
+            if d.startswith("bucket="):
+                total += sum(
+                    1
+                    for f in os.listdir(f"{path}/{table}/{d}")
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    before = rt.bm25_search_indexed(spark, path, rt._IDX_TERMS).collect()
+    files_before = n_files("postings")
+    rt.compact_inverted_index(spark, path)
+    after = rt.bm25_search_indexed(spark, path, rt._IDX_TERMS).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert n_files("postings") < files_before
+    # one file per bucket dir after the rewrite
+    for table in ("postings", "terms"):
+        for d in os.listdir(f"{path}/{table}"):
+            if d.startswith("bucket="):
+                parqs = [
+                    f for f in os.listdir(f"{path}/{table}/{d}") if f.endswith(".parquet")
+                ]
+                assert len(parqs) == 1, (table, d, parqs)
+        assert not os.path.exists(f"{path}/{table}.old")
+        assert not os.path.exists(f"{path}/{table}.compacting")
