@@ -1644,3 +1644,133 @@ def dedup_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise corpus-level similarity of every source's shingle space —
     the re-delivery / re-crawl detector that needs no document pairs."""
     return source_fingerprint_similarity(_docs(spark, sf_dir))
+
+
+# --- content-defined chunking (CDC) span dedup -------------------------------
+#
+# Fixed-block span dedup (span_dedup_blocks) measures verbatim overlap in
+# 16-token grid cells — one token INSERTED at the front of a copy shifts
+# every downstream block off the grid and the overlap vanishes. CDC places
+# chunk boundaries where a rolling window's content hash lands in a
+# residue class (the gear/Rabin idiom of storage dedup, token-level here):
+# boundaries are a function of the TEXT, not the position, so after any
+# localized edit the chunking re-synchronizes at the next content
+# boundary and the shared suffix dedups chunk-for-chunk. Public technique
+# (LBFS/Venti-style CDC); no reference counterpart — LLM-pipeline
+# extension. Scale shape: boundary detection is a per-row array
+# expression (no explode until chunks exist, ~n_tokens/_CDC_MODULUS
+# chunks/doc), then the novelty-style occurrence join: one partial-agg
+# groupBy on chunk text, one 1:1 hash join back, one per-doc groupBy —
+# no window, no all-pairs anywhere, shards by chunk-text hash at 100 TB.
+#
+# Determinism across engines: the boundary predicate is the engine-wide
+# md5-13-hex uniform over the concat_ws-joined window, so Spark and
+# DuckDB compute identical boundaries; fractions round 6dp.
+
+_CDC_WINDOW = 3  # rolling window (tokens) the boundary hash covers
+_CDC_MODULUS = 8  # P(boundary) = 1/8 per position → ~8-token chunks
+
+
+def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_MODULUS) -> DataFrame:
+    """(doc_id, idx, chunk_text) content-defined chunks per document.
+
+    A position ``i`` (1-based token index, ``i >= window``) ends a chunk
+    iff md5_13hex(tokens[i-window+1 .. i] joined by ' ') % modulus == 0;
+    the final position always ends the last chunk. Documents shorter than
+    ``window`` tokens are one chunk."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+
+    def is_bnd(i):
+        win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+        return _md5_long(win, 13) % modulus == 0
+
+    raw = F.when(
+        n >= window, F.filter(F.sequence(F.lit(window), n), is_bnd)
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.array_sort(F.array_distinct(F.concat(raw, F.array(n))))
+    chunks = F.transform(
+        ends,
+        lambda e, j: F.struct(
+            j.cast("bigint").alias("idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.when(j == 0, F.lit(1)).otherwise(F.element_at(ends, j) + 1),
+                    e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)),
+                ),
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk_text").alias("chunk_text"))
+    )
+
+
+_CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+bnds AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(list_append(
+           CASE WHEN len(t) >= {_CDC_WINDOW}
+                THEN list_filter(range({_CDC_WINDOW}, len(t) + 1),
+                     i -> {_sql_md5_long(f"array_to_string(array_slice(t, i - {_CDC_WINDOW} + 1, i), ' ')", 13)} % {_CDC_MODULUS} = 0)
+                ELSE [] END,
+           len(t)))) AS ends
+  FROM toks
+),
+bounds AS (
+  SELECT doc_id, t, UNNEST(ends) AS e, UNNEST(range(1, len(ends) + 1)) AS j
+  FROM bnds
+),
+chunks AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS idx,
+         array_to_string(array_slice(t,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1, e), ' ') AS chunk_text
+  FROM bounds
+),
+occ AS (SELECT chunk_text, COUNT(*) AS cnt FROM chunks GROUP BY chunk_text)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN o.cnt > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS dup_frac
+FROM chunks c JOIN occ o ON c.chunk_text = o.chunk_text
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def cdc_dup_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chunks, n_dup, dup_frac): per-document share of
+    content-defined chunks whose exact text occurs more than once in the
+    corpus (other documents or self-repeats) — the shift-robust
+    counterpart of span_dedup_blocks' grid overlap."""
+    chunks = cdc_chunks(docs)
+    occ = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dup = F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        chunks.join(occ, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_cdc_chunks", oracle=_CDC_SQL, defer=True)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking span dedup: per-document duplicated-chunk
+    fraction under rolling-hash boundaries, robust to insert/delete shifts
+    that blind the fixed 16-token grid."""
+    return cdc_dup_stats(_docs(spark, sf_dir))

@@ -1979,3 +1979,46 @@ def test_perplexity_buckets_tercile_invariants(spark):
     for r in rows.values():  # terciles: each within ±20% of n/3 (score ties shift cuts)
         assert abs(r["n_docs"] - n / 3) <= 0.2 * n, rows
     assert rows["head"]["mean_logprob"] > rows["middle"]["mean_logprob"] > rows["tail"]["mean_logprob"]
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """The property CDC exists for: doc B = doc A with tokens INSERTED at
+    the front. The fixed 16-token grid shifts every downstream block, so
+    span_dedup_blocks sees (almost) no verbatim overlap; CDC boundaries
+    re-synchronize at the first content boundary after the edit, so the
+    shared suffix dedups chunk-for-chunk on both documents."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup as dd
+
+    # deterministic 240-token body (md5-derived 4-hex tokens, no repeats
+    # of the 3-token boundary windows by construction of the hash space)
+    body = " ".join(
+        __import__("hashlib").md5(str(i).encode()).hexdigest()[:6] for i in range(240)
+    )
+    docs = spark.createDataFrame(
+        [(0, body), (1, "zzz yyy xxx ww vv " + body)], "doc_id bigint, text string"
+    )
+
+    cdc = {r["doc_id"]: r for r in dd.cdc_dup_stats(docs).collect()}
+    # the shared 240-token suffix must dedup: most of doc 0's chunks recur
+    assert cdc[0]["dup_frac"] >= 0.8, dict(cdc[0].asDict())
+    assert cdc[1]["n_dup"] >= cdc[0]["n_dup"]
+
+    grid = {r["doc_id"]: r for r in dd.span_dedup_blocks(docs).collect()}
+    # the 5-token insertion shifts every 16-token block: the grid sees no
+    # duplicated block in either doc (all of doc 1's blocks differ from
+    # doc 0's), so nothing is stripped
+    assert grid[0]["n_kept"] == grid[0]["n_blocks"]
+    assert grid[1]["n_kept"] == grid[1]["n_blocks"]
+    # CDC found real overlap the grid is structurally blind to
+    assert cdc[0]["n_dup"] > 0
+
+    # chunking is content-deterministic: identical text -> identical chunks
+    a = dd.cdc_chunks(docs.filter(F.col("doc_id") == 0)).collect()
+    b = dd.cdc_chunks(docs.filter(F.col("doc_id") == 0)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # expected chunk length ~= modulus: sane boundary density, not one
+    # giant chunk and not per-token shrapnel
+    n_chunks = len(a)
+    assert 240 / dd._CDC_MODULUS * 0.4 <= n_chunks <= 240 / dd._CDC_MODULUS * 2.5, n_chunks
