@@ -1,0 +1,230 @@
+"""Logistic-regression text classifier trained by distributed full-batch
+gradient descent — with a HARD cross-engine oracle for the training loop.
+
+The model-based-filtering line in a real LLM pipeline (CCNet / GPT-3
+quality classifiers) trains a linear classifier over hashed bag-of-words
+features. The engine already has the counting side (Naive Bayes,
+``nb.py``) — this module adds the gradient-descent side: w ← w − lr·∇L,
+T fixed full-batch iterations, every iteration one Spark aggregation
+over a cached feature frame plus one bounded D-row collect (D = 64
+hashed buckets — KB-sized model state, same budget class as the NB/LM
+tables). Unlike BPE's data-dependent merge loop (rows-only by design),
+a FIXED iteration count makes GD training relationally expressible: the
+DuckDB oracle unrolls all T iterations into chained CTEs (w_t → margins
+→ fast-sigmoid probabilities → per-bucket gradient folds → w_{t+1}), so
+the driver hash-checks the ENTIRE training trajectory, not just the
+scoring pass.
+
+Cross-engine float discipline (see the parity conventions memory):
+
+- The squashing link is the ALGEBRAIC fast sigmoid
+  p = 0.5 + 0.5·m/(1+|m|), not 1/(1+e^-m): +,*,/,abs are correctly
+  rounded IEEE in both engines, while ``exp`` may differ in the last
+  ulp between the JVM and DuckDB and one ulp compounds over T rounds.
+- Per-doc margins fold per-doc feature arrays in SORTED BUCKET ORDER
+  (sort_array + ordered ``F.aggregate`` / ``list(... ORDER BY bucket)``
+  + list_reduce), and per-bucket gradients fold contributions in SORTED
+  DOC ORDER — float sums are order-dependent, so both engines fix the
+  same order (the BM25 fold idiom).
+- Driver-side w updates are plain binary64 arithmetic re-injected as
+  exact literals; DuckDB's unrolled CTEs perform the identical update.
+
+Parity vs scale (the W2 surrogate-key precedent): the ordered per-bucket
+gradient fold collects one (doc_id, contrib) list per bucket — exact and
+oracle-matched, but a bucket's list grows with the corpus. ``fold="scale"``
+swaps it for a plain partial-aggregating SUM (order-free up to fp
+associativity, no collected lists, map-side combine) — the default for
+production; the registered query pins ``fold="parity"``. At 100 TB the
+cached feature frame becomes a checkpointed parquet and each iteration
+is one scan of it; T stays a constant (12), not a function of data.
+
+No reference counterpart (`/root/reference/` is T-SQL warehousing) —
+LLM-pipeline extension; public textbook algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+from .dedup import _md5_long, _sql_md5_long
+from .text import SQL_TOKENS, tokens_col
+
+_D = 64  # hashed feature buckets (model = 64 doubles)
+_T = 12  # full-batch GD iterations (fixed → SQL-unrollable)
+_LR = 1.0  # learning rate
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+def hashed_features(docs: DataFrame, label, n_buckets: int = _D) -> DataFrame:
+    """(doc_id, y, arr) — y the 0/1 double label, arr a BUCKET-SORTED
+    array<struct<bucket:int, x:double>> of hashed bag-of-words features,
+    x = tf/dl over lowered whitespace tokens. (doc_id, bucket) is unique,
+    so the sorted array gives every downstream fold a fixed order."""
+    toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
+    base = docs.select(
+        "doc_id",
+        label.cast("double").alias("y"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    per_bucket = (
+        base.withColumn("bucket", (_md5_long(F.col("term"), 13) % n_buckets).cast("int"))
+        .groupBy("doc_id", "y", "dl", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .select(
+            "doc_id",
+            "y",
+            F.struct(
+                "bucket", (F.col("tf") / F.col("dl").cast("double")).alias("x")
+            ).alias("e"),
+        )
+    )
+    return per_bucket.groupBy("doc_id", "y").agg(
+        F.sort_array(F.collect_list("e")).alias("arr")
+    )
+
+
+def _margin(w: list[float]):
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, e: acc + e["x"] * F.element_at(w_lit, e["bucket"] + 1),
+    )
+
+
+def _fast_sigmoid(m):
+    return F.lit(0.5) + F.lit(0.5) * m / (F.lit(1.0) + F.abs(m))
+
+
+def train_lr(
+    feats: DataFrame,
+    n_buckets: int = _D,
+    iters: int = _T,
+    lr: float = _LR,
+    fold: str = "scale",
+) -> list[float]:
+    """Full-batch GD over ``hashed_features`` output → the trained weight
+    vector (length ``n_buckets``). ``fold="parity"`` reproduces the
+    oracle's doc-ordered gradient folds bit-for-bit; ``fold="scale"``
+    (default) uses plain partial-aggregating sums."""
+    if fold not in ("parity", "scale"):
+        raise ValueError(f"fold must be 'parity' or 'scale', got {fold!r}")
+    feats = feats.persist()
+    n_docs = feats.count()
+    w = [0.0] * n_buckets
+    for _ in range(iters):
+        p = _fast_sigmoid(_margin(w))
+        contribs = (
+            feats.select("doc_id", "y", "arr", p.alias("p"))
+            .select("doc_id", "p", "y", F.explode("arr").alias("e"))
+            .select(
+                "doc_id",
+                F.col("e.bucket").alias("bucket"),
+                ((F.col("p") - F.col("y")) * F.col("e.x")).alias("c"),
+            )
+        )
+        if fold == "parity":
+            grad = contribs.groupBy("bucket").agg(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("doc_id", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("g")
+            )
+        else:
+            grad = contribs.groupBy("bucket").agg(F.sum("c").alias("g"))
+        for row in grad.collect():  # bounded: <= n_buckets rows (KB model)
+            w[row["bucket"]] -= lr * (row["g"] / float(n_docs))
+    feats.unpersist()
+    return w
+
+
+def score_lr(feats: DataFrame, w: list[float]) -> DataFrame:
+    """(doc_id, y, score) — fast-sigmoid probability under ``w``, rounded
+    6dp on the output surface only."""
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("y"),
+        F.round(_fast_sigmoid(_margin(w)), 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+def _lr_sql(n_buckets: int = _D, iters: int = _T, lr: float = _LR) -> str:
+    """Unroll the full training loop into chained CTEs — one (margin,
+    gradient, weight-update) triple per iteration, every fold in the same
+    fixed order the Spark side uses."""
+    h = _sql_md5_long("term", 13)
+    parts = [
+        f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_transform({SQL_TOKENS}, t -> lower(t)) AS t
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, y, bucket, CAST(COUNT(*) AS DOUBLE) / dl AS x
+  FROM (
+    SELECT doc_id, y, CAST(len(t) AS DOUBLE) AS dl,
+           CAST({h} % {n_buckets} AS INT) AS bucket
+    FROM (SELECT doc_id, y, t, UNNEST(t) AS term FROM toks)
+  )
+  GROUP BY doc_id, y, dl, bucket
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM feats),
+w0 AS MATERIALIZED (SELECT UNNEST(range(0, {n_buckets})) AS bucket, 0.0 AS w)"""
+    ]
+    for t in range(iters):
+        parts.append(f"""m{t} AS MATERIALIZED (
+  SELECT f.doc_id,
+         list_reduce(list(f.x * w.w ORDER BY f.bucket), (a, b) -> a + b) AS m
+  FROM feats f JOIN w{t} w USING (bucket) GROUP BY f.doc_id
+),
+p{t} AS MATERIALIZED (SELECT doc_id, 0.5 + 0.5 * m / (1.0 + abs(m)) AS p FROM m{t}),
+g{t} AS MATERIALIZED (
+  SELECT f.bucket,
+         list_reduce(list((p.p - f.y) * f.x ORDER BY f.doc_id), (a, b) -> a + b)
+           / (SELECT n_docs FROM n) AS g
+  FROM feats f JOIN p{t} p USING (doc_id) GROUP BY f.bucket
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.bucket, w.w - {lr!r} * COALESCE(g.g, 0.0) AS w
+  FROM w{t} w LEFT JOIN g{t} g USING (bucket)
+)""")
+    parts.append(f"""mf AS MATERIALIZED (
+  SELECT f.doc_id,
+         list_reduce(list(f.x * w.w ORDER BY f.bucket), (a, b) -> a + b) AS m
+  FROM feats f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id
+)
+SELECT f.doc_id,
+       CAST(f.y AS BIGINT) AS y,
+       ROUND(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score
+FROM (SELECT DISTINCT doc_id, y FROM feats) f JOIN mf USING (doc_id)
+ORDER BY f.doc_id""")
+    return ",\n".join(parts)
+
+
+_LR_SQL = _lr_sql()
+
+
+@query("text_lr_langid_en", oracle=_LR_SQL, defer=True)
+def text_lr_langid_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary is-English classifier over 64 hashed bag-of-words buckets,
+    trained by 12 full-batch GD iterations INSIDE the query — the DuckDB
+    oracle replays the whole trajectory through unrolled CTEs, so the
+    hash check covers training, not just inference. Weak label lang='en';
+    the mechanism (not the label) is the capability under test — swap in
+    a curated-vs-crawl label column for a production quality classifier."""
+    docs = _docs(spark, sf_dir)
+    feats = hashed_features(docs, label=(F.col("lang") == "en"))
+    w = train_lr(feats, fold="parity")
+    return score_lr(feats, w)
