@@ -1057,7 +1057,7 @@ def cross_source_matrix(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL)
+@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL, defer=True)
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup contamination matrix over the documents corpus: MinHash/LSH
     pairs rolled up by (source_a, source_b)."""
@@ -1768,7 +1768,7 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cdc_chunks", oracle=_CDC_SQL, defer=True)
+@query("dedup_cdc_chunks", oracle=_CDC_SQL)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking span dedup: per-document duplicated-chunk
     fraction under rolling-hash boundaries, robust to insert/delete shifts

@@ -1169,7 +1169,7 @@ ORDER BY media_id_1, media_id_2
 """
 
 
-@query("dedup_audio_fingerprint", oracle=_AFP_SQL)
+@query("dedup_audio_fingerprint", oracle=_AFP_SQL, defer=True)
 def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs by 48-bit envelope fingerprint, Hamming
     <= 6 — executor-generated WAVs through the real codec round trip, with

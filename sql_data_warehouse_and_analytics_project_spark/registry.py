@@ -98,7 +98,12 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # dedup_source_fingerprints — sf0.01-parity-verified before the flip —
     # while deferring six keys each covered by a same-family sibling that
     # stays (pack_token_chunks, mix_lang_resample, ann_ivf_topk,
-    # dedup_simhash, etl_snapshot_diff, split_leakage_free). Deferred
+    # dedup_simhash, etl_snapshot_diff, split_leakage_free); later in r11
+    # the two new flagships dedup_cdc_chunks and text_lr_langid_en were
+    # promoted (both sf0.01-parity-verified pre-flip) in place of
+    # dedup_cross_source_matrix (covered by dedup_source_fingerprints,
+    # which stays) and dedup_audio_fingerprint (covered by the
+    # dedup_image_phash banded-Hamming sibling). Deferred
     # queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
