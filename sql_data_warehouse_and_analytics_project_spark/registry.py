@@ -63,6 +63,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         dsir,
         etl_queries,
+        kmeans,
         lr,
         multimodal,
         nb,
