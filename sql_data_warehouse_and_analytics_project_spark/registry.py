@@ -69,6 +69,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         nb,
         olap_extras,
         packing,
+        pagerank,
         pq,
         retrieval,
         sampling_json,
