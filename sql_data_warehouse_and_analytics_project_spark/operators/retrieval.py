@@ -563,6 +563,10 @@ def append_inverted_index(docs_new: DataFrame, path: str) -> None:
     st = spark.read.parquet(f"{path}/stats").first()
     nb = int(st["n_buckets"])
 
+    new = _corpus_stats(docs_new).first()
+    if not new["n_docs"]:  # empty delta (routine for a streaming sink)
+        return
+
     posts = doc_postings(docs_new).withColumn(
         "bucket", _term_bucket_col(F.col("term"), nb)
     )
@@ -597,7 +601,6 @@ def append_inverted_index(docs_new: DataFrame, path: str) -> None:
             spark.conf.set(mode_key, prev)
         _rm_tree(stage)
 
-    new = _corpus_stats(docs_new).first()
     n_docs = int(st["n_docs"]) + int(new["n_docs"])
     sum_dl = int(st["sum_dl"]) + int(new["sum_dl"])
     spark.createDataFrame(
@@ -624,8 +627,11 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
     as ``compact_minhash_index`` / ``compact_ivf_index``
     (``hdfs.swap_aside`` — crash windows leave the data recoverable under
     ``<table>.old``; any Spark-readable URI works). Search answers are
-    unchanged: a pure file-layout rewrite."""
+    unchanged: a pure file-layout rewrite. The streaming ingest sink's
+    ``ingested`` redelivery sidecar (when present) is coalesced with the
+    same discipline."""
     from ..warehouse import hdfs
+    from ..warehouse.bucketing import compact_parquet
 
     for table in ("postings", "terms"):
         src = f"{path}/{table}"
@@ -633,6 +639,11 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
         spark.read.parquet(src).repartition("bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(tmp)
+        hdfs.swap_aside(spark, src, tmp)
+    if hdfs.exists(spark, f"{path}/ingested"):
+        src = f"{path}/ingested"
+        tmp = f"{src}.compacting"
+        compact_parquet(spark, src, tmp)
         hdfs.swap_aside(spark, src, tmp)
 
 

@@ -668,3 +668,65 @@ def sink_stream_embeddings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sink_stream_inverted_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    compact_every_batches: int | None = 16,
+):
+    """Streaming full-text-ingest sink: the postings-side sibling of
+    :func:`sink_stream_embeddings`. The first microbatch builds the
+    persisted inverted index (``retrieval.build_inverted_index``); every
+    later batch folds in incrementally (``append_inverted_index`` —
+    postings append, per-touched-bucket df merge, algebraic stats merge),
+    so ``bm25_search_indexed`` stays answerable between batches and
+    per-batch cost is O(batch), never a rebuild.
+
+    Replay safety (foreachBatch is at-least-once): appends are not
+    idempotent — a replayed batch would double postings, df, and stats —
+    so the ``<index>/ingested`` (doc_id, batch_id) sidecar of the other
+    ingest sinks drops already-ingested doc_ids before the append; the
+    sidecar is written first, so the crash window between sidecar and
+    append heals on the mandatory same-batch retry (at the cost of the
+    unrecorded remainder only).
+
+    ``compact_every_batches`` runs ``compact_inverted_index`` on a
+    cadence — every append lands one file set per touched bucket, so an
+    uncompacted long ingest pays O(batches) file opens per pruned
+    serving scan."""
+    from ..operators import retrieval
+    from ..warehouse.hdfs import exists as _exists
+
+    def _ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select("doc_id", "lang", "text")
+        if _exists(spark, f"{index_path}/ingested"):
+            prior = (
+                spark.read.parquet(f"{index_path}/ingested")
+                .select("doc_id")
+                .distinct()
+            )
+            batch = batch.join(prior, "doc_id", "left_anti")
+        # cut lineage before the sidecar append the anti-join reads from
+        batch = batch.localCheckpoint(eager=True)
+        if batch.isEmpty():  # fully-redelivered batch: nothing to fold in
+            return
+        batch.select(
+            "doc_id", F.lit(batch_id).cast("bigint").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/ingested")
+        if not _exists(spark, f"{index_path}/stats"):
+            retrieval.build_inverted_index(batch, index_path, n_buckets=n_buckets)
+        else:
+            retrieval.append_inverted_index(batch, index_path)
+        if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+            retrieval.compact_inverted_index(spark, index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -504,3 +504,63 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     for r in got.collect():
         delta = (r["purchase_ts"] - r["view_ts"]).total_seconds()
         assert 0 <= delta <= 3600
+
+
+def test_stream_inverted_index_ingest_serves_bm25(spark, tmp_path):
+    """sink_stream_inverted_index (r11): the first microbatch builds the
+    persisted index, later batches fold in incrementally, and the
+    streamed index answers bm25_search_indexed identically to the batch
+    build+append API over the same splits. A redelivered batch must not
+    double postings/df/stats, and per-batch compaction keeps one file
+    per bucket directory."""
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import retrieval as rt
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "doc_in")
+    ix = str(tmp_path / "doc_ix")
+
+    def deliver_and_run(df):
+        df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = jobs.sink_stream_inverted_index(
+            stream, ix, str(tmp_path / "ck"), n_buckets=16, compact_every_batches=1
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    deliver_and_run(a)
+    deliver_and_run(b)
+
+    ix2 = str(tmp_path / "doc_ix_batch")
+    rt.build_inverted_index(a, ix2, n_buckets=16)
+    rt.append_inverted_index(b, ix2)
+    got = [tuple(r) for r in rt.bm25_search_indexed(spark, ix, rt._IDX_TERMS).collect()]
+    twin = [tuple(r) for r in rt.bm25_search_indexed(spark, ix2, rt._IDX_TERMS).collect()]
+    assert got == twin and got
+
+    s1 = spark.read.parquet(f"{ix}/stats").first()
+    assert s1["n_docs"] == docs.count()
+
+    # redelivery of batch B as a NEW file: anti-joined away, index unchanged
+    deliver_and_run(b)
+    s2 = spark.read.parquet(f"{ix}/stats").first()
+    assert (s2["n_docs"], s2["sum_dl"]) == (s1["n_docs"], s1["sum_dl"])
+    got2 = [tuple(r) for r in rt.bm25_search_indexed(spark, ix, rt._IDX_TERMS).collect()]
+    assert got2 == got
+
+    # per-batch compaction: one file per bucket dir in both tables
+    for table in ("postings", "terms"):
+        for d in os.listdir(f"{ix}/{table}"):
+            if d.startswith("bucket="):
+                parqs = [
+                    f
+                    for f in os.listdir(f"{ix}/{table}/{d}")
+                    if f.endswith(".parquet")
+                ]
+                assert len(parqs) == 1, (table, d, parqs)
