@@ -59,6 +59,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         approx,
         bpe,
         composition,
+        cooccur,
         curation,
         dedup,
         dsir,

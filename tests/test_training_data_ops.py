@@ -2022,3 +2022,41 @@ def test_cdc_chunks_resync_after_insertion(spark):
     # giant chunk and not per-token shrapnel
     n_chunks = len(a)
     assert 240 / dd._CDC_MODULUS * 0.4 <= n_chunks <= 240 / dd._CDC_MODULUS * 2.5, n_chunks
+
+
+def test_pmi_planted_collocation(spark):
+    """A planted collocation ('aa bb' always adjacent) must get a large
+    positive PMI; two tokens paired only by chance across a uniform
+    background sit near PMI 0; hand-check one pair's exact value."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import cooccur as co
+
+    # 60 docs: 'aa bb' pinned adjacent; filler tokens rotate through a
+    # 7-token pool in a doc-dependent order so no background pair is
+    # deterministic the way the planted collocation is
+    rows = [
+        (i, "aa bb " + " ".join(f"f{(i * (j + 1) + j) % 7}" for j in range(3)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["a"], r["b"]): r for r in co.pmi_pairs(docs, min_pair=5).collect()}
+
+    assert ("aa", "bb") in got
+    colloc = got[("aa", "bb")]["pmi"]
+    # hand-computed: 5 tokens/doc -> 7 window pairs/doc, n_pairs_total=420,
+    # n_uni=300, n_pair(aa,bb)=60, c(aa)=c(bb)=60
+    want = math.log((60 * 300 * 300) / (420 * 60 * 60))
+    assert abs(colloc - want) < 1e-6, (colloc, want)
+    # like-for-like dominance: the planted adjacency beats every CHANCE
+    # pair involving the same ubiquitous tokens (PMI of rare background
+    # residue pairs may legitimately exceed it — PMI favors rare
+    # collocations, so no global-max claim)
+    same_tok = [
+        r["pmi"]
+        for (a, b), r in got.items()
+        if (a, b) != ("aa", "bb") and ("aa" in (a, b) or "bb" in (a, b))
+    ]
+    assert same_tok and colloc > max(same_tok), (colloc, same_tok)
+    # canonicalization: no (b, a) duplicates
+    assert all(a <= b for (a, b) in got)
