@@ -381,3 +381,38 @@ def test_ivfpq_survives_planted_scale(spark, tmp_path):
     assert [(r["vec_id"], r["dist"]) for r in rr] == [
         (r["vec_id"], r["dist"]) for r in exact
     ]
+
+
+@pytest.mark.slow
+def test_cdc_dedup_survives_planted_scale(spark):
+    """CDC chunk dedup at the planted 10x corpus: the hot segment's docs
+    share one 50-token boilerplate prefix (their tails differ), which is
+    both the hot-occurrence-key pathology and the shift-robustness
+    payoff case. Doubling the corpus must stay sub-quadratic (partial
+    aggregation on chunk text), and every hot doc must report most of
+    its chunks duplicated."""
+    n_full = 50_000
+    hot_lo = int(n_full * 0.85)
+
+    def timed(docs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = dedup.cdc_dup_stats(docs)
+        n = out.count()
+        return time.perf_counter() - t0, out, n
+
+    timed(_corpus(spark, 2_000))  # codegen warm-up
+
+    t_half, _, n_half = timed(_corpus(spark, n_full // 2))
+    t_full, full, n_full_rows = timed(_corpus(spark, n_full))
+    assert n_full_rows > n_half
+    assert t_full <= 3.5 * t_half + 15.0, (t_half, t_full)
+
+    # the shared 50-token prefix chunks identically across all hot docs:
+    # per-doc duplicated-chunk fraction must be high for every hot doc
+    hot = full.filter((F.col("doc_id") >= hot_lo) & (F.col("doc_id") < n_full))
+    agg = hot.agg(
+        F.count(F.lit(1)).alias("docs"), F.min("dup_frac").alias("min_frac")
+    ).first()
+    assert agg["docs"] == n_full - hot_lo
+    assert agg["min_frac"] >= 0.5, agg["min_frac"]
