@@ -609,3 +609,72 @@ def test_bigram_logprob_plan_broadcast_model(spark):
     plan = audit.executed_plan(bigram_logprob(tpch.load(spark, SF_DIR, "documents")))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row model crossJoins
+
+
+def test_cdc_and_pmi_plans_no_window_no_self_join(spark):
+    """r11 corpus-analysis ops keep their promised plans.
+
+    - dedup_cdc_chunks: boundary detection is a per-row array expression
+      and the dup stats are an occurrence groupBy + 1-row-per-key join —
+      no window, no sort-merge self-join of the chunk table.
+    - text_pmi_cooccur: pair extraction is two shifted zips per row (no
+      self-join of the token table, no window); the totals enter via a
+      broadcast cross of one row."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["dedup_cdc_chunks"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+
+    df = qs["text_pmi_cooccur"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_iterative_family_plans_stay_bounded(spark):
+    """The hash-verified iterative family's per-round plans must not grow
+    with the iteration count and must keep model state KB-sized:
+
+    - lr: scoring under trained weights is one aggregation over the
+      per-doc feature arrays — no join in the scoring plan (weights are
+      an inlined literal array);
+    - kmeans: the final assignment is a pure projection (literal
+      centroid matrix) — no join, no window;
+    - pagerank: ranks are localCheckpoint-ed per round, so the FINAL
+      frame's plan contains at most one round's joins, not six rounds'."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        kmeans as km,
+        lr as lrm,
+        pagerank as pr,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    feats = lrm.hashed_features(docs, label=(F.col("lang") == "en"))
+    scored = lrm.score_lr(feats, [0.1] * lrm._D)
+    plan = audit.formatted_plan(scored)
+    counts = audit.join_counts(plan)
+    assert sum(counts.values()) == 0, plan  # literal weights: join-free scoring
+
+    vecs = km._vecs(spark, SF_DIR)
+    final = km.assign_final(vecs, [[0.0] * 64, [1.0] * 64])
+    plan = audit.formatted_plan(final)
+    assert sum(audit.join_counts(plan).values()) == 0, plan
+    assert "Window" not in plan, plan
+
+    edges = pr.trade_edges(
+        tpch.load(spark, SF_DIR, "orders"), tpch.load(spark, SF_DIR, "lineitem")
+    )
+    ranks = pr.pagerank(edges, iters=6)
+    plan = audit.formatted_plan(ranks)
+    # localCheckpoint per round: the final plan hangs off a scan of the
+    # checkpointed RDD, not a six-round join tower
+    assert sum(audit.join_counts(plan).values()) == 0, plan
