@@ -432,24 +432,27 @@ def append_ivf_index(emb: DataFrame, path: str) -> None:
     ).parquet(f"{path}/vectors")
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> None:
-    """Rewrite the IVF vector table one file per list directory. Every
-    :func:`append_ivf_index` lands its own file set inside each probed
-    ``list_id=N`` directory, so a long-running ingest accumulates
-    O(appends) files per list and every probe pays the listing + per-file
-    open cost. The rewrite clusters by list (one shuffle of the stored
-    vectors) and publishes with the same Hadoop-FS rename-aside swap as
-    ``compact_minhash_index`` — crash windows leave the data recoverable
-    under ``vectors.old``, and any Spark-readable URI works. Search
-    answers are unchanged (pure file-layout rewrite). The streaming
-    embedding sink runs this on a batch cadence; the ``ingested`` sidecar
-    (when present) is coalesced with the same discipline."""
+def compact_ivf_index(spark: SparkSession, path: str, table: str = "vectors") -> None:
+    """Rewrite the IVF payload table one file per list directory. Every
+    :func:`append_ivf_index` (or ``pq.append_ivfpq_index``) lands its own
+    file set inside each probed ``list_id=N`` directory, so a
+    long-running ingest accumulates O(appends) files per list and every
+    probe pays the listing + per-file open cost. The rewrite clusters by
+    list (one shuffle of the stored rows) and publishes with the same
+    Hadoop-FS rename-aside swap as ``compact_minhash_index`` — crash
+    windows leave the data recoverable under ``<table>.old``, and any
+    Spark-readable URI works. Search answers are unchanged (pure
+    file-layout rewrite). ``table`` names the partitioned payload —
+    ``"vectors"`` for a raw IVF index, ``"codes"`` for the IVF-PQ layout
+    (the same convention as ``ivf_index_staleness``). The streaming
+    embedding sink runs this on a batch cadence; the ``ingested``
+    sidecar (when present) is coalesced with the same discipline."""
     from ..warehouse import hdfs
     from ..warehouse.bucketing import compact_parquet
 
     swap = lambda src, tmp: hdfs.swap_aside(spark, src, tmp)
 
-    src = f"{path}/vectors"
+    src = f"{path}/{table}"
     tmp = f"{src}.compacting"
     spark.read.parquet(src).repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"

@@ -172,3 +172,31 @@ def test_pq_empty_corpus(spark, tmp_path):
     pq.build_pq_index(emb, path)
     out = pq.pq_search(spark, path, [0.0] * 64, k=5)
     assert out.count() == 0
+
+
+def test_ivfpq_codes_compaction_preserves_answers(spark, tmp_path):
+    """Three appends accumulate one file set per batch in each codes
+    list dir; compact_ivf_index(table="codes") rewrites to one file per
+    list and ivfpq_search answers are byte-identical."""
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    ix = str(tmp_path / "ivfpq_c")
+    pq.build_ivfpq_index(emb.filter(F.col("vec_id") % 4 == 0), ix, n_lists=4)
+    for m in (1, 2, 3):
+        pq.append_ivfpq_index(emb.filter(F.col("vec_id") % 4 == m), ix)
+
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    before = [tuple(r) for r in pq.ivfpq_search(spark, ix, qvec, k=10).collect()]
+    sim.compact_ivf_index(spark, ix, table="codes")
+    after = [tuple(r) for r in pq.ivfpq_search(spark, ix, qvec, k=10).collect()]
+    assert before == after and before
+
+    for d in os.listdir(f"{ix}/codes"):
+        if d.startswith("list_id="):
+            parqs = [f for f in os.listdir(f"{ix}/codes/{d}") if f.endswith(".parquet")]
+            assert len(parqs) == 1, (d, parqs)
+    assert not os.path.exists(f"{ix}/codes.old")
