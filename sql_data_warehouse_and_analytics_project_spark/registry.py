@@ -75,6 +75,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         retrieval,
         sampling_json,
         security_queries,
+        seqexamples,
         similarity,
         skew,
         temporal,

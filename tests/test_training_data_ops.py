@@ -2060,3 +2060,39 @@ def test_pmi_planted_collocation(spark):
     assert same_tok and colloc > max(same_tok), (colloc, same_tok)
     # canonicalization: no (b, a) duplicates
     assert all(a <= b for (a, b) in got)
+
+
+def test_next_event_examples_hand_checked(spark):
+    """Tiny two-user log with a ts tie broken by event_id: exact expected
+    (context, label) rows, and the plan carries ONE user_id shuffle with
+    no self-join."""
+    import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        seqexamples as se,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.plans import audit
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b c d e; events 2/3 share a ts (order by event_id)
+        (10, t0, 1, "a"),
+        (11, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (12, t0 + dt.timedelta(minutes=2), 1, "c"),
+        (13, t0 + dt.timedelta(minutes=2), 1, "d"),
+        (14, t0 + dt.timedelta(minutes=3), 1, "e"),
+        # user 2: too short for any full context
+        (20, t0, 2, "x"),
+        (21, t0 + dt.timedelta(minutes=1), 2, "y"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = [tuple(r) for r in se.next_event_examples(events).collect()]
+    assert got == [
+        (1, 13, "a b c", "d"),
+        (1, 14, "b c d", "e"),
+    ], got
+
+    plan = audit.formatted_plan(se.next_event_examples(events))
+    assert sum(audit.join_counts(plan).values()) == 0, plan  # no self-join
