@@ -250,9 +250,11 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 32-merge BPE tokenizer on the documents corpus and encode
     the corpus with it: per-doc word/token counts plus the compression the
     learned merges bought over raw character units. Rows-only by design:
-    training is an iterative argmax loop no single SQL statement expresses;
-    the cross-engine check is the pure-Python reference parity test
-    (tests/test_bpe.py)."""
+    OPEN-ENDED training (min-freq early stop, batched merges) is an
+    iterative argmax loop no single SQL statement expresses; the
+    cross-engine check is the pure-Python reference parity test
+    (tests/test_bpe.py). The fixed-merge-count trajectory IS
+    hash-verified — see ``text_bpe_fixed_merges`` below."""
     docs = tpch.load(spark, sf_dir, "documents")
     _, seg = train_bpe(docs, n_merges=32)
     enc = bpe_encode(docs, seg)
@@ -274,3 +276,126 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- fixed-merge-count training with a HARD oracle (r11) ---------------------
+#
+# text_bpe_tokenize is rows-only because open-ended training (early stop on
+# min_freq, batched merges) is not one SQL statement. But a FIXED merge
+# count is — the lr.py/kmeans.py unrolled-CTE pattern applies, and BPE is
+# the easiest member of the family: every quantity is an integer count
+# (no float discipline at all) and the argmax tie-break is lexicographic.
+# Each round r unrolls to three MATERIALIZED CTEs: p{r} adjacent-pair
+# counts, m{r} the ONE winning pair (max count, then smallest (l, r)),
+# s{r+1} the merge applied to every word's symbol array by the same
+# greedy left-to-right fold _merge_pair uses. The driver hash-checks the
+# full merge trajectory through the final per-word segmentation.
+
+_FIXED_MERGES = 8
+
+
+def train_bpe_fixed(docs: DataFrame, n_merges: int = _FIXED_MERGES) -> DataFrame:
+    """Strict-sequential BPE for exactly ``n_merges`` rounds (no batching,
+    no min-freq stop — the oracle-grade twin of :func:`train_bpe`; raises
+    if the corpus exhausts mergeable pairs early, which the unrolled SQL
+    could not represent). Returns the final (word, count, pieces)
+    segmentation, pieces space-joined, ordered by word."""
+    words = (
+        word_counts(docs)
+        .select("word", "count", _init_symbols(F.col("word")).alias("symbols"))
+        .localCheckpoint()
+    )
+    for r in range(n_merges):
+        top = (
+            words.select(
+                "count", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("count").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted mergeable pairs at round {r} < {n_merges}"
+            )
+        words = words.withColumn(
+            "symbols", _merge_pair(F.col("symbols"), top[0]["l"], top[0]["r"])
+        ).localCheckpoint()
+    return words.select(
+        "word",
+        "count",
+        F.concat_ws(" ", F.col("symbols")).alias("pieces"),
+    ).orderBy("word")
+
+
+def _bpe_fixed_sql(n_merges: int = _FIXED_MERGES) -> str:
+    # The merge application replays _merge_pair's greedy non-overlapping
+    # left-to-right scan as a padded-string replace: separators are
+    # doubled (' a  b  c ') so adjacent pair matches cannot share a
+    # boundary space, the pair pattern ' l  r ' rewrites to ' lr ', and
+    # un-padding restores single separators. A merged token is strictly
+    # longer than its parts, so replaced text can never re-trigger the
+    # pattern — the exact semantics of the Spark-side array fold.
+    from .text import SQL_NORM
+
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS count
+  FROM (SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, count,
+         array_to_string(
+           list_append(list_transform(range(1, length(word) + 1), i -> word[i]),
+                       '</w>'), ' ') AS pieces
+  FROM words
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT l, r, SUM(count) AS cnt
+  FROM (
+    SELECT count,
+           UNNEST(list_slice(syms, 1, len(syms) - 1)) AS l,
+           UNNEST(list_slice(syms, 2, len(syms))) AS r
+    FROM (SELECT count, string_split(pieces, ' ') AS syms FROM s{r})
+  )
+  GROUP BY l, r
+),
+m{r} AS MATERIALIZED (
+  SELECT l, r FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.word, s.count,
+         trim(replace(
+           replace(' ' || replace(s.pieces, ' ', '  ') || ' ',
+                   ' ' || m.l || '  ' || m.r || ' ',
+                   ' ' || m.l || m.r || ' '),
+           '  ', ' ')) AS pieces
+  FROM s{r} s CROSS JOIN m{r} m
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT word, count, pieces
+FROM s{n_merges} ORDER BY word"""
+    )
+
+
+_BPE_FIXED_SQL = _bpe_fixed_sql()
+
+
+@query("text_bpe_fixed_merges", oracle=_BPE_FIXED_SQL, defer=True)
+def text_bpe_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training itself under the hash check: 8 strict-sequential
+    merge rounds whose pair counts, lexicographic argmax, and greedy
+    left-to-right merge folds the DuckDB oracle replays through unrolled
+    MATERIALIZED CTEs — the fixed-merge-count answer to
+    ``text_bpe_tokenize``'s rows-only caveat. Pure integer counts: the
+    one member of the hash-verified iterative family (lr/kmeans/
+    pagerank) that needs no float-order discipline."""
+    return train_bpe_fixed(tpch.load(spark, sf_dir, "documents"))

@@ -287,3 +287,28 @@ def test_select_merge_batch_property_parity():
         assert got == ref, (wc, n_merges, batch_k, got, ref)
 
     check()
+
+
+def test_fixed_merge_training_matches_reference(spark):
+    """train_bpe_fixed (the oracle-grade strict-sequential trainer) must
+    reproduce the pure-Python reference at min_freq=1 for exactly
+    n_merges rounds — same winners, same final segmentation."""
+    docs = _planted(spark)
+    texts = [r["text"] for r in docs.collect()]
+    _, ref_vocab = _ref_bpe(texts, n_merges=8, min_freq=1)
+    got = {
+        r["word"]: r["pieces"] for r in bpe.train_bpe_fixed(docs, n_merges=8).collect()
+    }
+    want = {w: " ".join(syms) for w, syms in ref_vocab.items()}
+    assert got == want, (got, want)
+
+
+def test_fixed_merge_training_raises_when_exhausted(spark):
+    """A corpus that runs out of mergeable pairs before n_merges must
+    raise (the unrolled oracle cannot represent an early stop)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "a a a")], "doc_id int, text string")
+    # word 'a' -> [a, </w>]: exactly one pair, so one merge exhausts it
+    with _pytest.raises(ValueError, match="exhausted"):
+        bpe.train_bpe_fixed(docs, n_merges=3)
