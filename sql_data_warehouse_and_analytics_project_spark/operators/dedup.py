@@ -1709,8 +1709,10 @@ def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_M
     )
 
 
-_CDC_SQL = f"""
-WITH toks AS (
+# shared chunk-building CTE prefix — both CDC oracles use the identical
+# boundary predicate and rebuild (the _BLM_CTES precedent: paired oracles
+# must not drift)
+_CDC_CHUNKS_CTES = f"""toks AS (
   SELECT doc_id, {SQL_TOKENS} AS t FROM documents
 ),
 bnds AS (
@@ -1732,7 +1734,10 @@ chunks AS (
          array_to_string(array_slice(t,
            COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1, e), ' ') AS chunk_text
   FROM bounds
-),
+)"""
+
+_CDC_SQL = f"""
+WITH {_CDC_CHUNKS_CTES},
 occ AS (SELECT chunk_text, COUNT(*) AS cnt FROM chunks GROUP BY chunk_text)
 SELECT c.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -1774,3 +1779,104 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction under rolling-hash boundaries, robust to insert/delete shifts
     that blind the fixed 16-token grid."""
     return cdc_dup_stats(_docs(spark, sf_dir))
+
+
+_CDC_STRIP_SQL = f"""
+WITH {_CDC_CHUNKS_CTES},
+guarded AS (
+  SELECT doc_id,
+         CASE WHEN idx < {_SPAN_ORD_BASE} THEN idx
+              ELSE CAST(error('cdc_dedup_strip: doc ' || doc_id ||
+                              ' exceeds {_SPAN_ORD_BASE} chunks; ord encoding would collide')
+                        AS BIGINT) END AS idx,
+         chunk_text
+  FROM chunks
+),
+firsts AS (
+  SELECT chunk_text, MIN(doc_id * {_SPAN_ORD_BASE} + idx) AS ord
+  FROM guarded GROUP BY chunk_text
+),
+kept AS (
+  SELECT g.doc_id, g.idx, g.chunk_text
+  FROM guarded g JOIN firsts f ON g.chunk_text = f.chunk_text
+  WHERE g.doc_id * {_SPAN_ORD_BASE} + g.idx = f.ord
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(k.idx) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(k.chunk_text, ' ' ORDER BY g.idx), '') AS clean_text
+FROM guarded g
+LEFT JOIN kept k ON g.doc_id = k.doc_id AND g.idx = k.idx
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def cdc_dedup_strip(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, clean_text): strip every content-defined
+    chunk whose exact text already occurred earlier in the corpus
+    (earliest (doc_id, idx) wins), rebuilding each document from its
+    surviving chunks — the ACTION to :func:`cdc_dup_stats`' measurement,
+    and the shift-robust twin of :func:`span_dedup_blocks` (same
+    first-wins MIN over the ord encoding, same collision guard; plan
+    shape notes there apply unchanged)."""
+    chunks = cdc_chunks(docs)
+    idx_checked = F.when(F.col("idx") < _SPAN_ORD_BASE, F.col("idx")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cdc_dedup_strip: doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" exceeds {_SPAN_ORD_BASE} chunks; ord encoding would collide"
+                ),
+            )
+        ).cast("bigint")
+    )
+    ord_col = F.col("doc_id") * _SPAN_ORD_BASE + idx_checked
+    firsts = chunks.groupBy("chunk_text").agg(F.min(ord_col).alias("ord"))
+    kept = (
+        chunks.join(firsts, "chunk_text")
+        .filter(ord_col == F.col("ord"))
+        .select(
+            F.col("doc_id").alias("k_doc"),
+            F.col("idx").alias("k_idx"),
+            F.col("chunk_text").alias("k_text"),
+        )
+    )
+    joined = chunks.join(
+        kept,
+        (F.col("doc_id") == F.col("k_doc")) & (F.col("idx") == F.col("k_idx")),
+        "left",
+    ).select("doc_id", "idx", "k_idx", F.col("k_text").alias("chunk_text"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count("k_idx").cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("k_idx").isNotNull(),
+                                    F.struct("idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_cdc_strip", oracle=_CDC_STRIP_SQL, defer=True)
+def dedup_cdc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide CDC chunk stripping: first occurrence wins, documents
+    rebuilt from surviving chunks — shift-robust boilerplate removal."""
+    return cdc_dedup_strip(_docs(spark, sf_dir))

@@ -2096,3 +2096,34 @@ def test_next_event_examples_hand_checked(spark):
 
     plan = audit.formatted_plan(se.next_event_examples(events))
     assert sum(audit.join_counts(plan).values()) == 0, plan  # no self-join
+
+
+def test_cdc_strip_first_wins_rebuild(spark):
+    """Strip on the insertion pair: doc 0 (lowest ord) keeps everything;
+    doc 1 = 5 inserted tokens + the same body loses its re-aligned
+    shared chunks, keeping roughly only the inserted head; rebuilt
+    clean_text is the surviving chunks in position order."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup as dd
+
+    body = " ".join(
+        __import__("hashlib").md5(str(i).encode()).hexdigest()[:6] for i in range(240)
+    )
+    docs = spark.createDataFrame(
+        [(0, body), (1, "zzz yyy xxx ww vv " + body)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in dd.cdc_dedup_strip(docs).collect()}
+    # doc 0 is the first occurrence of every one of its chunks
+    assert got[0]["n_kept"] == got[0]["n_chunks"]
+    assert got[0]["clean_text"] == body
+    # doc 1 keeps its inserted head (plus at most the unsynced boundary
+    # chunks around the splice) but loses the re-aligned shared tail
+    assert got[1]["n_kept"] < got[1]["n_chunks"] * 0.3, dict(got[1].asDict())
+    assert got[1]["clean_text"].startswith("zzz yyy xxx ww vv")
+    # rebuild concatenation: kept chunks of doc 1 are a subsequence of its
+    # original token stream
+    orig = ("zzz yyy xxx ww vv " + body).split()
+    clean = got[1]["clean_text"].split()
+    it = iter(orig)
+    assert all(tok in it for tok in clean), "clean_text not in original order"
