@@ -68,3 +68,45 @@ def test_phash_pipeline_handles_empty_and_uniform_signatures(spark):
     rows = mm.phash_pairs(uniform).collect()
     assert len(rows) == 45
     assert all(r.hamming == 0 for r in rows)
+
+
+def test_r11_operators_handle_degenerate_inputs(spark):
+    """CDC, PMI, and the sequence builder on empty/single-token inputs:
+    no crash, sane empties."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        cooccur as co,
+        dedup as dd,
+        seqexamples as se,
+    )
+
+    # single-token and whitespace-only docs: one chunk each, no pairs
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "  "), (2, "two tokens")], "doc_id bigint, text string"
+    )
+    chunks = dd.cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    assert by_doc[0] == ["solo"]
+    assert by_doc[2] == ["two tokens"]  # below window size -> one chunk
+    stats = {r["doc_id"]: r for r in dd.cdc_dup_stats(docs).collect()}
+    assert stats[0]["n_chunks"] == 1 and stats[0]["n_dup"] == 0
+
+    # PMI: no pair reaches min_pair -> empty frame, no crash
+    assert co.pmi_pairs(docs, min_pair=5).collect() == []
+
+    # sequence builder: a user with exactly ctx events yields nothing;
+    # ctx+1 events yield exactly one example
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), 1, f"e{i}") for i in range(4)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    got3 = se.next_event_examples(ev.filter(F.col("event_id") < 3)).collect()
+    assert got3 == []
+    got4 = se.next_event_examples(ev).collect()
+    assert [tuple(r) for r in got4] == [(1, 3, "e0 e1 e2", "e3")]
