@@ -57,6 +57,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from .operators import (  # noqa: F401
         analytics_extras,
         approx,
+        bootstrap,
         bpe,
         composition,
         cooccur,

@@ -2127,3 +2127,38 @@ def test_cdc_strip_first_wins_rebuild(spark):
     clean = got[1]["clean_text"].split()
     it = iter(orig)
     assert all(tok in it for tok in clean), "clean_text not in original order"
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """CI brackets the point estimate on real data; a constant column
+    degenerates to a zero-width CI at the constant; Poisson(1) weights
+    average ~1 (the resampling is unbiased)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import bootstrap as bs
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    from conftest import SF_DIR
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    row = bs.bootstrap_mean_ci(docs, "n_chars", "doc_id").first()
+    assert row["b_replicas"] == bs._B
+    assert row["ci_lo"] <= row["mean_est"] <= row["ci_hi"], tuple(row)
+    assert row["ci_lo"] < row["ci_hi"]
+
+    const = docs.select("doc_id", F.lit(7).alias("k"))
+    crow = bs.bootstrap_mean_ci(const, "k", "doc_id").first()
+    assert (crow["ci_lo"], crow["mean_est"], crow["ci_hi"]) == (7.0, 7.0, 7.0)
+
+    # unbiasedness of the weight draw: mean Poisson weight within 5% of 1
+    u = bs._md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")),
+        13,
+    ).cast("double") / F.lit(bs._U_SCALE)
+    w = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(50))).alias("b"))
+        .select(bs._poisson_weight_col(u).alias("w"))
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert abs(w - 1.0) < 0.05, w
