@@ -74,6 +74,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         packing,
         pagerank,
         pq,
+        profile_stats,
         retrieval,
         sampling_json,
         security_queries,
