@@ -678,3 +678,36 @@ def test_iterative_family_plans_stay_bounded(spark):
     # localCheckpoint per round: the final plan hangs off a scan of the
     # checkpointed RDD, not a six-round join tower
     assert sum(audit.join_counts(plan).values()) == 0, plan
+
+
+def test_bootstrap_jsd_profiler_plan_shapes(spark):
+    """r11 tail operators keep their promised plans.
+
+    - eval_bootstrap_mean_chars: the replica explode feeds ONE
+      partial-aggregating groupBy — no window, no join of the exploded
+      frame against anything;
+    - corpus_jsd_sources: the only join is the per-term self-join whose
+      fan-out is bounded by #sources per term — no window beyond none,
+      no cartesian product;
+    - warehouse_column_stats: ONE scan of orders (a single wide
+      aggregate then an unpivot projection — no self-union of scans)."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["eval_bootstrap_mean_chars"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+
+    df = qs["corpus_jsd_sources"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    df = qs["warehouse_column_stats"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    scans = plan.count("FileScan")
+    assert scans == 1, f"expected one orders scan, plan has {scans}:\n{plan}"
