@@ -81,9 +81,16 @@ def bootstrap_mean_ci(
         .select("b", "v", _poisson_weight_col(u).alias("w"))
         .groupBy("b")
         .agg(
+            # NULLIF guard (ADVICE r11): a replica whose Poisson weights
+            # are ALL zero (probability e^-n — real for tiny corpora this
+            # helper is reused on) must be dropped IDENTICALLY by both
+            # engines. Unguarded, Spark's Divide yields NULL for 0/0
+            # (percentile skips it) but DuckDB's IEEE division yields NaN
+            # (quantile_cont propagates it) — a cross-engine mismatch in
+            # the degenerate regime. NULLIF makes both sides NULL.
             (
                 F.sum(F.col("w") * F.col("v")).cast("double")
-                / F.sum("w").cast("double")
+                / F.nullif(F.sum("w").cast("double"), F.lit(0.0))
             ).alias("m")
         )
     )
@@ -116,7 +123,7 @@ _U_SQL = (
 _BOOT_SQL = f"""
 WITH rep AS (
   SELECT b,
-         CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+         CAST(SUM(w * v) AS DOUBLE) / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0) AS m
   FROM (
     SELECT b, n_chars AS v,
            {_poisson_weight_sql(_U_SQL)} AS w

@@ -225,6 +225,11 @@ def text_lr_langid_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mechanism (not the label) is the capability under test — swap in
     a curated-vs-crawl label column for a production quality classifier."""
     docs = _docs(spark, sf_dir)
-    feats = hashed_features(docs, label=(F.col("lang") == "en"))
+    # explicit otherwise(0.0), not a bare boolean cast (ADVICE r11): a NULL
+    # lang would make the bare comparison's label NULL — the gradient fold
+    # would go NULL and crash the driver-side weight update — while the
+    # DuckDB oracle's CASE WHEN maps NULL lang to 0.0
+    label = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    feats = hashed_features(docs, label=label)
     w = train_lr(feats, fold="parity")
     return score_lr(feats, w)

@@ -9,9 +9,13 @@ unpivots to one row per column.
 Cross-engine discipline: NDV is the EXACT distinct count (the approx
 variant belongs to ``approx.py``'s sketch family); every bound is a
 NON-NULL string under a kind-specific explicit format — numerics via
-printf('%.6f') (C printf semantics, identical in both engines — never
-default float stringification), timestamps via a shared strftime
-format, strings raw (bytewise-identical collation). No NULL cells
+the DOUBLE → DECIMAL(18,6) → string cast chain (ADVICE r11: printf
+'%.6f' rounds decimal ties HALF_UP in Java but half-to-even in C, so
+an exact dyadic like 0.0078125 would format as '0.007813' vs
+'0.007812'; the decimal cast rounds half-away-from-zero in BOTH
+engines — verified empirically — and decimal→string prints the full
+6-digit scale with no double round-trip), timestamps via a shared
+strftime format, strings raw (bytewise-identical collation). No NULL cells
 anywhere in the output: the driver hashes the Spark result via Arrow
 (NULL → None) but the oracle via pandas (NULL double → NaN), so a
 nullable double column can never hash-match. No reference counterpart as a query — the reference's
@@ -53,8 +57,9 @@ def profile_columns(df: DataFrame, spec: dict[str, str]) -> DataFrame:
         )
         aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
         if kind == "num":
-            aggs.append(F.format_string("%.6f", F.min(c).cast("double")).alias(f"lo_{c}"))
-            aggs.append(F.format_string("%.6f", F.max(c).cast("double")).alias(f"hi_{c}"))
+            dec = "decimal(18,6)"
+            aggs.append(F.min(c).cast("double").cast(dec).cast("string").alias(f"lo_{c}"))
+            aggs.append(F.max(c).cast("double").cast(dec).cast("string").alias(f"hi_{c}"))
         elif kind == "ts":
             aggs.append(F.date_format(F.min(c), _TS_FMT_SPARK).alias(f"lo_{c}"))
             aggs.append(F.date_format(F.max(c), _TS_FMT_SPARK).alias(f"hi_{c}"))
@@ -92,8 +97,8 @@ def _profile_sql(table: str, spec: dict[str, str]) -> str:
     selects = []
     for c, kind in spec.items():
         if kind == "num":
-            lo = f"printf('%.6f', CAST(MIN({c}) AS DOUBLE))"
-            hi = f"printf('%.6f', CAST(MAX({c}) AS DOUBLE))"
+            lo = f"CAST(CAST(CAST(MIN({c}) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)"
+            hi = f"CAST(CAST(CAST(MAX({c}) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)"
         elif kind == "ts":
             lo = f"strftime(MIN({c}), '{_TS_FMT_DUCK}')"
             hi = f"strftime(MAX({c}), '{_TS_FMT_DUCK}')"

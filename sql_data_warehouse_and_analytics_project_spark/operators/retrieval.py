@@ -599,7 +599,11 @@ def append_inverted_index(docs_new: DataFrame, path: str) -> None:
             ).parquet(f"{path}/terms")
         finally:
             spark.conf.set(mode_key, prev)
-        _rm_tree(stage)
+        # URI-agnostic cleanup (ADVICE r11): a driver-local rmtree would
+        # silently leave the stage behind on an hdfs:// or s3a:// index
+        from ..warehouse import hdfs
+
+        hdfs.delete(spark, stage)
 
     n_docs = int(st["n_docs"]) + int(new["n_docs"])
     sum_dl = int(st["sum_dl"]) + int(new["sum_dl"])
@@ -609,10 +613,85 @@ def append_inverted_index(docs_new: DataFrame, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def _rm_tree(path: str) -> None:
-    import shutil
+def repair_append_inverted_index(
+    docs_new: DataFrame, path: str, doc_registry: DataFrame | None = None
+) -> None:
+    """Crash-convergent replay of :func:`append_inverted_index` for a
+    redelivered microbatch whose previous attempt may have died ANYWHERE
+    inside the append (the streaming sink's retry path — see
+    ``streaming/jobs.py: sink_stream_inverted_index``). The delta-merge
+    append is not idempotent (re-running it would double postings, df,
+    and stats), so this variant treats the POSTINGS table as the source
+    of truth and converges no matter how far the dead attempt got:
 
-    shutil.rmtree(path, ignore_errors=True)
+    1. append postings only for batch docs absent from ``postings/``
+       (one column-pruned doc_id anti-join);
+    2. REBUILD the touched terms buckets from postings (df is a plain
+       row count per (bucket, term)) instead of adding a delta;
+    3. REBUILD stats: ``sum_dl`` = SUM(tf) over postings; ``n_docs``
+       from ``doc_registry`` when given (the sink passes its ``ingested``
+       sidecar — a zero-token doc never lands a postings row, so
+       postings alone would undercount it exactly as ``_corpus_stats``
+       does not), else COUNT(DISTINCT doc_id) over postings.
+
+    Cost: one postings doc_id scan + a touched-bucket re-aggregation —
+    the rare-path price of exactly-once on an at-least-once source; the
+    common path stays the O(delta) ``append_inverted_index``."""
+    spark = docs_new.sparkSession
+    st = spark.read.parquet(f"{path}/stats").first()
+    nb = int(st["n_buckets"])
+    seen = spark.read.parquet(f"{path}/postings").select("doc_id").distinct()
+    # checkpoint: the missing set is consumed by a write that appends to
+    # the postings path its own plan reads
+    missing = docs_new.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
+    if not missing.isEmpty():
+        doc_postings(missing).withColumn(
+            "bucket", _term_bucket_col(F.col("term"), nb)
+        ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    # touched buckets from the FULL batch, not just the missing docs: the
+    # dead attempt may have appended postings without merging terms
+    touched = sorted(
+        r["bucket"]
+        for r in doc_postings(docs_new)
+        .select(_term_bucket_col(F.col("term"), nb).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    if touched:
+        rebuilt = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(touched))
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        )
+        stage = f"{path}/_terms_stage"
+        rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        try:
+            spark.conf.set(mode_key, "dynamic")
+            spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{path}/terms")
+        finally:
+            spark.conf.set(mode_key, prev)
+        from ..warehouse import hdfs
+
+        hdfs.delete(spark, stage)
+    post_tot = spark.read.parquet(f"{path}/postings").agg(
+        F.sum("tf").cast("bigint").alias("sum_dl"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    ).first()
+    sum_dl = int(post_tot["sum_dl"] or 0)
+    if doc_registry is not None:
+        n_docs = doc_registry.select("doc_id").distinct().count()
+    else:
+        n_docs = int(post_tot["n_docs"])
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, sum_dl, avgdl, nb)],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def compact_inverted_index(spark: SparkSession, path: str) -> None:

@@ -614,14 +614,19 @@ def sink_stream_embeddings(
     O(batch) assignment work, never a retrain or a rebuild, and
     ``ivf_search`` over the index stays answerable between batches.
 
-    Replay safety (foreachBatch is at-least-once): appends are not
-    idempotent, so a ``<index>/ingested`` (vec_id, batch_id) sidecar —
-    same discipline as the near-dedup sink — drops already-ingested
-    vec_ids from a retried or redelivered batch before the append; the
-    sidecar is written before the vector append so the crash window
-    between the two heals on the mandatory same-batch retry (the re-run
-    drops the recorded ids, at the cost of re-appending the batch's
-    unrecorded remainder only).
+    Replay safety (foreachBatch is at-least-once; fixed per ADVICE r11,
+    same class as the inverted-index sink): a ``<index>/ingested``
+    (vec_id, batch_id) sidecar drops vec_ids ingested by EARLIER batches,
+    with the current batch_id excluded from the anti-join — the
+    near-dedup sink's discipline — so a retry of this batch keeps its
+    own rows instead of silently dropping recorded-but-unindexed vectors.
+    The sidecar is written before the vector append and doubles as the
+    attempt marker: a batch whose batch_id is already recorded re-appends
+    only the vectors missing from the stored ``vectors/`` table (the IVF
+    index keeps no derived delta state — unlike the inverted index's
+    df/stats — so the missing-only re-append alone makes the retry
+    convergent; a retried first-batch ``build_ivf_index`` is a plain
+    overwrite).
 
     Drift is surfaced, not silently absorbed: every
     ``staleness_every_batches`` batches the per-list growth audit
@@ -636,23 +641,52 @@ def sink_stream_embeddings(
     def _ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select("vec_id", "label", "embedding")
-        if _exists(spark, f"{index_path}/ingested"):
+        side_path = f"{index_path}/ingested"
+        retried = False
+        mine = None
+        if _exists(spark, side_path):
+            side = spark.read.parquet(side_path)
+            # exclude the CURRENT batch_id: a retry must keep the rows
+            # its dead attempt recorded but may not have indexed
             prior = (
-                spark.read.parquet(f"{index_path}/ingested")
+                side.filter(F.col("batch_id") != batch_id)
                 .select("vec_id")
                 .distinct()
             )
             batch = batch.join(prior, "vec_id", "left_anti")
+            mine = side.filter(F.col("batch_id") == batch_id).select("vec_id")
+            retried = bool(mine.take(1))
         # cut lineage before the sidecar/vector appends: the anti-join
         # reads the sidecar path the next statement appends to
         batch = batch.localCheckpoint(eager=True)
-        batch.select(
+        if batch.isEmpty():  # vec-wise redelivery from earlier batches only
+            return
+        to_record = batch
+        if retried:
+            # don't double-record rows the dead attempt wrote; checkpoint
+            # because the plan reads the sidecar path the write appends to
+            to_record = batch.join(
+                mine.distinct(), "vec_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        to_record.select(
             "vec_id", F.lit(batch_id).cast("bigint").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/ingested")
+        ).write.mode("append").parquet(side_path)
         if not _exists(spark, f"{index_path}/centroids"):
             similarity.build_ivf_index(batch, index_path, n_lists=n_lists)
         else:
-            similarity.append_ivf_index(batch, index_path)
+            to_index = batch
+            if retried:
+                # convergent re-append: only the vectors the dead attempt
+                # never got into the stored table (checkpoint — the plan
+                # reads the vectors path the append writes to)
+                stored = spark.read.parquet(f"{index_path}/vectors").select(
+                    "vec_id"
+                )
+                to_index = batch.join(
+                    stored, "vec_id", "left_anti"
+                ).localCheckpoint(eager=True)
+            if not to_index.isEmpty():
+                similarity.append_ivf_index(to_index, index_path)
         if staleness_every_batches and (batch_id + 1) % staleness_every_batches == 0:
             similarity.ivf_index_staleness(spark, index_path).withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
@@ -685,13 +719,21 @@ def sink_stream_inverted_index(
     so ``bm25_search_indexed`` stays answerable between batches and
     per-batch cost is O(batch), never a rebuild.
 
-    Replay safety (foreachBatch is at-least-once): appends are not
-    idempotent — a replayed batch would double postings, df, and stats —
-    so the ``<index>/ingested`` (doc_id, batch_id) sidecar of the other
-    ingest sinks drops already-ingested doc_ids before the append; the
-    sidecar is written first, so the crash window between sidecar and
-    append heals on the mandatory same-batch retry (at the cost of the
-    unrecorded remainder only).
+    Replay safety (foreachBatch is at-least-once; fixed per ADVICE r11):
+    appends are not idempotent — a replayed batch would double postings,
+    df, and stats — so the ``<index>/ingested`` (doc_id, batch_id)
+    sidecar drops doc_ids ingested by EARLIER batches, with the current
+    batch_id excluded from the anti-join (the near-dedup sink's
+    discipline) so a retry of THIS batch keeps its own rows instead of
+    silently losing them. The sidecar is written BEFORE the append and
+    doubles as the attempt marker: when a batch arrives whose batch_id
+    is already recorded, a previous attempt died somewhere inside the
+    append, so the sink routes onto the crash-convergent
+    ``repair_append_inverted_index`` — append only the docs missing from
+    postings, rebuild touched terms buckets and stats from postings —
+    which converges no matter where the dead attempt stopped. The first
+    batch needs no repair path: ``build_inverted_index`` overwrites all
+    three tables, so a retried build is idempotent.
 
     ``compact_every_batches`` runs ``compact_inverted_index`` on a
     cadence — every append lands one file set per touched bucket, so an
@@ -703,22 +745,45 @@ def sink_stream_inverted_index(
     def _ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select("doc_id", "lang", "text")
-        if _exists(spark, f"{index_path}/ingested"):
+        side_path = f"{index_path}/ingested"
+        retried = False
+        mine = None
+        if _exists(spark, side_path):
+            side = spark.read.parquet(side_path)
+            # exclude the CURRENT batch_id: a retry of this batch must
+            # not anti-join away the rows its dead attempt recorded
             prior = (
-                spark.read.parquet(f"{index_path}/ingested")
+                side.filter(F.col("batch_id") != batch_id)
                 .select("doc_id")
                 .distinct()
             )
             batch = batch.join(prior, "doc_id", "left_anti")
+            mine = side.filter(F.col("batch_id") == batch_id).select("doc_id")
+            retried = bool(mine.take(1))
         # cut lineage before the sidecar append the anti-join reads from
         batch = batch.localCheckpoint(eager=True)
-        if batch.isEmpty():  # fully-redelivered batch: nothing to fold in
+        if batch.isEmpty():  # doc-wise redelivery from earlier batches only
             return
-        batch.select(
+        to_record = batch
+        if retried:
+            # don't double-record rows the dead attempt wrote; checkpoint
+            # because the plan reads the sidecar path the write appends to
+            to_record = batch.join(
+                mine.distinct(), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        to_record.select(
             "doc_id", F.lit(batch_id).cast("bigint").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/ingested")
+        ).write.mode("append").parquet(side_path)
         if not _exists(spark, f"{index_path}/stats"):
             retrieval.build_inverted_index(batch, index_path, n_buckets=n_buckets)
+        elif retried:
+            # the sidecar (read AFTER this batch's rows were recorded) is
+            # the doc registry: a zero-token doc never lands a postings
+            # row, so stats rebuilt from postings alone would drop it
+            registry = spark.read.parquet(side_path).select("doc_id")
+            retrieval.repair_append_inverted_index(
+                batch, index_path, doc_registry=registry
+            )
         else:
             retrieval.append_inverted_index(batch, index_path)
         if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:

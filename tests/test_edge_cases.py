@@ -110,3 +110,57 @@ def test_r11_operators_handle_degenerate_inputs(spark):
     assert got3 == []
     got4 = se.next_event_examples(ev).collect()
     assert [tuple(r) for r in got4] == [(1, 3, "e0 e1 e2", "e3")]
+
+
+def test_bootstrap_ci_degenerate_all_zero_replicas_match_duckdb(spark):
+    """ADVICE r11: on a 1-row corpus ~e^-1 of the 200 Poisson replicas draw
+    weight 0; the replica mean 0/0 must be dropped IDENTICALLY by both
+    engines (Spark Divide -> NULL, DuckDB unguarded -> NaN, which
+    quantile_cont would propagate into a NaN CI). With the NULLIF guard
+    both sides skip the degenerate replicas and agree exactly."""
+    import duckdb
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import bootstrap as bs
+
+    docs = spark.createDataFrame([(7, 42)], "doc_id long, n_chars long")
+    got = bs.bootstrap_mean_ci(docs, value_col="n_chars", id_col="doc_id").first()
+    assert got["n_rows"] == 1 and got["b_replicas"] == bs._B
+    # every surviving replica of a 1-row corpus has mean exactly 42
+    assert (got["mean_est"], got["ci_lo"], got["ci_hi"]) == (42.0, 42.0, 42.0)
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW documents AS SELECT 7 AS doc_id, 42 AS n_chars")
+        want = con.execute(bs._BOOT_SQL).fetchone()
+    finally:
+        con.close()
+    assert [got[c] for c in ("n_rows", "b_replicas", "mean_est", "ci_lo", "ci_hi")] == list(want)
+    assert all(v == v for v in want)  # no NaN leaked through the oracle
+
+
+def test_profile_stats_dyadic_tie_matches_duckdb(spark):
+    """ADVICE r11: printf('%.6f') rounds decimal ties HALF_UP in Java but
+    half-to-even in C, so an exact dyadic bound (0.0078125 = 2^-7) used
+    to be a latent hash mismatch for future 'num' specs. The DOUBLE ->
+    DECIMAL(18,6) -> string chain rounds half-away-from-zero in BOTH
+    engines; the planted tie must produce the identical bound string."""
+    import duckdb
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import profile_stats as ps
+
+    spec = {"v": "num"}
+    rows = [(0.0078125,), (0.0234375,), (-0.0078125,), (42.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = [tuple(r) for r in ps.profile_columns(df, spec).collect()]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW t AS SELECT * FROM (VALUES (0.0078125::DOUBLE),"
+            " (0.0234375::DOUBLE), (-0.0078125::DOUBLE), (42.0::DOUBLE)) AS v(v)"
+        )
+        want = con.execute(ps._profile_sql("t", spec)).fetchall()
+    finally:
+        con.close()
+    assert got == want
+    assert got[0][4] == "-0.007813" and got[0][5] == "42.000000"

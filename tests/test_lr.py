@@ -99,3 +99,32 @@ def test_lr_scale_fold_matches_parity_fold(spark):
     assert set(sp) == set(ss)
     assert all(abs(sp[d] - ss[d]) <= 1e-6 for d in sp)
     feats.unpersist()
+
+
+def test_lr_langid_label_survives_null_lang(spark):
+    """ADVICE r11: a NULL lang used to make the bare (lang == 'en') label
+    NULL — the gradient fold went NULL and the driver-side weight update
+    crashed with a TypeError — while the oracle's CASE WHEN mapped it to
+    0.0. The explicit when/otherwise label must train cleanly and treat
+    NULL lang exactly as non-English."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import lr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog"),
+            (2, None, "der schnelle braune fuchs springt"),
+            (3, "de", "der schnelle braune fuchs springt"),
+            (4, "en", "a dog and a fox and a log"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    label = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    feats = lr.hashed_features(docs, label=label)
+    w = lr.train_lr(feats, iters=3, fold="parity")
+    assert all(isinstance(x, float) and x == x for x in w)
+    scored = {r["doc_id"]: r for r in lr.score_lr(feats, w).collect()}
+    # NULL lang folded to the negative class, identically to its 'de' twin
+    assert scored[2]["y"] == 0 and scored[3]["y"] == 0
+    assert scored[2]["score"] == scored[3]["score"]

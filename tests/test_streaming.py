@@ -564,3 +564,125 @@ def test_stream_inverted_index_ingest_serves_bm25(spark, tmp_path):
                     if f.endswith(".parquet")
                 ]
                 assert len(parqs) == 1, (table, d, parqs)
+
+
+@pytest.mark.parametrize("crash_state", ["sidecar_only", "postings_too", "full_append"])
+def test_stream_inverted_index_retry_heals_partial_append(spark, tmp_path, crash_state):
+    """ADVICE r11 (medium): a crash between the ingested-sidecar write and
+    the index append used to PERMANENTLY lose the batch — the retry
+    anti-joined its own recorded doc_ids away and returned early. The fix
+    excludes the current batch_id from the anti-join and routes a
+    detected retry onto repair_append_inverted_index, which converges
+    from every crash point: sidecar written only, sidecar + postings
+    appended (terms/stats stale), or the full append done but the
+    checkpoint uncommitted. Each state must end bit-identical to the
+    batch-API twin."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import retrieval as rt
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "doc_in")
+    ix = str(tmp_path / "doc_ix")
+
+    def deliver_and_run(df):
+        df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = jobs.sink_stream_inverted_index(
+            stream, ix, str(tmp_path / "ck"), n_buckets=16, compact_every_batches=None
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    deliver_and_run(a)  # batch 0 builds the index
+
+    # plant the dead attempt of the upcoming batch 1
+    b.select("doc_id", F.lit(1).cast("bigint").alias("batch_id")).write.mode(
+        "append"
+    ).parquet(f"{ix}/ingested")
+    if crash_state in ("postings_too", "full_append"):
+        if crash_state == "postings_too":  # postings landed, terms/stats stale
+            rt.doc_postings(b).withColumn(
+                "bucket", rt._term_bucket_col(F.col("term"), 16)
+            ).write.mode("append").partitionBy("bucket").parquet(f"{ix}/postings")
+        else:  # everything landed, only the checkpoint commit was lost
+            rt.append_inverted_index(b, ix)
+
+    deliver_and_run(b)  # the mandatory same-batch retry (batch_id 1)
+
+    ix2 = str(tmp_path / "doc_ix_batch")
+    rt.build_inverted_index(a, ix2, n_buckets=16)
+    rt.append_inverted_index(b, ix2)
+    got = [tuple(r) for r in rt.bm25_search_indexed(spark, ix, rt._IDX_TERMS).collect()]
+    twin = [tuple(r) for r in rt.bm25_search_indexed(spark, ix2, rt._IDX_TERMS).collect()]
+    assert got == twin and got, crash_state
+
+    s, t = (spark.read.parquet(f"{p}/stats").first() for p in (ix, ix2))
+    assert (s["n_docs"], s["sum_dl"], s["avgdl"]) == (
+        t["n_docs"], t["sum_dl"], t["avgdl"],
+    ), crash_state
+
+    # no doubled postings row anywhere and no doc lost
+    posts = spark.read.parquet(f"{ix}/postings")
+    assert posts.count() == posts.select("doc_id", "term").distinct().count()
+    assert posts.select("doc_id").distinct().count() == docs.count()
+
+    # terms df agrees with a fresh postings aggregation (no stale delta)
+    terms = spark.read.parquet(f"{ix}/terms").select("bucket", "term", "df")
+    fresh = posts.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    assert terms.exceptAll(fresh).isEmpty() and fresh.exceptAll(terms).isEmpty()
+
+
+@pytest.mark.parametrize("crash_state", ["sidecar_only", "half_appended"])
+def test_stream_embeddings_retry_heals_partial_append(spark, tmp_path, crash_state):
+    """Same ADVICE r11 bug class in the vector sink: vec_ids recorded in
+    the sidecar by a dead attempt must not be anti-joined away on the
+    retry; the retry re-appends exactly the vectors missing from the
+    stored table (the IVF index keeps no derived delta state, so the
+    missing-only append alone converges)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import similarity as sim
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    emb = tpch.load(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    in_dir = str(tmp_path / "emb_in")
+    ix = str(tmp_path / "emb_ix")
+
+    def deliver_and_run(df):
+        df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(emb.schema).parquet(in_dir)
+        q = jobs.sink_stream_embeddings(
+            stream, ix, str(tmp_path / "ck"), n_lists=8,
+            staleness_every_batches=0, compact_every_batches=None,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    deliver_and_run(a)  # batch 0 trains + builds
+
+    # plant the dead attempt of batch 1
+    b.select("vec_id", F.lit(1).cast("bigint").alias("batch_id")).write.mode(
+        "append"
+    ).parquet(f"{ix}/ingested")
+    if crash_state == "half_appended":
+        sim.append_ivf_index(b.filter(F.col("vec_id") % 4 == 1), ix)
+
+    deliver_and_run(b)  # the mandatory same-batch retry
+
+    ix2 = str(tmp_path / "emb_ix_batch")
+    sim.build_ivf_index(a, ix2, n_lists=8)
+    sim.append_ivf_index(b, ix2)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [tuple(r) for r in sim.ivf_search(spark, ix, qvec, k=11, n_probes=3).collect()]
+    twin = [tuple(r) for r in sim.ivf_search(spark, ix2, qvec, k=11, n_probes=3).collect()]
+    assert got == twin and got, crash_state
+
+    stored = [r["vec_id"] for r in spark.read.parquet(f"{ix}/vectors").collect()]
+    assert sorted(stored) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    assert len(stored) == len(set(stored)), crash_state
