@@ -63,7 +63,7 @@ ORDER BY user_id, session_seq
 """
 
 
-@query("events_sessionize", oracle=_SESSIONIZE_SQL, headline=True)
+@query("events_sessionize", oracle=_SESSIONIZE_SQL, headline=True, defer=True)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks after 30 idle
     minutes. lag → boundary flag → running count assigns session ids in one

@@ -1875,7 +1875,7 @@ def cdc_dedup_strip(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cdc_strip", oracle=_CDC_STRIP_SQL, defer=True)
+@query("dedup_cdc_strip", oracle=_CDC_STRIP_SQL)
 def dedup_cdc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide CDC chunk stripping: first occurrence wins, documents
     rebuilt from surviving chunks — shift-robust boilerplate removal."""

@@ -143,7 +143,7 @@ ORDER BY source_a, source_b
 """
 
 
-@query("corpus_jsd_sources", oracle=_JSD_SQL, defer=True)
+@query("corpus_jsd_sources", oracle=_JSD_SQL)
 def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen–Shannon divergence of every source's unigram
     distribution — the re-weighting/drift detector the set-overlap

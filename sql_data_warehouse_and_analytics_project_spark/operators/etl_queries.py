@@ -396,7 +396,7 @@ ORDER BY leg, k1, k2, label
 """
 
 
-@query("etl_scalar_suite", oracle=_SCALAR_SUITE_SQL)
+@query("etl_scalar_suite", oracle=_SCALAR_SUITE_SQL, defer=True)
 def etl_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 CASE decode + P7/A8 NULL-repair arithmetic + C5 SHA-256
     change-detection fingerprint, union-tagged."""
@@ -450,7 +450,7 @@ ORDER BY leg, k1, label
 """
 
 
-@query("etl_filter_suite", oracle=_FILTER_SUITE_SQL)
+@query("etl_filter_suite", oracle=_FILTER_SUITE_SQL, defer=True)
 def etl_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/C4 watermark delta filter + P5 DISTINCT projection + A6 HAVING,
     union-tagged."""

@@ -696,7 +696,7 @@ ORDER BY media_type
 """
 
 
-@query("multimodal_features", oracle=_MM_FEATURES_SQL)
+@query("multimodal_features", oracle=_MM_FEATURES_SQL, defer=True)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary media table → Arrow-batched
     (fake) decode → per-type feature stats.

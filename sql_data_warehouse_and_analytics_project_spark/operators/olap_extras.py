@@ -189,7 +189,7 @@ ORDER BY region, nation
 """
 
 
-@query("olap_rollup_region_nation", oracle=_ROLLUP_SQL, headline=True)
+@query("olap_rollup_region_nation", oracle=_ROLLUP_SQL, headline=True, defer=True)
 def olap_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (region → nation → grand total) with GROUPING()
     labels. Catalyst expands the rollup into one Expand + aggregation — a

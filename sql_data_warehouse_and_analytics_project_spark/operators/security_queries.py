@@ -91,7 +91,7 @@ LIMIT 100
 """
 
 
-@query("security_masked_customer", oracle=_MASK_SQL)
+@query("security_masked_customer", oracle=_MASK_SQL, defer=True)
 def security_masked_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyst-view customer projection with the account balance masked to
     the numeric default (0), mirroring MASKED WITH (FUNCTION='default()').

@@ -1205,7 +1205,7 @@ def rescore_triplets(trip: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@query("train_triplets_rescored", oracle=_RESCORE_SQL, defer=True)
+@query("train_triplets_rescored", oracle=_RESCORE_SQL)
 def train_triplets_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine triplets from the embeddings table, then re-score each pair
     with the joint (cross-encoder-style) scorer over the paired documents

@@ -83,7 +83,7 @@ ORDER BY e.event_id
 """
 
 
-@query("temporal_asof_event_order", oracle=_ASOF_SQL)
+@query("temporal_asof_event_order", oracle=_ASOF_SQL, defer=True)
 def temporal_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event matched to the user's latest order at-or-before the event
     time — checked against DuckDB's native ASOF JOIN. Payload is the order

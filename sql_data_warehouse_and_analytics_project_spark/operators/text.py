@@ -425,7 +425,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_quality_gopher", oracle=_GOPHER_SQL)
+@query("text_quality_gopher", oracle=_GOPHER_SQL, defer=True)
 def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: per-doc type-token ratio, top-word
     mass, duplicate-2-gram mass, and the keep/drop verdict.
@@ -636,7 +636,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_pii_scrub", oracle=_PII_SQL)
+@query("text_pii_scrub", oracle=_PII_SQL, defer=True)
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over six detector classes: email, US phone, SSN, IPv4,
     and 16-digit card numbers split into Luhn-VALID (n_cards) vs Luhn-
@@ -1169,7 +1169,7 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("quality_perplexity_buckets", oracle=_PPL_BUCKETS_SQL, defer=True)
+@query("quality_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus partitioning by bigram-LM
     perplexity tercile. Registered deferred per the 50-slot window rule."""

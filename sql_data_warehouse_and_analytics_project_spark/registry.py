@@ -110,8 +110,24 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # promoted (both sf0.01-parity-verified pre-flip) in place of
     # dedup_cross_source_matrix (covered by dedup_source_fingerprints,
     # which stays) and dedup_audio_fingerprint (covered by the
-    # dedup_image_phash banded-Hamming sibling). Deferred
-    # queries keep their oracle and stay cross-engine-verified in
+    # dedup_image_phash banded-Hamming sibling). r12 rotated 10-for-10:
+    # promoted the remaining never-driver-proofed r11 flagships
+    # (warehouse_column_stats, eval_bootstrap_mean_chars,
+    # corpus_jsd_sources, dedup_cdc_strip, graph_pagerank_trade,
+    # cluster_kmeans_fixed, text_pmi_cooccur, quality_perplexity_buckets,
+    # train_triplets_rescored, retrieval_bm25_indexed — all ten
+    # sf0.01-parity-verified pre-flip, ~62 s total gate cost) and
+    # deferred ten long-stable keys (8-11 green driver rounds each)
+    # whose operator coverage is duplicated by rows that stay:
+    # events_sessionize + stream_events_hourly (↔ stream_purchase_
+    # attribution windows), multimodal_features (↔ multimodal pytest
+    # suite + dedup_image_phash), temporal_asof_event_order (↔
+    # temporal pytests), text_pii_scrub + text_quality_gopher (↔
+    # text_decontaminate + quality_perplexity_buckets filters),
+    # etl_scalar_suite + etl_filter_suite (↔ etl_join_suite +
+    # etl_window_keys), security_masked_customer (↔ security_rls_orders),
+    # olap_rollup_region_nation (↔ q11 part-to-whole + q05 grains).
+    # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
     # (q01_database_exploration, olap_approx_summary,

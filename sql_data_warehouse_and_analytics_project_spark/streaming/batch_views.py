@@ -31,7 +31,7 @@ ORDER BY window_start, event_type
 """
 
 
-@query("stream_events_hourly", oracle=_HOURLY_SQL)
+@query("stream_events_hourly", oracle=_HOURLY_SQL, defer=True)
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour event aggregation — the batch twin of the streaming
     windowed aggregation job (streaming has no reference counterpart; it is
