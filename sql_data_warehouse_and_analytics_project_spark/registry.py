@@ -75,6 +75,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         pagerank,
         pq,
         profile_stats,
+        quant,
         retrieval,
         sampling_json,
         security_queries,
@@ -83,6 +84,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         skew,
         temporal,
         text,
+        waterfill,
     )
     from .streaming import batch_views  # noqa: F401
     from .warehouse import incremental  # noqa: F401

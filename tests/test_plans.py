@@ -711,3 +711,31 @@ def test_bootstrap_jsd_profiler_plan_shapes(spark):
     plan = audit.executed_plan(df)
     scans = plan.count("FileScan")
     assert scans == 1, f"expected one orders scan, plan has {scans}:\n{plan}"
+
+
+def test_waterfill_and_quant_plan_shapes(spark):
+    """r12 operators keep their promised plans.
+
+    - mix_waterfill_chars: the corpus-sized work is ONE partial-
+      aggregating groupBy(source); the window runs over the #sources-row
+      aggregate only (no corpus-wide Window: every Window in the plan
+      sits above the aggregate, whose input is the grouped frame);
+    - embed_quant_calibrate: the per-dim bounds come back onto the
+      exploded rows via a BROADCAST join — no sort-merge join, no
+      window anywhere."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+
+    df = qs["mix_waterfill_chars"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    df = qs["embed_quant_calibrate"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
