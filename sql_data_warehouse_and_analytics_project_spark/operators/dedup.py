@@ -1226,6 +1226,71 @@ def append_minhash_index(docs: DataFrame, path: str) -> None:
     build_minhash_index(docs, path)
 
 
+def repair_minhash_append(docs: DataFrame, path: str) -> None:
+    """Crash-convergent replay of :func:`append_minhash_index` for a
+    redelivered batch whose previous attempt may have died BETWEEN the
+    index's three component writes (r12, same bug class as the ADVICE r11
+    inverted-index sink fix): keying the retry on the signatures table
+    alone — the streaming sink's old discipline — leaves a doc whose
+    signature landed but whose bands (or members) did not PERMANENTLY
+    unfindable (band join misses it) or unattributable (inner members
+    join drops its hits). This variant appends each component's OWN
+    missing rows — signatures, capped band rows, member rows are each
+    anti-joined against their stored table — so a retry converges from
+    any crash point, including a first-batch build that died mid-way
+    (per-table existence checks). Cost: three narrow doc_id anti-joins
+    against stored components on the rare retry path; the common path
+    stays the plain append."""
+    from ..warehouse.hdfs import exists as _hx
+
+    spark = docs.sparkSession
+    mem = token_dedup_members(docs).cache()
+    try:
+        reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select(
+            "doc_id", "lang", "text"
+        )
+        sigs = minhash_signatures(reps, spread=False).cache()
+        try:
+            # each missing set is eagerly checkpointed: its plan reads the
+            # stored path the write below appends to
+            if _hx(spark, f"{path}/signatures"):
+                stored = spark.read.parquet(f"{path}/signatures").select("doc_id")
+                miss_s = sigs.join(stored, "doc_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+            else:
+                miss_s = sigs
+            if not miss_s.isEmpty():
+                miss_s.write.mode("append").parquet(f"{path}/signatures")
+            if _hx(spark, f"{path}/bands"):
+                stored = (
+                    spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+                )
+                miss_b = sigs.join(stored, "doc_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+            else:
+                miss_b = sigs
+            if not miss_b.isEmpty():
+                _cap_buckets(minhash_band_table(miss_b), _LSH_BUCKET_CAP).write.mode(
+                    "append"
+                ).partitionBy("band").parquet(f"{path}/bands")
+            pairs = mem.select("doc_id", "rep_id")
+            if _hx(spark, f"{path}/members"):
+                stored = spark.read.parquet(f"{path}/members").select("doc_id")
+                miss_m = pairs.join(stored, "doc_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+            else:
+                miss_m = pairs
+            if not miss_m.isEmpty():
+                miss_m.write.mode("append").parquet(f"{path}/members")
+        finally:
+            sigs.unpersist()
+    finally:
+        mem.unpersist()
+
+
 def query_minhash_index(
     spark: SparkSession,
     path: str,

@@ -429,10 +429,13 @@ def sink_stream_neardedup(
     LATER batch (at-least-once source) is dropped from the output — the
     output is doc_id-unique across batches — while a retry of the SAME
     batch keeps its rows (the per-batch overwrite republishes them
-    idempotently). The sidecar is written BEFORE the index append: a crash
-    between the two writes leaves a doc recorded-but-unindexed, and the
-    mandatory retry of that same batch re-indexes it (to_index is keyed on
-    the signatures table, not the sidecar).
+    idempotently). The sidecar is written BEFORE the index append and
+    doubles as the attempt marker (r12): a batch whose batch_id is
+    already recorded routes onto ``repair_minhash_append``, which appends
+    each index component's OWN missing rows — a crash anywhere between
+    the signatures/bands/members writes converges on the retry instead of
+    leaving a doc signed-but-unbanded (permanently unfindable) or absent
+    from members (hits silently dropped at the inner join).
 
     Compaction cadence (r7, VERDICT r6 ask #4): every
     ``compact_every_batches`` batches the sink runs
@@ -446,14 +449,14 @@ def sink_stream_neardedup(
 
     Replay safety (foreachBatch is at-least-once): the output lands in a
     per-batch subdirectory written with OVERWRITE, so a retried batch
-    replaces its own files instead of double-appending; docs whose own
-    doc_id is already in the index (accepted by a prior attempt of the same
-    batch) are not re-appended to the index; and a hit on the SAME doc_id
-    from the same batch counts as this document re-observed, never as a
-    duplicate to drop. The index/output pair still isn't a single
-    transaction — a crash exactly between the two writes leaves the doc
-    indexed but unpublished until the retry republishes its batch directory
-    (which the overwrite makes idempotent)."""
+    replaces its own files instead of double-appending; a detected retry
+    re-appends only each index component's missing rows (see the
+    redelivery paragraph); and a hit on the SAME doc_id from the same
+    batch counts as this document re-observed, never as a duplicate to
+    drop. The index/output pair still isn't a single transaction — a
+    crash exactly between the two writes leaves the doc indexed but
+    unpublished until the retry republishes its batch directory (which
+    the overwrite makes idempotent)."""
 
     from ..operators import dedup
 
@@ -538,17 +541,21 @@ def sink_stream_neardedup(
                 indexed_ids = spark.read.parquet(f"{index_path}/signatures").select(
                     "doc_id"
                 )
+            retried = False
+            mine = None
             if _exists(spark, f"{index_path}/ingested"):
                 # at-least-once source: a doc accepted by an EARLIER batch
                 # and redelivered now must not re-enter the output; a retry
                 # of THIS batch (same batch_id) republishes its own rows
+                side = spark.read.parquet(f"{index_path}/ingested")
                 prior = (
-                    spark.read.parquet(f"{index_path}/ingested")
-                    .filter(F.col("batch_id") != batch_id)
+                    side.filter(F.col("batch_id") != batch_id)
                     .select("doc_id")
                     .distinct()
                 )
                 survivors = survivors.join(prior, "doc_id", "left_anti")
+                mine = side.filter(F.col("batch_id") == batch_id).select("doc_id")
+                retried = bool(mine.take(1))
             # localCheckpoint — NOT cache(): the survivor plan READS the
             # index paths the next statements APPEND to, and Spark's cache
             # manager invalidates-and-recomputes any cached plan whose
@@ -557,24 +564,40 @@ def sink_stream_neardedup(
             # row. The checkpoint cuts lineage to materialized partitions,
             # so every write below consumes the pre-append survivor set.
             survivors = survivors.localCheckpoint(eager=True)
-            to_index = survivors
-            if indexed_ids is not None:
-                # replayed batch: survivors already indexed by the prior
-                # attempt must not append duplicate signatures. Checkpoint
-                # the anti-join too (ADVICE r6): build_minhash_index's
-                # three writes would otherwise re-execute it against the
-                # live signatures path — the first write appends to that
-                # same path, so correctness would rest on the parquet
-                # scan's eager file-listing snapshot surviving refactors.
-                to_index = survivors.join(indexed_ids, "doc_id", "left_anti")
-            to_index = to_index.localCheckpoint(eager=True)
-            # sidecar BEFORE index append: a crash between the two leaves
-            # the doc recorded-but-unindexed, and the mandatory same-batch
-            # retry re-indexes it (to_index keys on signatures, not here)
-            to_index.select(
+            to_record = survivors
+            if retried:
+                # don't double-record rows the dead attempt wrote;
+                # checkpoint because the plan reads the sidecar path the
+                # write appends to
+                to_record = survivors.join(
+                    mine.distinct(), "doc_id", "left_anti"
+                ).localCheckpoint(eager=True)
+            # sidecar BEFORE index append: it doubles as the attempt
+            # marker — a batch whose batch_id is already recorded routes
+            # onto the per-component convergent repair below
+            to_record.select(
                 "doc_id", F.lit(batch_id).cast("bigint").alias("batch_id")
             ).write.mode("append").parquet(f"{index_path}/ingested")
-            dedup.append_minhash_index(to_index, index_path)
+            if retried:
+                # r12 (same class as the ADVICE r11 inverted-index fix):
+                # the old retry keyed on the signatures table alone, so a
+                # crash BETWEEN the three component writes left a doc
+                # signed-but-unbanded (unfindable) or bandless-membered
+                # (hits dropped at the inner members join) forever. The
+                # repair appends each component's own missing rows.
+                dedup.repair_minhash_append(survivors, index_path)
+            else:
+                to_index = survivors
+                if indexed_ids is not None:
+                    # belt-and-braces for a doc indexed by an earlier batch
+                    # (already sidecar-excluded): never append a duplicate
+                    # signature. Checkpoint (ADVICE r6): the anti-join would
+                    # otherwise re-execute against the live signatures path
+                    # mid-append.
+                    to_index = survivors.join(
+                        indexed_ids, "doc_id", "left_anti"
+                    ).localCheckpoint(eager=True)
+                dedup.append_minhash_index(to_index, index_path)
             survivors.write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={batch_id}"
             )

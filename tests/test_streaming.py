@@ -686,3 +686,83 @@ def test_stream_embeddings_retry_heals_partial_append(spark, tmp_path, crash_sta
     stored = [r["vec_id"] for r in spark.read.parquet(f"{ix}/vectors").collect()]
     assert sorted(stored) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
     assert len(stored) == len(set(stored)), crash_state
+
+
+@pytest.mark.parametrize("crash_state", ["sig_only", "sig_bands"])
+def test_stream_neardedup_retry_heals_partial_component_append(
+    spark, tmp_path, crash_state
+):
+    """r12 (same class as the ADVICE r11 sink fixes): the near-dedup index
+    append is THREE component writes (signatures, bands, members); the old
+    retry keyed on signatures alone, so a crash between the writes left a
+    doc signed-but-unbanded (unfindable by the band join) or absent from
+    members (hits dropped at the inner join) forever. A detected retry
+    must now converge every component to the clean-run twin."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def run_sink(tag, df):
+        in_dir = str(tmp_path / f"in_{tag}")
+        df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = jobs.sink_stream_neardedup(
+            stream,
+            str(tmp_path / f"ix_{tag}"),
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ck_{tag}"),
+            compact_every_batches=None,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # clean twin: batches A then B
+    run_sink("twin", a)
+    run_sink("twin", b)
+    twin = str(tmp_path / "ix_twin")
+
+    # crash run: batch A, then PLANT the dead attempt of batch 1
+    run_sink("crash", a)
+    crash = str(tmp_path / "ix_crash")
+    side_b = spark.read.parquet(f"{twin}/ingested").filter(F.col("batch_id") == 1)
+    assert side_b.take(1), "twin batch 1 accepted nothing — fixture too small"
+    side_b.write.mode("append").parquet(f"{crash}/ingested")
+    for table, planted in (("signatures", True), ("bands", crash_state == "sig_bands")):
+        if not planted:
+            continue
+        twin_rows = spark.read.parquet(f"{twin}/{table}")
+        have = spark.read.parquet(f"{crash}/{table}").select("doc_id").distinct()
+        delta = twin_rows.join(have, "doc_id", "left_anti").localCheckpoint(eager=True)
+        w = delta.write.mode("append")
+        if table == "bands":
+            w = w.partitionBy("band")
+        w.parquet(f"{crash}/{table}")
+
+    run_sink("crash", b)  # the mandatory same-batch retry (batch_id 1)
+
+    for table in ("signatures", "bands", "members"):
+        got = sorted(map(repr, spark.read.parquet(f"{crash}/{table}").collect()))
+        want = sorted(map(repr, spark.read.parquet(f"{twin}/{table}").collect()))
+        assert got == want, (crash_state, table)
+
+    out_got = sorted(
+        map(repr, spark.read.parquet(str(tmp_path / "out_crash")).collect())
+    )
+    out_want = sorted(
+        map(repr, spark.read.parquet(str(tmp_path / "out_twin")).collect())
+    )
+    assert out_got == out_want, crash_state
+
+    # the healed index answers probes identically to the twin
+    probe = docs.limit(50)
+    hits_c = sorted(
+        map(repr, dedup.query_minhash_index(spark, crash, probe).collect())
+    )
+    hits_t = sorted(
+        map(repr, dedup.query_minhash_index(spark, twin, probe).collect())
+    )
+    assert hits_c == hits_t, crash_state
