@@ -42,6 +42,27 @@ from .similarity import _SCALE, quantize
 _LEVELS = 255  # int8 code range 0..255
 
 
+def _exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, qv) fixed-point exploded view of the embeddings."""
+    return emb.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("pos", "qv")
+    )
+
+
+def _dim_bounds(emb: DataFrame) -> DataFrame:
+    """(pos, mn, mx) integer per-dimension bounds — the calibration table."""
+    return _exploded(emb).groupBy("pos").agg(
+        F.min("qv").alias("mn"), F.max("qv").alias("mx")
+    )
+
+
+def _idiv(a, b):
+    """Exact floor division of two NON-NEGATIVE integer columns within
+    2^53: strip the remainder (integer-exact), then the double division
+    of an exact multiple is correctly rounded to the exact quotient."""
+    return ((a - a % b) / b).cast("bigint")
+
+
 def quant_calibration(emb: DataFrame, levels: int = _LEVELS) -> DataFrame:
     """Per-dimension int8 calibration + reconstruction-error profile of
     an embeddings frame (vec_id, embedding array<float>): one row per
@@ -49,12 +70,8 @@ def quant_calibration(emb: DataFrame, levels: int = _LEVELS) -> DataFrame:
     ordered by pos. Errors are measured in the original value scale
     against the round-trip code -> dequantized value; a constant
     dimension (mx = mn) codes to 0 with zero error."""
-    expl = emb.select(
-        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("pos", "qv")
-    )
-    dims = expl.groupBy("pos").agg(
-        F.min("qv").alias("mn"), F.max("qv").alias("mx")
-    )
+    expl = _exploded(emb)
+    dims = _dim_bounds(emb)
     lv = int(levels)
     joined = (
         expl.join(F.broadcast(dims), "pos")
@@ -140,3 +157,259 @@ def embed_quant_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile over the embeddings corpus — integer-exact end to end, so
     DuckDB replays codes, dequantization, and error sums bit-for-bit."""
     return quant_calibration(tpch.load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 ANN: asymmetric search over int8 codes (FAISS ScalarQuantizer shape) —
+# the 4x companion to pq.py's 32x ADC, and the IVF-SQ8 composed index.
+# ---------------------------------------------------------------------------
+
+
+def sq_encode(
+    emb: DataFrame, mn: list[int], rng: list[int], extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, label, scode array<bigint>, *extra) int8 codes of every
+    vector under a FIXED calibration (mn, rng per dimension, fixed-point
+    ints). Out-of-range values — routine when appending drifted batches
+    against a stored calibration — are clamped to the calibrated interval
+    BEFORE coding, so codes always land in [0, 255]."""
+    mn_l = F.array(*[F.lit(int(v)) for v in mn])
+    rng_l = F.array(*[F.lit(int(v)) for v in rng])
+
+    def _code(x, i):
+        m = F.element_at(mn_l, i + 1)
+        r = F.element_at(rng_l, i + 1)
+        xc = F.least(m + r, F.greatest(m, x))
+        return F.when(r == 0, F.lit(0).cast("bigint")).otherwise(
+            _idiv(F.lit(2 * _LEVELS) * (xc - m) + r, F.lit(2) * r)
+        )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(quantize(F.col("embedding")), _code).alias("scode"),
+        *extra,
+    )
+
+
+def sq_adc_topk(
+    encoded: DataFrame, query_q: list[int], mn: list[int], rng: list[int], k: int = 10
+) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: dequantize each stored code back
+    to fixed-point (round-half integer identity), squared-L2 against the
+    EXACT quantized query, ascending, ties to the lowest vec_id. Every
+    distance is int64 — bit-identical in any engine. TakeOrderedAndProject
+    cut (no global sort)."""
+    mn_l = F.array(*[F.lit(int(v)) for v in mn])
+    rng_l = F.array(*[F.lit(int(v)) for v in rng])
+    q_l = F.array(*[F.lit(int(v)) for v in query_q])
+
+    def _sq(c, i):
+        m = F.element_at(mn_l, i + 1)
+        r = F.element_at(rng_l, i + 1)
+        deq = m + _idiv(F.lit(2) * c * r + F.lit(_LEVELS), F.lit(2 * _LEVELS))
+        d = deq - F.element_at(q_l, i + 1)
+        return d * d
+
+    adist = F.aggregate(
+        F.transform(F.col("scode"), _sq),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select("vec_id", "label", adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def build_ivfsq_index(
+    emb: DataFrame, path: str, n_lists: int | None = None, iters: int = 2
+) -> None:
+    """The composed scale layout (FAISS IVF-SQ8 shape): train the IVF
+    coarse quantizer (similarity.py k-means), calibrate SQ8 bounds on the
+    same corpus, store the int8 codes PARTITIONED BY the coarse cell —
+    ``<path>/codes/list_id=N/`` — plus KB ``centroids``, ``calib`` and
+    per-list ``stats`` sidecars. A probe prunes to ~n_probes/n_lists of
+    the files AND each row is ~4x smaller than raw float32: the two
+    reductions multiply (pq.py's IVF-PQ is the 32x sibling; SQ8 trades
+    bytes for zero codebook-training cost and near-lossless recall). Raw
+    vectors stay in the source table for exact re-rank by id."""
+    from .similarity import _assigned_frame, train_ivf_centroids
+
+    spark = emb.sparkSession
+    centroids = train_ivf_centroids(emb, n_lists=n_lists, iters=iters)
+    bounds = sorted(
+        (r["pos"], int(r["mn"]), int(r["mx"])) for r in _dim_bounds(emb).collect()
+    )
+    if not centroids or not bounds:
+        spark.createDataFrame(
+            [], "vec_id bigint, label int, scode array<bigint>, list_id int"
+        ).write.mode("overwrite").parquet(f"{path}/codes")
+        spark.createDataFrame([], "list_id int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame([], "pos int, mn bigint, rng bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/calib")
+        spark.createDataFrame([], "list_id int, n_trained bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        return
+    mn = [b[1] for b in bounds]
+    rng = [b[2] - b[1] for b in bounds]
+    assigned = _assigned_frame(emb, centroids)
+    sq_encode(assigned, mn, rng, extra=("list_id",)).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(p, m, x - m) for p, m, x in bounds], "pos int, mn bigint, rng bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/calib")
+    spark.read.parquet(f"{path}/codes").groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trained")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_sq_calib(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
+    """(mn, rng) lists in pos order from a stored ``calib`` sidecar."""
+    rows = spark.read.parquet(f"{path}/calib").orderBy("pos").collect()
+    return [int(r["mn"]) for r in rows], [int(r["rng"]) for r in rows]
+
+
+def append_ivfsq_index(emb: DataFrame, path: str) -> None:
+    """Ingest new vectors without retraining: assign cells against the
+    STORED centroids, encode against the STORED calibration (values
+    outside it clamp — the calibration drifts as the distribution moves;
+    audit with similarity.ivf_index_staleness(..., table='codes') and
+    rebuild when growth skews)."""
+    from .similarity import _assigned_frame, _stored_centroids
+
+    centroids = _stored_centroids(emb.sparkSession, path)
+    mn, rng = load_sq_calib(emb.sparkSession, path)
+    if not centroids or not mn:
+        raise ValueError(
+            f"IVF-SQ index at {path!r} has no trained models; build_ivfsq_index "
+            "on a non-empty corpus before appending"
+        )
+    assigned = _assigned_frame(emb, centroids)
+    sq_encode(assigned, mn, rng, extra=("list_id",)).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+
+
+def ivfsq_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Probe the ``n_probes`` nearest coarse cells (driver-side argsort of
+    the KB centroid table), then SQ-decode-and-score ONLY the probed
+    partitions — the scan carries a ``list_id IN (probes)`` partition
+    filter and reads nothing but the code column."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    codes = spark.read.parquet(f"{path}/codes")
+    if not cents:
+        return codes.select(
+            "vec_id", "label", F.lit(None).cast("bigint").alias("adist")
+        ).limit(0)
+    mn, rng = load_sq_calib(spark, path)
+    qd = [float(x) for x in query_vec]
+    by_dist = sorted(
+        cents,
+        key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["centroid"], qd)), r["list_id"]),
+    )
+    probes = [r["list_id"] for r in by_dist[:n_probes]]
+    query_q = [math.floor(x * _SCALE) for x in qd]
+    probed = codes.filter(F.col("list_id").isin(probes))
+    return sq_adc_topk(probed.select("vec_id", "label", "scode"), query_q, mn, rng, k=k)
+
+
+_ANN_SQ_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE!r}) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+expl AS (
+  SELECT vec_id, UNNEST(range(len(q))) AS pos, UNNEST(q) AS qv FROM quant
+),
+dims AS (
+  SELECT pos, MIN(qv) AS mn, MAX(qv) AS mx FROM expl GROUP BY pos
+),
+deq AS (
+  SELECT e.vec_id, e.pos,
+         d.mn + CASE WHEN d.mx - d.mn = 0 THEN 0
+                     ELSE (2 * ((2 * {_LEVELS} * (LEAST(d.mx, GREATEST(d.mn, e.qv)) - d.mn)
+                                 + (d.mx - d.mn)) // (2 * (d.mx - d.mn)))
+                          * (d.mx - d.mn) + {_LEVELS}) // (2 * {_LEVELS})
+                END AS dq
+  FROM expl e JOIN dims d USING (pos)
+),
+qv AS (SELECT pos, qv FROM expl WHERE vec_id = 0),
+scored AS (
+  SELECT d.vec_id, CAST(SUM((d.dq - q.qv) * (d.dq - q.qv)) AS BIGINT) AS adist
+  FROM deq d JOIN qv q USING (pos)
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id
+)
+SELECT s.vec_id, e.label, s.adist
+FROM scored s JOIN embeddings e USING (vec_id)
+ORDER BY s.adist, s.vec_id
+LIMIT 10
+"""
+
+
+@query("ann_sq_topk", oracle=_ANN_SQ_SQL, defer=True)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat SQ8 ANN: calibrate per-dim int8 bounds on the corpus, encode,
+    asymmetric squared-L2 against the exact quantized query (vec_id 0),
+    top-10 ascending — integer-exact end to end, so DuckDB replays
+    calibration, coding, dequantization, and the scored scan exactly."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    bounds = sorted(
+        (r["pos"], int(r["mn"]), int(r["mx"])) for r in _dim_bounds(emb).collect()
+    )
+    mn = [b[1] for b in bounds]
+    rng = [b[2] - b[1] for b in bounds]
+    from .similarity import _SCALE as _S  # noqa: F401  (doc anchor)
+    import math
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query_q = [math.floor(float(x) * _SCALE) for x in qrow[0]["embedding"]]
+    encoded = sq_encode(emb.filter(F.col("vec_id") != 0), mn, rng)
+    return sq_adc_topk(encoded, query_q, mn, rng, k=10)
+
+
+def sq_search_rerank(
+    emb: DataFrame,
+    encoded: DataFrame,
+    query_q: list[int],
+    mn: list[int],
+    rng: list[int],
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """SQ8 shortlist → EXACT re-rank (the production search shape, same as
+    pq.pq_search_rerank): the int8 scan nominates ``shortlist``
+    candidates; raw vectors are fetched for those ids only (broadcast
+    semi-join) and re-ranked by exact fixed-point int64 L2. On tightly
+    clustered corpora the global-range int8 step is coarse relative to
+    within-cluster distances, so the code-domain order inside the
+    shortlist is approximate — the exact stage restores it."""
+    from .pq import _quantized, _sqdist_q
+
+    cand = sq_adc_topk(encoded, query_q, mn, rng, k=shortlist).select("vec_id")
+    qcol = F.array(*[F.lit(int(x)) for x in query_q])
+    exact = (
+        _quantized(emb)
+        .join(F.broadcast(cand), "vec_id", "semi")
+        .select("vec_id", "label", _sqdist_q(F.col("q"), qcol).alias("dist"))
+    )
+    return exact.orderBy(F.asc("dist"), F.asc("vec_id")).limit(k)

@@ -43,3 +43,106 @@ def test_quant_calibration_half_step_bound(spark):
         half_step = (r["mx_val"] - r["mn_val"]) / (2 * quant._LEVELS)
         assert r["max_abs_err"] <= half_step + 2e-6, (r["pos"], r["max_abs_err"], half_step)
         assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def _emb_sf(spark):
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    return tpch.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _qvec(emb):
+    row = emb.filter(emb.vec_id == 0).select("embedding").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_sq_topk_recall_vs_exact(spark):
+    """SQ8 is the near-lossless 4x tier: asymmetric int8 top-10 must agree
+    with the exact fixed-point squared-L2 top-10 on >= 8/10 ids."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import (
+        _SCALE,
+        quantize,
+    )
+
+    emb = _emb_sf(spark)
+    bounds = sorted(
+        (r["pos"], int(r["mn"]), int(r["mx"])) for r in quant._dim_bounds(emb).collect()
+    )
+    mn = [b[1] for b in bounds]
+    rng = [b[2] - b[1] for b in bounds]
+    query_q = [math.floor(x * _SCALE) for x in _qvec(emb)]
+    got = [
+        r["vec_id"]
+        for r in quant.sq_adc_topk(
+            quant.sq_encode(emb.filter(F.col("vec_id") != 0), mn, rng),
+            query_q, mn, rng, k=10,
+        ).collect()
+    ]
+    q_l = F.array(*[F.lit(int(v)) for v in query_q])
+    exact_d = F.aggregate(
+        F.zip_with(quantize(F.col("embedding")), q_l, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.8, (recall, got, exact)
+
+
+def test_ivfsq_layout_probe_and_append(spark, tmp_path):
+    """The composed IVF-SQ8 layout: a full-width probe answers exactly like
+    the flat SQ scan (coarse partitioning is pure layout); a narrow probe
+    carries a list_id PartitionFilter and never reads the embedding
+    column; appending against the STORED models (clamped coding) equals
+    one-pass encoding of the whole corpus under those models."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.plans import audit
+
+    emb = _emb_sf(spark)
+    path = str(tmp_path / "ivfsq")
+    quant.build_ivfsq_index(emb, path, n_lists=4)
+    qvec = _qvec(emb)
+    mn, rng = quant.load_sq_calib(spark, path)
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.similarity import _SCALE
+
+    query_q = [math.floor(x * _SCALE) for x in qvec]
+
+    full = quant.ivfsq_search(spark, path, qvec, k=11, n_probes=4)
+    flat = quant.sq_adc_topk(quant.sq_encode(emb, mn, rng), query_q, mn, rng, k=11)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in flat.collect()]
+
+    narrow = quant.ivfsq_search(spark, path, qvec, k=11, n_probes=2)
+    plan = audit.executed_plan(narrow)
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120], plan
+    fplan = audit.formatted_plan(narrow)
+    for cols in audit.scan_columns(fplan):
+        assert "embedding" not in cols, fplan
+    assert narrow.count() == 11
+
+    # incremental: build on evens, append odds under the stored calibration
+    path2 = str(tmp_path / "ivfsq_inc")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    quant.build_ivfsq_index(even, path2, n_lists=4)
+    quant.append_ivfsq_index(odd, path2)
+    assert spark.read.parquet(f"{path2}/codes").count() == emb.count()
+    mn2, rng2 = quant.load_sq_calib(spark, path2)
+    got = quant.ivfsq_search(spark, path2, qvec, k=10, n_probes=4)
+    flat2 = quant.sq_adc_topk(
+        quant.sq_encode(emb, mn2, rng2), query_q, mn2, rng2, k=10
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat2.collect()]
