@@ -1736,13 +1736,31 @@ _CDC_WINDOW = 3  # rolling window (tokens) the boundary hash covers
 _CDC_MODULUS = 8  # P(boundary) = 1/8 per position → ~8-token chunks
 
 
+def _spread_rows(docs: DataFrame) -> DataFrame:
+    """Row-wise-projection parallelism guard (r12): a CPU-heavy per-row
+    projection inherits the SCAN's partitioning, and a small-file corpus
+    (one parquet row group = one unsplittable partition) would run the
+    whole projection on one core — measured 110 s single-task for CDC
+    chunking at sf0.1 vs ~5 s spread. Repartition by doc_id up to the
+    default parallelism when the input arrives narrower; on a real
+    many-split corpus this is a no-op (input partitions already >= cores),
+    so nothing extra shuffles at 100 TB."""
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        return docs.repartition(want, "doc_id")
+    return docs
+
+
 def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_MODULUS) -> DataFrame:
     """(doc_id, idx, chunk_text) content-defined chunks per document.
 
     A position ``i`` (1-based token index, ``i >= window``) ends a chunk
     iff md5_13hex(tokens[i-window+1 .. i] joined by ' ') % modulus == 0;
     the final position always ends the last chunk. Documents shorter than
-    ``window`` tokens are one chunk."""
+    ``window`` tokens are one chunk. The per-position rolling md5 is the
+    dominant cost and is pure row-wise projection — spread across cores
+    before computing (see :func:`_spread_rows`)."""
+    docs = _spread_rows(docs)
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
 
@@ -1838,7 +1856,7 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cdc_chunks", oracle=_CDC_SQL)
+@query("dedup_cdc_chunks", oracle=_CDC_SQL, headline=True)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking span dedup: per-document duplicated-chunk
     fraction under rolling-hash boundaries, robust to insert/delete shifts

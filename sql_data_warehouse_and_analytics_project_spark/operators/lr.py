@@ -66,6 +66,14 @@ def hashed_features(docs: DataFrame, label, n_buckets: int = _D) -> DataFrame:
     array<struct<bucket:int, x:double>> of hashed bag-of-words features,
     x = tf/dl over lowered whitespace tokens. (doc_id, bucket) is unique,
     so the sorted array gives every downstream fold a fixed order."""
+    from .dedup import _spread_rows
+
+    # spread before the projection AND the downstream persist (r12): a
+    # one-row-group corpus arrives as ONE partition; uncorrected, the
+    # token explode runs on one core and — worse — the cached feature
+    # frame keeps that partitioning, so all 12 GD aggregations iterate
+    # single-threaded
+    docs = _spread_rows(docs)
     toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
     base = docs.select(
         "doc_id",

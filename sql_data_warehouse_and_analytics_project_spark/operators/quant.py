@@ -366,7 +366,7 @@ LIMIT 10
 """
 
 
-@query("ann_sq_topk", oracle=_ANN_SQ_SQL, defer=True)
+@query("ann_sq_topk", oracle=_ANN_SQ_SQL, headline=True, defer=True)
 def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat SQ8 ANN: calibrate per-dim int8 bounds on the corpus, encode,
     asymmetric squared-L2 against the exact quantized query (vec_id 0),

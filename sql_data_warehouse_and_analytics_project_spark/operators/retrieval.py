@@ -481,6 +481,7 @@ LIMIT {k}
 @query(
     "retrieval_bm25_indexed",
     oracle=_bm25_indexed_sql(_IDX_TERMS, _BM25_K),
+    headline=True,
 )
 def retrieval_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Okapi BM25 for the fixed query (merge, stream,
