@@ -73,6 +73,12 @@ def curate_documents(
     a deterministic content-independent hash of doc_id (never by position —
     positional splits re-shuffle when upstream filters change)."""
     docs = tpch.load(spark, sf_dir, "documents")
+    from .dedup import _spread_rows
+
+    # spread once at the pipeline head (r12): every stage's survivor
+    # checkpoint inherits the partitioning, so a one-row-group corpus
+    # would otherwise run ALL row-wise stage work single-threaded
+    docs = _spread_rows(docs)
     n_input = docs.count()
 
     # Each stage materializes its survivor set and TRUNCATES LINEAGE

@@ -66,6 +66,9 @@ def hashed_ngram_features(docs: DataFrame, buckets: int = _DSIR_BUCKETS) -> Data
     lowered unigrams then bigrams, each md5-13-hex-hashed mod ``buckets``,
     in document order. Pure projection (no explode, no shuffle); docs with
     zero tokens are dropped (no features to score)."""
+    from .dedup import _spread_rows
+
+    docs = _spread_rows(docs)  # r12: row-wise-heavy hashing projection
     toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
     t = F.col("_t")
 

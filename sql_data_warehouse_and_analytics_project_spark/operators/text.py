@@ -998,7 +998,13 @@ def bigram_logprob(docs: DataFrame, vocab_size: int = _BLM_VOCAB) -> DataFrame:
     """(doc_id, n_tokens, avg_logprob) under the corpus-trained bigram
     model — see the module note for the recipe and the scale/float
     discipline. Collect-free: both model maps are JVM-built one-row
-    frames broadcast onto the corpus."""
+    frames broadcast onto the corpus. The per-token map-lookup score fold
+    is row-wise-projection-heavy — spread across cores first (r12, see
+    dedup._spread_rows: a one-row-group corpus arrives as ONE scan
+    partition and would score single-threaded)."""
+    from .dedup import _spread_rows
+
+    docs = _spread_rows(docs)
     toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
     with_t = docs.select("doc_id", toks.alias("t"))
     vocab_df = (
@@ -1143,7 +1149,13 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     corpus by bigram-LM score — see the note above. One extra tiny agg
     (the two thresholds) broadcast back onto the scored frame; the rollup
     is a 3-group aggregation."""
-    scored = bigram_logprob(docs).select("doc_id", "avg_logprob")
+    # checkpoint: scored feeds BOTH the threshold agg and the rollup —
+    # uncheckpointed, the whole bigram model build + score fold runs twice
+    scored = (
+        bigram_logprob(docs)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint(eager=True)
+    )
     th = scored.agg(
         F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("t1"),
         F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("t2"),
