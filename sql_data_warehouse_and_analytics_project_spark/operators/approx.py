@@ -97,3 +97,152 @@ def olap_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p99").alias("v3"),
     )
     return distinct.unionByName(pctl).orderBy("sketch", "grp")
+
+
+# ---------------------------------------------------------------------------
+# md5-HLL: a HyperLogLog whose EVERY bit is engine-reproducible (r12).
+#
+# The built-in sketches above are rows-only because their internals differ
+# across engines. This variant derives the hash from the repo's md5-13-hex
+# base (52 uniform bits: p low bits pick the register, the remaining 52-p
+# bits feed the leading-zero rank via the string length of bin(w) — string
+# math, identical everywhere), so the register table, the zero count, and
+# the estimate replay bit-for-bit in DuckDB: a HARD hash oracle for a
+# sketch-class operator. The raw-estimate denominator sum(2^-M_j) is
+# accumulated in FIXED-POINT bigints (each term 2^(RMAX - M_j) is exact;
+# 2^p terms never exceed 2^53), so it is order-free without any fold
+# discipline; the only libm call is the small-range linear-counting ln,
+# absorbed by the engine's 6-dp output round.
+#
+# Scale shape: one partial-aggregating groupBy over (bucket, rho) — the
+# register table is 2^p rows (KB), mergeable across corpora by plain MAX
+# (pytest-pinned), which is the property that lets 1000 executors sketch
+# 100 TB and ship bytes, not values.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 2^12 = 4096 registers; rsd ~ 1.04/sqrt(m) ~ 1.6%
+_HLL_BITS = 52  # md5-13-hex width
+_HLL_RMAX = _HLL_BITS - _HLL_P + 1  # max rank (w == 0)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / float(1 << _HLL_P))
+
+
+def hll_registers(values: DataFrame, col: str, p: int = _HLL_P) -> DataFrame:
+    """(bucket, rho) register table of the md5-HLL sketch over ``values[col]``
+    (NULLs ignored). Mergeable across frames by MAX(rho) per bucket."""
+    from .dedup import _md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    h = _md5_long(F.col(col).cast("string"), 13)
+    w = F.floor(h / F.lit(m)).cast("bigint")  # exact: h < 2^52
+    nbits = F.length(F.bin(F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(rmax)).otherwise(
+        F.lit(_HLL_BITS - p) - nbits + 1
+    )
+    return (
+        values.filter(F.col(col).isNotNull())
+        .select(F.pmod(h, F.lit(m)).cast("int").alias("bucket"), w.alias("w"))
+        .select("bucket", rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = _HLL_P) -> DataFrame:
+    """One row (m_registers, zero_registers, estimate) from a register
+    table: the standard HLL raw estimate with the small-range
+    linear-counting correction, every arithmetic step engine-identical
+    (fixed-point integer denominator; see the section note)."""
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax  # 2^RMAX fixed-point: term = 2^(RMAX - rho), exact
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonzero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)"))
+        .cast("bigint")
+        .alias("sum_nz"),
+    )
+    denom_int = F.col("sum_nz") + (F.lit(m) - F.col("nonzero")) * F.lit(scale)
+    raw = (
+        F.lit(_HLL_ALPHA * float(m) * float(m))
+        * F.lit(float(scale))
+        / denom_int.cast("double")
+    )
+    v = (F.lit(m) - F.col("nonzero")).cast("bigint")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m_registers"),
+        v.alias("zero_registers"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def _hll_sql(value_expr: str, from_clause: str, p: int = _HLL_P) -> str:
+    from .dedup import _sql_md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    alpha_m2_s = repr(_HLL_ALPHA * float(m) * float(m))
+    h = _sql_md5_long("v", 13)
+    return f"""
+WITH vals AS (
+  SELECT {value_expr} AS v {from_clause}
+),
+hashed AS (
+  SELECT {h} % {m} AS bucket, {h} // {m} AS w
+  FROM vals WHERE v IS NOT NULL
+),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {_HLL_BITS - p} - length(bin(w)) + 1 END) AS rho
+  FROM hashed GROUP BY bucket
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS sum_nz
+  FROM regs
+)
+SELECT CAST({m} AS BIGINT) AS m_registers,
+       CAST({m} - nonzero AS BIGINT) AS zero_registers,
+       ROUND(CASE WHEN CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+                       <= CAST({2.5 * m!r} AS DOUBLE)
+                  AND {m} - nonzero > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nonzero AS DOUBLE))
+                  ELSE CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+             END, 6) AS estimate
+FROM agg
+"""
+# Note the explicit CAST(... AS DOUBLE) on every injected literal: DuckDB
+# parses a dotted numeric literal as DECIMAL, and the unguarded
+# alpha*m^2*scale product overflows DECIMAL(18) multiplication.
+
+
+_HLL_VOCAB_SQL = _hll_sql(
+    "lower(t.term)",
+    f"FROM (SELECT UNNEST({'regexp_split_to_array(trim(text), '}'\\s+')) AS term FROM documents) t",
+)
+
+
+@query("eval_hll_vocab", oracle=_HLL_VOCAB_SQL, defer=True)
+def eval_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-size estimate via the engine-reproducible md5-HLL
+    (4096 registers, ~1.6% rsd) over lowered whitespace tokens — the
+    sketch-class operator WITH a hard cross-engine oracle (the built-in
+    HLL++ twin is rows-only by necessity)."""
+    from .text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias(
+            "term"
+        )
+    )
+    return hll_estimate(hll_registers(terms, "term"))

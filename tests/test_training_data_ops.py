@@ -2196,3 +2196,31 @@ def test_jsd_closed_form_properties(spark):
     assert abs(got[("s1", "s4")] - want) < 1e-6, (got[("s1", "s4")], want)
     # symmetry of the measure: both orderings emit once, canonical a < b
     assert all(a < b for (a, b) in got)
+
+
+def test_md5_hll_accuracy_and_mergeability(spark):
+    """md5-HLL (r12): on 50K distinct synthetic values the raw-estimate
+    branch (the fixture vocabulary is only 31 terms, which exercises only
+    linear counting) must land within 5% (4096 registers, rsd ~1.6%), and
+    the register table must merge across disjoint halves by plain MAX —
+    the property that lets executors sketch shards independently."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    n = 50_000
+    vals = spark.range(n).select(F.concat(F.lit("v:"), F.col("id")).alias("v"))
+    est = approx.hll_estimate(approx.hll_registers(vals, "v")).first()
+    assert est["m_registers"] == 4096
+    assert abs(est["estimate"] - n) / n <= 0.05, est
+
+    a = vals.filter(F.col("v").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    b = vals.join(a, "v", "left_anti")
+    merged = (
+        approx.hll_registers(a, "v")
+        .unionByName(approx.hll_registers(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    got = approx.hll_estimate(merged).first()
+    assert got == est, (got, est)
