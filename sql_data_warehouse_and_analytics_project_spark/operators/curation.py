@@ -304,3 +304,119 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage_no bigint, stage string, value bigint").orderBy(
         "stage_no"
     )
+
+
+# --- Per-document drop-reason lineage (r12) ---------------------------------
+#
+# curation_report proves the pipeline's per-stage COUNTS; at 100 TB the
+# operational question is per-DOCUMENT: "why is doc X not in my training
+# set?" — the lineage table a production curation run writes next to its
+# output. One row per input doc tagged with the FIRST stage that dropped
+# it (pipeline order), or its kept split. The Spark side recomputes the
+# stage survivor sets with the same library operators curate_documents
+# wires; the DuckDB oracle reuses the IDENTICAL _sql_survivors CTE chain
+# as curation_report, so the two lineage surfaces cannot drift from the
+# count surface (and a consistency pytest pins reason counts == report
+# deltas).
+
+
+def curation_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reason) for every input document; reason in ('quality',
+    'eval_slice', 'contaminated', 'exact_dup', 'near_dup', 'kept_train',
+    'kept_valid'), first-failing-stage semantics in pipeline order."""
+    from .text import EVAL_SLICE_MOD
+
+    docs = tpch.load(spark, sf_dir, "documents")
+    docs = dedup._spread_rows(docs)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    kept = text_quality_gopher(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    s1 = _ckpt(docs.join(kept, "doc_id", "left_semi").select("doc_id", "lang", "text"))
+    contaminated = text_decontaminate(spark, sf_dir).select("doc_id")
+    s2 = _ckpt(
+        s1.filter(~is_eval_doc(F.col("doc_id"))).join(
+            contaminated, "doc_id", "left_anti"
+        )
+    )
+    keeper = (
+        s2.select(F.sha2(normalize_content(F.col("text")), 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = _ckpt(s2.join(keeper, "doc_id", "left_semi"))
+    survivors = s3
+    for _ in range(_MAX_NEAR_DEDUP_PASSES):
+        caches: list[DataFrame] = []
+        pairs = dedup.minhash_lsh_pairs(
+            survivors.select("doc_id", "lang", "text"), _caches=caches
+        )
+        losers = (
+            pairs.select(F.col("doc_id_2").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_losers = losers.count()
+        if n_losers == 0:
+            for c in caches:
+                c.unpersist()
+            break
+        survivors = _ckpt(survivors.join(losers, "doc_id", "left_anti"))
+        for c in caches:
+            c.unpersist()
+
+    def _flag(ids: DataFrame, name: str):
+        return ids.select("doc_id").withColumn(name, F.lit(True))
+
+    bucket = F.pmod(dedup._md5_long(F.col("doc_id").cast("string"), 15), F.lit(_VALID_BUCKETS))
+    reason = (
+        F.when(F.col("in_s1").isNull(), "quality")
+        .when(F.col("doc_id") % EVAL_SLICE_MOD == 0, "eval_slice")
+        .when(F.col("in_s2").isNull(), "contaminated")
+        .when(F.col("in_s3").isNull(), "exact_dup")
+        .when(F.col("in_final").isNull(), "near_dup")
+        .when(bucket == 0, "kept_valid")
+        .otherwise("kept_train")
+    )
+    return (
+        docs.select("doc_id")
+        .join(_flag(s1, "in_s1"), "doc_id", "left")
+        .join(_flag(s2, "in_s2"), "doc_id", "left")
+        .join(_flag(s3, "in_s3"), "doc_id", "left")
+        .join(_flag(survivors, "in_final"), "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .orderBy("doc_id")
+    )
+
+
+def _drop_reasons_sql() -> str:
+    from .dedup import _sql_md5_long
+    from .text import EVAL_SLICE_MOD
+
+    n = _MAX_NEAR_DEDUP_PASSES
+    final = f"s{3 + n}"
+    h = _sql_md5_long("CAST(d.doc_id AS VARCHAR)", 15)
+    return f"""
+WITH
+{_sql_survivors(n)}
+SELECT d.doc_id,
+       CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'quality'
+            WHEN d.doc_id % {EVAL_SLICE_MOD} = 0 THEN 'eval_slice'
+            WHEN d.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'contaminated'
+            WHEN d.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'exact_dup'
+            WHEN d.doc_id NOT IN (SELECT doc_id FROM {final}) THEN 'near_dup'
+            WHEN {h} % {_VALID_BUCKETS} = 0 THEN 'kept_valid'
+            ELSE 'kept_train' END AS reason
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
+@query("curation_drop_reasons", oracle=_drop_reasons_sql(), defer=True)
+def curation_drop_reasons_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation lineage: the first pipeline stage that dropped
+    each doc (or its kept split) — the audit table that answers 'why is
+    doc X missing from the training set' without re-running anything."""
+    return curation_drop_reasons(spark, sf_dir)

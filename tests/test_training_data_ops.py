@@ -2224,3 +2224,32 @@ def test_md5_hll_accuracy_and_mergeability(spark):
     )
     got = approx.hll_estimate(merged).first()
     assert got == est, (got, est)
+
+
+def test_drop_reasons_consistent_with_curation_report(spark):
+    """The per-doc lineage and the per-stage counts are two views of the
+    SAME pipeline: every reason count must equal the corresponding
+    report delta, and the kept reasons must equal the split sizes."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import curation
+
+    sf = "/root/testdata/sf0.001"
+    reasons = {
+        r["reason"]: r["n"]
+        for r in curation.curation_drop_reasons(spark, sf)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _, rep = curation.curate_documents(spark, sf)
+    assert reasons.get("quality", 0) == rep.n_input - rep.n_after_quality
+    assert (
+        reasons.get("eval_slice", 0) + reasons.get("contaminated", 0)
+        == rep.n_after_quality - rep.n_after_decontamination
+    )
+    assert reasons.get("exact_dup", 0) == rep.n_after_decontamination - rep.n_after_exact_dedup
+    assert reasons.get("near_dup", 0) == rep.n_after_exact_dedup - rep.n_after_near_dedup
+    assert reasons.get("kept_train", 0) == rep.n_train
+    assert reasons.get("kept_valid", 0) == rep.n_valid
+    assert sum(reasons.values()) == rep.n_input
