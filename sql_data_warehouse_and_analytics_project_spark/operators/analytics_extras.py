@@ -492,7 +492,7 @@ def value_histogram(
     )
 
 
-@query("events_value_histogram", oracle=_HISTOGRAM_SQL, defer=True)
+@query("events_value_histogram", oracle=_HISTOGRAM_SQL)
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 10-bin histogram of event value per event type — the
     numeric-column profile of the data-card family."""
@@ -576,7 +576,7 @@ def zscore_outliers(
     )
 
 
-@query("events_zscore_outliers", oracle=_ZSCORE_SQL, defer=True)
+@query("events_zscore_outliers", oracle=_ZSCORE_SQL)
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events whose value is ≥ 2.5 σ from the user's own mean — per-entity
     anomaly flagging with engine-exact scores."""

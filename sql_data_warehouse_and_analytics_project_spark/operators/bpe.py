@@ -389,7 +389,7 @@ FROM s{n_merges} ORDER BY word"""
 _BPE_FIXED_SQL = _bpe_fixed_sql()
 
 
-@query("text_bpe_fixed_merges", oracle=_BPE_FIXED_SQL, defer=True)
+@query("text_bpe_fixed_merges", oracle=_BPE_FIXED_SQL)
 def text_bpe_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training itself under the hash check: 8 strict-sequential
     merge rounds whose pair counts, lexicographic argmax, and greedy

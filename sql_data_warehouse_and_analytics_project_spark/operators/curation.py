@@ -272,7 +272,7 @@ ORDER BY stage_no
 from ..registry import query  # noqa: E402
 
 
-@query("curation_report", oracle=_curation_sql())
+@query("curation_report", oracle=_curation_sql(), defer=True)
 def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline, reported as an auditable frame:
     (stage_no, stage, value) — per-stage survivor counts, near-dedup pass

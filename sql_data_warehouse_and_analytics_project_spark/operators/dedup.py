@@ -987,7 +987,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("dedup_components", oracle=_COMPONENTS_SQL)
+@query("dedup_components", oracle=_COMPONENTS_SQL, defer=True)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash/LSH pair set: every doc
     that appears in a near-dup pair, its component id (smallest reachable
@@ -1564,7 +1564,7 @@ def span_dedup_blocks(
     )
 
 
-@query("dedup_span_blocks", oracle=_SPAN_DEDUP_SQL)
+@query("dedup_span_blocks", oracle=_SPAN_DEDUP_SQL, defer=True)
 def dedup_span_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide span dedup over 16-token blocks — the line-level-dedup
     stage (boilerplate stripping) that doc-level dedup cannot express."""

@@ -229,7 +229,7 @@ LIMIT {_DSIR_K}
 """
 
 
-@query("curation_dsir_select", oracle=_DSIR_SQL, defer=True)
+@query("curation_dsir_select", oracle=_DSIR_SQL)
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection demo: the 100 documents Gumbel-top-k-sampled toward
     the English slice under hashed unigram+bigram importance weights."""

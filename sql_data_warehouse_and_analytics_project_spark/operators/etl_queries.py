@@ -354,7 +354,7 @@ ORDER BY leg, k, name
 """
 
 
-@query("etl_join_suite", oracle=_JOIN_SUITE_SQL)
+@query("etl_join_suite", oracle=_JOIN_SUITE_SQL, defer=True)
 def etl_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 anti join + J4 semi join + J3 expression-key join, union-tagged."""
     _nl = F.lit(None).cast("bigint")

@@ -1000,7 +1000,7 @@ ORDER BY media_id_1, media_id_2
 """
 
 
-@query("dedup_image_phash", oracle=_PHASH_SQL, headline=True)
+@query("dedup_image_phash", oracle=_PHASH_SQL, headline=True, defer=True)
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by 56-bit perceptual dHash, Hamming <= 7.
 

@@ -459,7 +459,7 @@ def mix_epoch_resample(
     )
 
 
-@query("mix_epoch_upsample", oracle=_EPOCH_MIX_SQL, defer=True)
+@query("mix_epoch_upsample", oracle=_EPOCH_MIX_SQL)
 def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-aware re-mix of the documents corpus toward (zh 40 / en 30 /
     fr 10 / de 10 / es 10) at 1.0x size — zh is upsampled to ~2.7 epochs,
@@ -553,7 +553,7 @@ def batch_by_length(
     )
 
 
-@query("pack_length_batches", oracle=_BATCH_SQL)
+@query("pack_length_batches", oracle=_BATCH_SQL, defer=True)
 def pack_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed training batches over the documents corpus: 16
     sequences per batch within 8-token length bands, with the per-batch

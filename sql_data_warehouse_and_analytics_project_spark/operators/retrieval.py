@@ -221,7 +221,7 @@ def bm25_topk(
     )
 
 
-@query("text_bm25_topk", oracle=_bm25_sql(_BM25_TERMS, _BM25_K))
+@query("text_bm25_topk", oracle=_bm25_sql(_BM25_TERMS, _BM25_K), defer=True)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Okapi BM25 for the fixed query (spark, join,
     vector) — the relevance-scoring primitive a corpus search / quality

@@ -1297,7 +1297,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = _KNN_K) -> DataFram
     )
 
 
-@query("ann_knn_join", oracle=_KNN_JOIN_SQL)
+@query("ann_knn_join", oracle=_KNN_JOIN_SQL, defer=True)
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact batch kNN join: top-5 cosine neighbors for every 50th vector
     against the rest of the corpus — the retrieval-eval workhorse."""

@@ -1102,7 +1102,7 @@ def bigram_logprob(docs: DataFrame, vocab_size: int = _BLM_VOCAB) -> DataFrame:
     )
 
 
-@query("text_bigram_logprob", oracle=_BLM_SQL, defer=True)
+@query("text_bigram_logprob", oracle=_BLM_SQL)
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token bigram conditional log-probability per document —
     the word-order-aware perplexity-style quality score (CCNet-shape
@@ -1287,7 +1287,7 @@ def lang_confusion(preds: DataFrame) -> DataFrame:
     )
 
 
-@query("text_lang_confusion", oracle=_CONFUSION_SQL, defer=True)
+@query("text_lang_confusion", oracle=_CONFUSION_SQL)
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-voting language identifier against
     the labeled lang column — the classifier-eval surface of the curation

@@ -129,6 +129,19 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # etl_scalar_suite + etl_filter_suite (↔ etl_join_suite +
     # etl_window_keys), security_masked_customer (↔ security_rls_orders),
     # olap_rollup_region_nation (↔ q11 part-to-whole + q05 grains).
+    # Later in r12 a second 8-for-8 swap promoted the last
+    # never-driver-proofed r11 keys (curation_dsir_select,
+    # events_value_histogram, events_zscore_outliers, mix_epoch_upsample,
+    # text_bigram_logprob, text_bpe_fixed_merges, text_lang_confusion,
+    # train_next_event_examples — all sf0.01-parity-verified pre-flip,
+    # ~17 s total gate cost), deferring eight more keys covered by
+    # siblings that stay (ann_knn_join ↔ the deferred-but-locally-green
+    # pq/sq/ivf family + ann brute; dedup_components + dedup_span_blocks
+    # ↔ minhash/cdc actives; pack_length_batches ↔ pack/mix actives;
+    # text_bm25_topk ↔ retrieval_bm25_indexed + rrf; dedup_image_phash ↔
+    # multimodal pytests (stays a bench headliner); curation_report ↔
+    # curation_drop_reasons, which replays the same stage chain;
+    # etl_join_suite ↔ etl_window_keys).
     # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
