@@ -246,3 +246,158 @@ def eval_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hll_estimate(hll_registers(terms, "term"))
+
+
+# ---------------------------------------------------------------------------
+# md5-CMS: a Count-Min sketch whose every cell is engine-reproducible (r12).
+#
+# The frequency-sketch sibling of the md5-HLL above: d=4 salted md5 hash
+# rows x w=2048 buckets.  Each token increments one bucket per row; a
+# term's estimate is the MIN over its d cells — never an under-estimate
+# (every cell holding the term counts all of its occurrences plus any
+# colliders), over-estimate bounded by collision mass ~ N/w per row.
+#
+# Scale shape: the sketch build is a single groupBy over (row, bucket) —
+# partial aggregation collapses each map task's token stream into at most
+# d*w = 8192 cells BEFORE the shuffle, so 1000 executors sketching 100 TB
+# ship KBs each, never term strings.  Cells merge across corpora/shards by
+# plain SUM (pytest-pinned), the property HLL gets from MAX.  The exact
+# top-k candidate list here is the sf-scale comparison twin; at 100 TB the
+# candidate set comes from a sample or an external vocabulary, and the
+# sketch answers point queries without ever shuffling distinct terms.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 2048  # buckets per row
+_CMS_TOPK = 20  # exact candidates to probe
+
+
+def _cms_bucket(term, row: int, w: int = _CMS_W):
+    """Salted md5 bucket for one CMS row — 'cms{row}:' prefix, identical
+    string in both engines."""
+    from .dedup import _md5_long
+
+    return F.pmod(_md5_long(F.concat(F.lit(f"cms{row}:"), term), 13), F.lit(w)).cast(
+        "int"
+    )
+
+
+def cms_table(terms: DataFrame, col: str = "term", d: int = _CMS_D, w: int = _CMS_W) -> DataFrame:
+    """(row, bucket, cnt) Count-Min table over ``terms[col]``. Mergeable
+    across frames by SUM(cnt) per (row, bucket)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_bucket(F.col(col), r, w).alias("bucket")
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        terms.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, candidates: DataFrame, d: int = _CMS_D, w: int = _CMS_W
+) -> DataFrame:
+    """Point-query ``candidates`` (term [, carried columns]) against a CMS
+    table: est = MIN over the d cells.  The candidate side is tiny by
+    construction, so its exploded (row, bucket) probes BROADCAST into the
+    KB-sized sketch join — no corpus-side work at all."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(F.col("term"), r, w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    carried = [c for c in candidates.columns if c != "term"]
+    lookups = candidates.select(
+        "term", *carried, F.explode(probes).alias("rb")
+    ).select("term", *carried, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        F.broadcast(lookups)
+        .join(cms, ["row", "bucket"])
+        .groupBy("term", *carried)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def _cms_sql_bucket(expr: str, row: int, w: int = _CMS_W) -> str:
+    from .dedup import _sql_md5_long
+
+    salted = f"'cms{row}:' || {expr}"
+    return f"{_sql_md5_long(salted, 13)} % {w}"
+
+
+def _cms_sql() -> str:
+    rows_probe = ",\n       ".join(
+        f"({r}, {_cms_sql_bucket('c.term', r)})" for r in range(_CMS_D)
+    )
+    row_cases = " ".join(
+        f"WHEN {r} THEN {_cms_sql_bucket('term', r)}" for r in range(_CMS_D)
+    )
+    return f"""
+WITH terms AS (
+  SELECT lower(t.term) AS term
+  FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents) t
+),
+rows AS (SELECT UNNEST(range(0, {_CMS_D})) AS row),
+hashed AS (
+  SELECT r.row, CASE r.row {row_cases} END AS bucket
+  FROM terms, rows r
+),
+cms AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY row, bucket
+),
+cand AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM terms GROUP BY term
+  ORDER BY exact_cnt DESC, term LIMIT {_CMS_TOPK}
+),
+lookups AS (
+  SELECT c.term, c.exact_cnt, p.row, p.bucket
+  FROM cand c, LATERAL (SELECT * FROM (VALUES {rows_probe}) AS v(row, bucket)) p
+)
+SELECT l.term, l.exact_cnt, MIN(cms.cnt) AS cms_estimate
+FROM lookups l JOIN cms USING (row, bucket)
+GROUP BY l.term, l.exact_cnt
+ORDER BY exact_cnt DESC, term
+"""
+
+
+_CMS_HH_SQL = _cms_sql()
+
+
+@query("eval_cms_heavy_hitters", oracle=_CMS_HH_SQL, defer=True)
+def eval_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms with their Count-Min estimates beside the exact
+    counts — the frequency-sketch twin of eval_hll_vocab, every cell
+    engine-reproducible (salted md5 buckets, integer counts), so the full
+    (term, exact, estimate) table hash-matches DuckDB.  The exact top-k
+    list is the comparison twin at sf scale; the sketch itself never
+    shuffles a term string (see the section note)."""
+    from .text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias(
+            "term"
+        )
+    )
+    cand = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(_CMS_TOPK)
+    )
+    return cms_estimate(cms_table(terms), cand).orderBy(
+        F.col("exact_cnt").desc(), "term"
+    )

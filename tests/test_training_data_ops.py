@@ -2253,3 +2253,46 @@ def test_drop_reasons_consistent_with_curation_report(spark):
     assert reasons.get("kept_train", 0) == rep.n_train
     assert reasons.get("kept_valid", 0) == rep.n_valid
     assert sum(reasons.values()) == rep.n_input
+
+
+def test_md5_cms_overestimate_and_mergeability(spark):
+    """md5-CMS (r12): on a skewed synthetic stream every point estimate
+    must be >= the exact count (the one-sided Count-Min guarantee), the
+    heavy hitter must estimate near-exactly (its cell dominates collision
+    mass), and cell tables over disjoint halves must merge by plain SUM —
+    the property that lets executors sketch shards independently."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    # 10K tokens: 'hot' 2000x, 200 cold terms 40x each
+    hot = spark.range(2000).select(F.lit("hot").alias("term"))
+    cold = spark.range(8000).select(
+        F.concat(F.lit("t:"), F.pmod(F.col("id"), F.lit(200))).alias("term")
+    )
+    terms = hot.unionByName(cold)
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    cms = approx.cms_table(terms)
+    est = {
+        r["term"]: (r["exact_cnt"], r["cms_estimate"])
+        for r in approx.cms_estimate(cms, exact).collect()
+    }
+    assert len(est) == 201
+    for term, (ex, e) in est.items():
+        assert e >= ex, (term, ex, e)  # never under-estimates
+    ex, e = est["hot"]
+    assert ex == 2000 and e - ex <= 40 * 4, est["hot"]  # bounded collision mass
+
+    a = terms.filter(F.md5("term").substr(1, 1) < "8")
+    b = terms.join(a.distinct(), "term", "left_anti")
+    merged = (
+        approx.cms_table(a)
+        .unionByName(approx.cms_table(b))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
