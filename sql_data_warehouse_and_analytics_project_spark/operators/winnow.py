@@ -1,0 +1,166 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+The local-fingerprinting guarantee the MinHash/SimHash family cannot give:
+select, per document, the RIGHTMOST minimal k-gram hash of every sliding
+window of ``w`` consecutive k-grams.  Any two documents sharing a verbatim
+token run of at least ``w + k - 1`` tokens are GUARANTEED to share a
+selected fingerprint (every length-w gram window inside the run selects
+the same gram in both docs), while expected fingerprint density is only
+2/(w+1) — the plagiarism/boilerplate detector of MOSS, token-level here.
+
+Scale shape: fingerprint selection is ONE narrow projection — tokens →
+gram hashes → window minima — entirely in array HOFs (no explode, no
+per-doc window exchange), so a 100 TB corpus fingerprints at scan speed
+with zero shuffle.  The only shuffles are the (fingerprint → docs) groupBy
+and the within-bucket pair join, which is bounded at O(cap²) per
+fingerprint by the same deterministic smallest-id cap as the LSH/semantic
+families (``row_number() <= cap`` → WindowGroupLimit map-side pre-trim).
+
+Cross-engine determinism: gram hash = md5-10-hex bigint (40 bits); the
+rightmost-min tie-break is encoded arithmetically — enc = h·2^20 +
+(2^20−1−pos) — so a window's MIN picks the smallest hash and, on ties,
+the largest position, replayed bit-for-bit by DuckDB list comprehensions.
+Docs longer than 2^20 grams would overflow the position field and are
+excluded in BOTH engines (at 100 TB, pre-chunk such docs first).
+
+ref: reference has no local-fingerprint operator; this extends the
+dedup family (scripts/tests/quality_checks_silver.sql exercises only
+exact-duplicate checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+_K = 4  # tokens per k-gram
+_W = 4  # grams per winnowing window
+_POS_BITS = 20  # position field width: docs must have < 2^20 grams
+_POS_MOD = 1 << _POS_BITS
+_HEX = 10  # md5 hex chars for the gram hash (40 bits; 40+20=60 < 63)
+_BUCKET_CAP = 64  # smallest-doc_id cap per fingerprint bucket
+_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the distinct winnowed fingerprint hashes of every
+    document with at least ``_K + _W - 1`` tokens — one narrow projection,
+    see the module note."""
+    from .dedup import _md5_long
+
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).filter(
+        (F.size("t") >= _K + _W - 1) & (F.size("t") < _POS_MOD + _K - 1)
+    )
+    n_grams = F.size("t") - (_K - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, _K)),
+    )
+    encs = F.transform(
+        grams,
+        lambda g, p: _md5_long(g, _HEX) * F.lit(_POS_MOD)
+        + (F.lit(_POS_MOD - 1) - p),
+    )
+    withe = base.select("doc_id", encs.alias("encs"))
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(_W - 1), F.size("encs") - 1),
+            lambda p: F.array_min(F.slice(F.col("encs"), p - (_W - 2), _W)),
+        )
+    )
+    # shiftright, not division: e reaches 2^60 and would lose bits in a
+    # double round-trip
+    hs = F.array_distinct(F.transform(sels, lambda e: F.shiftright(e, _POS_BITS)))
+    return withe.select("doc_id", F.explode(hs).alias("h"))
+
+
+def winnow_pairs(
+    docs: DataFrame, min_shared: int = _MIN_SHARED, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >= ``min_shared``
+    winnowed fingerprints, candidate membership per fingerprint bounded
+    at the ``cap`` smallest doc_ids (deterministic, oracle-replayable —
+    the LSH family's bucket discipline)."""
+    from pyspark.sql import Window
+
+    fp = winnow_fingerprints(docs)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _winnow_sql() -> str:
+    from .dedup import _sql_md5_long
+
+    gram = f"array_to_string(t[j:j+{_K - 1}], ' ')"
+    h = _sql_md5_long(gram, _HEX)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, t FROM toks
+  WHERE len(t) >= {_K + _W - 1} AND len(t) < {_POS_MOD + _K - 1}
+),
+encoded AS (
+  SELECT doc_id,
+         [{h} * {_POS_MOD} + ({_POS_MOD - 1} - (j - 1))
+          FOR j IN range(1, len(t) - {_K - 2})] AS encs
+  FROM eligible
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct([e >> {_POS_BITS} FOR e IN
+           list_distinct([list_min(encs[p-{_W - 1}:p])
+                          FOR p IN range({_W}, len(encs) + 1)])]) AS hs
+  FROM encoded
+),
+fp AS (SELECT doc_id, UNNEST(hs) AS h FROM fps),
+capped AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn <= {_BUCKET_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+_WINNOW_SQL = _winnow_sql()
+
+
+@query("dedup_winnow_pairs", oracle=_WINNOW_SQL, defer=True)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs: documents sharing >= 2 selected
+    k-gram fingerprints — the LOCAL-match guarantee (any verbatim
+    w+k−1-token run is caught) that the global MinHash/SimHash sketches
+    cannot give, at 2/(w+1) fingerprint density."""
+    return winnow_pairs(_docs(spark, sf_dir))

@@ -85,6 +85,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         temporal,
         text,
         waterfill,
+        winnow,
     )
     from .streaming import batch_views  # noqa: F401
     from .warehouse import incremental  # noqa: F401

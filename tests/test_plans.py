@@ -739,3 +739,34 @@ def test_waterfill_and_quant_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_winnow_plan_shapes(spark):
+    """Winnowing (r12) keeps its promised plans: fingerprint selection is
+    ONE narrow projection (zero Exchange — the 100 TB scan-speed claim),
+    and the sketch-family plans (CMS build/probe) shuffle only sketch
+    cells — the pair query's bucket cap keeps its WindowGroupLimit
+    map-side pre-trim."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    fp = winnow.winnow_fingerprints(docs)
+    fp.count()
+    plan = audit.executed_plan(fp)
+    assert "Exchange" not in plan, plan
+
+    qs = all_queries()
+    df = qs["dedup_winnow_pairs"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    df = qs["eval_cms_heavy_hitters"].fn(spark, SF_DIR)
+    df.count()
+    plan = audit.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan  # probe side broadcasts
+    assert "SortMergeJoin" not in plan, plan

@@ -2296,3 +2296,44 @@ def test_md5_cms_overestimate_and_mergeability(spark):
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_winnow_local_match_guarantee_and_density(spark):
+    """Winnowing (r12): two docs sharing a verbatim run of w+k-1 = 7 tokens
+    inside entirely different surroundings MUST share a selected
+    fingerprint (the SIGMOD'03 local guarantee — MinHash gives no such
+    promise for short spans), unrelated docs share none, and the selected
+    count per doc lies in [ceil(windows/w), windows]."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"red orange yellow green {run} blue indigo violet cyan"),
+            (3, "totally unrelated words about completely different things here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = winnow.winnow_fingerprints(docs)
+    by_doc = {
+        r["doc_id"]: set(r["hs"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "planted 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    # density bounds on a long synthetic doc: every window selects, one
+    # selection covers at most w windows
+    import math
+
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"tok{i * 7919 % 1000}x{i}" for i in range(200)))],
+        "doc_id bigint, text string",
+    )
+    n_sel = winnow.winnow_fingerprints(long_doc).count()
+    n_grams = 200 - (winnow._K - 1)
+    n_windows = n_grams - winnow._W + 1
+    assert math.ceil(n_windows / winnow._W) <= n_sel <= n_windows, n_sel
