@@ -1293,3 +1293,130 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the labeled lang column — the classifier-eval surface of the curation
     pipeline."""
     return lang_confusion(text_lang_id(spark, sf_dir))
+
+
+# --- Bloom-prefiltered decontamination (r12) --------------------------------
+#
+# text_decontaminate broadcasts the eval set's 4-gram STRINGS — fine while
+# the eval suite is MBs, but a 100-benchmark suite of long contexts can
+# reach GBs of distinct grams, past broadcast range. The Bloom pre-filter
+# bounds the broadcast at the FILTER size regardless of eval-set size:
+# k=3 salted md5 hashes into an m=65536-position space (a production build
+# ships m/8 bytes = 8 KB as a bitmask; here the distinct-position table —
+# at most min(3·|eval grams|, 65536) ints — keeps the membership check a
+# pure broadcast join, zero-UDF in both engines). Corpus grams that pass
+# all 3 probes are CANDIDATES (one-sided: a true contaminated gram always
+# passes); only candidates flow into the exact verify join, so the
+# expensive exact match runs over the tiny pre-filtered stream and the
+# false-positive margin is visible in the output (n_bloom_candidates vs
+# n_contaminated_ngrams). Every hash is engine-reproducible, so the whole
+# two-phase cascade carries a hard DuckDB oracle.
+
+_BLOOM_K = 3  # hash probes per gram
+_BLOOM_M = 65536  # bit-position space (8 KB as a bitmask)
+
+
+def _bloom_pos(g: Column, r: int) -> Column:
+    from .dedup import _md5_long
+
+    return F.pmod(
+        _md5_long(F.concat(F.lit(f"bloom{r}:"), g), 13), F.lit(_BLOOM_M)
+    ).cast("int")
+
+
+def _sql_bloom_pos(expr: str, r: int) -> str:
+    # dedup._sql_md5_long inlined: this string is built at module import
+    # time and dedup imports text, so importing back would be circular
+    return (
+        f"CAST(('0x' || substr(md5('bloom{r}:' || {expr}), 1, 13))::BIGINT"
+        f" % {_BLOOM_M} AS INT)"
+    )
+
+
+_BLOOM_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_SLICE_MOD} = 0),
+positions AS (
+  SELECT DISTINCT pos
+  FROM bench, UNNEST([{", ".join(_sql_bloom_pos("g", r) for r in range(_BLOOM_K))}]) AS u(pos)
+),
+probe AS (
+  SELECT doc_id, g,
+         list_distinct([{", ".join(_sql_bloom_pos("g", r) for r in range(_BLOOM_K))}]) AS parr
+  FROM grams WHERE doc_id % {EVAL_SLICE_MOD} <> 0
+),
+cand AS (SELECT doc_id, g, len(parr) AS np, UNNEST(parr) AS pos FROM probe),
+hits AS (
+  SELECT doc_id, g, np, COUNT(*) AS nh
+  FROM cand JOIN positions USING (pos)
+  GROUP BY doc_id, g, np
+),
+passed AS (SELECT doc_id, g FROM hits WHERE nh = np)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_ngrams
+FROM passed p LEFT JOIN bench b ON p.g = b.g
+GROUP BY p.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("text_decontaminate_bloom", oracle=_BLOOM_DECONTAM_SQL, defer=True)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Bloom-cascade decontamination: per training doc, the
+    4-grams passing all 3 Bloom probes of the eval slice's filter
+    (candidates — never misses a true hit) and how many verify exactly.
+    The broadcast is bounded at the FILTER size however large the eval
+    suite grows — see the section note."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    grams4 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("t")) - 4),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 4)),
+        )
+    )
+    base = (
+        docs.filter(F.size(toks) >= 4)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(grams4).alias("g"))
+    )
+    bench = base.filter(is_eval_doc(F.col("doc_id"))).select("g").distinct()
+    positions = bench.select(
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bloom_pos(F.col("g"), r) for r in range(_BLOOM_K)])
+            )
+        ).alias("pos")
+    ).distinct()
+    parr = F.array_distinct(
+        F.array(*[_bloom_pos(F.col("g"), r) for r in range(_BLOOM_K)])
+    )
+    cand = (
+        base.filter(~is_eval_doc(F.col("doc_id")))
+        .select("doc_id", "g", F.size(parr).alias("np"), F.explode(parr).alias("pos"))
+        .join(F.broadcast(positions), "pos")
+        .groupBy("doc_id", "g", "np")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == F.col("np"))
+        .select("doc_id", "g")
+    )
+    return (
+        cand.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bloom_candidates"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated_ngrams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2337,3 +2337,31 @@ def test_winnow_local_match_guarantee_and_density(spark):
     n_grams = 200 - (winnow._K - 1)
     n_windows = n_grams - winnow._W + 1
     assert math.ceil(n_windows / winnow._W) <= n_sel <= n_windows, n_sel
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom cascade (r12): candidates are one-sided — every doc the exact
+    decontaminator flags must appear with n_contaminated equal to its
+    exact hit count (no false negatives, the Bloom guarantee), and
+    candidates >= contaminated everywhere."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in qs["text_decontaminate"].fn(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_bloom_candidates"], r["n_contaminated_ngrams"])
+        for r in qs["text_decontaminate_bloom"].fn(spark, SF_DIR).collect()
+    }
+    for doc_id, n_exact in exact.items():
+        assert doc_id in bloom, doc_id
+        n_cand, n_cont = bloom[doc_id]
+        assert n_cont == n_exact, (doc_id, n_cont, n_exact)
+        assert n_cand >= n_cont
+    # every bloom row's verified count agrees with the exact result
+    for doc_id, (n_cand, n_cont) in bloom.items():
+        assert n_cont == exact.get(doc_id, 0), (doc_id, n_cont)
