@@ -759,3 +759,104 @@ def bm25_search_indexed(
         }
     )
     return _score_postings(matched, k=k, k1=k1, b=b)
+
+
+# --- TF-IDF keyword extraction (r12) -----------------------------------------
+#
+# Per-document keywords by smoothed tf-idf (sklearn's idf: ln((N+1)/(df+1))
+# + 1 — never negative, never divides by zero). Scale shape: per-doc term
+# frequencies come from ONE narrow array-HOF projection (distinct tokens
+# counted in-array, so the exploded (doc, term, tf) rows are already
+# unique — no corpus-wide groupBy(doc, term) shuffle); document frequency
+# is one partial-agg groupBy(term); the join back is 1:1 per term row; the
+# top-k cut ranks on the ROUNDED score (6 dp) so cross-engine last-ulp ln
+# differences can never flip a rank, and row_number <= k triggers the
+# WindowGroupLimit map-side pre-trim.
+
+_TFIDF_K = 5  # keywords per document
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(CAST(t.tf AS DOUBLE)
+               * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                     / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {_TFIDF_K}
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+def tfidf_keywords(docs: DataFrame, k: int = _TFIDF_K) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf): the ``k`` highest-tf-idf terms per
+    document — see the section note for the shuffle budget."""
+    from pyspark.sql import Window
+
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    per_term = F.transform(
+        F.array_distinct(F.col("t")),
+        lambda w: F.struct(
+            w.alias("term"),
+            F.size(F.filter(F.col("t"), lambda x: x == w))
+            .cast("bigint")
+            .alias("tf"),
+        ),
+    )
+    tf = (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(per_term).alias("p"))
+        .select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+@query("retrieval_tfidf_keywords", oracle=_TFIDF_SQL, defer=True)
+def retrieval_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document (smoothed sklearn idf) — the
+    unsupervised keyword/topic-tag stage of a data card or retrieval
+    pipeline, ranked on the rounded score so the cut is engine-exact."""
+    return tfidf_keywords(_docs(spark, sf_dir))

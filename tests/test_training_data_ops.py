@@ -2365,3 +2365,32 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     # every bloom row's verified count agrees with the exact result
     for doc_id, (n_cand, n_cont) in bloom.items():
         assert n_cont == exact.get(doc_id, 0), (doc_id, n_cont)
+
+
+def test_tfidf_keywords_topk_semantics(spark):
+    """tf-idf keywords (r12): at most k rows per doc, scores non-increasing
+    within a doc (term-asc on ties), and a corpus-unique term must outrank
+    an everywhere-common one at equal tf."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 filler1 filler2"),
+            (2, "common rare2 fillerx fillery"),
+            (3, "common other words entirely differ"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = retrieval.tfidf_keywords(docs, k=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert len(rs) <= 4
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True), (doc_id, scores)
+    d1 = {r["term"]: r["tfidf"] for r in by_doc[1]}
+    # equal tf=1: rare1 (df=1) must outrank common (df=3) on the idf gap
+    assert d1["rare1"] > d1["common"], d1
