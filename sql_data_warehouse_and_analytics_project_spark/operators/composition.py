@@ -278,3 +278,75 @@ def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced evaluation draw: 20 deterministic docs per
     language, independent of how skewed the corpus mix is."""
     return stratified_sample(_docs(spark, sf_dir))
+
+
+# --- weighted priority sampling (Efraimidis–Spirakis, r12) -------------------
+#
+# Weight-proportional sampling WITHOUT replacement as a pure top-k: each
+# item draws an exponential clock -ln(u)/w from its own md5 uniform and
+# the k smallest clocks are the sample (A-ExpJ of Efraimidis & Spirakis
+# 2006, batch form). Inclusion probability is exactly weight-proportional
+# for k=1 and near-proportional for k << n — the sampler behind weighted
+# corpus mixing when quotas must be drawn, not computed.
+#
+# Scale shape: one narrow projection (hash + ln) and ONE TakeOrderedAndProject
+# top-k — each map task keeps its local k smallest clocks, the driver merges
+# #partitions·k rows; no global sort, no shuffle of the corpus. The md5
+# uniform is salted so independent draws replay deterministically; the
+# clock is ROUNDED to 9 dp before ranking so a cross-engine last-ulp ln
+# difference cannot flip the cut (ties break on doc_id).
+
+_WSAMPLE_K = 50
+_U_DENOM = float((1 << 52) + 1)  # u = (h+1)/(2^52+1) in (0, 1]
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int = _WSAMPLE_K,
+    weight: Column | None = None,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """(doc_id, n_chars, priority): the ``k`` documents with the smallest
+    salted exponential clocks -ln(u)/weight — a deterministic
+    weight-proportional draw. ``weight`` defaults to character count."""
+    from .dedup import _md5_long
+
+    w = (weight if weight is not None else F.length("text")).cast("bigint")
+    h = _md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")), 13
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
+    keyed = docs.filter(w > 0).select(
+        "doc_id",
+        w.alias("n_chars"),
+        F.round(-F.log(u) / w.cast("double"), 9).alias("priority"),
+    )
+    return keyed.orderBy("priority", "doc_id").limit(k)
+
+
+def _wsample_sql(k: int = _WSAMPLE_K, salt: str = "wsamp") -> str:
+    h = f"('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents WHERE length(text) > 0
+),
+keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(-ln(({h} + 1.0) / {_U_DENOM!r}) / CAST(n_chars AS DOUBLE), 9)
+           AS priority
+  FROM w
+)
+SELECT doc_id, n_chars, priority
+FROM keyed
+ORDER BY priority, doc_id
+LIMIT {k}
+"""
+
+
+@query("sample_weighted_chars", oracle=_wsample_sql(), defer=True)
+def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-weighted document draw (k=50) via Efraimidis–Spirakis
+    exponential clocks — long documents proportionally likelier, the
+    whole draw a deterministic top-k with no corpus shuffle."""
+    return weighted_priority_sample(_docs(spark, sf_dir))

@@ -149,3 +149,116 @@ def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the re-weighting/drift detector the set-overlap
     fingerprints cannot see."""
     return jsd_source_pairs(tpch.load(spark, sf_dir, "documents"))
+
+
+# --- Zipf rank-frequency fit (r12) -------------------------------------------
+#
+# The data-card distribution check: OLS fit of ln(freq) ~ ln(rank) over the
+# top-R corpus terms. A natural-language corpus tracks slope ~ -1 (Zipf's
+# law); templated/synthetic/boilerplate-heavy corpora bend the tail and the
+# fit degrades — slope and r² together are a one-row drift alarm for a
+# corpus refresh.
+#
+# Scale shape: one partial-agg term count, ONE TakeOrderedAndProject top-R
+# cut (map-side k-smallest, no global sort), and a 256-row closed-form fit.
+# Cross-engine exactness: ranks and counts are exact integers; every
+# ln-contribution is summed by the module's rank-ordered fold (identical
+# fold order in both engines — the JSD discipline), and the closed form
+# runs on those five scalar sums, rounded to 6 dp.
+
+_ZIPF_R = 256  # top terms to fit
+
+
+def zipf_fit(docs: DataFrame, top_r: int = _ZIPF_R) -> DataFrame:
+    """One row (n_terms, slope, intercept, r2): OLS of ln(cnt) on ln(rank)
+    over the ``top_r`` most frequent lowered tokens (rank ties broken by
+    term asc, so the ranking is engine-exact)."""
+    terms = docs.select(
+        F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias(
+            "term"
+        )
+    )
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(top_r)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("double").alias("r"), F.col("cnt").cast("double").alias("c")
+    )
+    contrib = F.struct(
+        F.col("r").alias("rank"),
+        F.log("r").alias("x"),
+        F.log("c").alias("y"),
+        (F.log("r") * F.log("c")).alias("xy"),
+        (F.log("r") * F.log("r")).alias("xx"),
+        (F.log("c") * F.log("c")).alias("yy"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.transform(F.sort_array(F.collect_list(contrib)), lambda s: s[field]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+        fold("yy").alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH terms AS (
+  SELECT lower(t.term) AS term
+  FROM (SELECT UNNEST({SQL_TOKENS}) AS term FROM documents) t
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM terms GROUP BY term),
+top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT {_ZIPF_R}),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE) AS r,
+         CAST(cnt AS DOUBLE) AS c
+  FROM top
+),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         list_reduce(list(ln(r) ORDER BY r), (a, b) -> a + b) AS sx,
+         list_reduce(list(ln(c) ORDER BY r), (a, b) -> a + b) AS sy,
+         list_reduce(list(ln(r) * ln(c) ORDER BY r), (a, b) -> a + b) AS sxy,
+         list_reduce(list(ln(r) * ln(r) ORDER BY r), (a, b) -> a + b) AS sxx,
+         list_reduce(list(ln(c) * ln(c) ORDER BY r), (a, b) -> a + b) AS syy
+  FROM ranked
+)
+SELECT n_terms,
+       ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+             / n_terms, 6) AS intercept,
+       ROUND((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+             / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6) AS r2
+FROM folded
+"""
+
+
+@query("corpus_zipf_slope", oracle=_ZIPF_SQL, defer=True)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-256 corpus terms: slope,
+    intercept, r² of ln(freq) ~ ln(rank) — the one-row naturalness /
+    drift alarm of the data-card family."""
+    return zipf_fit(tpch.load(spark, sf_dir, "documents"))

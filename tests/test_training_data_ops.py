@@ -2394,3 +2394,56 @@ def test_tfidf_keywords_topk_semantics(spark):
     d1 = {r["term"]: r["tfidf"] for r in by_doc[1]}
     # equal tf=1: rare1 (df=1) must outrank common (df=3) on the idf gap
     assert d1["rare1"] > d1["common"], d1
+
+
+def test_weighted_priority_sample_proportionality(spark):
+    """E-S weighted sampling (r12): for k=1 over two items the inclusion
+    probability is exactly w_i/sum(w) — with weights 1:9, the heavy item
+    must win the large majority of 200 independent salted draws (binomial
+    p=0.9: P[X < 150] < 1e-8), and the k-item draw is TakeOrdered, not a
+    global sort."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import composition
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 9), (2, "y")], "doc_id bigint, text string"
+    )
+    frames = [
+        composition.weighted_priority_sample(docs, k=1, salt=f"s{i}").select(
+            F.lit(i).alias("draw"), "doc_id"
+        )
+        for i in range(200)
+    ]
+    import functools
+
+    alldraws = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    alldraws = {r["draw"]: r["doc_id"] for r in alldraws.collect()}
+    heavy = sum(1 for d in alldraws.values() if d == 1)
+    assert len(alldraws) == 200
+    assert heavy >= 150, heavy
+
+    plan = composition.weighted_priority_sample(docs, k=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """Zipf fit (r12): a corpus planted with freq(rank) = round(2000 ·
+    rank^-1) must fit slope ~ -1 with near-perfect r²; a uniform corpus
+    (every term equally frequent) must fit slope ~ 0."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import drift
+
+    zipf_text = " ".join(
+        " ".join(f"zterm{r}" for _ in range(round(2000 / r))) for r in range(1, 65)
+    )
+    docs = spark.createDataFrame([(1, zipf_text)], "doc_id bigint, text string")
+    row = drift.zipf_fit(docs, top_r=64).first()
+    assert row["n_terms"] == 64
+    assert -1.05 <= row["slope"] <= -0.95, row
+    assert row["r2"] >= 0.99, row
+
+    uni_text = " ".join(f"u{r}" for r in range(64)) * 10
+    uni = spark.createDataFrame([(1, uni_text)], "doc_id bigint, text string")
+    urow = drift.zipf_fit(uni, top_r=32).first()
+    assert abs(urow["slope"]) < 1e-9, urow
