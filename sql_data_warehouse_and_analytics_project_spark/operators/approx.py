@@ -401,3 +401,122 @@ def eval_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms_table(terms), cand).orderBy(
         F.col("exact_cnt").desc(), "term"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile sketch (r12): the quantile leg of the sketch trio.
+#
+# HLL answers distincts, CMS answers frequencies; this answers quantiles
+# with the same contract — every cell engine-reproducible, mergeable by
+# plain SUM, shuffle bounded by sketch size. Values fold into fixed-width
+# bins (W chars wide, top bin open); a quantile is read back by walking
+# the cumulative counts and linearly interpolating inside the covering
+# bin. Rank error is bounded by one bin's mass — the t-digest's adaptive
+# bins do better per byte, but their internals are engine-private (which
+# is why olap_approx_summary registers rows-only); these 256 integers
+# replay bit-for-bit in DuckDB.
+#
+# Scale shape: the build is one groupBy(bin) whose partial agg collapses
+# each map task to <=256 cells before the shuffle; merging shards is
+# SUM per bin; the read-back runs on a 256-row frame.
+# ---------------------------------------------------------------------------
+
+_HQ_W = 64  # bin width (chars)
+_HQ_BINS = 256  # bins; values >= W*(BINS-1) share the top bin
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def hist_bins(values: DataFrame, col: str, w: int = _HQ_W, bins: int = _HQ_BINS) -> DataFrame:
+    """(bin, cnt) fixed-width histogram of ``values[col]`` (NULLs ignored,
+    negatives clamped to bin 0). Mergeable across frames by SUM(cnt)."""
+    v = F.col(col).cast("bigint")
+    b = F.least(
+        F.greatest(F.floor(v / F.lit(w)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        values.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    binned: DataFrame, qs: tuple[float, ...] = _HQ_QS, w: int = _HQ_W
+) -> DataFrame:
+    """(q, estimate) linear-interpolated quantiles from a bin table: find
+    the bin covering rank q·N and interpolate inside it. All inputs are
+    exact integers, so the closed form is engine-identical."""
+    from pyspark.sql import Window
+
+    cum = (
+        binned.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .crossJoin(F.broadcast(binned.agg(F.sum("cnt").cast("bigint").alias("n"))))
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.col("q") * F.col("n").cast("double")
+    covering = (
+        cum.join(F.broadcast(qdf))
+        .filter(
+            (F.col("cum_before").cast("double") < target)
+            & (target <= F.col("cum").cast("double"))
+        )
+    )
+    est = F.col("bin").cast("double") * w + (
+        (target - F.col("cum_before").cast("double"))
+        / F.col("cnt").cast("double")
+    ) * w
+    return covering.select("q", F.round(est, 6).alias("estimate")).orderBy("q")
+
+
+def _hist_quantile_sql(
+    value_expr: str, from_clause: str, qs: tuple[float, ...] = _HQ_QS
+) -> str:
+    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+WITH vals AS (SELECT {value_expr} AS v {from_clause}),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(CAST(v AS BIGINT) / {_HQ_W}) AS INT), 0),
+               {_HQ_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals WHERE v IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM binned
+),
+qs AS (SELECT * FROM (VALUES {q_values}) AS t(q))
+SELECT q,
+       ROUND(CAST(bin AS DOUBLE) * {_HQ_W}
+             + ((q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+                / CAST(cnt AS DOUBLE)) * {_HQ_W}, 6) AS estimate
+FROM cum, qs
+WHERE CAST(cum_before AS DOUBLE) < q * CAST(n AS DOUBLE)
+  AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+ORDER BY q
+"""
+
+
+_HQ_DOCLEN_SQL = _hist_quantile_sql("length(text)", "FROM documents")
+
+
+@query("eval_hist_quantiles", oracle=_HQ_DOCLEN_SQL, defer=True)
+def eval_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document character length via the engine-reproducible
+    fixed-bin quantile sketch — the quantile leg of the sketch trio
+    (HLL distincts, CMS frequencies), every cell hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.length("text").alias("v"))
+    return hist_quantiles(hist_bins(vals, "v"))

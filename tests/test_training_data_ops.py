@@ -2447,3 +2447,37 @@ def test_zipf_fit_recovers_planted_slope(spark):
     uni = spark.createDataFrame([(1, uni_text)], "doc_id bigint, text string")
     urow = drift.zipf_fit(uni, top_r=32).first()
     assert abs(urow["slope"]) < 1e-9, urow
+
+
+def test_hist_quantiles_error_bound_and_mergeability(spark):
+    """Fixed-bin quantile sketch (r12): on 10K uniform values each estimate
+    must sit within one bin width of the exact quantile, and bin tables
+    over disjoint halves must merge by plain SUM into the one-pass
+    table — the shard-independence property of the sketch trio."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    n = 10_000
+    vals = spark.range(n).select(
+        F.pmod(F.col("id") * 7919, F.lit(n)).cast("bigint").alias("v")
+    )  # a permutation of 0..n-1: exact quantile q is ~q*n
+    est = {
+        r["q"]: r["estimate"]
+        for r in approx.hist_quantiles(approx.hist_bins(vals, "v")).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        exact = q * (n - 1)
+        assert abs(est[q] - exact) <= approx._HQ_W, (q, est[q], exact)
+
+    a = vals.filter(F.col("v") % 2 == 0)
+    b = vals.filter(F.col("v") % 2 == 1)
+    merged = (
+        approx.hist_bins(a, "v")
+        .unionByName(approx.hist_bins(b, "v"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = {r["bin"]: r["cnt"] for r in approx.hist_bins(vals, "v").collect()}
+    got = {r["bin"]: r["cnt"] for r in merged.collect()}
+    assert got == whole
