@@ -581,3 +581,71 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events whose value is ≥ 2.5 σ from the user's own mean — per-entity
     anomaly flagging with engine-exact scores."""
     return zscore_outliers(_t(spark, sf_dir, "events"), "user_id", "value")
+
+
+# --- weekly cohort retention (r12) -------------------------------------------
+#
+# The classic product-analytics matrix: users grouped by first-activity
+# week (cohort), each cohort's distinct actives counted at every week
+# offset, normalized by cohort size. Scale shape: ONE distinct over
+# (user, week) — partial-agg prunes duplicate events map-side — then a
+# groupBy(user) for the cohort anchor, a 1:1 join back on user, and a
+# small (cohorts x offsets) aggregate; both engines truncate weeks to ISO
+# Monday so the offsets are exact multiples of 7 days.
+
+_COHORT_SQL = """
+WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+firstwk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+ret AS (
+  SELECT CAST(f.cohort_wk AS DATE) AS cohort_week,
+         CAST(date_diff('day', CAST(f.cohort_wk AS DATE), CAST(e.wk AS DATE)) // 7
+              AS BIGINT) AS week_offset,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+  FROM ev e JOIN firstwk f USING (user_id)
+  GROUP BY 1, 2
+),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM ret WHERE week_offset = 0)
+SELECT r.cohort_week, r.week_offset, r.n_users,
+       ROUND(CAST(r.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM ret r JOIN base b USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_SQL, defer=True)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: per first-activity-week cohort, the share
+    of its users active at each later week offset — see the section note
+    for the shuffle budget."""
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firstwk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    ret = (
+        ev.join(firstwk, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("wk").cast("date"), F.col("cohort_wk").cast("date")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    base = ret.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        ret.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2481,3 +2481,49 @@ def test_hist_quantiles_error_bound_and_mergeability(spark):
     whole = {r["bin"]: r["cnt"] for r in approx.hist_bins(vals, "v").collect()}
     got = {r["bin"]: r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_cohort_retention_planted_matrix(spark, tmp_path):
+    """Cohort retention (r12): a planted log with two cohorts and known
+    return weeks must produce exactly the expected retention matrix."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        analytics_extras,
+    )
+
+    monday = dt.datetime(2025, 1, 6)  # a Monday
+
+    def at(week, day=0):
+        return monday + dt.timedelta(weeks=week, days=day)
+
+    rows = [
+        # cohort A (week 0): u1 active w0,w1,w2; u2 active w0,w2
+        (1, at(0)), (1, at(1, 2)), (1, at(2)),
+        (2, at(0, 3)), (2, at(2, 1)),
+        # cohort B (week 1): u3 active w1 only
+        (3, at(1, 4)),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    # route through the registered query body by writing a parquet sf_dir
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    events.write.parquet(f"{sf}/events.parquet")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_users"], r["retention"])
+        for r in analytics_extras.events_cohort_retention(spark, sf).collect()
+    }
+    a, b = "2025-01-06", "2025-01-13"
+    assert got == {
+        (a, 0): (2, 1.0),
+        (a, 1): (1, 0.5),
+        (a, 2): (2, 1.0),
+        (b, 0): (1, 1.0),
+    }, got
