@@ -262,3 +262,112 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept, r² of ln(freq) ~ ln(rank) — the one-row naturalness /
     drift alarm of the data-card family."""
     return zipf_fit(tpch.load(spark, sf_dir, "documents"))
+
+
+# --- embedding-space centroid similarity (r12) -------------------------------
+#
+# Drift in EMBEDDING space, the companion to the unigram JSD above: the
+# cosine between every label-cluster pair's centroid. Cosine is invariant
+# to the 1/n scaling, so centroids never need a float division — each
+# cluster's SUM vector is enough, and with the engine's 1e7 fixed-point
+# quantize (similarity.quantize) every sum is an exact bigint (order-free,
+# no fold discipline needed). Dot products and norms run in DECIMAL(18,0)
+# -> DECIMAL(38,0) exact arithmetic; the only doubles are the final
+# sqrt/divide on exact inputs (IEEE-deterministic), rounded to 6 dp.
+#
+# Scale shape: one posexplode + partial-agg groupBy(label, pos) — the sum
+# table is (#labels x dims) rows (KB) however large the corpus — then a
+# dims-sized self-join on that tiny table. Mergeable across shards by
+# plain SUM per (label, pos).
+
+_CENTROID_SQL = """
+WITH quant AS (
+  SELECT label,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS qv FROM quant
+),
+sums AS (
+  SELECT label, pos, CAST(SUM(qv) AS DECIMAL(18,0)) AS s
+  FROM ex GROUP BY label, pos
+),
+counts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+norms AS (
+  SELECT label, SUM(s * s) AS norm2 FROM sums GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))),
+             6) AS cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+JOIN counts ca ON ca.label = d.label_a
+JOIN counts cb ON cb.label = d.label_b
+ORDER BY label_a, label_b
+"""
+
+
+def centroid_cosine(emb: DataFrame) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cosine): pairwise cosine between every
+    label cluster's centroid — exact fixed-point sums, see the section
+    note."""
+    from .similarity import quantize
+
+    ex = emb.select(
+        "label", F.posexplode(quantize(F.col("embedding"))).alias("pos", "qv")
+    )
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum("qv").cast("decimal(18,0)").alias("s")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("norm2")
+    )
+    a = sums.alias("a")
+    b = sums.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("norm2").alias("norm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("norm2").alias("norm_b"))
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("norm_a").cast("double"))
+                    * F.sqrt(F.col("norm_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query("corpus_centroid_cosine", oracle=_CENTROID_SQL, defer=True)
+def corpus_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise centroid cosine between every embedding label cluster —
+    the embedding-space drift/contrast check beside the unigram JSD,
+    exact to the last bit until the final sqrt."""
+    return centroid_cosine(tpch.load(spark, sf_dir, "embeddings"))

