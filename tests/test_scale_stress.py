@@ -486,3 +486,37 @@ def test_ivfsq_survives_planted_scale(spark, tmp_path):
     ]
     recall = len(set(got) & {r["vec_id"] for r in exact}) / len(exact)
     assert recall >= 0.6, (recall, got)
+
+
+@pytest.mark.slow
+def test_winnow_survives_planted_scale(spark):
+    """Winnowing (r12) at the planted 10x corpus: the hot segment shares a
+    50-token boilerplate — every one of its ~7,500 docs selects the SAME
+    fingerprints, so without the bucket cap the pair join would be
+    O(7500²) in one bucket. Asserts (a) sub-quadratic wall-clock between
+    half- and full-size runs (the cap bounds every bucket at O(cap²)),
+    and (b) the planted unique-segment pair (39 shared tokens >> w+k-1)
+    is caught at full size — the local guarantee under load."""
+    import time as _t
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+
+    def timed(docs):
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        n = winnow.winnow_pairs(docs).count()
+        return _t.perf_counter() - t0, n
+
+    n_full = 50_000
+    timed(_corpus(spark, 2_000))  # codegen warm-up
+    t_half, _ = timed(_corpus(spark, n_full // 2))
+    t_full, _ = timed(_corpus(spark, n_full))
+    assert t_full <= 3.5 * t_half + 15.0, (t_half, t_full)
+
+    planted = spark.createDataFrame([_PLANTED], "doc_a bigint, doc_b bigint")
+    found = (
+        winnow.winnow_pairs(_corpus(spark, n_full))
+        .join(planted, ["doc_a", "doc_b"], "left_semi")
+        .count()
+    )
+    assert found == 1
