@@ -818,3 +818,70 @@ def sink_stream_inverted_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- streaming corpus sketch
+
+
+def sink_stream_corpus_sketch(docs_stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming corpus-statistics sink: maintain the md5-HLL vocabulary
+    register table (``operators.approx.hll_registers``) across
+    micro-batches — live distinct-vocabulary tracking over a document
+    firehose at 4096-row state size.
+
+    Replay safety needs NO sidecar here, unlike every other ingest sink in
+    this module: the register merge is MAX per bucket, which is
+    idempotent AND commutative, so at-least-once foreachBatch redelivery
+    is safe BY ALGEBRA — re-merging any batch (or any prefix of the
+    stream) is a no-op on the state. That is the operational payoff of
+    sketch-class state: exactly-once bookkeeping becomes unnecessary the
+    moment the merge is an idempotent monoid.
+
+    State commits ride the crash-safe pointer protocol
+    (``warehouse.commit.publish``): a crash mid-commit leaves readers on
+    the previous register table; the orphaned version dir is swept by the
+    next publish. Per-batch cost is O(batch tokens) map work + a KB-sized
+    merge — never a rescan of history."""
+    from ..operators.approx import hll_registers
+    from ..operators.text import tokens_col
+    from ..warehouse import commit as _commit
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        terms = batch.select(
+            F.explode(
+                F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+            ).alias("term")
+        )
+        regs = hll_registers(terms, "term")
+        if _commit.current_version(state_path) is not None:
+            prior = spark.read.parquet(_commit.resolve(state_path))
+            regs = (
+                regs.unionByName(prior)
+                .groupBy("bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        # cut lineage before publish: the merged frame reads the very
+        # path the commit is about to supersede
+        regs = regs.localCheckpoint(eager=True)
+        _commit.publish(
+            state_path,
+            lambda vdir: regs.coalesce(1).write.mode("overwrite").parquet(vdir),
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sketch_estimate(spark: SparkSession, state_path: str) -> DataFrame:
+    """(m_registers, zero_registers, estimate) from the committed register
+    state — queryable between batches, identical to the one-shot batch
+    sketch over everything ingested so far (pytest-pinned exact)."""
+    from ..operators.approx import hll_estimate
+    from ..warehouse import commit as _commit
+
+    return hll_estimate(spark.read.parquet(_commit.resolve(state_path)))

@@ -766,3 +766,54 @@ def test_stream_neardedup_retry_heals_partial_component_append(
         map(repr, dedup.query_minhash_index(spark, twin, probe).collect())
     )
     assert hits_c == hits_t, crash_state
+
+
+def test_stream_corpus_sketch_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming md5-HLL sink (r12): after draining three batches the
+    committed register state must equal the ONE-SHOT batch sketch over
+    the union EXACTLY (MAX-merge loses nothing), and a full redelivery
+    replay (fresh checkpoint, same input) must leave the state
+    unchanged — the no-sidecar idempotency claim."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    schema = "doc_id bigint, text string"
+    batches = [
+        [(i, f"alpha beta tok{i} tok{i * 7}") for i in range(20)],
+        [(100 + i, f"gamma tok{i} word{i}") for i in range(20)],
+        [(200 + i, f"alpha word{i} fresh{i}") for i in range(20)],
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+
+    stream = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q = jobs.sink_stream_corpus_sketch(stream, state, str(tmp_path / "ckpt1"))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    got = jobs.stream_sketch_estimate(spark, state).first()
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    terms = all_docs.select(
+        F.explode(
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda x: F.lower(x))
+        ).alias("term")
+    )
+    want = approx.hll_estimate(approx.hll_registers(terms, "term")).first()
+    assert got == want, (got, want)
+
+    # full redelivery with a fresh checkpoint: every batch re-merges; the
+    # state must be bit-identical afterwards (idempotent monoid, no sidecar)
+    q2 = jobs.sink_stream_corpus_sketch(stream, state, str(tmp_path / "ckpt2"))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    again = jobs.stream_sketch_estimate(spark, state).first()
+    assert again == want, (again, want)
