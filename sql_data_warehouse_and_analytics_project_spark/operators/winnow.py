@@ -164,3 +164,109 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w+k−1-token run is caught) that the global MinHash/SimHash sketches
     cannot give, at 2/(w+1) fingerprint density."""
     return winnow_pairs(_docs(spark, sf_dir))
+
+
+# --- exact containment verify over winnow candidates -------------------------
+#
+# The verify stage that makes the fingerprint candidates actionable, and
+# the measure is CONTAINMENT — |shared grams| / min(|A|, |B|) — not
+# Jaccard: a short document quoted wholesale inside a long one scores
+# ~1.0 here while its Jaccard stays near zero, which is exactly the
+# quotation/boilerplate-inclusion case local fingerprints exist to catch.
+# Scale shape: only candidate pairs (already bucket-capped) reach the
+# gram joins; each join is 1:1 per (doc, gram) row, and per-doc gram
+# cardinalities come from one partial-agg groupBy.
+
+_CONTAIN_MIN = 0.25
+
+
+def winnow_verified(docs: DataFrame, min_containment: float = _CONTAIN_MIN) -> DataFrame:
+    """(doc_a, doc_b, shared_grams, containment): winnow candidate pairs
+    confirmed by exact distinct-4-gram containment >= ``min_containment``
+    (exact integer ratio, engine-identical)."""
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= _K)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - _K),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, _K)),
+        )
+    )
+    gram_rows = base.select("doc_id", F.explode(grams).alias("g"))
+    n_grams = gram_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    cand = winnow_pairs(docs).select("doc_a", "doc_b")
+    ga = gram_rows.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = gram_rows.select(F.col("doc_id").alias("doc_b"), "g")
+    shared = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    na = n_grams.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("na"))
+    nb = n_grams.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _winnow_verified_sql() -> str:
+    base = _winnow_sql().strip().rstrip()
+    # reuse the candidate SQL as a subquery; recompute exact gram sets
+    return f"""
+WITH cand AS (
+{base}
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[j:j+{_K - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {_K - 2})) AS u(j)
+  WHERE len(t) >= {_K}
+),
+ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT s.doc_a, s.doc_b, s.shared_grams,
+       ROUND(CAST(s.shared_grams AS DOUBLE)
+             / CAST(LEAST(na.n, nb.n) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN ng na ON na.doc_id = s.doc_a
+JOIN ng nb ON nb.doc_id = s.doc_b
+WHERE CAST(s.shared_grams AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE)
+      >= {_CONTAIN_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+_WINNOW_VERIFIED_SQL = _winnow_verified_sql()
+
+
+@query("dedup_winnow_verified", oracle=_WINNOW_VERIFIED_SQL, defer=True)
+def dedup_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow candidates confirmed by exact 4-gram CONTAINMENT (shared /
+    min-side) — the quotation/boilerplate-inclusion detector Jaccard
+    misses when a short doc hides inside a long one."""
+    return winnow_verified(_docs(spark, sf_dir))

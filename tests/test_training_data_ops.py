@@ -2550,3 +2550,24 @@ def test_centroid_cosine_identity_and_orthogonality(spark):
     }
     assert got[(0, 1)] == 1.0, got
     assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0, got
+
+
+def test_winnow_containment_catches_quotation(spark):
+    """Containment verify (r12): a short doc quoted wholesale inside a
+    long doc must score containment 1.0 even though Jaccard is low —
+    the asymmetric measure's reason to exist."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+
+    quote = " ".join(f"quoted{i}" for i in range(10))
+    long_text = (
+        " ".join(f"pre{i}" for i in range(30))
+        + f" {quote} "
+        + " ".join(f"post{i}" for i in range(30))
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_text), (3, "nothing in common at all here today")],
+        "doc_id bigint, text string",
+    )
+    rows = winnow.winnow_verified(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
+    assert got == {(1, 2): 1.0}, got
