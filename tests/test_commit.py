@@ -371,3 +371,40 @@ def test_commit_retry_exhaustion_raises(spark, tmp_path):
         )
     assert calls == [0, 1]
     assert _rows(cat, "gold.t") == [0, 1, 2]
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Maintenance compaction (r12): a fragmented committed table (32
+    files) compacts to the byte-derived target through the pointer
+    protocol — same rows, fewer files, old version retained when
+    keep_versions=1 (snapshot isolation for in-flight scans) — and a
+    second run is a no-op (no new version)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import (
+        commit,
+        maintenance,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(10_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    commit.publish(
+        target, lambda v: df.repartition(32).write.mode("overwrite").parquet(v)
+    )
+    before_version = commit.current_version(target)
+
+    res = maintenance.compact_table(
+        spark, target, target_file_bytes=1 << 30, keep_versions=1
+    )
+    assert res["compacted"] and res["files_before"] == 32
+    assert res["files_after"] == res["n_files_target"] == 1
+    got = spark.read.parquet(commit.resolve(target))
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).first()[0] == sum(range(10_000))
+    # superseded version retained for in-flight readers
+    assert before_version in commit.list_versions(target)
+
+    res2 = maintenance.compact_table(spark, target, target_file_bytes=1 << 30)
+    assert not res2["compacted"]
