@@ -384,9 +384,12 @@ def eval_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, exact, estimate) table hash-matches DuckDB.  The exact top-k
     list is the comparison twin at sf scale; the sketch itself never
     shuffles a term string (see the section note)."""
+    from .dedup import _spread_rows
     from .text import tokens_col
 
-    docs = _t(spark, sf_dir, "documents")
+    # 4 salted md5s per token is row-wise-heavy: spread past a
+    # one-row-group scan partitioning (no-op on a many-split corpus)
+    docs = _spread_rows(_t(spark, sf_dir, "documents"))
     terms = docs.select(
         F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias(
             "term"

@@ -807,6 +807,11 @@ def tfidf_keywords(docs: DataFrame, k: int = _TFIDF_K) -> DataFrame:
     document — see the section note for the shuffle budget."""
     from pyspark.sql import Window
 
+    from .dedup import _spread_rows
+
+    # the O(distinct·n) in-array tf count is row-wise-heavy: spread past a
+    # one-row-group scan partitioning (no-op on a many-split corpus)
+    docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     per_term = F.transform(
         F.array_distinct(F.col("t")),

@@ -1376,7 +1376,11 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidates — never misses a true hit) and how many verify exactly.
     The broadcast is bounded at the FILTER size however large the eval
     suite grows — see the section note."""
-    docs = _docs(spark, sf_dir)
+    from .dedup import _spread_rows
+
+    # 3 salted md5s per gram is row-wise-heavy: spread past a
+    # one-row-group scan partitioning (no-op on a many-split corpus)
+    docs = _spread_rows(_docs(spark, sf_dir))
     toks = tokens_col(F.col("text"))
     grams4 = F.array_distinct(
         F.transform(

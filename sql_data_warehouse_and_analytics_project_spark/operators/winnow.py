@@ -49,12 +49,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.load(spark, sf_dir, "documents")
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def winnow_fingerprints(docs: DataFrame, spread: bool = True) -> DataFrame:
     """(doc_id, h): the distinct winnowed fingerprint hashes of every
     document with at least ``_K + _W - 1`` tokens — one narrow projection,
-    see the module note."""
-    from .dedup import _md5_long
+    see the module note. ``spread`` repartitions a narrower-than-cores
+    input before the row-wise-heavy md5 cascade (a no-op on a many-split
+    corpus; ``spread=False`` exposes the inherent zero-Exchange plan the
+    plan pin asserts)."""
+    from .dedup import _md5_long, _spread_rows
 
+    if spread:
+        docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("doc_id", t.alias("t")).filter(
         (F.size("t") >= _K + _W - 1) & (F.size("t") < _POS_MOD + _K - 1)
@@ -184,6 +189,9 @@ def winnow_verified(docs: DataFrame, min_containment: float = _CONTAIN_MIN) -> D
     """(doc_a, doc_b, shared_grams, containment): winnow candidate pairs
     confirmed by exact distinct-4-gram containment >= ``min_containment``
     (exact integer ratio, engine-identical)."""
+    from .dedup import _spread_rows
+
+    docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= _K)
     grams = F.array_distinct(

@@ -753,7 +753,7 @@ def test_winnow_plan_shapes(spark):
     from sql_data_warehouse_and_analytics_project_spark.sources import tpch
 
     docs = tpch.load(spark, SF_DIR, "documents")
-    fp = winnow.winnow_fingerprints(docs)
+    fp = winnow.winnow_fingerprints(docs, spread=False)
     fp.count()
     plan = audit.executed_plan(fp)
     assert "Exchange" not in plan, plan
