@@ -1837,7 +1837,11 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     content-defined chunks whose exact text occurs more than once in the
     corpus (other documents or self-repeats) — the shift-robust
     counterpart of span_dedup_blocks' grid overlap."""
-    chunks = cdc_chunks(docs)
+    # materialize once: the rolling-md5 chunk projection feeds BOTH the
+    # occurrence count and the join side; without the checkpoint Spark
+    # recomputes it per consumer (measured 2x the projection cost at
+    # sf0.1 — the quality_perplexity_buckets discipline)
+    chunks = cdc_chunks(docs).localCheckpoint(eager=True)
     occ = chunks.groupBy("chunk_text").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -1903,7 +1907,9 @@ def cdc_dedup_strip(docs: DataFrame) -> DataFrame:
     and the shift-robust twin of :func:`span_dedup_blocks` (same
     first-wins MIN over the ord encoding, same collision guard; plan
     shape notes there apply unchanged)."""
-    chunks = cdc_chunks(docs)
+    # materialize once: three consumers (firsts agg + both join sides)
+    # would otherwise recompute the rolling-md5 projection three times
+    chunks = cdc_chunks(docs).localCheckpoint(eager=True)
     idx_checked = F.when(F.col("idx") < _SPAN_ORD_BASE, F.col("idx")).otherwise(
         F.raise_error(
             F.concat(
