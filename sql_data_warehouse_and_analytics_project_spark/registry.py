@@ -62,6 +62,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         composition,
         cooccur,
         curation,
+        datacard,
         dedup,
         drift,
         dsir,

@@ -2571,3 +2571,31 @@ def test_winnow_containment_catches_quotation(spark):
     rows = winnow.winnow_verified(docs).collect()
     got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
     assert got == {(1, 2): 1.0}, got
+
+
+def test_data_card_consistent_with_components(spark):
+    """Data card (r12): the composed card's readings must equal the
+    standalone component operators' outputs (no drift between the card
+    and its sources)."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    qs = all_queries()
+    card = {
+        r["metric"]: r["value"]
+        for r in qs["corpus_data_card"].fn(spark, SF_DIR).collect()
+    }
+    assert set(card) == {
+        "n_docs", "total_chars", "total_tokens", "mean_doc_tokens",
+        "vocab_hll_estimate", "zipf_slope", "zipf_r2",
+        "chars_p50_sketch", "chars_p90_sketch", "chars_p99_sketch",
+    }
+    hll = qs["eval_hll_vocab"].fn(spark, SF_DIR).first()
+    assert card["vocab_hll_estimate"] == hll["estimate"]
+    zipf = qs["corpus_zipf_slope"].fn(spark, SF_DIR).first()
+    assert card["zipf_slope"] == zipf["slope"] and card["zipf_r2"] == zipf["r2"]
+    lens = {r["q"]: r["estimate"] for r in qs["eval_hist_quantiles"].fn(spark, SF_DIR).collect()}
+    assert card["chars_p50_sketch"] == lens[0.5]
+    assert card["chars_p99_sketch"] == lens[0.99]
+    assert card["mean_doc_tokens"] == round(card["total_tokens"] / card["n_docs"], 6)
