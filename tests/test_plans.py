@@ -770,3 +770,49 @@ def test_winnow_plan_shapes(spark):
     plan = audit.executed_plan(df)
     assert "BroadcastHashJoin" in plan, plan  # probe side broadcasts
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime bloom-filter joins (r12): Spark's runtime-filter optimizer
+    (on by default) injects a might_contain pre-filter on the fact side
+    of a shuffle join once the size thresholds are met — at 100 TB a
+    selectively-filtered dimension prunes fact shuffle input by orders of
+    magnitude. Local testdata sits below the default 10 GB application-
+    side threshold, so the pin lowers it for the assertion (and restores
+    it), then checks result parity against the broadcast twin."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thresh = spark.conf.get(thresh_key)
+    old_bcast = spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(thresh_key, "0")
+        spark.conf.set(bcast_key, "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        got = j.first()
+    finally:
+        spark.conf.set(thresh_key, old_thresh)
+        spark.conf.set(bcast_key, old_bcast)
+
+    want = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    assert got == want, (got, want)
