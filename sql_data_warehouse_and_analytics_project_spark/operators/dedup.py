@@ -1969,3 +1969,84 @@ def dedup_cdc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide CDC chunk stripping: first occurrence wins, documents
     rebuilt from surviving chunks — shift-robust boilerplate removal."""
     return cdc_dedup_strip(_docs(spark, sf_dir))
+
+
+# --- quality-aware survivor selection (r12) ----------------------------------
+#
+# The min-id survivor rule (connected_components) is deterministic but
+# blind: when a cluster holds a rich original and a truncated mirror, the
+# mirror survives whenever its doc_id is smaller. Production curation
+# keeps the BEST copy — here quality = distinct-token count (an exact
+# bigint, so the rule is engine-identical with no float risk), argmax per
+# component, ties broken by min doc_id. Scale shape: components as before
+# (O(diameter) rounds over capped-degree edges), one narrow quality
+# projection, and a per-component row_number — WindowGroupLimit-eligible,
+# components are near-clique-sized so no hot partition.
+
+_QUALITY_SURVIVOR_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+  FROM reach GROUP BY node
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS quality
+  FROM documents
+)
+SELECT c.doc_id, c.component_id, q.quality,
+       row_number() OVER (PARTITION BY c.component_id
+                          ORDER BY q.quality DESC, c.doc_id) = 1 AS is_survivor
+FROM comp c JOIN quality q USING (doc_id)
+ORDER BY component_id, doc_id
+"""
+
+
+def quality_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, component_id, quality, is_survivor): component membership
+    from the edge list with the argmax-quality survivor rule — see the
+    section note."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs).select("doc_id", "component_id")
+    quality = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens_col(F.col("text"))))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .orderBy("component_id", "doc_id")
+    )
+
+
+@query("dedup_quality_survivor", oracle=_QUALITY_SURVIVOR_SQL, defer=True)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with the quality-aware survivor rule: the
+    RICHEST copy (most distinct tokens, ties min-id) survives each
+    component — the curation decision min-id deduplication gets wrong
+    whenever a truncated mirror carries the smaller id."""
+    caches: list = []
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches)
+    out = quality_survivors(_docs(spark, sf_dir), pairs)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out

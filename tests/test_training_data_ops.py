@@ -2599,3 +2599,24 @@ def test_data_card_consistent_with_components(spark):
     assert card["chars_p50_sketch"] == lens[0.5]
     assert card["chars_p99_sketch"] == lens[0.99]
     assert card["mean_doc_tokens"] == round(card["total_tokens"] / card["n_docs"], 6)
+
+
+def test_quality_survivor_keeps_richest_copy(spark):
+    """Quality survivor (r12): in a planted cluster where the TRUNCATED
+    mirror holds the smaller doc_id, the argmax-distinct-tokens rule must
+    keep the rich original — the exact case min-id gets wrong."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    rich = " ".join(f"tok{i:02d}" for i in range(40))
+    truncated = " ".join(f"tok{i:02d}" for i in range(36))  # J = 36/40 = 0.9
+    docs = spark.createDataFrame(
+        [(1, "en", truncated), (2, "en", rich), (3, "en", "unrelated words here only now")],
+        "doc_id bigint, lang string, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_1 bigint, doc_id_2 bigint")
+    got = {
+        r["doc_id"]: (r["component_id"], r["quality"], r["is_survivor"])
+        for r in dedup.quality_survivors(docs, pairs).collect()
+    }
+    assert got[2] == (1, 40, True), got  # rich original survives
+    assert got[1] == (1, 36, False), got  # smaller-id truncated mirror dropped
