@@ -523,3 +523,133 @@ def eval_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     vals = docs.select(F.length("text").alias("v"))
     return hist_quantiles(hist_bins(vals, "v"))
+
+
+def hll_registers_by(
+    values: DataFrame, group_col: str, col: str, p: int = _HLL_P
+) -> DataFrame:
+    """(group, bucket, rho) GROUPED md5-HLL register tables — one sketch
+    per group from a single partial-aggregating groupBy(group, bucket);
+    mergeable across shards by MAX(rho) per (group, bucket)."""
+    from .dedup import _md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    h = _md5_long(F.col(col).cast("string"), 13)
+    w = F.floor(h / F.lit(m)).cast("bigint")
+    nbits = F.length(F.bin(F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(rmax)).otherwise(
+        F.lit(_HLL_BITS - p) - nbits + 1
+    )
+    return (
+        values.filter(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+            w.alias("w"),
+        )
+        .select("grp", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int = _HLL_P) -> DataFrame:
+    """(grp, m_registers, zero_registers, estimate) per group from a
+    grouped register table — the same fixed-point arithmetic as
+    :func:`hll_estimate`, one row per group."""
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    agg = registers.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonzero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)"))
+        .cast("bigint")
+        .alias("sum_nz"),
+    )
+    denom_int = F.col("sum_nz") + (F.lit(m) - F.col("nonzero")) * F.lit(scale)
+    raw = (
+        F.lit(_HLL_ALPHA * float(m) * float(m))
+        * F.lit(float(scale))
+        / denom_int.cast("double")
+    )
+    v = (F.lit(m) - F.col("nonzero")).cast("bigint")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp"),
+        F.lit(m).cast("bigint").alias("m_registers"),
+        v.alias("zero_registers"),
+        F.round(est, 6).alias("estimate"),
+    ).orderBy("grp")
+
+
+def _hll_by_sql(group_expr: str, value_expr: str, from_clause: str, p: int = _HLL_P) -> str:
+    from .dedup import _sql_md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    alpha_m2_s = repr(_HLL_ALPHA * float(m) * float(m))
+    h = _sql_md5_long("v", 13)
+    return f"""
+WITH vals AS (
+  SELECT {group_expr} AS grp, {value_expr} AS v {from_clause}
+),
+hashed AS (
+  SELECT grp, {h} % {m} AS bucket, {h} // {m} AS w
+  FROM vals WHERE v IS NOT NULL
+),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {_HLL_BITS - p} - length(bin(w)) + 1 END) AS rho
+  FROM hashed GROUP BY grp, bucket
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS sum_nz
+  FROM regs GROUP BY grp
+)
+SELECT grp,
+       CAST({m} AS BIGINT) AS m_registers,
+       CAST({m} - nonzero AS BIGINT) AS zero_registers,
+       ROUND(CASE WHEN CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+                       <= CAST({2.5 * m!r} AS DOUBLE)
+                  AND {m} - nonzero > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nonzero AS DOUBLE))
+                  ELSE CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+             END, 6) AS estimate
+FROM agg
+ORDER BY grp
+"""
+
+
+_HLL_BY_SOURCE_SQL = _hll_by_sql(
+    "t.source",
+    "lower(t.term)",
+    "FROM (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents) t",
+)
+
+
+@query("corpus_vocab_by_source", oracle=_HLL_BY_SOURCE_SQL, defer=True)
+def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-size estimates via the GROUPED md5-HLL — one
+    KB-sized sketch per source from a single partial-aggregating
+    groupBy(source, bucket); the per-group twin of eval_hll_vocab with the
+    same hard cross-engine oracle."""
+    from .text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias(
+            "term"
+        ),
+    )
+    return hll_estimate_by(hll_registers_by(terms, "source", "term"))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import tpch
-from .text import SQL_TOKENS, normalize_content, tokens_col
+from .text import SQL_NORM, SQL_TOKENS, normalize_content, tokens_col
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2050,3 +2050,85 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist()
     return out
+
+
+# --- cross-language exact duplicates (r12) -----------------------------------
+#
+# Exact duplicates whose language labels DISAGREE: either lang-ID noise
+# (the same content labeled en in one crawl, de in another) or templated
+# content that defeats the labeler — both actionable label-noise signals
+# a per-language mixture must clean before per-lang quotas mean anything.
+# Scale shape: one normalized-md5 groupBy (the exact-dedup key), pairs
+# expanded only inside multi-lang groups under the family 64-smallest-id
+# cap, so a pathological million-copy template cannot detonate a reducer.
+
+_XLANG_CAP = 64
+
+
+def cross_lang_dup_pairs(docs: DataFrame, cap: int = _XLANG_CAP) -> DataFrame:
+    """(doc_a, doc_b, lang_a, lang_b): exact-content pairs with differing
+    language labels, membership per content group bounded at the ``cap``
+    smallest doc_ids."""
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        _md5_long(normalize_content(F.col("text")), 13).alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy("doc_id")
+    capped = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_XLANG_KEY = _sql_md5_long(SQL_NORM, 13)
+
+_XLANG_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         {_XLANG_KEY} AS k
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, lang, k FROM (
+    SELECT doc_id, lang, k,
+           row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn <= {_XLANG_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b
+FROM capped a
+JOIN capped b ON a.k = b.k AND a.doc_id < b.doc_id AND a.lang <> b.lang
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_cross_lang_pairs", oracle=_XLANG_SQL, defer=True)
+def dedup_cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content duplicate pairs whose language labels disagree — the
+    lang-ID label-noise detector a per-language mixture needs before its
+    quotas mean anything. The fixture corpus is clean (empty result, and
+    the oracle agrees it is empty); the planted pytest
+    (test_cross_lang_dup_pairs_planted) carries the behavioral proof."""
+    return cross_lang_dup_pairs(_docs(spark, sf_dir))

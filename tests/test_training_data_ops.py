@@ -2620,3 +2620,50 @@ def test_quality_survivor_keeps_richest_copy(spark):
     }
     assert got[2] == (1, 40, True), got  # rich original survives
     assert got[1] == (1, 36, False), got  # smaller-id truncated mirror dropped
+
+
+def test_grouped_hll_equals_per_group_sketches(spark):
+    """Grouped md5-HLL (r12): the one-pass grouped estimate must equal
+    running the ungrouped sketch on each group separately — grouping is
+    pure partitioning, no cross-group interference."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    vals = spark.range(5000).select(
+        (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("grp"),
+        F.concat(F.lit("v"), (F.col("id") * 7 % 1000).cast("string")).alias("v"),
+    )
+    grouped = {
+        r["grp"]: r["estimate"]
+        for r in approx.hll_estimate_by(
+            approx.hll_registers_by(vals, "grp", "v")
+        ).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = approx.hll_estimate(
+            approx.hll_registers(vals.filter(F.col("grp") == g), "v")
+        ).first()["estimate"]
+        assert grouped[g] == solo, (g, grouped[g], solo)
+
+
+def test_cross_lang_dup_pairs_planted(spark):
+    """Cross-lang dup pairs (r12): identical normalized content under
+    different lang labels is flagged; same-lang exact dups and distinct
+    content are not."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "Shared   Template Text"),
+            (2, "de", "shared template text"),  # same normalized content
+            (3, "en", "shared template text"),  # same content, SAME lang as 1
+            (4, "fr", "entirely different content"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["lang_a"], r["lang_b"])
+        for r in dedup.cross_lang_dup_pairs(docs).collect()
+    }
+    assert got == {(1, 2): ("en", "de"), (2, 3): ("de", "en")}, got
