@@ -388,3 +388,86 @@ def olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("op"), F.col("o_custkey").cast("bigint").alias("o_custkey")
     )
     return inter.unionByName(exc).orderBy("op", "o_custkey")
+
+
+# --- RFM customer segmentation (r12) -----------------------------------------
+#
+# The classic warehouse marketing segmentation the reference's
+# segmentation script (q10) approximates with fixed spend bands:
+# Recency / Frequency / Monetary quintile scores (NTILE(5), custkey
+# tiebreak pins assignment cross-engine; score 1 = best in all three)
+# and a rule-based segment label. The recency anchor is the corpus max
+# order date, so the query is deterministic with no injected clock.
+# Scale shape: one orders groupBy(custkey) partial agg; the three
+# quintile windows run over the CUSTOMER-grain aggregate (a row per
+# customer, orders of magnitude below fact grain).
+
+_RFM_SQL = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT maxd FROM anchor)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c_custkey, recency_days, n_orders,
+         CAST(total_spend AS DOUBLE) AS total_spend,
+         NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY total_spend DESC, c_custkey) AS m_score
+  FROM per_cust
+)
+SELECT c_custkey, recency_days, n_orders, total_spend,
+       r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+            WHEN f_score <= 2 THEN 'loyal'
+            WHEN m_score <= 2 THEN 'big_spender'
+            WHEN r_score >= 4 AND f_score <= 3 THEN 'at_risk'
+            WHEN r_score >= 4 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY c_custkey
+"""
+
+
+@query("olap_rfm_segmentation", oracle=_RFM_SQL, defer=True)
+def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quintile scores and rule-based segment — the
+    marketing-segmentation upgrade of q10's fixed spend bands; see the
+    section note."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "c_custkey",
+        F.datediff("maxd", "last_order").cast("bigint").alias("recency_days"),
+        "n_orders",
+        F.col("spend_dec").cast("double").alias("total_spend"),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), "c_custkey")
+    f_w = Window.orderBy(F.desc("n_orders"), "c_custkey")
+    m_w = Window.orderBy(F.desc("total_spend"), "c_custkey")
+    scored = (
+        scored.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when(F.col("f_score") <= 2, "loyal")
+        .when(F.col("m_score") <= 2, "big_spender")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 3), "at_risk")
+        .when(F.col("r_score") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select("*", segment.alias("segment")).orderBy("c_custkey")

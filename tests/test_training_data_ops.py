@@ -2667,3 +2667,47 @@ def test_cross_lang_dup_pairs_planted(spark):
         for r in dedup.cross_lang_dup_pairs(docs).collect()
     }
     assert got == {(1, 2): ("en", "de"), (2, 3): ("de", "en")}, got
+
+
+def test_rfm_segmentation_planted_rules(spark, tmp_path):
+    """RFM (r12): a planted five-customer order log produces the expected
+    quintile scores and segment labels (score 1 = best in all three)."""
+    import datetime as dt
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import olap_extras
+
+    day = dt.date(2025, 6, 1)
+
+    def orders_for(cust, n, last_offset_days, price):
+        return [
+            (cust * 100 + i, cust,
+             day - dt.timedelta(days=last_offset_days + 30 * i), price)
+            for i in range(n)
+        ]
+
+    rows = (
+        orders_for(1, 5, 0, 1000.0)    # recent, frequent, rich -> champion
+        + orders_for(2, 4, 5, 10.0)    # frequent -> loyal at worst
+        + orders_for(3, 1, 200, 5000.0)  # old but big single spend
+        + orders_for(4, 1, 300, 10.0)  # old, rare, small -> hibernating-ish
+        + orders_for(5, 2, 60, 100.0)
+    )
+    events = spark.createDataFrame(
+        [(k, c, d, p) for (k, c, d, p) in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, o_totalprice double",
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    events.write.parquet(f"{sf}/orders.parquet")
+    got = {
+        r["c_custkey"]: (r["r_score"], r["f_score"], r["m_score"], r["segment"])
+        for r in olap_extras.olap_rfm_segmentation(spark, sf).collect()
+    }
+    assert got[1][3] == "champion", got
+    assert got[1][:3] == (1, 1, 1), got
+    assert got[2][3] in ("champion", "loyal"), got
+    assert got[4][3] in ("hibernating", "at_risk", "regular"), got
+    # every customer scored, scores in range
+    assert set(got) == {1, 2, 3, 4, 5}
+    for scores in got.values():
+        assert all(1 <= s <= 5 for s in scores[:3])
