@@ -653,3 +653,159 @@ def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return hll_estimate_by(hll_registers_by(terms, "source", "term"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window actives via sketch expansion (r12): DAU / WAU / MAU.
+#
+# Trailing-window DISTINCT counts are the classic scale trap: exact WAU
+# expands every user-day row into 7 window contributions (7x the fact
+# shuffle; 28x for MAU). Composing the md5-HLL with the window instead
+# expands the SKETCH: each day's register table (<= 4096 rows) is
+# exploded to the <= 7 (or 28) days it contributes to and MAX-merged per
+# target day — the shuffle carries KBs per day regardless of user volume,
+# and the register algebra (idempotent MAX) even makes the per-day
+# distinct-user pre-aggregation unnecessary. DAU stays exact (one
+# user-day distinct) as the anchor; stickiness = DAU/MAU.
+# ---------------------------------------------------------------------------
+
+
+def _day_regs(ev: DataFrame, p: int = _HLL_P) -> DataFrame:
+    """(day, bucket, rho) per-day HLL registers over user_id — duplicates
+    need no pre-distinct (MAX is idempotent)."""
+    from .dedup import _md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    h = _md5_long(F.col("user_id").cast("string"), 13)
+    w = F.floor(h / F.lit(m)).cast("bigint")
+    nbits = F.length(F.bin(F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(rmax)).otherwise(
+        F.lit(_HLL_BITS - p) - nbits + 1
+    )
+    return (
+        ev.select(
+            F.col("day"),
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+            w.alias("w"),
+        )
+        .select("day", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _window_estimate(regs: DataFrame, days: int, out_col: str) -> DataFrame:
+    """Explode each register row to the ``days`` target days it serves,
+    MAX-merge per (target day, bucket), and estimate per day."""
+    target = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(days - 1)),
+            lambda off: F.date_add(F.col("day"), off),
+        )
+    ).alias("tday")
+    merged = (
+        regs.select(target, "bucket", "rho")
+        .groupBy("tday", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .withColumnRenamed("tday", "grp")
+    )
+    return hll_estimate_by(merged).select(
+        F.col("grp").alias("day"), F.col("estimate").alias(out_col)
+    )
+
+
+def active_users_sketch(events: DataFrame) -> DataFrame:
+    """(day, dau_exact, wau_hll, mau_hll, stickiness) for every day with
+    activity — trailing 7- and 28-day distinct users via sketch
+    expansion; see the section note."""
+    ev = events.select(F.col("ts").cast("date").alias("day"), "user_id")
+    dau = ev.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau_exact")
+    )
+    regs = _day_regs(ev)
+    wau = _window_estimate(regs, 7, "wau_hll")
+    mau = _window_estimate(regs, 28, "mau_hll")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau_exact",
+            "wau_hll",
+            "mau_hll",
+            F.round(F.col("dau_exact").cast("double") / F.col("mau_hll"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def _active_sql(p: int = _HLL_P) -> str:
+    from .dedup import _sql_md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    alpha_m2_s = repr(_HLL_ALPHA * float(m) * float(m))
+    h = _sql_md5_long("CAST(user_id AS VARCHAR)", 13)
+    est = f"""ROUND(CASE WHEN CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+                       <= CAST({2.5 * m!r} AS DOUBLE)
+                  AND {m} - nonzero > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nonzero AS DOUBLE))
+                  ELSE CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)
+                       / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)
+             END, 6)"""
+
+    def window_cte(days: int, name: str) -> str:
+        return f"""{name}_merged AS (
+  SELECT day + TO_DAYS(CAST(u.off AS INT)) AS day, bucket, MAX(rho) AS rho
+  FROM regs, UNNEST(range(0, {days})) AS u(off)
+  GROUP BY 1, bucket
+),
+{name}_agg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS sum_nz
+  FROM {name}_merged GROUP BY day
+),
+{name} AS (SELECT day, {est} AS {name}_est FROM {name}_agg)"""
+
+    return f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau_exact
+  FROM ev GROUP BY day
+),
+hashed AS (
+  SELECT day, {h} % {m} AS bucket, {h} // {m} AS w FROM ev
+),
+regs AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {_HLL_BITS - p} - length(bin(w)) + 1 END) AS rho
+  FROM hashed GROUP BY day, bucket
+),
+{window_cte(7, "wau")},
+{window_cte(28, "mau")}
+SELECT d.day, d.dau_exact,
+       w.wau_est AS wau_hll, ma.mau_est AS mau_hll,
+       ROUND(CAST(d.dau_exact AS DOUBLE) / ma.mau_est, 6) AS stickiness
+FROM dau d
+JOIN wau w USING (day)
+JOIN mau ma USING (day)
+ORDER BY day
+"""
+
+
+_ACTIVE_SQL = _active_sql()
+
+
+@query("events_active_users_sketch", oracle=_ACTIVE_SQL, defer=True)
+def events_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU (exact) + trailing 7/28-day distinct actives via HLL register
+    expansion — the sliding-distinct composition whose shuffle carries
+    KB-sized sketches per day instead of 7-28x the user-day rows."""
+    return active_users_sketch(_t(spark, sf_dir, "events"))

@@ -2711,3 +2711,43 @@ def test_rfm_segmentation_planted_rules(spark, tmp_path):
     assert set(got) == {1, 2, 3, 4, 5}
     for scores in got.values():
         assert all(1 <= s <= 5 for s in scores[:3])
+
+
+def test_active_users_sketch_accuracy_and_window_semantics(spark):
+    """DAU/WAU/MAU sketch (r12): on a planted log the 7-day window must
+    cover exactly the trailing week (a user active 6 days ago counts, 7
+    days ago does not), and the HLL estimates in the linear-counting
+    regime equal the exact trailing distincts to well under 1%."""
+    import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    base = dt.datetime(2025, 3, 10)
+    rows = []
+    eid = 0
+    # 50 users active on day 0; 30 of them return on day 6; 20 fresh on day 6
+    for u in range(50):
+        rows.append((eid, base, u)); eid += 1
+    for u in range(30):
+        rows.append((eid, base + dt.timedelta(days=6), u)); eid += 1
+    for u in range(100, 120):
+        rows.append((eid, base + dt.timedelta(days=6), u)); eid += 1
+    # one user far out on day 7: day-0 users must NOT count toward its WAU... 
+    rows.append((eid, base + dt.timedelta(days=7), 999)); eid += 1
+    events = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for (i, ts, u) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    got = {
+        str(r["day"]): (r["dau_exact"], r["wau_hll"], r["mau_hll"])
+        for r in approx.active_users_sketch(events).collect()
+    }
+    d0, d6, d7 = "2025-03-10", "2025-03-16", "2025-03-17"
+    assert got[d0][0] == 50 and got[d6][0] == 50 and got[d7][0] == 1
+    # WAU(day6) = 50 old + 20 fresh = 70 distinct; linear counting is
+    # near-exact at these cardinalities
+    assert abs(got[d6][1] - 70) <= 1, got[d6]
+    # WAU(day7) = day-6 actives + u999 = 51 (day-0-only users fell out)
+    assert abs(got[d7][1] - 51) <= 1, got[d7]
+    # MAU(day7) covers everything = 71
+    assert abs(got[d7][2] - 71) <= 1, got[d7]
