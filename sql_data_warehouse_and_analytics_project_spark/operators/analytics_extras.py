@@ -649,3 +649,55 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- OHLC time-series resample (r12) -----------------------------------------
+#
+# The time-series bar primitive: per (event_type, hour), the Open / High /
+# Low / Close of `value` with the (ts, event_id) total order pinning
+# open/close deterministically in both engines (min_by/arg_min on a
+# composite key). One partial-agg groupBy at bar grain — min/max/min_by/
+# max_by all combine map-side, so the shuffle carries one row per bar.
+
+_OHLC_SQL = """
+WITH keyed AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+         (CAST(epoch(ts) AS BIGINT) << 32) + event_id AS ordk
+  FROM events
+)
+SELECT event_type, bar_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(arg_min(value, ordk), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(arg_max(value, ordk), 6) AS close
+FROM keyed
+GROUP BY event_type, bar_ts
+ORDER BY event_type, bar_ts
+"""
+
+
+@query("events_ohlc_hourly", oracle=_OHLC_SQL, defer=True)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of event value per event type — open/close pinned
+    by the (ts, event_id) total order, one partial-agg groupBy at bar
+    grain (the shuffle carries one row per bar)."""
+    events = _t(spark, sf_dir, "events")
+    ordk = F.shiftleft(F.col("ts").cast("long"), 32) + F.col("event_id")
+    keyed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        "value",
+        ordk.alias("ordk"),
+    )
+    return (
+        keyed.groupBy("event_type", "bar_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min_by("value", "ordk"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ordk"), 6).alias("close"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )

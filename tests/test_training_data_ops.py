@@ -2751,3 +2751,33 @@ def test_active_users_sketch_accuracy_and_window_semantics(spark):
     assert abs(got[d7][1] - 51) <= 1, got[d7]
     # MAU(day7) covers everything = 71
     assert abs(got[d7][2] - 71) <= 1, got[d7]
+
+
+def test_ohlc_bars_pin_open_close_order(spark, tmp_path):
+    """OHLC (r12): open/close follow the (ts, event_id) total order —
+    same-timestamp events break ties on event_id."""
+    import datetime as dt
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        analytics_extras,
+    )
+
+    t = dt.datetime(2025, 5, 1, 14, 0, 0)
+    rows = [
+        (2, t, 10.0),               # same ts as event 1: id 1 wins open
+        (1, t, 5.0),
+        (3, t + dt.timedelta(minutes=30), 99.0),   # high
+        (4, t + dt.timedelta(minutes=40), 1.0),    # low
+        (5, t + dt.timedelta(minutes=59), 42.0),   # close
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, 7, "tick", v, "{}") for (i, ts, v) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    events.write.parquet(f"{sf}/events.parquet")
+    r = analytics_extras.events_ohlc_hourly(spark, sf).first()
+    assert (r["n_events"], r["open"], r["high"], r["low"], r["close"]) == (
+        5, 5.0, 99.0, 1.0, 42.0,
+    ), r
