@@ -81,3 +81,26 @@ def _parquet_file_count(spark: SparkSession, path: str) -> int:
     return sum(
         1 for s in it if s.isFile() and s.getPath().getName().endswith(".parquet")
     )
+
+
+def table_version_diff(
+    spark: SparkSession,
+    target: str,
+    old_version: str,
+    new_version: str,
+    key: str,
+    compare_cols: list[str],
+):
+    """Change-data-feed between two committed versions of a table: reads
+    both version dirs through the commit protocol's time travel
+    (``commit.resolve_version``) and returns the (key, status) rows of
+    :func:`operators.etl_queries.snapshot_diff` — 'added' / 'removed' /
+    'changed'. The Delta CDF analog for the plain-parquet commit layout:
+    retained history (``keep_versions``) is what makes the old side
+    readable, and the diff itself is one key-partitioned full-outer join.
+    """
+    from ..operators.etl_queries import snapshot_diff
+
+    old = spark.read.parquet(commit.resolve_version(target, old_version))
+    new = spark.read.parquet(commit.resolve_version(target, new_version))
+    return snapshot_diff(old, new, key, compare_cols)

@@ -408,3 +408,38 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
 
     res2 = maintenance.compact_table(spark, target, target_file_bytes=1 << 30)
     assert not res2["compacted"]
+
+
+def test_table_version_diff_reads_time_travel(spark, tmp_path):
+    """Version CDF (r12): publishing v2 with one changed, one removed and
+    one added row, the diff between retained versions reports exactly
+    those keys — the Delta change-data-feed analog over the pointer
+    protocol's retained history."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import (
+        commit,
+        maintenance,
+    )
+
+    target = str(tmp_path / "tbl")
+    v1_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, payload string"
+    )
+    commit.publish(target, lambda v: v1_df.write.mode("overwrite").parquet(v))
+    v1 = commit.current_version(target)
+    v2_df = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id bigint, payload string"
+    )
+    commit.publish(
+        target, lambda v: v2_df.write.mode("overwrite").parquet(v), keep_versions=1
+    )
+    v2 = commit.current_version(target)
+
+    got = {
+        r["id"]: r["status"]
+        for r in maintenance.table_version_diff(
+            spark, target, v1, v2, "id", ["payload"]
+        ).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}, got
