@@ -350,3 +350,69 @@ def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponential clocks — long documents proportionally likelier, the
     whole draw a deterministic top-k with no corpus shuffle."""
     return weighted_priority_sample(_docs(spark, sf_dir))
+
+
+_WSAMPLE_PER_K = 10
+
+
+def weighted_sample_per_stratum(
+    docs: DataFrame,
+    k: int = _WSAMPLE_PER_K,
+    stratum: str = "lang",
+    salt: str = "wstrat",
+) -> DataFrame:
+    """(stratum, doc_id, n_chars, priority): the ``k`` smallest exponential
+    clocks PER STRATUM — a balanced-but-weighted draw (every language
+    represented, long documents proportionally likelier within each). The
+    per-group cut is ``row_number() <= k`` over the clock order, which
+    Catalyst pushes down as WindowGroupLimit — map tasks pre-trim to k
+    rows per stratum before the shuffle, the grouped analog of the global
+    sampler's TakeOrderedAndProject."""
+    from .dedup import _md5_long
+
+    w = F.length("text").cast("bigint")
+    h = _md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")), 13
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
+    keyed = docs.filter(w > 0).select(
+        F.col(stratum).alias("stratum"),
+        "doc_id",
+        w.alias("n_chars"),
+        F.round(-F.log(u) / w.cast("double"), 9).alias("priority"),
+    )
+    win = Window.partitionBy("stratum").orderBy("priority", "doc_id")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("stratum", "priority", "doc_id")
+    )
+
+
+def _wstrat_sql(k: int = _WSAMPLE_PER_K, salt: str = "wstrat") -> str:
+    h = f"('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+    return f"""
+WITH keyed AS (
+  SELECT lang AS stratum, doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         ROUND(-ln(({h} + 1.0) / {_U_DENOM!r})
+               / CAST(length(text) AS DOUBLE), 9) AS priority
+  FROM documents WHERE length(text) > 0
+)
+SELECT stratum, doc_id, n_chars, priority FROM (
+  SELECT *, row_number() OVER (PARTITION BY stratum
+                               ORDER BY priority, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {k}
+ORDER BY stratum, priority, doc_id
+"""
+
+
+@query("sample_weighted_per_lang", oracle=_wstrat_sql(), defer=True)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-weighted draw of 10 documents PER LANGUAGE — the
+    balanced-but-weighted eval sample completing the family (uniform
+    hash split, stratified uniform, weighted global, weighted
+    per-stratum)."""
+    return weighted_sample_per_stratum(_docs(spark, sf_dir))

@@ -2781,3 +2781,24 @@ def test_ohlc_bars_pin_open_close_order(spark, tmp_path):
     assert (r["n_events"], r["open"], r["high"], r["low"], r["close"]) == (
         5, 5.0, 99.0, 1.0, 42.0,
     ), r
+
+
+def test_weighted_per_stratum_sample_balanced_and_capped(spark):
+    """Per-stratum weighted sampling (r12): exactly min(k, |stratum|)
+    rows per stratum, and the per-group cut compiles to the
+    WindowGroupLimit map-side pre-trim."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import composition
+    from conftest import SF_DIR
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    out = composition.weighted_sample_per_stratum(docs, k=10)
+    counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts and set(counts) == set(sizes)
+    for lang, n in counts.items():
+        assert n == min(10, sizes[lang]), (lang, n, sizes[lang])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
