@@ -216,12 +216,21 @@ def zipf_fit(docs: DataFrame, top_r: int = _ZIPF_R) -> DataFrame:
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov / varx
+    # degenerate guards (r12): < 2 terms has no rank spread (varx = 0) and
+    # an all-equal-frequency corpus has vary = 0 — under ANSI mode the
+    # unguarded divisions throw DIVIDE_BY_ZERO; emit NULL instead,
+    # mirrored by the oracle's CASE guards
+    fit_ok = (F.col("n_terms") >= 2) & (varx != 0.0)
+    slope = F.when(fit_ok, cov / varx)
     return agg.select(
         "n_terms",
         F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+        F.round(
+            F.when(fit_ok, (F.col("sy") - slope * F.col("sx")) / n), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(fit_ok & (vary != 0.0), cov * cov / (varx * vary)), 6
+        ).alias("r2"),
     )
 
 
@@ -247,11 +256,18 @@ folded AS (
   FROM ranked
 )
 SELECT n_terms,
-       ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
-       ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
-             / n_terms, 6) AS intercept,
-       ROUND((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
-             / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6) AS r2
+       ROUND(CASE WHEN n_terms >= 2 AND n_terms * sxx - sx * sx <> 0.0
+                  THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+             END, 6) AS slope,
+       ROUND(CASE WHEN n_terms >= 2 AND n_terms * sxx - sx * sx <> 0.0
+                  THEN (sy - ((n_terms * sxy - sx * sy)
+                              / (n_terms * sxx - sx * sx)) * sx) / n_terms
+             END, 6) AS intercept,
+       ROUND(CASE WHEN n_terms >= 2 AND n_terms * sxx - sx * sx <> 0.0
+                       AND n_terms * syy - sy * sy <> 0.0
+                  THEN (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+                       / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))
+             END, 6) AS r2
 FROM folded
 """
 

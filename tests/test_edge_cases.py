@@ -164,3 +164,64 @@ def test_profile_stats_dyadic_tie_matches_duckdb(spark):
         con.close()
     assert got == want
     assert got[0][4] == "-0.007813" and got[0][5] == "42.000000"
+
+
+def test_r12_operators_tolerate_degenerate_inputs(spark):
+    """r12 degenerate-input sweep (ANSI-safe): empty corpora, sub-minimum
+    docs, single-label embeddings, and the Zipf fit's zero-variance
+    regimes must return empty/NULL results instead of raising — probed
+    under ANSI mode semantics (the driver's vanilla session has ANSI on,
+    where an unguarded 0/0 double division throws)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        approx,
+        composition,
+        dedup,
+        drift,
+        retrieval,
+        winnow,
+    )
+
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        empty = spark.createDataFrame([], "doc_id bigint, lang string, text string")
+        short = spark.createDataFrame(
+            [(1, "en", "one two")], "doc_id bigint, lang string, text string"
+        )
+        assert winnow.winnow_pairs(empty).count() == 0
+        assert winnow.winnow_pairs(short).count() == 0
+        assert winnow.winnow_verified(short).count() == 0
+        assert approx.cms_table(empty.select(F.col("text").alias("term"))).count() == 0
+        assert (
+            approx.hist_quantiles(
+                approx.hist_bins(empty.select(F.length("text").alias("v")), "v")
+            ).count()
+            == 0
+        )
+        assert retrieval.tfidf_keywords(empty).count() == 0
+        assert composition.weighted_priority_sample(empty).count() == 0
+        assert dedup.cross_lang_dup_pairs(empty).count() == 0
+
+        # zipf: empty, single-term, and uniform (vary = 0) corpora
+        r = drift.zipf_fit(empty).first()
+        assert r["n_terms"] == 0 and r["slope"] is None and r["r2"] is None
+        one = spark.createDataFrame(
+            [(1, "en", "aaa aaa aaa")], "doc_id bigint, lang string, text string"
+        )
+        r = drift.zipf_fit(one).first()
+        assert r["n_terms"] == 1 and r["slope"] is None
+        uni = spark.createDataFrame(
+            [(1, "en", "a b c d")], "doc_id bigint, lang string, text string"
+        )
+        r = drift.zipf_fit(uni).first()
+        assert r["slope"] == 0.0 and r["r2"] is None  # vary = 0: no fit quality
+
+        # single-label centroid table: no pairs, no error
+        single = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)], "vec_id bigint, embedding array<float>, label int"
+        )
+        assert drift.centroid_cosine(single).count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
