@@ -803,7 +803,7 @@ ORDER BY day
 _ACTIVE_SQL = _active_sql()
 
 
-@query("events_active_users_sketch", oracle=_ACTIVE_SQL, defer=True)
+@query("events_active_users_sketch", oracle=_ACTIVE_SQL, headline=True, defer=True)
 def events_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU (exact) + trailing 7/28-day distinct actives via HLL register
     expansion — the sliding-distinct composition whose shuffle carries

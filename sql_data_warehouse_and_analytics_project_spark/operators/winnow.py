@@ -162,7 +162,7 @@ ORDER BY doc_a, doc_b
 _WINNOW_SQL = _winnow_sql()
 
 
-@query("dedup_winnow_pairs", oracle=_WINNOW_SQL, defer=True)
+@query("dedup_winnow_pairs", oracle=_WINNOW_SQL, headline=True, defer=True)
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint pairs: documents sharing >= 2 selected
     k-gram fingerprints — the LOCAL-match guarantee (any verbatim
