@@ -2802,3 +2802,49 @@ def test_weighted_per_stratum_sample_balanced_and_capped(spark):
         assert n == min(10, sizes[lang]), (lang, n, sizes[lang])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_embeddings_compose_with_ann(spark):
+    """Hashed embeddings (r12): identical texts embed identically (cosine
+    1), disjoint-vocabulary texts stay near-orthogonal, vectors are unit
+    norm — and the array view composes with the existing brute-force ANN
+    so text -> vector -> top-k runs end to end inside the engine."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import hashembed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical to 1
+            (3, "zeta eta theta iota kappa lambdaword"),  # disjoint vocab
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = {r["doc_id"]: r["embedding"] for r in hashembed.hash_embeddings(docs).collect()}
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    for v in emb.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    assert abs(cos(emb[1], emb[2]) - 1.0) < 1e-5  # 6-dp component rounding
+    assert abs(cos(emb[1], emb[3])) < 0.5  # disjoint vocab: no shared buckets forced
+
+    # end-to-end: nearest neighbour of doc 1's vector among the others is doc 2
+    arr = hashembed.hash_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    q = emb[1]
+    scored = arr.filter(F.col("vec_id") != 1).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(x)) for x in q]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cosine"),
+    )
+    top = scored.orderBy(F.col("cosine").desc()).first()
+    assert top["vec_id"] == 2 and abs(top["cosine"] - 1.0) < 1e-5
