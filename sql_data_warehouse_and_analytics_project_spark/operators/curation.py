@@ -420,3 +420,99 @@ def curation_drop_reasons_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc (or its kept split) — the audit table that answers 'why is
     doc X missing from the training set' without re-running anything."""
     return curation_drop_reasons(spark, sf_dir)
+
+
+# --- ingest data-quality suite (r12) -----------------------------------------
+#
+# The documents-table twin of the warehouse DQ checks (quality.py): the
+# assertions an ingest pipeline runs BEFORE any curation math trusts the
+# table. One (check, n_violations, pass) row per rule, every rule a
+# single-scan aggregate (the union is over one-row frames, so the suite
+# costs one pass per rule over a column-pruned scan — at 100 TB fuse
+# them into one multi-aggregate pass if the scan dominates).
+
+_DQ_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+)
+SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+  SELECT 'doc_id_not_null' AS check_name,
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM base
+  UNION ALL
+  SELECT 'doc_id_unique',
+         CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) FROM base
+  UNION ALL
+  SELECT 'text_not_null_or_empty',
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'lang_in_domain',
+         CAST(SUM(CASE WHEN lang IS NULL
+                       OR lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'source_not_null',
+         CAST(SUM(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'n_chars_matches_text',
+         CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM base
+)
+ORDER BY check_name
+"""
+
+
+def documents_dq_checks(docs: DataFrame) -> DataFrame:
+    """(check_name, n_violations, pass) over the six ingest rules — see
+    the section note."""
+    null_sum = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+
+    def rule(name: str, agg) -> DataFrame:
+        return docs.agg(agg.alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    frames = [
+        rule("doc_id_not_null", null_sum(F.col("doc_id").isNull())),
+        rule(
+            "doc_id_unique",
+            # count only non-null ids: null-ness is its own rule
+            (F.count("doc_id") - F.countDistinct("doc_id")).cast("bigint"),
+        ),
+        rule(
+            "text_not_null_or_empty",
+            null_sum(F.col("text").isNull() | (F.trim("text") == "")),
+        ),
+        rule(
+            "lang_in_domain",
+            null_sum(
+                F.col("lang").isNull() | ~F.col("lang").isin("en", "de", "fr", "es", "zh")
+            ),
+        ),
+        rule(
+            "source_not_null",
+            null_sum(F.col("source").isNull() | (F.trim("source") == "")),
+        ),
+        rule(
+            "n_chars_matches_text",
+            null_sum(
+                F.col("n_chars").isNull() | (F.col("n_chars") != F.length("text"))
+            ),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "check_name", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    ).orderBy("check_name")
+
+
+@query("curation_dq_checks", oracle=_DQ_SQL, defer=True)
+def curation_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six ingest data-quality rules over the documents table — the
+    gate an automated curation pipeline runs before trusting the table
+    (documents twin of the warehouse quality checks)."""
+    return documents_dq_checks(tpch.load(spark, sf_dir, "documents"))

@@ -2848,3 +2848,47 @@ def test_hash_embeddings_compose_with_ann(spark):
     )
     top = scored.orderBy(F.col("cosine").desc()).first()
     assert top["vec_id"] == 2 and abs(top["cosine"] - 1.0) < 1e-5
+
+
+def test_dq_checks_flag_planted_violations(spark):
+    """Documents DQ suite (r12): a planted table violating every rule
+    reports the exact violation counts; the clean fixture passes all."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import curation
+
+    bad = spark.createDataFrame(
+        [
+            (1, "good text", "en", "web", 9),
+            (1, "dup id", "de", "web", 6),          # doc_id_unique
+            (2, "   ", "fr", "web", 3),             # text empty
+            (3, "ok", "xx", "web", 2),              # lang domain
+            (4, "ok", "en", None, 2),               # source null
+            (5, "ok", "en", "web", 99),             # n_chars mismatch
+            (None, "ok", "en", "web", 2),           # doc_id null
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {
+        r["check_name"]: (r["n_violations"], r["pass"])
+        for r in curation.documents_dq_checks(bad).collect()
+    }
+    assert got == {
+        "doc_id_not_null": (1, False),
+        "doc_id_unique": (1, False),
+        "text_not_null_or_empty": (1, False),
+        "lang_in_domain": (1, False),
+        "source_not_null": (1, False),
+        "n_chars_matches_text": (1, False),
+    }, got
+
+    from conftest import SF_DIR
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    clean = {
+        r["check_name"]: r["pass"]
+        for r in curation.documents_dq_checks(
+            tpch.load(spark, SF_DIR, "documents")
+        ).collect()
+    }
+    assert all(clean.values()), clean
