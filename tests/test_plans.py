@@ -816,3 +816,30 @@ def test_runtime_bloom_filter_join_injection(spark):
         .first()
     )
     assert got == want, (got, want)
+
+
+def test_late_r12_query_plan_budgets(spark):
+    """Shuffle budgets + no-SMJ/no-Cartesian pins for the late-r12
+    analytics queries: the customer/bar/sketch-grain work must never pull
+    a corpus-sized sort-merge join or an unbounded shuffle count."""
+    from conftest import SF_DIR
+
+    budgets = {
+        "olap_rfm_segmentation": 3,
+        "events_ohlc_hourly": 3,
+        "events_cohort_retention": 10,
+        "events_active_users_sketch": 10,
+        "embed_hash_text": 5,
+        "curation_dq_checks": 3,
+        "retrieval_tfidf_keywords": 8,
+        "dedup_winnow_pairs": 6,
+    }
+    qs = all_queries()
+    for name, budget in budgets.items():
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        plan = audit.executed_plan(df)
+        n = audit.data_shuffle_count(plan)
+        assert n <= budget, (name, n, budget)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
