@@ -387,3 +387,122 @@ def corpus_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-space drift/contrast check beside the unigram JSD,
     exact to the last bit until the final sqrt."""
     return centroid_cosine(tpch.load(spark, sf_dir, "embeddings"))
+
+
+# --- Theil–Sen robust trend (r12) --------------------------------------------
+#
+# The robust-statistics companion to the OLS Zipf fit: the Theil–Sen
+# estimator (median of all pairwise slopes) tolerates up to ~29% outlier
+# days, where one logging outage or bot spike drags OLS arbitrarily.
+# Scale shape: the corpus collapses to DAY grain first (one partial-agg
+# groupBy), so the O(days²) pair join runs on the aggregate — 3 years of
+# days is ~1M pairs, nothing. Determinism: slopes are IEEE divisions of
+# exact integer deltas; the median picks positional rows under a total
+# order (slope, x1, x2), and an even count averages the two middle
+# values — identical in both engines.
+
+_SEN_ROUND = 6
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """One row (n_days, n_pairs, sen_slope, sen_intercept): robust linear
+    trend of events-per-day over the full log — see the section note."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+
+    def _median(df: DataFrame, col: str, order: list) -> DataFrame:
+        """One-row (med) frame: positional median under a total order."""
+        w = Window.orderBy(*order)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        return ranked.crossJoin(
+            F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+        ).filter(
+            (F.col("_rn") == (F.col("_n") + 1) / 2)
+            | (F.col("_rn") == (F.col("_n") + 2) / 2)
+        ).agg(F.avg(col).alias("med"))
+
+    med_slope = _median(slopes, "slope", ["slope", "x1", "x2"])
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        "x",
+        (F.col("c").cast("double") - F.col("med") * F.col("x").cast("double")).alias(
+            "r"
+        ),
+        F.col("med").alias("slope_med"),
+    )
+    med_icept = _median(resid, "r", ["r", "x"])
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    ).crossJoin(F.broadcast(slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))))
+    return (
+        stats.crossJoin(F.broadcast(med_slope.select(F.col("med").alias("s"))))
+        .crossJoin(F.broadcast(med_icept.select(F.col("med").alias("i"))))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("s", _SEN_ROUND).alias("sen_slope"),
+            F.round("i", _SEN_ROUND).alias("sen_intercept"),
+        )
+    )
+
+
+_SEN_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT a.x AS x1, b.x AS x2,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.x < b.x
+),
+sl_ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, x1, x2) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+),
+med_slope AS (
+  SELECT AVG(slope) AS med FROM sl_ranked
+  WHERE rn = CAST((n + 1) / 2 AS BIGINT) OR rn = CAST((n + 2) / 2 AS BIGINT)
+),
+resid AS (
+  SELECT d.x, CAST(d.c AS DOUBLE) - m.med * CAST(d.x AS DOUBLE) AS r
+  FROM daily d CROSS JOIN med_slope m
+),
+r_ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, x) AS rn, COUNT(*) OVER () AS n
+  FROM resid
+),
+med_icept AS (
+  SELECT AVG(r) AS med FROM r_ranked
+  WHERE rn = CAST((n + 1) / 2 AS BIGINT) OR rn = CAST((n + 2) / 2 AS BIGINT)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+       ROUND(ms.med, {_SEN_ROUND}) AS sen_slope,
+       ROUND(mi.med, {_SEN_ROUND}) AS sen_intercept
+FROM med_slope ms CROSS JOIN med_icept mi
+"""
+
+
+@query("events_theil_sen_trend", oracle=_SEN_SQL, defer=True)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume — the outlier-immune
+    slope a single logging outage cannot drag, computed at day grain
+    after one corpus aggregate."""
+    return theil_sen_daily_trend(tpch.load(spark, sf_dir, "events"))

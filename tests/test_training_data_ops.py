@@ -2892,3 +2892,36 @@ def test_dq_checks_flag_planted_violations(spark):
         ).collect()
     }
     assert all(clean.values()), clean
+
+
+def test_theil_sen_immune_to_planted_outliers(spark, tmp_path):
+    """Theil–Sen (r12): a perfectly linear daily series (c = 10 + 3·day)
+    with two wrecked outlier days must still fit slope exactly 3.0 and
+    intercept exactly 10.0 — where OLS would be dragged by the spikes."""
+    import datetime as dt
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import drift
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(15):
+        n = 10 + 3 * day
+        if day in (4, 11):
+            n = 500  # outage-spike outliers
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day)))
+            eid += 1
+    events = spark.createDataFrame(
+        [(i, ts, 1, "e", 1.0, "{}") for (i, ts) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    r = drift.theil_sen_daily_trend(events).first()
+    assert r["n_days"] == 15 and r["n_pairs"] == 105
+    assert r["sen_slope"] == 3.0, r
+    # intercept = median residual of c - 3x over x = day + epoch_offset;
+    # clean days give exactly 10 - 3*epoch_offset... the intercept is in
+    # epoch-day coordinates, so just check the reconstruction at day 0
+    x0 = (base.date() - dt.date(1970, 1, 1)).days
+    assert abs((r["sen_slope"] * x0 + r["sen_intercept"]) - 10.0) < 1e-6, r
