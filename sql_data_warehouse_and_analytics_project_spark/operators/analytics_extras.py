@@ -658,11 +658,20 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # open/close deterministically in both engines (min_by/arg_min on a
 # composite key). One partial-agg groupBy at bar grain — min/max/min_by/
 # max_by all combine map-side, so the shuffle carries one row per bar.
+# Order-key packing: the key only has to be total WITHIN one hourly bar,
+# so it packs milliseconds-within-hour (0..3599999, 22 bits) << 41 plus
+# event_id — max ~7.9e18 < int64 max for ANY timestamp (no 2038 epoch
+# overflow; full-epoch << 32 wrapped silently in Spark and raised in
+# DuckDB). Millis come from the INTEGER epoch-ms functions on both engines
+# (unix_millis / epoch_ms, both truncating): DuckDB's epoch(ts) is a
+# DOUBLE whose BIGINT cast ROUNDS, flipping the order of events within
+# ~0.5 s of an hour boundary vs Spark's truncating cast.
+# Domain assumption: ts >= 1970-01-01 and 0 <= event_id < 2^41.
 
 _OHLC_SQL = """
 WITH keyed AS (
   SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
-         (CAST(epoch(ts) AS BIGINT) << 32) + event_id AS ordk
+         ((epoch_ms(ts) % 3600000) << 41) + event_id AS ordk
   FROM events
 )
 SELECT event_type, bar_ts,
@@ -683,7 +692,12 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the (ts, event_id) total order, one partial-agg groupBy at bar
     grain (the shuffle carries one row per bar)."""
     events = _t(spark, sf_dir, "events")
-    ordk = F.shiftleft(F.col("ts").cast("long"), 32) + F.col("event_id")
+    # millis-within-hour << 41 | event_id: total order inside one bar,
+    # overflow-free for any timestamp (see _OHLC_SQL note for the domain
+    # assumption on event_id and the epoch-ms truncation rationale).
+    ordk = F.shiftleft(F.pmod(F.unix_millis("ts"), F.lit(3600000)), 41) + F.col(
+        "event_id"
+    )
     keyed = events.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("bar_ts"),

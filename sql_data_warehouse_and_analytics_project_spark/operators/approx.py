@@ -320,11 +320,15 @@ def cms_estimate(
     lookups = candidates.select(
         "term", *carried, F.explode(probes).alias("rb")
     ).select("term", *carried, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    # LEFT join + COALESCE(cnt, 0): a Count-Min point query returns
+    # min-over-cells with absent cells counting as 0 — an inner join would
+    # silently drop external-vocabulary terms whose cells never filled
+    # (and over-estimate terms with only some cells present).
     return (
         F.broadcast(lookups)
-        .join(cms, ["row", "bucket"])
+        .join(cms, ["row", "bucket"], "left")
         .groupBy("term", *carried)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("bigint"))).alias("cms_estimate"))
     )
 
 
@@ -366,8 +370,8 @@ lookups AS (
   SELECT c.term, c.exact_cnt, p.row, p.bucket
   FROM cand c, LATERAL (SELECT * FROM (VALUES {rows_probe}) AS v(row, bucket)) p
 )
-SELECT l.term, l.exact_cnt, MIN(cms.cnt) AS cms_estimate
-FROM lookups l JOIN cms USING (row, bucket)
+SELECT l.term, l.exact_cnt, MIN(COALESCE(cms.cnt, 0)) AS cms_estimate
+FROM lookups l LEFT JOIN cms USING (row, bucket)
 GROUP BY l.term, l.exact_cnt
 ORDER BY exact_cnt DESC, term
 """

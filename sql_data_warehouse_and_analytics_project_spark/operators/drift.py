@@ -432,8 +432,12 @@ def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
         return ranked.crossJoin(
             F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
         ).filter(
-            (F.col("_rn") == (F.col("_n") + 1) / 2)
-            | (F.col("_rn") == (F.col("_n") + 2) / 2)
+            # Integer rank selection: floor((n+1)/2) and floor((n+2)/2) pick
+            # the single middle for odd n and BOTH middles for even n. Float
+            # division here would silently return only the upper middle for
+            # even n (the (n+1)/2 comparison never matches a row_number).
+            (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
         ).agg(F.avg(col).alias("med"))
 
     med_slope = _median(slopes, "slope", ["slope", "x1", "x2"])
@@ -478,7 +482,7 @@ sl_ranked AS (
 ),
 med_slope AS (
   SELECT AVG(slope) AS med FROM sl_ranked
-  WHERE rn = CAST((n + 1) / 2 AS BIGINT) OR rn = CAST((n + 2) / 2 AS BIGINT)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
 ),
 resid AS (
   SELECT d.x, CAST(d.c AS DOUBLE) - m.med * CAST(d.x AS DOUBLE) AS r
@@ -490,7 +494,7 @@ r_ranked AS (
 ),
 med_icept AS (
   SELECT AVG(r) AS med FROM r_ranked
-  WHERE rn = CAST((n + 1) / 2 AS BIGINT) OR rn = CAST((n + 2) / 2 AS BIGINT)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,

@@ -218,17 +218,22 @@ def winnow_verified(docs: DataFrame, min_containment: float = _CONTAIN_MIN) -> D
     return (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")
+        .withColumn(
+            "_raw",
+            F.col("shared_grams").cast("double")
+            / F.least("na", "nb").cast("double"),
+        )
+        # Filter on the UNROUNDED ratio (same value the oracle's WHERE uses);
+        # only the output column is rounded. Filtering on the rounded value
+        # would keep a raw ratio in [threshold - 5e-7, threshold) that the
+        # oracle drops, breaking hash parity at the boundary.
+        .filter(F.col("_raw") >= min_containment)
         .select(
             "doc_a",
             "doc_b",
             "shared_grams",
-            F.round(
-                F.col("shared_grams").cast("double")
-                / F.least("na", "nb").cast("double"),
-                6,
-            ).alias("containment"),
+            F.round(F.col("_raw"), 6).alias("containment"),
         )
-        .filter(F.col("containment") >= min_containment)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -2298,6 +2298,29 @@ def test_md5_cms_overestimate_and_mergeability(spark):
     assert got == whole
 
 
+def test_cms_external_vocab_probe_returns_zero(spark):
+    """r13 ADVICE regression: probing a term the sketch never saw must
+    return a row with estimate >= 0 (min over cells, absent cells = 0) —
+    not silently drop the row, which is what an inner probe join did."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    terms = spark.range(50).select(
+        F.concat(F.lit("seen:"), F.col("id")).alias("term")
+    )
+    cms = approx.cms_table(terms)
+    probes = spark.createDataFrame(
+        [("seen:7",), ("never-seen-term-xyzzy",)], "term string"
+    )
+    est = {r["term"]: r["cms_estimate"] for r in approx.cms_estimate(cms, probes).collect()}
+    assert set(est) == {"seen:7", "never-seen-term-xyzzy"}, est
+    assert est["seen:7"] >= 1
+    # a 4-row/2048-bucket sketch over 50 terms: an unseen term collides in
+    # ALL 4 rows with prob ~(50/2048)^4 ~ 3.6e-7 — assert the exact-0 path
+    assert est["never-seen-term-xyzzy"] == 0, est
+
+
 def test_winnow_local_match_guarantee_and_density(spark):
     """Winnowing (r12): two docs sharing a verbatim run of w+k-1 = 7 tokens
     inside entirely different surroundings MUST share a selected
@@ -2783,6 +2806,49 @@ def test_ohlc_bars_pin_open_close_order(spark, tmp_path):
     ), r
 
 
+def test_ohlc_post_2038_and_hour_boundary(spark, tmp_path):
+    """r13 ADVICE regression: the order key must survive (a) timestamps
+    past 2038 (full-epoch << 32 overflowed int64 — Spark wrapped, DuckDB
+    raised) and (b) events within 0.5 s of the hour end, where DuckDB's
+    rounding epoch(ts)::BIGINT cast used to wrap the seconds-within-hour
+    to 0 and flip open/close. Cross-checked against the registered
+    DuckDB oracle on the same parquet."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        analytics_extras,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    t = dt.datetime(2040, 6, 1, 9, 0, 0)  # epoch ~2.2e9 > 2^31
+    rows = [
+        (1, t + dt.timedelta(seconds=2), 50.0),                       # open
+        (2, t + dt.timedelta(minutes=59, seconds=59, microseconds=900_000), 7.0),  # close, .9s from hour end
+        (3, t + dt.timedelta(minutes=10), 80.0),                      # high
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, 7, "tick", v, "{}") for (i, ts, v) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    events.write.parquet(f"{sf}/events.parquet")
+    r = analytics_extras.events_ohlc_hourly(spark, sf).first()
+    assert (r["n_events"], r["open"], r["high"], r["low"], r["close"]) == (
+        3, 50.0, 80.0, 7.0, 7.0,
+    ), r
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    d = con.execute(all_queries()["events_ohlc_hourly"].oracle).fetchone()
+    assert (d[2], d[3], d[4], d[5], d[6]) == (3, 50.0, 80.0, 7.0, 7.0), d
+    con.close()
+
+
 def test_weighted_per_stratum_sample_balanced_and_capped(spark):
     """Per-stratum weighted sampling (r12): exactly min(k, |stratum|)
     rows per stratum, and the per-group cut compiles to the
@@ -2925,3 +2991,58 @@ def test_theil_sen_immune_to_planted_outliers(spark, tmp_path):
     # epoch-day coordinates, so just check the reconstruction at day 0
     x0 = (base.date() - dt.date(1970, 1, 1)).days
     assert abs((r["sen_slope"] * x0 + r["sen_intercept"]) - 10.0) < 1e-6, r
+
+
+def test_theil_sen_even_count_median_matches_oracle(spark, tmp_path):
+    """r13 ADVICE regression: the positional median must average BOTH
+    middle elements for even counts, identically in Spark and DuckDB.
+    n_days in (4, 5, 6, 7) covers every residue of n_pairs mod 4 —
+    n_pairs = 6, 10, 15, 21 — including the residues (0, 1) where the
+    pre-fix float-division rank filter returned only the upper middle
+    and the oracle's round-half-to-even CAST picked yet another set."""
+    import datetime as dt
+
+    import duckdb
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import drift
+
+    base = dt.datetime(2025, 3, 1)
+    for n_days in (4, 5, 6, 7):
+        rows = []
+        eid = 0
+        # deliberately non-linear counts so pairwise slopes are all distinct
+        counts = [7, 11, 12, 20, 23, 31, 32][:n_days]
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                rows.append((eid, base + dt.timedelta(days=day)))
+                eid += 1
+        events = spark.createDataFrame(
+            [(i, ts, 1, "e", 1.0, "{}") for (i, ts) in rows],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        r = drift.theil_sen_daily_trend(events).first()
+
+        # pure-Python reference median of pairwise slopes
+        xs = [(base.date() - dt.date(1970, 1, 1)).days + d for d in range(n_days)]
+        slopes = sorted(
+            (counts[j] - counts[i]) / (xs[j] - xs[i])
+            for i in range(n_days)
+            for j in range(i + 1, n_days)
+        )
+        n = len(slopes)
+        expect = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2.0
+        assert r["n_pairs"] == n
+        assert abs(r["sen_slope"] - round(expect, 6)) < 1e-9, (n_days, r)
+
+        # cross-engine: the registered oracle on the same data
+        pq = str(tmp_path / f"ev{n_days}.parquet")
+        events.toPandas().to_parquet(pq)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}')")
+        d = con.execute(drift._SEN_SQL).fetchone()
+        assert (r["n_days"], r["n_pairs"], r["sen_slope"], r["sen_intercept"]) == d, (
+            n_days,
+            r,
+            d,
+        )
+        con.close()
