@@ -492,7 +492,7 @@ def value_histogram(
     )
 
 
-@query("events_value_histogram", oracle=_HISTOGRAM_SQL)
+@query("events_value_histogram", oracle=_HISTOGRAM_SQL, defer=True)
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 10-bin histogram of event value per event type — the
     numeric-column profile of the data-card family."""
@@ -576,7 +576,7 @@ def zscore_outliers(
     )
 
 
-@query("events_zscore_outliers", oracle=_ZSCORE_SQL)
+@query("events_zscore_outliers", oracle=_ZSCORE_SQL, defer=True)
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events whose value is ≥ 2.5 σ from the user's own mean — per-entity
     anomaly flagging with engine-exact scores."""
@@ -613,7 +613,7 @@ ORDER BY cohort_week, week_offset
 """
 
 
-@query("events_cohort_retention", oracle=_COHORT_SQL, defer=True)
+@query("events_cohort_retention", oracle=_COHORT_SQL)
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: per first-activity-week cohort, the share
     of its users active at each later week offset — see the section note
@@ -686,7 +686,7 @@ ORDER BY event_type, bar_ts
 """
 
 
-@query("events_ohlc_hourly", oracle=_OHLC_SQL, defer=True)
+@query("events_ohlc_hourly", oracle=_OHLC_SQL)
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars of event value per event type — open/close pinned
     by the (ts, event_id) total order, one partial-agg groupBy at bar

@@ -231,7 +231,7 @@ _HLL_VOCAB_SQL = _hll_sql(
 )
 
 
-@query("eval_hll_vocab", oracle=_HLL_VOCAB_SQL, defer=True)
+@query("eval_hll_vocab", oracle=_HLL_VOCAB_SQL)
 def eval_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary-size estimate via the engine-reproducible md5-HLL
     (4096 registers, ~1.6% rsd) over lowered whitespace tokens — the
@@ -380,7 +380,7 @@ ORDER BY exact_cnt DESC, term
 _CMS_HH_SQL = _cms_sql()
 
 
-@query("eval_cms_heavy_hitters", oracle=_CMS_HH_SQL, defer=True)
+@query("eval_cms_heavy_hitters", oracle=_CMS_HH_SQL)
 def eval_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus terms with their Count-Min estimates beside the exact
     counts — the frequency-sketch twin of eval_hll_vocab, every cell
@@ -488,7 +488,10 @@ def hist_quantiles(
 def _hist_quantile_sql(
     value_expr: str, from_clause: str, qs: tuple[float, ...] = _HQ_QS
 ) -> str:
-    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    # CAST each literal: dotted literals parse as DECIMAL in DuckDB, and a
+    # DECIMAL q column stringifies as '0.50' vs Spark's DOUBLE '0.5',
+    # breaking the driver's value hash even when every number is equal.
+    q_values = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return f"""
 WITH vals AS (SELECT {value_expr} AS v {from_clause}),
 binned AS (
@@ -519,7 +522,7 @@ ORDER BY q
 _HQ_DOCLEN_SQL = _hist_quantile_sql("length(text)", "FROM documents")
 
 
-@query("eval_hist_quantiles", oracle=_HQ_DOCLEN_SQL, defer=True)
+@query("eval_hist_quantiles", oracle=_HQ_DOCLEN_SQL)
 def eval_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of document character length via the engine-reproducible
     fixed-bin quantile sketch — the quantile leg of the sketch trio
@@ -641,7 +644,7 @@ _HLL_BY_SOURCE_SQL = _hll_by_sql(
 )
 
 
-@query("corpus_vocab_by_source", oracle=_HLL_BY_SOURCE_SQL, defer=True)
+@query("corpus_vocab_by_source", oracle=_HLL_BY_SOURCE_SQL)
 def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-size estimates via the GROUPED md5-HLL — one
     KB-sized sketch per source from a single partial-aggregating
@@ -807,7 +810,7 @@ ORDER BY day
 _ACTIVE_SQL = _active_sql()
 
 
-@query("events_active_users_sketch", oracle=_ACTIVE_SQL, headline=True, defer=True)
+@query("events_active_users_sketch", oracle=_ACTIVE_SQL, headline=True)
 def events_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU (exact) + trailing 7/28-day distinct actives via HLL register
     expansion — the sliding-distinct composition whose shuffle carries

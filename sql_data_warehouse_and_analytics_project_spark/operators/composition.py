@@ -165,7 +165,7 @@ def length_decile_filter(
     )
 
 
-@query("quality_length_decile", oracle=_LENGTH_FILTER_SQL)
+@query("quality_length_decile", oracle=_LENGTH_FILTER_SQL, defer=True)
 def quality_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution tail trim: per-document decile assignment via
     broadcast thresholds; drops the shortest and longest ~10%."""
@@ -225,7 +225,7 @@ def epoch_shuffle(
     )
 
 
-@query("training_epoch_shuffle", oracle=_EPOCH_SQL)
+@query("training_epoch_shuffle", oracle=_EPOCH_SQL, defer=True)
 def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-3 deterministic shuffle of the documents corpus into 8
     shards — the reproducible data-order a trainer replays per epoch."""
@@ -273,7 +273,7 @@ def stratified_sample(
     )
 
 
-@query("eval_stratified_sample", oracle=_STRAT_SAMPLE_SQL)
+@query("eval_stratified_sample", oracle=_STRAT_SAMPLE_SQL, defer=True)
 def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced evaluation draw: 20 deterministic docs per
     language, independent of how skewed the corpus mix is."""
@@ -344,7 +344,7 @@ LIMIT {k}
 """
 
 
-@query("sample_weighted_chars", oracle=_wsample_sql(), defer=True)
+@query("sample_weighted_chars", oracle=_wsample_sql())
 def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-weighted document draw (k=50) via Efraimidis–Spirakis
     exponential clocks — long documents proportionally likelier, the
@@ -409,7 +409,7 @@ ORDER BY stratum, priority, doc_id
 """
 
 
-@query("sample_weighted_per_lang", oracle=_wstrat_sql(), defer=True)
+@query("sample_weighted_per_lang", oracle=_wstrat_sql())
 def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-weighted draw of 10 documents PER LANGUAGE — the
     balanced-but-weighted eval sample completing the family (uniform

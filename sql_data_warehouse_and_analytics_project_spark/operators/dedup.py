@@ -591,7 +591,7 @@ ORDER BY doc_id_1, doc_id_2
 _MINHASH_SQL = _sql_minhash_pairs_over("documents")
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_SQL, headline=True)
+@query("dedup_minhash_lsh", oracle=_MINHASH_SQL, headline=True, defer=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, Jaccard-verified.
 
@@ -1630,7 +1630,7 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("text_ngram_novelty", oracle=_NOVELTY_SQL)
+@query("text_ngram_novelty", oracle=_NOVELTY_SQL, defer=True)
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty profile: per-document share of 3-gram shingles unique
     to that document — the templated-vs-original quality signal."""
@@ -1704,7 +1704,7 @@ def source_fingerprint_similarity(docs: DataFrame, stratum: str = "source") -> D
     )
 
 
-@query("dedup_source_fingerprints", oracle=_FINGERPRINT_SIM_SQL)
+@query("dedup_source_fingerprints", oracle=_FINGERPRINT_SIM_SQL, defer=True)
 def dedup_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise corpus-level similarity of every source's shingle space —
     the re-delivery / re-crawl detector that needs no document pairs."""
@@ -1860,7 +1860,7 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cdc_chunks", oracle=_CDC_SQL, headline=True)
+@query("dedup_cdc_chunks", oracle=_CDC_SQL, headline=True, defer=True)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking span dedup: per-document duplicated-chunk
     fraction under rolling-hash boundaries, robust to insert/delete shifts
@@ -2037,7 +2037,7 @@ def quality_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_quality_survivor", oracle=_QUALITY_SURVIVOR_SQL, defer=True)
+@query("dedup_quality_survivor", oracle=_QUALITY_SURVIVOR_SQL)
 def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters with the quality-aware survivor rule: the
     RICHEST copy (most distinct tokens, ties min-id) survives each
@@ -2124,7 +2124,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_cross_lang_pairs", oracle=_XLANG_SQL, defer=True)
+@query("dedup_cross_lang_pairs", oracle=_XLANG_SQL)
 def dedup_cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content duplicate pairs whose language labels disagree — the
     lang-ID label-noise detector a per-language mixture needs before its

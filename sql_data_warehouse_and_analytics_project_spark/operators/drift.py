@@ -272,7 +272,7 @@ FROM folded
 """
 
 
-@query("corpus_zipf_slope", oracle=_ZIPF_SQL, defer=True)
+@query("corpus_zipf_slope", oracle=_ZIPF_SQL)
 def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit over the top-256 corpus terms: slope,
     intercept, r² of ln(freq) ~ ln(rank) — the one-row naturalness /
@@ -381,7 +381,7 @@ def centroid_cosine(emb: DataFrame) -> DataFrame:
     )
 
 
-@query("corpus_centroid_cosine", oracle=_CENTROID_SQL, defer=True)
+@query("corpus_centroid_cosine", oracle=_CENTROID_SQL)
 def corpus_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise centroid cosine between every embedding label cluster —
     the embedding-space drift/contrast check beside the unigram JSD,
@@ -504,7 +504,7 @@ FROM med_slope ms CROSS JOIN med_icept mi
 """
 
 
-@query("events_theil_sen_trend", oracle=_SEN_SQL, defer=True)
+@query("events_theil_sen_trend", oracle=_SEN_SQL)
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of daily event volume — the outlier-immune
     slope a single logging outage cannot drag, computed at day grain

@@ -320,7 +320,7 @@ ORDER BY leg, k1
 """
 
 
-@query("etl_window_keys", oracle=_WINDOW_KEYS_SQL)
+@query("etl_window_keys", oracle=_WINDOW_KEYS_SQL, defer=True)
 def etl_window_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 keep-latest dedup + W2 surrogate keys, union-tagged."""
     dedup = etl_dedup_keep_latest(spark, sf_dir).select(

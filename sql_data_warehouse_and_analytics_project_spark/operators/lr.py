@@ -224,7 +224,7 @@ ORDER BY f.doc_id""")
 _LR_SQL = _lr_sql()
 
 
-@query("text_lr_langid_en", oracle=_LR_SQL)
+@query("text_lr_langid_en", oracle=_LR_SQL, defer=True)
 def text_lr_langid_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary is-English classifier over 64 hashed bag-of-words buckets,
     trained by 12 full-batch GD iterations INSIDE the query — the DuckDB

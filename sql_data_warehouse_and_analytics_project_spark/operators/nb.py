@@ -268,7 +268,7 @@ def nb_language_classifier(
     )
 
 
-@query("text_nb_langid", oracle=_NB_SQL)
+@query("text_nb_langid", oracle=_NB_SQL, defer=True)
 def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained Naive Bayes language identification over documents: count-
     based training and token-order-folded scoring, engine-reproducible to

@@ -433,7 +433,7 @@ ORDER BY c_custkey
 """
 
 
-@query("olap_rfm_segmentation", oracle=_RFM_SQL, defer=True)
+@query("olap_rfm_segmentation", oracle=_RFM_SQL)
 def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer RFM quintile scores and rule-based segment — the
     marketing-segmentation upgrade of q10's fixed spend bands; see the

@@ -357,7 +357,7 @@ def mix_temperature_resample(
     return docs.filter(u < p).select("doc_id", stratum).orderBy("doc_id")
 
 
-@query("mix_temperature_lang", oracle=_MIX_TEMP_SQL)
+@query("mix_temperature_lang", oracle=_MIX_TEMP_SQL, defer=True)
 def mix_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened language resample (T = 2, half-corpus
     budget) with engine-reproducible membership."""

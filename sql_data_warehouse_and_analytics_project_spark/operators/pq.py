@@ -487,7 +487,7 @@ LIMIT 10
 """
 
 
-@query("ann_pq_topk", oracle=_ANN_PQ_SQL)
+@query("ann_pq_topk", oracle=_ANN_PQ_SQL, defer=True)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: train 8×16 codebooks (one SQL-replayable Lloyd
     step), encode the corpus to 8 codes/vector, ADC-score against vec_id 0

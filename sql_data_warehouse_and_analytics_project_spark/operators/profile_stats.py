@@ -118,7 +118,7 @@ FROM {table}"""
 _ORDERS_PROFILE_SQL = _profile_sql("orders", _ORDERS_SPEC)
 
 
-@query("warehouse_column_stats", oracle=_ORDERS_PROFILE_SQL)
+@query("warehouse_column_stats", oracle=_ORDERS_PROFILE_SQL, defer=True)
 def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column statistics for the orders table: null count,
     exact NDV, and typed value bounds per column — one scan."""

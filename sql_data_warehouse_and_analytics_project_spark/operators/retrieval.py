@@ -108,7 +108,7 @@ def chunk_documents(
     )
 
 
-@query("text_chunk_sliding", oracle=_CHUNK_SQL)
+@query("text_chunk_sliding", oracle=_CHUNK_SQL, defer=True)
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunk assignment over the documents table: 32-token
     windows, 24-token stride, engine-reproducible boundaries."""
@@ -312,7 +312,7 @@ def rrf_fuse(
     )
 
 
-@query("retrieval_rrf_hybrid", oracle=_rrf_sql(_BM25_TERMS, _BM25_K))
+@query("retrieval_rrf_hybrid", oracle=_rrf_sql(_BM25_TERMS, _BM25_K), defer=True)
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware hybrid retrieval: fuse the BM25 relevance top-50 with
     the unigram-LM fluency top-50 by reciprocal-rank fusion and keep the
@@ -859,7 +859,7 @@ def tfidf_keywords(docs: DataFrame, k: int = _TFIDF_K) -> DataFrame:
     )
 
 
-@query("retrieval_tfidf_keywords", oracle=_TFIDF_SQL, defer=True)
+@query("retrieval_tfidf_keywords", oracle=_TFIDF_SQL)
 def retrieval_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf keywords per document (smoothed sklearn idf) — the
     unsupervised keyword/topic-tag stage of a data card or retrieval

@@ -45,7 +45,7 @@ ORDER BY nation
 """
 
 
-@query("security_rls_orders", oracle=_RLS_SQL)
+@query("security_rls_orders", oracle=_RLS_SQL, defer=True)
 def security_rls_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders visible to ``amr_analyst`` under region RLS, summarized by
     nation. Plan: orders ⋈ broadcast(customer-keys-in-allowed-regions) as

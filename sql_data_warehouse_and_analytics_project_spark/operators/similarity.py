@@ -1070,7 +1070,7 @@ def contrastive_triplets(
     )
 
 
-@query("train_contrastive_triplets", oracle=_TRIPLET_SQL)
+@query("train_contrastive_triplets", oracle=_TRIPLET_SQL, defer=True)
 def train_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets from the embeddings
     table: positives are verified near-dups (cosine ≥ 0.35), hard negatives

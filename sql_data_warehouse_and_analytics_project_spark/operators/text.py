@@ -497,7 +497,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_decontaminate", oracle=_DECONTAM_SQL, headline=True)
+@query("text_decontaminate", oracle=_DECONTAM_SQL, headline=True, defer=True)
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 4-gram decontamination: training docs sharing any word
     4-gram with the eval slice (doc_id % 100 == 0), with hit counts."""
@@ -900,7 +900,7 @@ def unigram_logprob(
     ).orderBy("doc_id")
 
 
-@query("text_unigram_logprob", oracle=_LM_SQL)
+@query("text_unigram_logprob", oracle=_LM_SQL, defer=True)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token unigram log-probability per document — the
     perplexity-style quality score, engine-reproducible to 6 dp."""
@@ -1243,7 +1243,7 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     return per_lang.withColumn("corpus_share", share).orderBy("lang")
 
 
-@query("corpus_profile_by_lang", oracle=_CORPUS_PROFILE_SQL)
+@query("corpus_profile_by_lang", oracle=_CORPUS_PROFILE_SQL, defer=True)
 def corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data-card: per-language composition and token-length
     distribution — the first report any training-data pipeline publishes."""
@@ -1369,7 +1369,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_decontaminate_bloom", oracle=_BLOOM_DECONTAM_SQL, defer=True)
+@query("text_decontaminate_bloom", oracle=_BLOOM_DECONTAM_SQL)
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Bloom-cascade decontamination: per training doc, the
     4-grams passing all 3 Bloom probes of the eval slice's filter

@@ -71,7 +71,7 @@ ORDER BY purchase_id, view_id
 """
 
 
-@query("stream_purchase_attribution", oracle=_ATTRIB_SQL)
+@query("stream_purchase_attribution", oracle=_ATTRIB_SQL, defer=True)
 def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→view attribution within a 24-hour horizon — the batch twin
     of the stream-stream interval join (``jobs.attribute_purchases``),
