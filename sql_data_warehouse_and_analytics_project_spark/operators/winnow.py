@@ -283,3 +283,245 @@ def dedup_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-side) — the quotation/boilerplate-inclusion detector Jaccard
     misses when a short doc hides inside a long one."""
     return winnow_verified(_docs(spark, sf_dir))
+
+
+# --- incremental winnowing index (r13) ----------------------------------------
+#
+# The batch pipelines above re-fingerprint the whole corpus every run; a
+# production ingest needs to check each ARRIVING batch for verbatim-run
+# overlap against everything already accepted WITHOUT re-scanning the
+# stored text — the winnow analog of dedup.append_minhash_index, closing
+# the last near-dup family without an incremental path. The index persists
+# only the fingerprint surface — (doc_id, h) partitioned by band =
+# h % _IDX_BANDS — never the text: ~12 bytes/fingerprint at 2/(w+1)
+# density, independent of document size.
+#
+# Scale shape of a query: the new batch's fingerprints are ONE
+# zero-Exchange HOF projection (winnow_fingerprints), BROADCAST into the
+# stored-fingerprint join — the stored corpus is never shuffled; only the
+# matched candidate rows reach the n_shared groupBy. The per-fingerprint
+# bucket cap is applied at build/append time (the LSH discipline:
+# smallest-doc_id, deterministic) and re-applied globally by
+# compact_winnow_index, which also drops rows duplicated by a replayed
+# append. Unlike the minhash index there is only ONE component table, so
+# an append has no multi-table crash window: a redelivered batch is
+# handled by replaying the append and compacting (dropDuplicates), or by
+# repair_winnow_append's anti-join for an exactly-once retry.
+
+_IDX_BANDS = 16
+
+
+def _banded(fp: DataFrame) -> DataFrame:
+    return fp.withColumn("band", F.pmod(F.col("h"), F.lit(_IDX_BANDS)).cast("int"))
+
+
+def build_winnow_index(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> None:
+    """Write (append) the winnow fingerprint index for a corpus batch under
+    ``<path>/fingerprints`` — (doc_id, h) partitioned by ``band``. The
+    per-``h`` membership cap keeps any fingerprint's bucket at the ``cap``
+    smallest doc_ids WITHIN this batch (the LSH append discipline; the
+    global re-cap is compact_winnow_index's job)."""
+    from pyspark.sql import Window
+
+    fp = winnow_fingerprints(docs)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    _banded(capped).write.mode("append").partitionBy("band").parquet(
+        f"{path}/fingerprints"
+    )
+
+
+def append_winnow_index(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> None:
+    """Append a later batch (same layout; the fingerprint parameters are
+    module constants, so the index is parameter-stable)."""
+    build_winnow_index(docs, path, cap=cap)
+
+
+def repair_winnow_append(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> None:
+    """Crash-convergent replay of :func:`append_winnow_index` for a
+    redelivered batch: appends only the batch's fingerprint rows whose
+    doc_id is not already stored (one narrow anti-join on the rare retry
+    path). With a single component table this is the whole repair story —
+    there is no partially-written sibling to reconcile."""
+    from ..warehouse.hdfs import exists as _hx
+
+    spark = docs.sparkSession
+    fp = winnow_fingerprints(docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    if _hx(spark, f"{path}/fingerprints"):
+        stored = (
+            spark.read.parquet(f"{path}/fingerprints").select("doc_id").distinct()
+        )
+        capped = capped.join(stored, "doc_id", "left_anti").localCheckpoint(eager=True)
+    if not capped.isEmpty():
+        _banded(capped).write.mode("append").partitionBy("band").parquet(
+            f"{path}/fingerprints"
+        )
+
+
+def query_winnow_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    min_shared: int = _MIN_SHARED,
+) -> DataFrame:
+    """(new_doc_id, indexed_doc_id, n_shared): every doc in the new batch
+    sharing >= ``min_shared`` winnowed fingerprints with an INDEXED doc.
+    The new batch's fingerprint frame (tiny: 2/(w+1) density over one
+    batch) broadcasts into the stored join, so the stored corpus is read
+    but never shuffled; DISTINCT makes the answer insensitive to duplicate
+    rows from a replayed append."""
+    new_fp = _banded(winnow_fingerprints(new_docs))
+    idx = spark.read.parquet(f"{path}/fingerprints").select("doc_id", "h", "band")
+    return (
+        F.broadcast(new_fp.select(F.col("doc_id").alias("new_doc_id"), "h", "band"))
+        .join(idx.select(F.col("doc_id").alias("indexed_doc_id"), "h", "band"), ["band", "h"])
+        .select("new_doc_id", "indexed_doc_id", "h")
+        .distinct()
+        .groupBy("new_doc_id", "indexed_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("new_doc_id", "indexed_doc_id")
+    )
+
+
+def compact_winnow_index(
+    spark: SparkSession, path: str, target_file_mb: int = 128, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """Rewrite the append-accumulated fingerprint files and restore the
+    GLOBAL per-fingerprint cap (each append caps only within its own
+    batch, so a hot fingerprint can grow to cap x n_appends members).
+    Returns the (h, n_members, trimmed) audit of what the re-cap dropped
+    (no-silent-caps rule), localCheckpointed before the directory swap.
+    Publishes with the warehouse swap discipline (live dir renamed aside
+    before the replacement moves in — crash-recoverable)."""
+    from pyspark.sql import Window
+
+    from ..warehouse import hdfs
+
+    src = f"{path}/fingerprints"
+    tmp = f"{src}.compacting"
+    rows = spark.read.parquet(src).select("doc_id", "h").dropDuplicates(
+        ["doc_id", "h"]
+    )
+    counts = rows.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    audit = (
+        counts.filter(F.col("n_members") > cap)
+        .select("h", "n_members", (F.col("n_members") - cap).alias("trimmed"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    _banded(capped).repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(tmp)
+    hdfs.swap_aside(spark, src, tmp)
+    return audit
+
+
+# Registered oracle twin of the index-query plan shape (the bm25_indexed
+# pattern): the stored corpus is docs with doc_id % 5 != 0, the arriving
+# batch is doc_id % 5 == 0, and the hits are the cross-batch winnow pairs
+# under the same per-fingerprint cap — relationally identical to
+# query_winnow_index over a freshly built index (pytest-pinned), and
+# DuckDB-replayable because every step is the fingerprint algebra above.
+
+
+def winnow_index_hits(
+    stored: DataFrame, batch: DataFrame, min_shared: int = _MIN_SHARED,
+    cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """Relational twin of build_winnow_index(stored) + query_winnow_index
+    (batch): cross-batch fingerprint hits with the stored side bucket-capped."""
+    from pyspark.sql import Window
+
+    fp_s = winnow_fingerprints(stored)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        fp_s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    fp_b = winnow_fingerprints(batch)
+    return (
+        F.broadcast(fp_b.select(F.col("doc_id").alias("new_doc_id"), "h"))
+        .join(capped.select(F.col("doc_id").alias("indexed_doc_id"), "h"), "h")
+        .groupBy("new_doc_id", "indexed_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("new_doc_id", "indexed_doc_id")
+    )
+
+
+def _winnow_index_sql() -> str:
+    from .dedup import _sql_md5_long
+
+    gram = f"array_to_string(t[j:j+{_K - 1}], ' ')"
+    h = _sql_md5_long(gram, _HEX)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, t FROM toks
+  WHERE len(t) >= {_K + _W - 1} AND len(t) < {_POS_MOD + _K - 1}
+),
+encoded AS (
+  SELECT doc_id,
+         [{h} * {_POS_MOD} + ({_POS_MOD - 1} - (j - 1))
+          FOR j IN range(1, len(t) - {_K - 2})] AS encs
+  FROM eligible
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct([e >> {_POS_BITS} FOR e IN
+           list_distinct([list_min(encs[p-{_W - 1}:p])
+                          FOR p IN range({_W}, len(encs) + 1)])]) AS hs
+  FROM encoded
+),
+fp AS (SELECT doc_id, UNNEST(hs) AS h FROM fps),
+stored AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM fp WHERE doc_id % 5 != 0
+  ) WHERE rn <= {_BUCKET_CAP}
+),
+batch AS (SELECT doc_id, h FROM fp WHERE doc_id % 5 = 0)
+SELECT b.doc_id AS new_doc_id, s.doc_id AS indexed_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM batch b JOIN stored s ON b.h = s.h
+GROUP BY new_doc_id, indexed_doc_id
+HAVING COUNT(*) >= {_MIN_SHARED}
+ORDER BY new_doc_id, indexed_doc_id
+"""
+
+
+_WINNOW_INDEX_SQL = _winnow_index_sql()
+
+
+@query("dedup_winnow_index_hits", oracle=_WINNOW_INDEX_SQL, defer=True)
+def dedup_winnow_index_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing: an arriving batch (doc_id % 5 == 0) checked
+    for verbatim-run overlap against the stored corpus (the rest) through
+    the exact plan shape query_winnow_index serves from the persisted
+    band-partitioned fingerprint index."""
+    docs = _docs(spark, sf_dir)
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return winnow_index_hits(stored, batch)

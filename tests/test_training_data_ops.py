@@ -2362,6 +2362,107 @@ def test_winnow_local_match_guarantee_and_density(spark):
     assert math.ceil(n_windows / winnow._W) <= n_sel <= n_windows, n_sel
 
 
+def test_winnow_index_build_append_equals_fresh(spark, tmp_path):
+    """Incremental winnow index (r13): build(A) + append(B) must answer a
+    query identically to a fresh build(A ∪ B) — the incremental-path
+    correctness contract every persisted index in this engine carries."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    a = stored.filter(F.col("doc_id") % 2 == 0)
+    b = stored.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inc = str(tmp_path / "inc")
+    winnow.build_winnow_index(a, inc)
+    winnow.append_winnow_index(b, inc)
+    fresh = str(tmp_path / "fresh")
+    winnow.build_winnow_index(stored, fresh)
+
+    got_inc = winnow.query_winnow_index(spark, inc, batch).collect()
+    got_fresh = winnow.query_winnow_index(spark, fresh, batch).collect()
+    assert got_inc == got_fresh and len(got_inc) > 0
+
+    # ...and the persisted-index answer matches the relational twin the
+    # registered oracle checks, up to the per-append-vs-global cap (no
+    # bucket exceeds the cap at this scale, so equality is exact here)
+    twin = winnow.winnow_index_hits(stored, batch).collect()
+    assert got_fresh == twin
+
+
+def test_winnow_index_repair_and_compact(spark, tmp_path):
+    """Replayed appends: a double-delivered batch is neutralized either by
+    repair_winnow_append (anti-join, no duplicate rows land) or by
+    compact_winnow_index (dropDuplicates + global re-cap) — and query
+    answers are identical before and after compaction."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    winnow.build_winnow_index(stored, path)
+    baseline = winnow.query_winnow_index(spark, path, batch).collect()
+
+    # repair path: replaying the same batch appends nothing
+    n_rows = spark.read.parquet(f"{path}/fingerprints").count()
+    winnow.repair_winnow_append(stored, path)
+    assert spark.read.parquet(f"{path}/fingerprints").count() == n_rows
+
+    # raw re-append duplicates rows; DISTINCT keeps the answer right and
+    # compaction restores the physical layout
+    winnow.append_winnow_index(stored, path)
+    assert spark.read.parquet(f"{path}/fingerprints").count() == 2 * n_rows
+    assert winnow.query_winnow_index(spark, path, batch).collect() == baseline
+    audit = winnow.compact_winnow_index(spark, path)
+    assert audit.count() == 0  # nothing over-cap at fixture scale
+    assert spark.read.parquet(f"{path}/fingerprints").count() == n_rows
+    assert winnow.query_winnow_index(spark, path, batch).collect() == baseline
+
+
+def test_winnow_index_query_plan_broadcasts_probe(spark, tmp_path):
+    """Scale shape: the index query must BROADCAST the new batch's
+    fingerprints — the stored corpus is scanned but never shuffled — and
+    the stored scan must read only the narrow fingerprint columns."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    winnow.build_winnow_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+    out = winnow.query_winnow_index(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # stored side: narrow fingerprint columns only, and the broadcast probe
+    # feeds a dynamic partition pruning filter on band — the stored corpus
+    # reads only the bands the arriving batch actually touches
+    fp_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "ReadSchema: struct<doc_id:bigint,h:bigint>" in ln
+    ]
+    assert fp_scans, plan
+    assert any("dynamicpruning" in ln for ln in fp_scans), fp_scans
+
+
 def test_bloom_decontaminate_superset_of_exact(spark):
     """Bloom cascade (r12): candidates are one-sided — every doc the exact
     decontaminator flags must appear with n_contaminated equal to its
