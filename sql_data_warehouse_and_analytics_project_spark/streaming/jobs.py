@@ -885,3 +885,100 @@ def stream_sketch_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     from ..warehouse import commit as _commit
 
     return hll_estimate(spark.read.parquet(_commit.resolve(state_path)))
+
+
+# ------------------------------- streaming CMS / histogram sketch sinks
+
+
+# The SUM-merge siblings of the HLL sink above (completing the streaming
+# sketch family: distincts, frequencies, quantiles). One algebraic
+# difference drives a different replay design: HLL's MAX merge is
+# IDEMPOTENT, so redelivering a batch into the merged state is a no-op by
+# algebra; CMS cells and histogram bins merge by SUM, which is commutative
+# and associative but NOT idempotent — re-merging a redelivered batch
+# would double-count it. The Spark-native fix is to make the WRITE
+# idempotent instead of the merge: each micro-batch's partial sketch lands
+# under its own ``batch_id=N`` partition (mode("overwrite") on exactly
+# that directory), so a redelivery — same batch_id by the checkpoint
+# contract — overwrites bit-identical content instead of adding to it.
+# The merge moves to read time: SUM over the partition column is one
+# partial aggregation over KB-sized cell tables (2^11 buckets x 4 rows /
+# 256 bins per batch), so serving cost stays trivial for any realistic
+# batch count, and state growth is O(batches) KB-sized files.
+
+
+def sink_stream_cms_sketch(docs_stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming Count-Min sink: per micro-batch, the md5-CMS cell table
+    (``operators.approx.cms_table``) of the batch's lowered tokens lands
+    under ``<state_path>/cells/batch_id=N`` — an idempotent per-batch
+    write (see the section note for why SUM-merge state must key replay
+    safety on batch_id rather than on the merge algebra)."""
+    from ..operators.approx import cms_table
+    from ..operators.text import tokens_col
+
+    def _sink_batch(batch: DataFrame, batch_id: int) -> None:
+        terms = batch.select(
+            F.explode(
+                F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+            ).alias("term")
+        )
+        cms_table(terms).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/cells/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_cms_cells(spark: SparkSession, state_path: str) -> DataFrame:
+    """(row, bucket, cnt) merged CMS table over every ingested batch —
+    SUM across batch partitions, bit-identical to the one-shot batch
+    sketch over the union (pytest-pinned). Feed to
+    ``operators.approx.cms_estimate`` for point queries."""
+    return (
+        spark.read.parquet(f"{state_path}/cells")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def sink_stream_hist_sketch(
+    docs_stream: DataFrame, state_path: str, checkpoint: str
+):
+    """Streaming fixed-bin histogram sink: per micro-batch, the
+    document-length bin table (``operators.approx.hist_bins`` over
+    length(text)) lands under ``<state_path>/bins/batch_id=N`` — same
+    idempotent-write replay discipline as the CMS sink."""
+    from ..operators.approx import hist_bins
+
+    def _sink_batch(batch: DataFrame, batch_id: int) -> None:
+        vals = batch.select(F.length("text").alias("v"))
+        hist_bins(vals, "v").coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/bins/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_hist_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
+    """(q, estimate) linear-interpolated quantiles over everything
+    ingested so far: SUM-merge the per-batch bin tables, then the exact
+    closed-form interpolation — identical to the one-shot batch sketch
+    over the union (pytest-pinned)."""
+    from ..operators.approx import hist_quantiles
+
+    merged = (
+        spark.read.parquet(f"{state_path}/bins")
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return hist_quantiles(merged)

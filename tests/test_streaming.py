@@ -817,3 +817,88 @@ def test_stream_corpus_sketch_equals_batch_and_replay_is_noop(spark, tmp_path):
     q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
     again = jobs.stream_sketch_estimate(spark, state).first()
     assert again == want, (again, want)
+
+
+def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming CMS + histogram sinks (r13): after draining three batches
+    the merged state must equal the ONE-SHOT batch sketch over the union
+    EXACTLY, and a full redelivery (fresh checkpoint, same input) must
+    leave it bit-identical. SUM-merge is NOT idempotent, so this pins the
+    per-batch_id overwrite discipline — a redelivered batch replaces its
+    own partition instead of double-counting into a merged total."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    schema = "doc_id bigint, text string"
+    batches = [
+        [(i, f"alpha beta tok{i} tok{i * 7}") for i in range(20)],
+        [(100 + i, f"gamma tok{i} word{i} alpha") for i in range(20)],
+        [(200 + i, f"alpha word{i} fresh{i}") for i in range(20)],
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    all_docs = spark.createDataFrame([r for rows in batches for r in rows], schema)
+
+    # --- CMS ---
+    cms_state = str(tmp_path / "cms_state")
+    stream = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q = jobs.sink_stream_cms_sketch(stream, cms_state, str(tmp_path / "cms_ck1"))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    terms = all_docs.select(
+        F.explode(
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda x: F.lower(x))
+        ).alias("term")
+    )
+    want_cells = sorted(
+        map(repr, approx.cms_table(terms).select("row", "bucket", "cnt").collect())
+    )
+    got_cells = sorted(
+        map(repr, jobs.stream_cms_cells(spark, cms_state).select("row", "bucket", "cnt").collect())
+    )
+    assert got_cells == want_cells
+
+    # point estimates through the streamed state match the batch sketch
+    probes = spark.createDataFrame([("alpha",), ("never-seen-xyzzy",)], "term string")
+    got_est = {
+        r["term"]: r["cms_estimate"]
+        for r in approx.cms_estimate(
+            jobs.stream_cms_cells(spark, cms_state), probes
+        ).collect()
+    }
+    assert got_est["alpha"] == 60 and got_est["never-seen-xyzzy"] == 0, got_est
+
+    # full redelivery: fresh checkpoint, same input -> bit-identical state
+    q2 = jobs.sink_stream_cms_sketch(stream, cms_state, str(tmp_path / "cms_ck2"))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    again = sorted(
+        map(repr, jobs.stream_cms_cells(spark, cms_state).select("row", "bucket", "cnt").collect())
+    )
+    assert again == want_cells
+
+    # --- histogram ---
+    hist_state = str(tmp_path / "hist_state")
+    q3 = jobs.sink_stream_hist_sketch(stream, hist_state, str(tmp_path / "h_ck1"))
+    q3.processAllAvailable(); q3.stop(); q3.awaitTermination()
+
+    vals = all_docs.select(F.length("text").alias("v"))
+    want_q = sorted(
+        map(repr, approx.hist_quantiles(approx.hist_bins(vals, "v")).collect())
+    )
+    got_q = sorted(map(repr, jobs.stream_hist_quantiles(spark, hist_state).collect()))
+    assert got_q == want_q
+
+    q4 = jobs.sink_stream_hist_sketch(stream, hist_state, str(tmp_path / "h_ck2"))
+    q4.processAllAvailable(); q4.stop(); q4.awaitTermination()
+    assert (
+        sorted(map(repr, jobs.stream_hist_quantiles(spark, hist_state).collect()))
+        == want_q
+    )
