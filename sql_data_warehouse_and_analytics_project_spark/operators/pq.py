@@ -290,8 +290,12 @@ def pq_search(
     vector; it is fixed-point-quantized exactly like the corpus was."""
     import math
 
+    from . import tombstones
+
     codebooks = load_pq_codebooks(spark, path)
-    encoded = spark.read.parquet(f"{path}/codes")
+    encoded = tombstones.mask(
+        spark.read.parquet(f"{path}/codes"), spark, path, "vec_id"
+    )
     if not codebooks:
         return encoded.select("vec_id", "label", F.lit(None).cast("bigint").alias("adist"))
     query_q = [math.floor(float(x) * 10_000_000.0) for x in query_vec]
@@ -384,6 +388,10 @@ def append_ivfpq_index(emb: DataFrame, path: str) -> None:
     pq_encode(assigned, codebooks, extra=("list_id",)).write.mode(
         "append"
     ).partitionBy("list_id").parquet(f"{path}/codes")
+    # append-after-delete is lossless (tombstones.py module note)
+    from . import tombstones
+
+    tombstones.unmask_ids(emb.sparkSession, path, emb.select("vec_id"), "vec_id")
 
 
 def ivfpq_search(
@@ -411,9 +419,13 @@ def ivfpq_search(
     by_dist = sorted(
         cents, key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["centroid"], qd)), r["list_id"])
     )
+    from . import tombstones
+
     probes = [r["list_id"] for r in by_dist[:n_probes]]
     query_q = [math.floor(x * 10_000_000.0) for x in qd]
-    probed = codes.filter(F.col("list_id").isin(probes))
+    probed = tombstones.mask(
+        codes.filter(F.col("list_id").isin(probes)), spark, path, "vec_id"
+    )
     return pq_adc_topk(probed.select("vec_id", "label", "codes"), query_q, codebooks, k=k)
 
 

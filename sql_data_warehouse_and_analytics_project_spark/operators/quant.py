@@ -298,6 +298,10 @@ def append_ivfsq_index(emb: DataFrame, path: str) -> None:
     sq_encode(assigned, mn, rng, extra=("list_id",)).write.mode("append").partitionBy(
         "list_id"
     ).parquet(f"{path}/codes")
+    # append-after-delete is lossless (tombstones.py module note)
+    from . import tombstones
+
+    tombstones.unmask_ids(emb.sparkSession, path, emb.select("vec_id"), "vec_id")
 
 
 def ivfsq_search(
@@ -325,9 +329,13 @@ def ivfsq_search(
         cents,
         key=lambda r: (sum((a - b) ** 2 for a, b in zip(r["centroid"], qd)), r["list_id"]),
     )
+    from . import tombstones
+
     probes = [r["list_id"] for r in by_dist[:n_probes]]
     query_q = [math.floor(x * _SCALE) for x in qd]
-    probed = codes.filter(F.col("list_id").isin(probes))
+    probed = tombstones.mask(
+        codes.filter(F.col("list_id").isin(probes)), spark, path, "vec_id"
+    )
     return sq_adc_topk(probed.select("vec_id", "label", "scode"), query_q, mn, rng, k=k)
 
 

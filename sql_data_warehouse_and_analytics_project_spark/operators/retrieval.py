@@ -611,6 +611,11 @@ def append_inverted_index(docs_new: DataFrame, path: str) -> None:
         [(n_docs, sum_dl, float(sum_dl) / float(n_docs), nb)],
         "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    # append-after-delete is lossless: a re-ingested (previously deleted
+    # and purged) doc must not stay shadowed by a leftover tombstone
+    from . import tombstones
+
+    tombstones.unmask_ids(spark, path, docs_new.select("doc_id"), "doc_id")
 
 
 def repair_append_inverted_index(
@@ -726,6 +731,62 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
         hdfs.swap_aside(spark, src, tmp)
 
 
+def delete_from_inverted_index(spark: SparkSession, path: str, doc_ids) -> None:
+    """Tombstone documents out of the persisted inverted index: O(ids)
+    sidecar append; tombstoned docs leave every
+    :func:`bm25_search_indexed` result IMMEDIATELY (the postings scan
+    anti-joins the sidecar before scoring). Lucene-identical caveat:
+    df / n_docs / avgdl still count the deleted docs until
+    :func:`purge_inverted_index` — deleted docs can't be returned, but
+    corpus statistics are only corrected at purge (exactly like a deleted
+    Lucene doc before its segment merges)."""
+    from . import tombstones
+
+    tombstones.delete_ids(spark, path, doc_ids, "doc_id")
+
+
+def purge_inverted_index(spark: SparkSession, path: str) -> int:
+    """Physically remove tombstoned docs (the merge/optimize analog):
+    rewrite ``postings`` without their rows, rebuild ``terms`` df counts
+    and the ``stats`` row (n_docs, sum_dl, avgdl) from the surviving
+    postings, then clear the sidecar — LAST, so a crash at any earlier
+    point leaves serving correct (rows still masked, stats conservatively
+    stale). Returns the number of postings rows removed. After purge the
+    index is bit-equivalent to one built fresh over the surviving corpus
+    (pytest-pinned)."""
+    from . import tombstones
+    from ..warehouse import hdfs
+
+    removed = tombstones.purge_table(
+        spark, path, "postings", "doc_id", "bucket", clear_sidecar=False
+    )
+    if removed == 0:
+        hdfs.delete(spark, f"{path}/{tombstones._SIDE}")
+        return 0
+    nb = int(spark.read.parquet(f"{path}/stats").first()["n_buckets"])
+    posts = spark.read.parquet(f"{path}/postings")
+    # df per term from the purged postings — the build-time derivation
+    tmp = f"{path}/terms.purging"
+    posts.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    hdfs.swap_aside(spark, f"{path}/terms", tmp)
+    # stats from surviving docs: (doc_id, dl) is repeated per term row, so
+    # collapse to one row per doc first
+    doc_dl = posts.select("doc_id", "dl").distinct()
+    agg = doc_dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).first()
+    n_docs, sum_dl = int(agg["n_docs"]), int(agg["sum_dl"])
+    spark.createDataFrame(
+        [(n_docs, sum_dl, float(sum_dl) / float(n_docs) if n_docs else 0.0, nb)],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    hdfs.delete(spark, f"{path}/{tombstones._SIDE}")
+    return removed
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     path: str,
@@ -739,13 +800,18 @@ def bm25_search_indexed(
     scan carry ``bucket IN (...)`` partition filters — only the queried
     buckets' files are read (plan-pinned). Answers equal
     ``bm25_postings_topk`` over the indexed corpus (pytest-pinned)."""
+    from . import tombstones
+
     st = spark.read.parquet(f"{path}/stats").first()
     lowered = sorted({t.lower() for t in terms})
     buckets = sorted({_term_bucket_py(t, st["n_buckets"]) for t in lowered})
-    posts = (
+    posts = tombstones.mask(
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(lowered))
-        .drop("bucket")
+        .drop("bucket"),
+        spark,
+        path,
+        "doc_id",
     )
     dfreq = F.broadcast(
         spark.read.parquet(f"{path}/terms")

@@ -421,6 +421,8 @@ def append_ivf_index(emb: DataFrame, path: str) -> None:
     trained quantizer does drift as the ingest distribution moves — audit
     with :func:`ivf_index_staleness` and retrain (rebuild) when per-list
     growth is skewed."""
+    from . import tombstones
+
     centroids = _stored_centroids(emb.sparkSession, path)
     if not centroids:
         raise ValueError(
@@ -430,6 +432,9 @@ def append_ivf_index(emb: DataFrame, path: str) -> None:
     _assigned_frame(emb, centroids).write.mode("append").partitionBy(
         "list_id"
     ).parquet(f"{path}/vectors")
+    # append-after-delete is lossless: a re-ingested id must not stay
+    # shadowed by its own tombstone (tombstones.py module note)
+    tombstones.unmask_ids(emb.sparkSession, path, emb.select("vec_id"), "vec_id")
 
 
 def compact_ivf_index(spark: SparkSession, path: str, table: str = "vectors") -> None:
@@ -463,6 +468,30 @@ def compact_ivf_index(spark: SparkSession, path: str, table: str = "vectors") ->
         tmp = f"{src}.compacting"
         compact_parquet(spark, src, tmp)
         swap(src, tmp)
+
+
+def delete_from_ivf_index(spark: SparkSession, path: str, vec_ids) -> None:
+    """Tombstone vectors out of a persisted IVF / IVF-PQ / IVF-SQ8 index
+    (all three share the layout, so this works on any of them): O(ids)
+    sidecar append, deleted ids excluded from every search immediately —
+    BEFORE the top-k cut, so they never occupy a result slot. Physical
+    reclaim is :func:`purge_ivf_index`; re-appending an id un-deletes it
+    (``tombstones.py`` module note)."""
+    from . import tombstones
+
+    tombstones.delete_ids(spark, path, vec_ids, "vec_id")
+
+
+def purge_ivf_index(
+    spark: SparkSession, path: str, table: str = "vectors"
+) -> int:
+    """Physically rewrite the payload table without tombstoned vectors and
+    clear the sidecar (Lucene's merge / FAISS's rebuild analog). Returns
+    rows removed. ``table`` names the partitioned payload — "vectors" for
+    raw IVF, "codes" for IVF-PQ / IVF-SQ8."""
+    from . import tombstones
+
+    return tombstones.purge_table(spark, path, table, "vec_id", "list_id")
 
 
 def ivf_index_staleness(spark: SparkSession, path: str, table: str = "vectors") -> DataFrame:
@@ -508,9 +537,16 @@ def ivf_search(
         cents, key=lambda r: sum((a - b) ** 2 for a, b in zip(r["centroid"], qd))
     )
     probes = [r["list_id"] for r in by_dist[:n_probes]]
+    from . import tombstones
+
     qq = [math.floor(x * _SCALE) for x in qd]  # match quantize() fixed-point
     nqq = sum(x * x for x in qq)
-    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("list_id").isin(probes))
+    vecs = tombstones.mask(
+        spark.read.parquet(f"{path}/vectors").filter(F.col("list_id").isin(probes)),
+        spark,
+        path,
+        "vec_id",
+    )
     normed = vecs.select(
         "vec_id", "label", "list_id", quantize(F.col("embedding")).alias("q")
     ).withColumn("nq", dot_q(F.col("q"), F.col("q")))

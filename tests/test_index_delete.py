@@ -1,0 +1,205 @@
+"""Tombstone deletion for the persisted search indexes (r13).
+
+Contract under test (operators/tombstones.py): delete-then-search
+excludes the ids BEFORE the top-k cut, purge physically removes the rows
+and clears the sidecar without changing answers, and append-after-delete
+is lossless (the re-ingested id is searchable again).
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators import (
+    pq,
+    quant,
+    retrieval,
+    similarity,
+    tombstones,
+)
+from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+
+def _emb(spark):
+    return tpch.load(spark, SF_DIR, "embeddings")
+
+
+def _qvec(spark) -> list[float]:
+    row = _emb(spark).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _ids(df) -> list[int]:
+    return [r["vec_id"] for r in df.select("vec_id").collect()]
+
+
+def test_ivf_delete_purge_and_readd(spark, tmp_path):
+    emb = _emb(spark).filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_lists=4)
+    qv = _qvec(spark)
+
+    base = _ids(similarity.ivf_search(spark, path, qv, k=5))
+    victim = base[0]
+    similarity.delete_from_ivf_index(spark, path, [victim])
+    after = _ids(similarity.ivf_search(spark, path, qv, k=5))
+    # excluded BEFORE the top-k cut: still k results, next-best promoted
+    assert victim not in after and len(after) == 5
+    assert after == [i for i in base if i != victim] + after[-1:]
+
+    # purge: physical rows gone, sidecar gone, answers unchanged
+    n_before = spark.read.parquet(f"{path}/vectors").count()
+    removed = similarity.purge_ivf_index(spark, path)
+    assert removed == 1
+    assert spark.read.parquet(f"{path}/vectors").count() == n_before - 1
+    assert tombstones.load_tombstones(spark, path, "vec_id") is None
+    assert _ids(similarity.ivf_search(spark, path, qv, k=5)) == after
+    # idempotent: purging with no tombstones is a no-op
+    assert similarity.purge_ivf_index(spark, path) == 0
+
+    # append-after-delete (without purge) un-deletes: re-add the victim
+    similarity.delete_from_ivf_index(spark, path, [after[0]])
+    readd = emb.filter(F.col("vec_id") == victim)
+    similarity.append_ivf_index(readd, path)
+    got = _ids(similarity.ivf_search(spark, path, qv, k=5))
+    assert victim in got and after[0] not in got
+
+
+def test_ivfpq_and_flat_pq_delete(spark, tmp_path):
+    emb = _emb(spark).filter(F.col("vec_id") != 0)
+    qv = _qvec(spark)
+
+    ivfpq = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(emb, ivfpq, n_lists=4)
+    base = _ids(pq.ivfpq_search(spark, ivfpq, qv, k=5))
+    similarity.delete_from_ivf_index(spark, ivfpq, base[:2])
+    after = _ids(pq.ivfpq_search(spark, ivfpq, qv, k=5))
+    assert not (set(base[:2]) & set(after)) and len(after) == 5
+    removed = similarity.purge_ivf_index(spark, ivfpq, table="codes")
+    assert removed == 2
+    assert _ids(pq.ivfpq_search(spark, ivfpq, qv, k=5)) == after
+    # append-after-delete through the IVF-PQ append path
+    similarity.delete_from_ivf_index(spark, ivfpq, [after[0]])
+    pq.append_ivfpq_index(emb.filter(F.col("vec_id") == base[0]), ivfpq)
+    got = _ids(pq.ivfpq_search(spark, ivfpq, qv, k=5))
+    assert base[0] in got and after[0] not in got
+
+    flat = str(tmp_path / "pq")
+    pq.build_pq_index(emb, flat)
+    base_f = _ids(pq.pq_search(spark, flat, qv, k=5))
+    similarity.delete_from_ivf_index(spark, flat, [base_f[0]])
+    after_f = _ids(pq.pq_search(spark, flat, qv, k=5))
+    assert base_f[0] not in after_f and len(after_f) == 5
+    # flat codes table: purge without a partition column
+    assert tombstones.purge_table(spark, flat, "codes", "vec_id", None) == 1
+    assert _ids(pq.pq_search(spark, flat, qv, k=5)) == after_f
+
+
+def test_ivfsq_delete_and_purge(spark, tmp_path):
+    emb = _emb(spark).filter(F.col("vec_id") != 0)
+    qv = _qvec(spark)
+    path = str(tmp_path / "ivfsq")
+    quant.build_ivfsq_index(emb, path, n_lists=4)
+    base = _ids(quant.ivfsq_search(spark, path, qv, k=5))
+    similarity.delete_from_ivf_index(spark, path, [base[0]])
+    after = _ids(quant.ivfsq_search(spark, path, qv, k=5))
+    assert base[0] not in after and len(after) == 5
+    assert similarity.purge_ivf_index(spark, path, table="codes") == 1
+    assert _ids(quant.ivfsq_search(spark, path, qv, k=5)) == after
+    # append-after-delete through the IVF-SQ append path
+    similarity.delete_from_ivf_index(spark, path, [after[0]])
+    quant.append_ivfsq_index(emb.filter(F.col("vec_id") == base[0]), path)
+    got = _ids(quant.ivfsq_search(spark, path, qv, k=5))
+    assert base[0] in got and after[0] not in got
+
+
+_TERMS = ("merge", "stream", "filter")
+
+
+def test_inverted_index_delete_purge_equals_fresh_build(spark, tmp_path):
+    docs = tpch.load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "inv")
+    retrieval.build_inverted_index(docs, path)
+
+    base = retrieval.bm25_search_indexed(spark, path, _TERMS, k=10).collect()
+    victims = [base[0]["doc_id"], base[3]["doc_id"]]
+    retrieval.delete_from_inverted_index(spark, path, victims)
+
+    # immediate exclusion, stats still stale (Lucene semantics pre-merge)
+    after = retrieval.bm25_search_indexed(spark, path, _TERMS, k=10).collect()
+    assert not (set(victims) & {r["doc_id"] for r in after})
+    st_stale = spark.read.parquet(f"{path}/stats").first()
+    assert st_stale["n_docs"] == docs.count()
+
+    removed = retrieval.purge_inverted_index(spark, path)
+    assert removed > 0
+    assert tombstones.load_tombstones(spark, path, "doc_id") is None
+
+    # purged index must answer and describe itself exactly like one built
+    # fresh over the surviving corpus
+    fresh = str(tmp_path / "fresh")
+    surviving = docs.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    retrieval.build_inverted_index(surviving, fresh)
+    got = retrieval.bm25_search_indexed(spark, path, _TERMS, k=10).collect()
+    want = retrieval.bm25_search_indexed(spark, fresh, _TERMS, k=10).collect()
+    assert got == want
+    st_p = spark.read.parquet(f"{path}/stats").first()
+    st_f = spark.read.parquet(f"{fresh}/stats").first()
+    assert (st_p["n_docs"], st_p["sum_dl"], st_p["avgdl"]) == (
+        st_f["n_docs"],
+        st_f["sum_dl"],
+        st_f["avgdl"],
+    )
+    terms_p = sorted(map(repr, spark.read.parquet(f"{path}/terms").collect()))
+    terms_f = sorted(map(repr, spark.read.parquet(f"{fresh}/terms").collect()))
+    assert terms_p == terms_f
+
+    # append-after-purge re-ingests a deleted doc losslessly
+    readd = docs.filter(F.col("doc_id") == int(victims[0]))
+    retrieval.append_inverted_index(readd, path)
+    got2 = {r["doc_id"] for r in retrieval.bm25_search_indexed(spark, path, _TERMS, k=10).collect()}
+    assert victims[0] in got2
+
+
+def test_inverted_index_delete_then_readd_without_purge(spark, tmp_path):
+    """Tombstone shadowing: append of a previously deleted doc clears its
+    tombstone even when no purge ran in between."""
+    docs = tpch.load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "inv")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    retrieval.build_inverted_index(half, path)
+    base = retrieval.bm25_search_indexed(spark, path, _TERMS, k=5).collect()
+    victim = int(base[0]["doc_id"])
+    retrieval.delete_from_inverted_index(spark, path, [victim])
+    assert victim not in {
+        r["doc_id"]
+        for r in retrieval.bm25_search_indexed(spark, path, _TERMS, k=5).collect()
+    }
+    # NOTE: re-append without purge duplicates the doc's postings rows;
+    # the supported sequence is purge-then-append (previous test) or a
+    # fresh doc_id. Here we only pin that unmask_ids clears the shadow.
+    stones = tombstones.load_tombstones(spark, path, "doc_id")
+    assert stones is not None and stones.count() == 1
+    tombstones.unmask_ids(
+        spark, path, spark.createDataFrame([(victim,)], "doc_id bigint"), "doc_id"
+    )
+    stones = tombstones.load_tombstones(spark, path, "doc_id")
+    assert stones is not None and stones.count() == 0
+    assert victim in {
+        r["doc_id"]
+        for r in retrieval.bm25_search_indexed(spark, path, _TERMS, k=5).collect()
+    }
+
+
+def test_tombstone_mask_is_broadcast_antijoin(spark, tmp_path):
+    """Plan shape: the serving-path mask must be a BroadcastHashJoin
+    LeftAnti against the KB sidecar — never a shuffle of the index."""
+    emb = _emb(spark).filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_lists=4)
+    similarity.delete_from_ivf_index(spark, path, [1, 2, 3])
+    out = similarity.ivf_search(spark, path, _qvec(spark), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
