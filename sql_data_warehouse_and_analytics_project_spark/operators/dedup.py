@@ -2103,11 +2103,38 @@ def cross_lang_dup_pairs(docs: DataFrame, cap: int = _XLANG_CAP) -> DataFrame:
 
 _XLANG_KEY = _sql_md5_long(SQL_NORM, 13)
 
+# Planted probe set (r13, VERDICT r12 ask #2): the fixture corpus is clean,
+# so the bare query proved only emptiness agreement. These five literal
+# documents — identical in both engines, ids far above any fixture range —
+# make the driver row prove DETECTION: the expected pairs exercise the
+# whitespace/case normalization (10000002 matches through it), transitive
+# multi-lang groups, and the lang_a <> lang_b predicate (10000005 shares
+# content AND language with 10000001 — a negative control that must pair
+# with the de/fr copies but never with its same-lang twin). 10000004 is
+# the no-pair negative control.
+_XLANG_PROBE_TEXT = "the quick brown fox jumps over the lazy dog"
+_XLANG_PROBES = [
+    (10000001, "en", _XLANG_PROBE_TEXT),
+    (10000002, "de", "The Quick  Brown Fox jumps over the lazy dog "),
+    (10000003, "fr", _XLANG_PROBE_TEXT),
+    (10000004, "en", "completely different negative control content"),
+    (10000005, "en", _XLANG_PROBE_TEXT),
+]
+
+_XLANG_PROBE_VALUES = ",\n         ".join(
+    f"({i}, '{lang}', '{text}')" for i, lang, text in _XLANG_PROBES
+)
+
 _XLANG_SQL = f"""
-WITH keyed AS (
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_XLANG_PROBE_VALUES}) AS probes(doc_id, lang, text)
+),
+keyed AS (
   SELECT doc_id, lang,
          {_XLANG_KEY} AS k
-  FROM documents
+  FROM corpus
 ),
 capped AS (
   SELECT doc_id, lang, k FROM (
@@ -2128,7 +2155,14 @@ ORDER BY doc_a, doc_b
 def dedup_cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content duplicate pairs whose language labels disagree — the
     lang-ID label-noise detector a per-language mixture needs before its
-    quotas mean anything. The fixture corpus is clean (empty result, and
-    the oracle agrees it is empty); the planted pytest
-    (test_cross_lang_dup_pairs_planted) carries the behavioral proof."""
-    return cross_lang_dup_pairs(_docs(spark, sf_dir))
+    quotas mean anything. The fixture corpus is clean, so the query seeds
+    five planted probe documents (identical literals in both engines) and
+    the driver row proves detection — normalization-matched pairs, the
+    multi-lang group expansion, and the same-lang negative control — not
+    just emptiness agreement; test_cross_lang_dup_pairs_planted pins the
+    semantics on richer planted corpora."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    spark_probes = docs.sparkSession.createDataFrame(
+        _XLANG_PROBES, "doc_id bigint, lang string, text string"
+    )
+    return cross_lang_dup_pairs(docs.unionByName(spark_probes))
