@@ -43,6 +43,19 @@ def main() -> None:
     for t in tpch.TABLES:
         tpch.load(spark, sf_dir, t).count()
 
+    # r13 (VERDICT r12 ask #6): count() above reads only footers — data
+    # pages stay cold, so whichever text-heavy query ran FIRST paid the
+    # physical read of documents.text (the root cause of dedup_cdc_chunks'
+    # 3.8–8.2 s run-to-run dispersion, BENCH_NOTES_r12). Touch every
+    # column's data pages once, untimed, so headline numbers stop
+    # depending on random query order. One aggregate per table forces a
+    # full decode without collecting rows.
+    from pyspark.sql import functions as F
+
+    for t in tpch.TABLES:
+        df = tpch.load(spark, sf_dir, t)
+        df.agg(F.count(F.xxhash64(*df.columns)).alias("_touch")).collect()
+
     # Per query: one untimed warm run IMMEDIATELY before two timed runs,
     # reporting the minimum. The warm run absorbs whole-stage-codegen
     # compilation (the 64-agg minhash stage alone costs ~12s of Janino
