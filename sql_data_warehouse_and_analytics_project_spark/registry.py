@@ -79,6 +79,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         profile_stats,
         quant,
         retrieval,
+        rp,
         sampling_json,
         security_queries,
         seqexamples,
