@@ -532,6 +532,107 @@ def eval_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(hist_bins(vals, "v"))
 
 
+def hist_bins_by(
+    values: DataFrame, group_col: str, col: str, w: int = _HQ_W, bins: int = _HQ_BINS
+) -> DataFrame:
+    """(grp, bin, cnt) GROUPED fixed-width histograms — one table per
+    group from a single partial-aggregating groupBy(grp, bin); mergeable
+    across shards by SUM(cnt) per (grp, bin), like the global
+    :func:`hist_bins`."""
+    v = F.col(col).cast("bigint")
+    b = F.least(
+        F.greatest(F.floor(v / F.lit(w)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        values.filter(v.isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles_by(
+    binned: DataFrame, qs: tuple[float, ...] = _HQ_QS, w: int = _HQ_W
+) -> DataFrame:
+    """(grp, q, estimate) per-group linear-interpolated quantiles from a
+    grouped bin table — the grouped twin of :func:`hist_quantiles`: the
+    cumulative window and the group totals both partition by grp, so the
+    whole computation shares ONE shuffle on the (KB-per-group) bin
+    table; exact-integer inputs keep the closed form engine-identical."""
+    from pyspark.sql import Window
+
+    wdw = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        binned.withColumn("cum", F.sum("cnt").over(wdw))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("grp"))
+        )
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.col("q") * F.col("n").cast("double")
+    covering = cum.join(F.broadcast(qdf)).filter(
+        (F.col("cum_before").cast("double") < target)
+        & (target <= F.col("cum").cast("double"))
+    )
+    est = F.col("bin").cast("double") * w + (
+        (target - F.col("cum_before").cast("double")) / F.col("cnt").cast("double")
+    ) * w
+    return covering.select(
+        "grp", "q", F.round(est, 6).alias("estimate")
+    ).orderBy("grp", "q")
+
+
+def _hist_quantile_by_sql(
+    group_expr: str, value_expr: str, from_clause: str, qs: tuple[float, ...] = _HQ_QS
+) -> str:
+    q_values = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH vals AS (SELECT {group_expr} AS grp, {value_expr} AS v {from_clause}),
+binned AS (
+  SELECT grp,
+         LEAST(GREATEST(CAST(FLOOR(CAST(v AS BIGINT) / {_HQ_W}) AS INT), 0),
+               {_HQ_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals WHERE v IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt
+           AS cum_before,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM binned
+),
+qs AS (SELECT * FROM (VALUES {q_values}) AS t(q))
+SELECT grp, q,
+       ROUND(CAST(bin AS DOUBLE) * {_HQ_W}
+             + ((q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+                / CAST(cnt AS DOUBLE)) * {_HQ_W}, 6) AS estimate
+FROM cum, qs
+WHERE CAST(cum_before AS DOUBLE) < q * CAST(n AS DOUBLE)
+  AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+ORDER BY grp, q
+"""
+
+
+_HQ_BY_SOURCE_SQL = _hist_quantile_by_sql("source", "length(text)", "FROM documents")
+
+
+@query("eval_hist_quantiles_by_source", oracle=_HQ_BY_SOURCE_SQL, defer=True)
+def eval_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 document length via the grouped fixed-bin
+    quantile sketch — the grouped leg of the quantile family (the HLL
+    sketch already has its grouped twin in corpus_vocab_by_source), one
+    partial-agg bin table and one grp-partitioned window."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("source", F.length("text").alias("v"))
+    return hist_quantiles_by(hist_bins_by(vals, "source", "v"))
+
+
 def hll_registers_by(
     values: DataFrame, group_col: str, col: str, p: int = _HLL_P
 ) -> DataFrame:

@@ -843,3 +843,25 @@ def test_late_r12_query_plan_budgets(spark):
         assert n <= budget, (name, n, budget)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r13_query_plan_budgets(spark):
+    """Shuffle budgets + no-SMJ pins for the r13 registered queries:
+    ann_rp_topk is a pure projection (ZERO data shuffles — the broadcast
+    query row doesn't count); the winnow index twin pays the fingerprint
+    groupBys and the pair aggregation only."""
+    from conftest import SF_DIR
+
+    budgets = {
+        "ann_rp_topk": 0,
+        "dedup_winnow_index_hits": 6,
+    }
+    qs = all_queries()
+    for name, budget in budgets.items():
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        plan = audit.executed_plan(df)
+        n = audit.data_shuffle_count(plan)
+        assert n <= budget, (name, n, budget)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

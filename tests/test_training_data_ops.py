@@ -2607,6 +2607,51 @@ def test_hist_quantiles_error_bound_and_mergeability(spark):
     assert got == whole
 
 
+def test_grouped_hist_quantiles_match_per_group_sketch(spark):
+    """Grouped quantile sketch (r13): the per-group answers must equal the
+    GLOBAL sketch run on each group's rows alone (the grouped plan is a
+    pure reorganization, not an approximation change), and the grouped
+    bin table must shard-merge by SUM per (grp, bin)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    n = 6_000
+    vals = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.pmod(F.col("id") * 7919, F.lit(n)).cast("bigint").alias("v"),
+    )
+    grouped = {
+        (r["grp"], r["q"]): r["estimate"]
+        for r in approx.hist_quantiles_by(approx.hist_bins_by(vals, "g", "v")).collect()
+    }
+    assert len(grouped) == 9
+    for g in ("0", "1", "2"):
+        solo = {
+            r["q"]: r["estimate"]
+            for r in approx.hist_quantiles(
+                approx.hist_bins(vals.filter(F.col("g") == g), "v")
+            ).collect()
+        }
+        for q, est in solo.items():
+            assert grouped[(g, q)] == est, (g, q, grouped[(g, q)], est)
+
+    a = vals.filter(F.col("v") % 2 == 0)
+    b = vals.filter(F.col("v") % 2 == 1)
+    merged = (
+        approx.hist_bins_by(a, "g", "v")
+        .unionByName(approx.hist_bins_by(b, "g", "v"))
+        .groupBy("grp", "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = {
+        (r["grp"], r["bin"]): r["cnt"]
+        for r in approx.hist_bins_by(vals, "g", "v").collect()
+    }
+    got = {(r["grp"], r["bin"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
 def test_cohort_retention_planted_matrix(spark, tmp_path):
     """Cohort retention (r12): a planted log with two cohorts and known
     return weeks must produce exactly the expected retention matrix."""
