@@ -333,6 +333,11 @@ def build_winnow_index(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> No
     _banded(capped).write.mode("append").partitionBy("band").parquet(
         f"{path}/fingerprints"
     )
+    # append-after-delete is lossless (tombstones.py module note); no-op
+    # when the index has no sidecar
+    from . import tombstones
+
+    tombstones.unmask_ids(docs.sparkSession, path, docs.select("doc_id"), "doc_id")
 
 
 def append_winnow_index(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> None:
@@ -382,8 +387,15 @@ def query_winnow_index(
     batch) broadcasts into the stored join, so the stored corpus is read
     but never shuffled; DISTINCT makes the answer insensitive to duplicate
     rows from a replayed append."""
+    from . import tombstones
+
     new_fp = _banded(winnow_fingerprints(new_docs))
-    idx = spark.read.parquet(f"{path}/fingerprints").select("doc_id", "h", "band")
+    idx = tombstones.mask(
+        spark.read.parquet(f"{path}/fingerprints").select("doc_id", "h", "band"),
+        spark,
+        path,
+        "doc_id",
+    )
     return (
         F.broadcast(new_fp.select(F.col("doc_id").alias("new_doc_id"), "h", "band"))
         .join(idx.select(F.col("doc_id").alias("indexed_doc_id"), "h", "band"), ["band", "h"])
@@ -394,6 +406,26 @@ def query_winnow_index(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("new_doc_id", "indexed_doc_id")
     )
+
+
+def delete_from_winnow_index(spark: SparkSession, path: str, doc_ids) -> None:
+    """Tombstone documents out of the fingerprint index (the near-dup
+    family's deletion leg, same two-phase discipline as
+    ``tombstones.py``): O(ids) sidecar append, deleted docs excluded from
+    every query immediately; :func:`purge_winnow_index` reclaims, and
+    :func:`append_winnow_index` / :func:`repair_winnow_append` re-adds
+    losslessly (both unmask re-added ids)."""
+    from . import tombstones
+
+    tombstones.delete_ids(spark, path, doc_ids, "doc_id")
+
+
+def purge_winnow_index(spark: SparkSession, path: str) -> int:
+    """Physically rewrite ``fingerprints`` without tombstoned docs and
+    clear the sidecar. Returns rows removed."""
+    from . import tombstones
+
+    return tombstones.purge_table(spark, path, "fingerprints", "doc_id", "band")
 
 
 def compact_winnow_index(

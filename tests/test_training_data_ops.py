@@ -2431,6 +2431,45 @@ def test_winnow_index_repair_and_compact(spark, tmp_path):
     assert winnow.query_winnow_index(spark, path, batch).collect() == baseline
 
 
+def test_winnow_index_delete_purge_readd(spark, tmp_path):
+    """r13 deletion leg for the winnow index: delete-then-query excludes
+    the doc immediately, purge reclaims physically with unchanged
+    answers, and re-appending the deleted doc makes it findable again."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        tombstones,
+        winnow,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    winnow.build_winnow_index(stored, path)
+    base = winnow.query_winnow_index(spark, path, batch).collect()
+    assert base
+    victim = int(base[0]["indexed_doc_id"])
+
+    winnow.delete_from_winnow_index(spark, path, [victim])
+    after = winnow.query_winnow_index(spark, path, batch).collect()
+    assert victim not in {r["indexed_doc_id"] for r in after}
+
+    n_before = spark.read.parquet(f"{path}/fingerprints").count()
+    removed = winnow.purge_winnow_index(spark, path)
+    assert removed > 0
+    assert spark.read.parquet(f"{path}/fingerprints").count() == n_before - removed
+    assert tombstones.load_tombstones(spark, path, "doc_id") is None
+    assert winnow.query_winnow_index(spark, path, batch).collect() == after
+
+    winnow.append_winnow_index(docs.filter(F.col("doc_id") == victim), path)
+    again = winnow.query_winnow_index(spark, path, batch).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in base}
+
+
 def test_winnow_index_query_plan_broadcasts_probe(spark, tmp_path):
     """Scale shape: the index query must BROADCAST the new batch's
     fingerprints — the stored corpus is scanned but never shuffled — and
