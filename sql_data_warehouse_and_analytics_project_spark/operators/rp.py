@@ -60,17 +60,20 @@ def rp_signs(k: int = _RP_K, d: int = _RP_D) -> list[list[int]]:
 
 
 def _proj_cols(q: Column, signs: list[list[int]]) -> Column:
-    """ARRAY of k projected coordinates: y_j = Σ_i q[i]·s[j][i], the sign
-    rows inlined as literals (one 64-term sum per output dim — pure
-    projection, whole-stage-codegen territory)."""
-    legs = []
-    for row in signs:
-        acc = None
-        for i, s in enumerate(row):
-            term = F.element_at(q, i + 1) if s > 0 else -F.element_at(q, i + 1)
-            acc = term if acc is None else acc + term
-        legs.append(acc)
-    return F.array(*legs)
+    """ARRAY of k projected coordinates: y_j = Σ_i q[i]·s[j][i]. The sign
+    matrix enters as ONE nested-array literal folded by HOFs — an earlier
+    draft unrolled the k×d = 1024 multiply-add nodes into the expression
+    tree and paid ~4.8 s of Catalyst analysis PER RUN on a 500-row input
+    (planning, not execution); the literal+HOF form plans in milliseconds
+    and the per-row loop is trivial next to the scan."""
+    return F.transform(
+        F.lit(signs),
+        lambda row: F.aggregate(
+            F.zip_with(q, row, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def rp_project(emb: DataFrame, k: int = _RP_K) -> DataFrame:
@@ -138,7 +141,7 @@ LIMIT {topk}
 _ANN_RP_SQL = _rp_sql()
 
 
-@query("ann_rp_topk", oracle=_ANN_RP_SQL, defer=True)
+@query("ann_rp_topk", oracle=_ANN_RP_SQL, headline=True, defer=True)
 def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection ANN: dim-64 vectors JL-projected to 16 dims
     through the deterministic ±1 md5-sign matrix, exact int64 L2 top-10
