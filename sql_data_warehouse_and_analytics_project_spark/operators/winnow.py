@@ -373,6 +373,11 @@ def repair_winnow_append(docs: DataFrame, path: str, cap: int = _BUCKET_CAP) -> 
         _banded(capped).write.mode("append").partitionBy("band").parquet(
             f"{path}/fingerprints"
         )
+    # same append-after-delete contract as build/append (a redelivered or
+    # re-ingested doc must not stay masked by an old tombstone)
+    from . import tombstones
+
+    tombstones.unmask_ids(spark, path, docs.select("doc_id"), "doc_id")
 
 
 def query_winnow_index(

@@ -969,6 +969,59 @@ def sink_stream_hist_sketch(
     )
 
 
+def sink_stream_winnow_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    compact_every_batches: int | None = 16,
+):
+    """Streaming ingest into the winnow fingerprint index (r13) — the
+    verbatim-run-overlap state the near-dedup sink cannot provide
+    (MinHash is a global sketch; winnowing carries the SIGMOD'03 local
+    guarantee). Between batches the index answers
+    ``operators.winnow.query_winnow_index`` for any probe batch.
+
+    Replay safety needs NO sidecar, the third distinct argument in this
+    module's family: the HLL sink is safe because MAX-merge is
+    idempotent; the CMS/histogram sinks are safe because each batch
+    OVERWRITES its own batch_id partition; this sink is safe because the
+    index is a SINGLE component table and every batch routes through
+    ``repair_winnow_append`` — an anti-join that appends only the
+    batch's not-yet-stored doc_ids, so any redelivery (same batch or a
+    later at-least-once duplicate) converges to the exact same table.
+    There is no multi-table crash window to reconcile, which is what
+    forces the minhash/inverted sinks' ingested-sidecar machinery.
+
+    Compaction cadence: every ``compact_every_batches`` batches the sink
+    runs ``compact_winnow_index`` — restores the GLOBAL per-fingerprint
+    cap across appends (each append caps only within itself) and folds
+    the O(batches) small files; the trim audit lands under
+    ``<index>/audit/bucket_overflow`` with the compacting batch_id
+    (no-silent-caps rule)."""
+    from ..operators import winnow
+
+    def _ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        winnow.repair_winnow_append(batch, index_path)
+        if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+            audit = winnow.compact_winnow_index(spark, index_path)
+            # coalesce(1): an empty audit (nothing over-cap) must still
+            # land one schema-bearing file so the audit table stays
+            # readable from its first compaction on
+            audit.withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            ).coalesce(1).write.mode("append").parquet(
+                f"{index_path}/audit/bucket_overflow"
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hist_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
     """(q, estimate) linear-interpolated quantiles over everything
     ingested so far: SUM-merge the per-batch bin tables, then the exact

@@ -819,6 +819,68 @@ def test_stream_corpus_sketch_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert again == want, (again, want)
 
 
+def test_stream_winnow_index_sink_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming winnow-index ingest (r13): after draining three batches
+    (with a mid-stream compaction at batch 2) the index must answer a
+    probe query identically to one built fresh over the union, and a
+    full redelivery (fresh checkpoint) must leave the fingerprint table
+    row-identical — the no-sidecar single-component-repair argument."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from sql_data_warehouse_and_analytics_project_spark.operators import winnow
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for bi in range(3):
+        stored.filter(F.col("doc_id") % 3 == bi).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    schema = "doc_id bigint, lang string, text string"
+    # one file per micro-batch: availableNow would otherwise fold all
+    # three files into batch 0 and the mid-stream compaction never fires
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+
+    idx = str(tmp_path / "idx")
+    q = jobs.sink_stream_winnow_index(
+        stream, idx, str(tmp_path / "ck1"), compact_every_batches=2
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    fresh = str(tmp_path / "fresh")
+    winnow.build_winnow_index(stored, fresh)
+    got = winnow.query_winnow_index(spark, idx, probe).collect()
+    want = winnow.query_winnow_index(spark, fresh, probe).collect()
+    assert got == want and len(got) > 0
+
+    rows_before = sorted(
+        map(repr, spark.read.parquet(f"{idx}/fingerprints").select("doc_id", "h").collect())
+    )
+    q2 = jobs.sink_stream_winnow_index(
+        stream, idx, str(tmp_path / "ck2"), compact_every_batches=None
+    )
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    rows_after = sorted(
+        map(repr, spark.read.parquet(f"{idx}/fingerprints").select("doc_id", "h").collect())
+    )
+    assert rows_after == rows_before
+    # compaction audit landed with the compacting batch id (batch 1)
+    audit = spark.read.parquet(f"{idx}/audit/bucket_overflow")
+    assert set(audit.columns) == {"h", "n_members", "trimmed", "batch_id"}
+
+
 def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming CMS + histogram sinks (r13): after draining three batches
     the merged state must equal the ONE-SHOT batch sketch over the union
