@@ -1213,6 +1213,12 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
             mem.select("doc_id", "rep_id").write.mode("append").parquet(
                 f"{path}/members"
             )
+            # append-after-delete is lossless (tombstones.py module note)
+            from . import tombstones
+
+            tombstones.unmask_ids(
+                docs.sparkSession, path, mem.select("doc_id"), "doc_id"
+            )
         finally:
             sigs.unpersist()
     finally:
@@ -1285,6 +1291,10 @@ def repair_minhash_append(docs: DataFrame, path: str) -> None:
                 miss_m = pairs
             if not miss_m.isEmpty():
                 miss_m.write.mode("append").parquet(f"{path}/members")
+            # same append-after-delete contract as the plain append path
+            from . import tombstones
+
+            tombstones.unmask_ids(spark, path, mem.select("doc_id"), "doc_id")
         finally:
             sigs.unpersist()
     finally:
@@ -1348,7 +1358,15 @@ def query_minhash_index(
         .select("new_rep", "indexed_rep", est)
         .filter(F.col("est_jaccard") >= threshold)
     )
-    idx_members = spark.read.parquet(f"{path}/members").select(
+    # Tombstone mask (r13): deletion only needs to filter the MEMBERS
+    # table — every reported hit expands through it, so a rep whose
+    # members are all tombstoned becomes unreachable automatically (its
+    # signature/band rows are garbage purge_minhash_index reclaims).
+    from . import tombstones as _ts
+
+    idx_members = _ts.mask(
+        spark.read.parquet(f"{path}/members"), spark, path, "doc_id"
+    ).select(
         F.col("doc_id").alias("indexed_doc_id"), F.col("rep_id").alias("indexed_rep")
     )
     return (
@@ -1362,6 +1380,70 @@ def query_minhash_index(
         .distinct()
         .orderBy("new_doc_id", "indexed_doc_id")
     )
+
+
+def delete_from_minhash_index(spark: SparkSession, path: str, doc_ids) -> None:
+    """Tombstone documents out of the signature index (r13 — the last
+    index family without a deletion leg): O(ids) sidecar append;
+    tombstoned docs leave every :func:`query_minhash_index` answer
+    immediately because the members expansion masks them, and a content
+    group whose members are ALL tombstoned becomes unreachable (hits
+    must expand through members). Physical reclaim — including the
+    orphaned signature/band rows — is :func:`purge_minhash_index`;
+    re-appending a doc un-deletes it (build/append/repair unmask)."""
+    from . import tombstones
+
+    tombstones.delete_ids(spark, path, doc_ids, "doc_id")
+
+
+def purge_minhash_index(spark: SparkSession, path: str) -> int:
+    """Physically remove tombstoned docs: rewrite ``members`` without
+    their rows, then drop ``signatures``/``bands`` rows whose rep no
+    longer has ANY surviving member (the content left the corpus), fix
+    the streaming sink's ``ingested`` registry so a future legitimate
+    re-ingest of a purged doc is not mistaken for a redelivery, and
+    clear the sidecar LAST (crash anywhere earlier leaves serving
+    correct — rows still masked). Returns members rows removed."""
+    from . import tombstones
+    from ..warehouse import hdfs
+
+    stones = tombstones.load_tombstones(spark, path, "doc_id")
+    if stones is None:
+        return 0
+    removed = tombstones.purge_table(
+        spark, path, "members", "doc_id", None, clear_sidecar=False
+    )
+    if removed:
+        surviving = (
+            spark.read.parquet(f"{path}/members")
+            .select(F.col("rep_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for table, part in (("signatures", None), ("bands", "band")):
+            src = f"{path}/{table}"
+            rows = spark.read.parquet(src)
+            kept = rows.join(F.broadcast(surviving), "doc_id", "semi")
+            tmp = f"{src}.purging"
+            if part is not None:
+                kept.repartition(part).write.mode("overwrite").partitionBy(
+                    part
+                ).parquet(tmp)
+            else:
+                kept.write.mode("overwrite").parquet(tmp)
+            hdfs.swap_aside(spark, src, tmp)
+    if hdfs.exists(spark, f"{path}/ingested"):
+        side = f"{path}/ingested"
+        remaining = (
+            spark.read.parquet(side)
+            .join(F.broadcast(stones), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tmp = f"{side}.purging"
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+        hdfs.swap_aside(spark, side, tmp)
+    hdfs.delete(spark, f"{path}/{tombstones._SIDE}")
+    return removed
 
 
 def compact_minhash_index(

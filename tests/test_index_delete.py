@@ -192,6 +192,62 @@ def test_inverted_index_delete_then_readd_without_purge(spark, tmp_path):
     }
 
 
+def test_minhash_index_delete_purge_readd(spark, tmp_path):
+    """Deletion for the signature index: masking members removes a doc
+    from every answer; a content group whose members are ALL deleted
+    becomes unreachable; purge reclaims the orphaned signature/band rows
+    physically; re-appending restores findability."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import dedup
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    docs = tpch.load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    stored = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "mh")
+    dedup.build_minhash_index(stored, path)
+
+    # probe with COPIES of stored docs so hits are guaranteed
+    probe = stored.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    base = dedup.query_minhash_index(spark, path, probe).collect()
+    assert base
+    hit_docs = sorted({int(r["indexed_doc_id"]) for r in base})
+    victim = hit_docs[0]
+
+    dedup.delete_from_minhash_index(spark, path, [victim])
+    after = dedup.query_minhash_index(spark, path, probe).collect()
+    assert victim not in {r["indexed_doc_id"] for r in after}
+    assert {r["indexed_doc_id"] for r in after} == set(hit_docs) - {victim}
+
+    # delete EVERY hit: the content groups become unreachable entirely
+    dedup.delete_from_minhash_index(spark, path, hit_docs)
+    assert dedup.query_minhash_index(spark, path, probe).count() == 0
+
+    # purge: members rows gone AND the orphaned signature/band rows of
+    # groups with no surviving member are reclaimed
+    sig_before = spark.read.parquet(f"{path}/signatures").count()
+    removed = dedup.purge_minhash_index(spark, path)
+    assert removed == len(hit_docs)
+    assert tombstones.load_tombstones(spark, path, "doc_id") is None
+    sig_after = spark.read.parquet(f"{path}/signatures").count()
+    assert sig_after < sig_before
+    stored_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{path}/members").collect()
+    }
+    assert not (set(hit_docs) & stored_ids)
+    assert dedup.query_minhash_index(spark, path, probe).count() == 0
+    assert dedup.purge_minhash_index(spark, path) == 0  # idempotent
+
+    # re-append the deleted docs: findable again (lossless round trip)
+    dedup.append_minhash_index(
+        docs.filter(F.col("doc_id").isin(hit_docs)), path
+    )
+    again = {r["indexed_doc_id"] for r in dedup.query_minhash_index(spark, path, probe).collect()}
+    assert set(hit_docs) <= again
+
+
 def test_tombstone_mask_is_broadcast_antijoin(spark, tmp_path):
     """Plan shape: the serving-path mask must be a BroadcastHashJoin
     LeftAnti against the KB sidecar — never a shuffle of the index."""
