@@ -153,6 +153,104 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Funnel conversion latency (r13): per stage transition, how LONG converting
+# users took — the time dimension events_funnel's pure counts lack (a funnel
+# that converts 40% in seconds is a different product than one converting
+# 40% over weeks). Positional median with the integer floor((n+1)/2) /
+# floor((n+2)/2) rank idiom (the r13 ADVICE fix, averaging BOTH middles for
+# even counts) and p90 = value at rank ceil(0.9·n) = (9n+9)//10 — all rank
+# math integer, all deltas integer epoch-ms (the truncating epoch functions;
+# DuckDB's rounding epoch()::BIGINT cast is the documented trap), so both
+# engines pick identical rows. Scale shape: one conditional-min groupBy per
+# user (the funnel shuffle), then per-stage windows over CONVERTED users
+# only — three small partitions, shuffle bounded by converting users.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+deltas AS (
+  SELECT 'signup_to_view' AS stage, epoch_ms(t_view) - epoch_ms(t_signup) AS d
+  FROM stages WHERE t_signup IS NOT NULL AND t_view > t_signup
+  UNION ALL
+  SELECT 'view_to_click', epoch_ms(t_click) - epoch_ms(t_view)
+  FROM stages WHERE t_view IS NOT NULL AND t_click > t_view
+  UNION ALL
+  SELECT 'click_to_purchase', epoch_ms(t_purchase) - epoch_ms(t_click)
+  FROM stages WHERE t_click IS NOT NULL AND t_purchase > t_click
+),
+ranked AS (
+  SELECT stage, d,
+         row_number() OVER (PARTITION BY stage ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY stage) AS n
+  FROM deltas
+)
+SELECT stage,
+       CAST(MAX(n) AS BIGINT) AS n_converted,
+       AVG(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                THEN CAST(d AS DOUBLE) END) AS median_ms,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN CAST(d AS DOUBLE) END) AS p90_ms
+FROM ranked
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL, defer=True)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_converted, median_ms, p90_ms) per funnel transition among
+    users who converted in order — positional median (both middles
+    averaged, integer rank math) and rank-ceil p90 over integer epoch-ms
+    deltas, engine-identical row selection."""
+    events = _t(spark, sf_dir, "events")
+
+    def stage(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    stages = events.groupBy("user_id").agg(
+        stage("signup"), stage("view"), stage("click"), stage("purchase")
+    )
+
+    def leg(name: str, a: str, b: str):
+        return stages.filter(
+            F.col(f"t_{a}").isNotNull() & (F.col(f"t_{b}") > F.col(f"t_{a}"))
+        ).select(
+            F.lit(name).alias("stage"),
+            (F.unix_millis(f"t_{b}") - F.unix_millis(f"t_{a}")).alias("d"),
+        )
+
+    deltas = (
+        leg("signup_to_view", "signup", "view")
+        .unionByName(leg("view_to_click", "view", "click"))
+        .unionByName(leg("click_to_purchase", "click", "purchase"))
+    )
+    w = Window.partitionBy("stage").orderBy("d")
+    ranked = deltas.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("stage"))
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    is_p90 = F.col("rn") == F.floor((9 * F.col("n") + 9) / 10)
+    return (
+        ranked.groupBy("stage")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.avg(F.when(is_mid, F.col("d").cast("double"))).alias("median_ms"),
+            F.max(F.when(is_p90, F.col("d").cast("double"))).alias("p90_ms"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top-N per group: top-3 parts by revenue within each brand.
 # ---------------------------------------------------------------------------
 

@@ -2691,6 +2691,61 @@ def test_grouped_hist_quantiles_match_per_group_sketch(spark):
     assert got == whole
 
 
+def test_funnel_latency_planted_percentiles(spark, tmp_path):
+    """Funnel latency (r13): a planted log with known per-user stage gaps
+    must produce the hand-computed median (both middles averaged for the
+    even-count stage) and rank-ceil p90, and a user whose stages are out
+    of order must not contribute a delta."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import (
+        analytics_extras,
+    )
+
+    t0 = dt.datetime(2025, 2, 1, 12, 0, 0)
+    rows, eid = [], 0
+
+    def ev(uid, et, seconds):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=seconds), uid, et, 1.0, "{}"))
+
+    # 4 converting users: signup->view gaps of 10, 20, 30, 40 s
+    # (even count: median = (20+30)/2 = 25 s; p90 rank = ceil(3.6) = 4 -> 40 s)
+    for uid, gap in ((1, 10), (2, 20), (3, 30), (4, 40)):
+        ev(uid, "signup", 0)
+        ev(uid, "view", gap)
+    # 3 of them continue view->click with gaps 5, 15, 25 s
+    # (odd count: median = 15 s; p90 rank = ceil(2.7) = 3 -> 25 s)
+    for uid, gap in ((1, 5), (2, 15), (3, 25)):
+        ev(uid, "click", 1000 + gap * (uid))  # absolute ts: view_ts + gap
+    rows = [r for r in rows if not (r[3] == "click")]  # rebuild clicks precisely
+    for uid, gap in ((1, 5), (2, 15), (3, 25)):
+        view_s = {1: 10, 2: 20, 3: 30}[uid]
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=view_s + gap), uid, "click", 1.0, "{}"))
+    # user 5: view BEFORE signup — must not count anywhere
+    ev(5, "view", 0)
+    ev(5, "signup", 100)
+
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    events.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["stage"]: (r["n_converted"], r["median_ms"], r["p90_ms"])
+        for r in analytics_extras.events_funnel_latency(spark, sf).collect()
+    }
+    assert got["signup_to_view"] == (4, 25_000.0, 40_000.0), got
+    assert got["view_to_click"] == (3, 15_000.0, 25_000.0), got
+    assert "click_to_purchase" not in got
+
+
 def test_cohort_retention_planted_matrix(spark, tmp_path):
     """Cohort retention (r12): a planted log with two cohorts and known
     return weeks must produce exactly the expected retention matrix."""
