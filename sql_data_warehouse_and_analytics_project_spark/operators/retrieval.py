@@ -827,6 +827,91 @@ def bm25_search_indexed(
     return _score_postings(matched, k=k, k1=k1, b=b)
 
 
+# --- positional postings + exact phrase match (r13) --------------------------
+#
+# The capability bag-of-words retrieval cannot express: "these exact words
+# in this exact order". Positional postings extend the (term, doc) surface
+# with token positions; a k-word phrase query is then k-1 self-equi-joins
+# on (doc_id, pos_i = pos_0 + i) — pure relational adjacency, no regex
+# over text (a regex rescan reads the whole corpus; the positional join
+# reads only the queried terms' postings). Scale shape: each leg filters
+# to ONE term before joining, so the join inputs are posting-list-sized;
+# persisted, the rows ride the same term-hash bucket layout as
+# build_inverted_index (bucket pruning per leg), noted in the docstring —
+# the registered query exercises the join shape relationally (the
+# bm25_indexed pattern).
+
+_PHRASE = ("stream", "data")  # fixed registered phrase (common corpus terms)
+
+
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, pos): one row per token occurrence with its 1-based
+    position — the positional extension of :func:`doc_postings`
+    ((doc_id, term, pos) is unique by construction)."""
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = _PHRASE) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact consecutive
+    ``phrase``, with how many times it occurs — k-1 adjacency joins over
+    single-term posting slices."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    posts = positional_postings(docs)
+    first = posts.filter(F.col("term") == phrase[0].lower()).select("doc_id", "pos")
+    matched = first
+    for i, w in enumerate(phrase[1:], start=1):
+        leg = posts.filter(F.col("term") == w.lower()).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        matched = matched.join(leg, ["doc_id", "pos"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+def _phrase_sql(phrase: tuple[str, ...] = _PHRASE) -> str:
+    legs = "\n".join(
+        f"JOIN posts p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        f" AND p{i}.term = '{w.lower()}'"
+        for i, w in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> lower(t)) AS t
+  FROM documents
+),
+posts AS (
+  SELECT doc_id, t[i] AS term, i AS pos
+  FROM toks, UNNEST(range(1, len(t) + 1)) v(i)
+)
+SELECT p0.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM posts p0
+{legs}
+WHERE p0.term = '{phrase[0].lower()}'
+GROUP BY p0.doc_id
+ORDER BY p0.doc_id
+"""
+
+
+_PHRASE_SQL = _phrase_sql()
+
+
+@query("retrieval_phrase_match", oracle=_PHRASE_SQL, defer=True)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("stream data", consecutive and in order) via
+    positional-posting adjacency joins — the word-order capability the
+    bag-of-words BM25 surface cannot express, reading only the queried
+    terms' postings."""
+    return phrase_match(_docs(spark, sf_dir))
+
+
 # --- TF-IDF keyword extraction (r12) -----------------------------------------
 #
 # Per-document keywords by smoothed tf-idf (sklearn's idf: ln((N+1)/(df+1))

@@ -1,0 +1,86 @@
+"""Exact-phrase retrieval semantics: positional postings + adjacency joins.
+
+Pins the properties the DuckDB oracle can't isolate: word-ORDER
+sensitivity, overlapping-occurrence counting, case folding, and the
+plan shape (per-leg term filters, no cartesian product).
+"""
+
+from __future__ import annotations
+
+from sql_data_warehouse_and_analytics_project_spark.operators import retrieval as rt
+from sql_data_warehouse_and_analytics_project_spark.plans import audit
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_phrase_requires_consecutive_order(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "stream data"),           # exact phrase
+            (2, "data stream"),           # reversed — must NOT match
+            (3, "stream the data"),       # gap — must NOT match
+            (4, "a stream data b"),       # embedded — matches
+        ],
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in rt.phrase_match(docs, ("stream", "data")).collect()}
+    assert got == {1: 1, 4: 1}
+
+
+def test_phrase_counts_every_occurrence_including_overlaps(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "stream data stream data"),  # two disjoint occurrences
+            (2, "go go go"),                 # overlapping "go go" ×2
+        ],
+    )
+    assert {r["doc_id"]: r["n_matches"] for r in rt.phrase_match(docs, ("stream", "data")).collect()} == {1: 2}
+    assert {r["doc_id"]: r["n_matches"] for r in rt.phrase_match(docs, ("go", "go")).collect()} == {2: 2}
+
+
+def test_phrase_case_folds_both_sides(spark):
+    docs = _docs(spark, [(1, "Stream DATA here")])
+    got = rt.phrase_match(docs, ("STREAM", "data")).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == [(1, 1)]
+
+
+def test_three_word_phrase_and_single_word_degenerate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown dog"),
+            (3, "brown quick brown"),
+        ],
+    )
+    got3 = {r["doc_id"]: r["n_matches"] for r in rt.phrase_match(docs, ("quick", "brown", "fox")).collect()}
+    assert got3 == {1: 1}
+    # k=1 degenerates to term frequency
+    got1 = {r["doc_id"]: r["n_matches"] for r in rt.phrase_match(docs, ("brown",)).collect()}
+    assert got1 == {1: 1, 2: 1, 3: 2}
+
+
+def test_positional_postings_are_one_based_and_unique(spark):
+    docs = _docs(spark, [(7, "a b a")])
+    rows = sorted(
+        (r["term"], r["pos"]) for r in rt.positional_postings(docs).collect()
+    )
+    assert rows == [("a", 1), ("a", 3), ("b", 2)]
+
+
+def test_phrase_plan_filters_each_leg_no_cartesian(spark):
+    """Each adjacency leg must be a single-term posting slice joined on
+    (doc_id, pos) — equi-joins only, never a cartesian/nested-loop over
+    the corpus, so join input sizes stay posting-list-bounded at scale."""
+    docs = _docs(spark, [(1, "stream data stream")])
+    df = rt.phrase_match(docs, ("stream", "data"))
+    plan = audit.formatted_plan(df)
+    joins = audit.join_counts(plan)
+    assert joins["nested_loop"] == 0, plan
+    assert joins["sort_merge"] + joins["shuffled_hash"] + joins["broadcast"] > 0
+    # each leg's single-term filter survives into the physical plan,
+    # BELOW the join (posting-list-sized join inputs)
+    assert "(term" in plan and "= stream)" in plan and "= data)" in plan
