@@ -1,0 +1,218 @@
+"""Threshold-free classifier evaluation at corpus scale: ROC-AUC and the
+precision/recall curve.
+
+The engine trains and applies classifiers (``nb.py``, ``lr.py``, the
+stopword-vote lang-ID) and reports a confusion matrix
+(``text_lang_confusion``) and bootstrap CIs (``bootstrap.py``) — but no
+THRESHOLD-FREE quality metric. This module closes that eval-infra gap
+with the two standard ones, computed exactly:
+
+- ``roc_auc``: tie-aware Mann-Whitney formulation. With per-distinct-
+  score positive/negative counts p(s), q(s):
+
+      AUC = [ Σ_s p(s) · ( cum_q(<s) + q(s)/2 ) ] / (P · N)
+
+  kept in INTEGERS as  num2 = Σ p·(2·cum_q(≤s) − q)  over 2·P·N — bigint
+  arithmetic end to end, so Spark and DuckDB agree bit-for-bit before
+  the single 6-dp output division.
+- ``pr_curve``: for every distinct score as the decision threshold
+  (predict positive when score ≥ t): TP/FP/FN and the derived
+  precision / recall / F1 — all ratios of exact bigints, 6-dp rounded.
+
+Score/label surface: the en-marker stopword density of ``text.py``'s
+lang-ID heuristic, as an INTEGER key (marker hits per million tokens,
+truncating division — identical on both engines), labeled against the
+``lang`` column. The synthetic corpus is English-vocab throughout, so
+the measured AUC hovers near 0.5 by design (same caveat as
+``text_lang_id``) — the METRIC machinery is what's exercised; planted
+separable fixtures pin the semantics in ``tests/test_evalmetrics.py``.
+
+Scale shape: one partial-agg groupBy collapses the corpus to the
+per-distinct-score count table (≤ 1e6+1 rows by construction of the
+ppm key, in practice far fewer — KB-sized, model-scale); the rank
+cumsums run as a single-partition window over THAT compact table only,
+never over corpus rows (the corpus-wide sort a naive per-row ranking
+would incur is the anti-pattern this shape avoids). Both outputs are
+then O(distinct scores).
+
+No reference counterpart — eval-infrastructure extension (Hanley &
+McNeil 1982; Davis & Goadrich 2006).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+from .text import _LANG_MARKERS, _occurrences, _sql_occurrences, SQL_TOKENS, tokens_col
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.load(spark, sf_dir, "documents")
+
+
+# --- deterministic score/label surface ---------------------------------------
+
+
+def score_label(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_key, label): en-marker hits per million whitespace
+    tokens (truncating bigint division) and the 0/1 en label — the exact
+    integer score the metrics rank on."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = None
+    for m in _LANG_MARKERS["en"]:
+        occ = _occurrences(padded, m)
+        hits = occ if hits is None else hits + occ
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        hits.alias("hits"),
+        n_tokens.alias("n_tokens"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    ).select(
+        "doc_id",
+        F.expr("(1000000 * hits) div greatest(n_tokens, 1)").alias("score_key"),
+        "label",
+    )
+
+
+def _sql_score_label() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    hits = " + ".join(_sql_occurrences(padded, m) for m in _LANG_MARKERS["en"])
+    return f"""
+  SELECT doc_id,
+         (1000000 * ({hits})) // greatest(CAST(len({SQL_TOKENS}) AS BIGINT), 1)
+           AS score_key,
+         CAST(lang = 'en' AS INT) AS label
+  FROM documents
+"""
+
+
+def _score_counts(scored: DataFrame) -> DataFrame:
+    """Collapse per-row scores to the compact (score_key, p, q) table —
+    the ONLY shuffle; everything downstream is model-sized."""
+    return scored.groupBy("score_key").agg(
+        F.sum("label").cast("bigint").alias("p"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("q"),
+    )
+
+
+_SQL_COUNTS = f"""
+scored AS ({_sql_score_label()}),
+counts AS (
+  SELECT score_key, CAST(SUM(label) AS BIGINT) AS p,
+         CAST(SUM(1 - label) AS BIGINT) AS q
+  FROM scored GROUP BY score_key
+)
+"""
+
+
+# --- ROC-AUC ------------------------------------------------------------------
+
+
+def roc_auc(docs: DataFrame) -> DataFrame:
+    """One row (n_pos, n_neg, auc): exact tie-aware Mann-Whitney AUC of
+    the en-marker-density score against the en label."""
+    counts = _score_counts(score_label(docs))
+    w = Window.orderBy("score_key")  # compact count table only — see module doc
+    ranked = counts.withColumn("cum_q", F.sum("q").over(w))
+    num2 = F.sum(F.col("p") * (2 * F.col("cum_q") - F.col("q")))
+    return ranked.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+        num2.cast("bigint").alias("_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("_num2").cast("double")
+            / F.nullif((2 * F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("auc"),
+    )
+
+
+_AUC_SQL = f"""
+WITH {_SQL_COUNTS},
+ranked AS (
+  SELECT p, q, SUM(q) OVER (ORDER BY score_key) AS cum_q
+  FROM counts
+)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(q) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(p * (2 * cum_q - q)) AS DOUBLE)
+             / NULLIF(CAST(2 * SUM(p) * SUM(q) AS DOUBLE), 0.0), 6) AS auc
+FROM ranked
+"""
+
+
+@query("eval_roc_auc", oracle=_AUC_SQL, defer=True)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the stopword-density en detector —
+    bigint Mann-Whitney over the per-distinct-score count table."""
+    return roc_auc(_docs(spark, sf_dir))
+
+
+# --- precision/recall curve ----------------------------------------------------
+
+
+def pr_curve(docs: DataFrame) -> DataFrame:
+    """(threshold_ppm, tp, fp, fn, precision, recall, f1): the full
+    operating-point sweep — one row per distinct score as the ≥ threshold."""
+    counts = _score_counts(score_label(docs))
+    w_desc = Window.orderBy(F.col("score_key").desc())  # compact table only
+    swept = counts.select(
+        F.col("score_key").alias("threshold_ppm"),
+        F.sum("p").over(w_desc).alias("tp"),
+        F.sum("q").over(w_desc).alias("fp"),
+        (F.sum(F.col("p")).over(Window.partitionBy()) - F.sum("p").over(w_desc)).alias("fn"),
+    )
+    return swept.select(
+        "threshold_ppm",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold_ppm")
+
+
+_PR_SQL = f"""
+WITH {_SQL_COUNTS},
+swept AS (
+  SELECT score_key AS threshold_ppm,
+         SUM(p) OVER (ORDER BY score_key DESC) AS tp,
+         SUM(q) OVER (ORDER BY score_key DESC) AS fp,
+         SUM(p) OVER () - SUM(p) OVER (ORDER BY score_key DESC) AS fn
+  FROM counts
+)
+SELECT threshold_ppm, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0.0), 6) AS recall,
+       ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0.0), 6) AS f1
+FROM swept
+ORDER BY threshold_ppm
+"""
+
+
+@query("eval_pr_curve", oracle=_PR_SQL, defer=True)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at every distinct-score threshold of the
+    stopword-density en detector — exact bigint confusion cells."""
+    return pr_curve(_docs(spark, sf_dir))

@@ -67,6 +67,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         drift,
         dsir,
         etl_queries,
+        evalmetrics,
         hashembed,
         kmeans,
         lr,

@@ -1,0 +1,96 @@
+"""ROC-AUC / PR-curve semantics on planted separable fixtures.
+
+The registered queries run on the synthetic corpus where AUC ≈ 0.5 by
+design; these fixtures plant real separations so the metric values are
+hand-checkable (Hanley-McNeil tie handling, confusion-cell sweeps).
+
+Score recap: score_key = en-marker hits per million whitespace tokens,
+so "the and" → 1000000, "the x" → 500000, "x y" → 0.
+"""
+
+from __future__ import annotations
+
+from sql_data_warehouse_and_analytics_project_spark.operators import evalmetrics as ev
+from sql_data_warehouse_and_analytics_project_spark.plans import audit
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def _auc(spark, rows) -> float:
+    [r] = ev.roc_auc(_docs(spark, rows)).collect()
+    return r["auc"]
+
+
+def test_perfect_separation_is_one(spark):
+    rows = [
+        (1, "en", "the and of is"),
+        (2, "en", "the and x y"),
+        (3, "de", "x y z w"),
+        (4, "de", "p q r s"),
+    ]
+    assert _auc(spark, rows) == 1.0
+
+
+def test_reversed_separation_is_zero(spark):
+    rows = [
+        (1, "de", "the and of is"),
+        (2, "de", "the and x y"),
+        (3, "en", "x y z w"),
+        (4, "en", "p q r s"),
+    ]
+    assert _auc(spark, rows) == 0.0
+
+
+def test_all_tied_is_half(spark):
+    rows = [(i, lang, "same text here now") for i, lang in enumerate(["en", "de", "en", "de"])]
+    assert _auc(spark, rows) == 0.5
+
+
+def test_hand_computed_tied_mix(spark):
+    # counts: s=0 → q=1; s=500000 → p=1; s=1000000 → p=1, q=1
+    # AUC = [1·(1 + 0/2) + 1·(1 + 1/2)] / (2·2) = 0.625
+    rows = [
+        (1, "en", "the and"),
+        (2, "de", "the and"),
+        (3, "en", "the x"),
+        (4, "de", "x y"),
+    ]
+    assert _auc(spark, rows) == 0.625
+
+
+def test_single_class_auc_is_null(spark):
+    [r] = ev.roc_auc(_docs(spark, [(1, "en", "the and"), (2, "en", "x y")])).collect()
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_pr_curve_confusion_cells(spark):
+    rows = [
+        (1, "en", "the and"),
+        (2, "de", "the and"),
+        (3, "en", "the x"),
+        (4, "de", "x y"),
+    ]
+    got = {
+        r["threshold_ppm"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"], r["f1"])
+        for r in ev.pr_curve(_docs(spark, rows)).collect()
+    }
+    assert got[1000000] == (1, 1, 1, 0.5, 0.5, 0.5)
+    assert got[500000] == (2, 1, 0, 0.666667, 1.0, 0.8)
+    assert got[0] == (2, 2, 0, 0.5, 1.0, 0.666667)
+
+
+def test_window_runs_on_compact_counts_not_corpus(spark):
+    """The rank cumsum must sit ABOVE the groupBy(score_key) aggregate —
+    the single-partition window only ever sees the distinct-score count
+    table, never corpus rows (top-down plan listing: Window before
+    HashAggregate)."""
+    df = ev.roc_auc(_docs(spark, [(1, "en", "the and"), (2, "de", "x y")]))
+    plan = audit.formatted_plan(df)
+    assert "Window" in plan and "partial_sum(label" in plan
+    # the one SinglePartition exchange feeds the window the aggregated
+    # (score_key, p, q) rows, not corpus rows
+    before = plan.split("Arguments: SinglePartition")[0]
+    input_line = before.rsplit("Input [3]: [", 1)[1].split("]")[0]
+    assert "p#" in input_line and "q#" in input_line and "score_key" in input_line
