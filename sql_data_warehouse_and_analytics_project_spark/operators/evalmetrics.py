@@ -115,7 +115,14 @@ counts AS (
 def roc_auc(docs: DataFrame) -> DataFrame:
     """One row (n_pos, n_neg, auc): exact tie-aware Mann-Whitney AUC of
     the en-marker-density score against the en label."""
-    counts = _score_counts(score_label(docs))
+    return auc_from_counts(_score_counts(score_label(docs)))
+
+
+def auc_from_counts(counts: DataFrame) -> DataFrame:
+    """AUC from a (score_key, p, q) count table — the shared math behind
+    the batch query and the streaming monitor's SUM-merged state
+    (``streaming.jobs.stream_roc_auc``): counts are a SUM-merge monoid,
+    so shard- or batch-partial tables merge losslessly before this."""
     w = Window.orderBy("score_key")  # compact count table only — see module doc
     ranked = counts.withColumn("cum_q", F.sum("q").over(w))
     num2 = F.sum(F.col("p") * (2 * F.col("cum_q") - F.col("q")))
@@ -161,7 +168,12 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pr_curve(docs: DataFrame) -> DataFrame:
     """(threshold_ppm, tp, fp, fn, precision, recall, f1): the full
     operating-point sweep — one row per distinct score as the ≥ threshold."""
-    counts = _score_counts(score_label(docs))
+    return pr_from_counts(_score_counts(score_label(docs)))
+
+
+def pr_from_counts(counts: DataFrame) -> DataFrame:
+    """PR sweep from a (score_key, p, q) count table — shared with the
+    streaming monitor (see :func:`auc_from_counts`)."""
     w_desc = Window.orderBy(F.col("score_key").desc())  # compact table only
     swept = counts.select(
         F.col("score_key").alias("threshold_ppm"),

@@ -1035,3 +1035,66 @@ def stream_hist_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return hist_quantiles(merged)
+
+
+# --- streaming classifier-eval monitor (r13) ---------------------------------
+#
+# Online metric monitoring: the (score_key, p, q) distinct-score count
+# table of operators.evalmetrics is a SUM-merge monoid exactly like the
+# CMS/histogram cell tables, so the same per-batch_id idempotent-write
+# discipline applies (see the CMS section note) — each micro-batch's
+# compact count table lands under its own batch_id partition, a
+# redelivery overwrites bit-identical content, and the merge moves to
+# read time where the exact tie-aware AUC / PR sweep runs over the
+# KB-sized merged table. A pipeline watches its quality-classifier AUC
+# drift live without ever re-scoring ingested documents.
+
+
+def sink_stream_eval_counts(docs_stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming eval-metric sink: per micro-batch, the compact
+    (score_key, p, q) table of the batch's en-detector scores vs labels
+    (``operators.evalmetrics.score_label``) lands under
+    ``<state_path>/counts/batch_id=N`` — idempotent per-batch write."""
+    from ..operators.evalmetrics import _score_counts, score_label
+
+    def _sink_batch(batch: DataFrame, batch_id: int) -> None:
+        _score_counts(score_label(batch)).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/counts/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_eval_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """(score_key, p, q) merged over every ingested batch — SUM across
+    batch partitions, bit-identical to the one-shot batch count table
+    over the union (pytest-pinned)."""
+    return (
+        spark.read.parquet(f"{state_path}/counts")
+        .groupBy("score_key")
+        .agg(
+            F.sum("p").cast("bigint").alias("p"),
+            F.sum("q").cast("bigint").alias("q"),
+        )
+    )
+
+
+def stream_roc_auc(spark: SparkSession, state_path: str) -> DataFrame:
+    """Exact tie-aware AUC over everything ingested so far — identical
+    to ``eval_roc_auc`` run as one batch over the union."""
+    from ..operators.evalmetrics import auc_from_counts
+
+    return auc_from_counts(stream_eval_counts(spark, state_path))
+
+
+def stream_pr_curve(spark: SparkSession, state_path: str) -> DataFrame:
+    """Full PR/F1 threshold sweep over everything ingested so far —
+    identical to ``eval_pr_curve`` run as one batch over the union."""
+    from ..operators.evalmetrics import pr_from_counts
+
+    return pr_from_counts(stream_eval_counts(spark, state_path))

@@ -964,3 +964,56 @@ def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_pat
         sorted(map(repr, jobs.stream_hist_quantiles(spark, hist_state).collect()))
         == want_q
     )
+
+
+def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming classifier-eval monitor (r13): after draining three
+    labeled batches, the merged (score_key, p, q) state, the AUC row and
+    the PR sweep must equal the ONE-SHOT batch metrics over the union
+    EXACTLY; a full redelivery (fresh checkpoint, same input) must leave
+    all three bit-identical — the per-batch_id overwrite discipline on a
+    SUM-merge monoid (same argument as the CMS/histogram sinks)."""
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import evalmetrics as ev
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    schema = "doc_id bigint, lang string, text string"
+    batches = [
+        [(i, "en" if i % 2 else "de", f"the and tok{i} of is x{i % 3}") for i in range(20)],
+        [(100 + i, "en" if i % 3 else "fr", f"the word{i} y z") for i in range(20)],
+        [(200 + i, "de", f"plain tok{i} text w{i % 5}") for i in range(10)],
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    all_docs = spark.createDataFrame([r for rows in batches for r in rows], schema)
+
+    state = str(tmp_path / "eval_state")
+    stream = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q = jobs.sink_stream_eval_counts(stream, state, str(tmp_path / "ev_ck1"))
+    q.awaitTermination(120)
+
+    want_counts = sorted(
+        map(repr, ev._score_counts(ev.score_label(all_docs)).collect())
+    )
+    got_counts = sorted(map(repr, jobs.stream_eval_counts(spark, state).collect()))
+    assert got_counts == want_counts
+
+    want_auc = [repr(r) for r in ev.roc_auc(all_docs).collect()]
+    got_auc = [repr(r) for r in jobs.stream_roc_auc(spark, state).collect()]
+    assert got_auc == want_auc
+
+    want_pr = [repr(r) for r in ev.pr_curve(all_docs).collect()]
+    got_pr = [repr(r) for r in jobs.stream_pr_curve(spark, state).collect()]
+    assert got_pr == want_pr
+
+    # full redelivery: fresh checkpoint, same input — state bit-identical
+    stream2 = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q2 = jobs.sink_stream_eval_counts(stream2, state, str(tmp_path / "ev_ck2"))
+    q2.awaitTermination(120)
+    assert sorted(map(repr, jobs.stream_eval_counts(spark, state).collect())) == want_counts
+    assert [repr(r) for r in jobs.stream_roc_auc(spark, state).collect()] == want_auc
