@@ -714,6 +714,164 @@ def minhash_lsh_pairs(
     return out.orderBy("doc_id_1", "doc_id_2") if _sorted else out
 
 
+# --- MinHash estimator-quality audit (r13) ----------------------------------
+#
+# "Measure, don't guess": the LSH pipeline ESTIMATES Jaccard as the
+# fraction of agreeing min-hash components before the exact verify. This
+# audit quantifies that estimator on the exact candidate population the
+# pipeline generates: per candidate pair, |matches/64 − shared/union| as
+# an exact integer ppm — both legs are ratios of bigints, so
+# (1e6·|64·shared − matches·union|) div (64·union) is deterministic in
+# both engines — summarized to one row (pair count, max, sum, 6-dp
+# mean). An operator whose sketch drifts from its exact verify (bad hash
+# family, mis-sized bands) shows up here as a number, not a guess.
+# Scale shape: identical to the pipeline itself — capped band buckets
+# bound the candidate population, the signature legs join model-sized
+# sig rows, and the exact leg's shingle explode touches candidate docs
+# only (left-semi BEFORE the Generate, same reasoning as
+# minhash_lsh_pairs).
+
+
+def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> DataFrame:
+    """One row (n_pairs, max_err_ppm, sum_err_ppm, mean_abs_err): the
+    minhash Jaccard estimator's absolute error over the LSH candidate
+    population of ``docs``."""
+    mem = token_dedup_members(docs)
+    reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    sigs = minhash_signatures(reps, spread=False)
+    bands = minhash_band_table(sigs)
+    capped = _cap_buckets(bands, _LSH_BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+        # two consumers (signature-agreement leg + exact-Jaccard leg);
+        # LSH-bounded tiny, same cache rationale as minhash_lsh_pairs
+        .cache()
+    )
+    if _caches is not None:
+        _caches.append(candidates)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = None
+    for i in range(_MINHASH_K):
+        t = (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("bigint")
+        matches = t if matches is None else matches + t
+    est = (
+        candidates.join(sa, F.col("doc_id_1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_2") == F.col("sb.doc_id"))
+        .select("doc_id_1", "doc_id_2", matches.alias("matches"))
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_id_1").alias("doc_id"))
+        .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi"))
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = sh_c.alias("ga"), sh_c.alias("gb")
+    shared = (
+        ga.join(
+            gb,
+            (F.col("ga.shingle") == F.col("gb.shingle"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("doc_id_1"), F.col("gb.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    paired = (
+        est.join(shared, ["doc_id_1", "doc_id_2"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")), "doc_id_2")
+        .select(
+            "matches",
+            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+            (F.col("n1") + F.col("n2") - F.coalesce(F.col("shared"), F.lit(0))).alias("u"),
+        )
+    )
+    errs = paired.select(
+        F.expr(
+            f"(1000000 * abs({_MINHASH_K}*shared - matches*u)) div ({_MINHASH_K}*u)"
+        ).alias("err_ppm")
+    )
+    return errs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.max("err_ppm").cast("bigint").alias("max_err_ppm"),
+        F.sum("err_ppm").cast("bigint").alias("sum_err_ppm"),
+        F.round(
+            F.sum("err_ppm").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
+_SQL_SIG_MATCHES = " + ".join(
+    f"CAST(x.sig_{i} = y.sig_{i} AS BIGINT)" for i in range(_MINHASH_K)
+)
+
+_MINHASH_ERROR_SQL = f"""
+WITH
+{_SQL_COLLAPSE},
+hashed AS (
+  SELECT doc_id, {_sql_md5_long("shingle", 15)} % {_P} AS h FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {_SQL_MINHASH_SIGS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{_SQL_MINHASH_BANDS}
+),
+{_SQL_CAP_CANDIDATES},
+est AS (
+  SELECT c.doc_id_1, c.doc_id_2, ({_SQL_SIG_MATCHES}) AS matches
+  FROM candidates c
+  JOIN sigs x ON x.doc_id = c.doc_id_1
+  JOIN sigs y ON y.doc_id = c.doc_id_2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS shared
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.doc_id_1
+  JOIN shingles sb ON sb.doc_id = c.doc_id_2 AND sb.shingle = sa.shingle
+  GROUP BY c.doc_id_1, c.doc_id_2
+),
+errs AS (
+  SELECT (1000000 * abs({_MINHASH_K}*COALESCE(p.shared, 0)
+                        - e.matches*(s1.n + s2.n - COALESCE(p.shared, 0))))
+         // ({_MINHASH_K}*(s1.n + s2.n - COALESCE(p.shared, 0))) AS err_ppm
+  FROM est e
+  LEFT JOIN shared p ON p.doc_id_1 = e.doc_id_1 AND p.doc_id_2 = e.doc_id_2
+  JOIN sizes s1 ON e.doc_id_1 = s1.doc_id
+  JOIN sizes s2 ON e.doc_id_2 = s2.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm,
+       CAST(SUM(err_ppm) AS BIGINT) AS sum_err_ppm,
+       ROUND(CAST(SUM(err_ppm) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS mean_abs_err
+FROM errs
+"""
+
+
+@query("dedup_minhash_error", oracle=_MINHASH_ERROR_SQL, defer=True)
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit over the LSH candidate population —
+    exact ppm error between signature-agreement Jaccard and exact shingle
+    Jaccard, one summary row."""
+    caches: list = []
+    return _materialized(
+        minhash_estimator_error(_docs(spark, sf_dir), _caches=caches), caches
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 48  # fits comfortably in a signed 64-bit int (no ANSI overflow)
