@@ -76,6 +76,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         olap_extras,
         packing,
         pagerank,
+        pca,
         pq,
         profile_stats,
         quant,
