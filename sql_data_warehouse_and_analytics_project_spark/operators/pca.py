@@ -121,6 +121,88 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(_embs(spark, sf_dir))
 
 
+def correlation_matrix(embs: DataFrame) -> DataFrame:
+    """(i, j, r) with i < j: Pearson correlation per dimension pair —
+    feature-redundancy profiling from the SAME exact statistics pass as
+    the PCA (Gram + per-dim sums + count, all bigints), so the float
+    work is one final expression over identical integers in both
+    engines:  r = (n·S_ij − S_i·S_j) / (√(n·S_ii − S_i²)·√(n·S_jj − S_j²)).
+    The bigints are cast to double BEFORE the products (n·S_ij would
+    overflow int64 at cluster-scale row counts); every join input is the
+    KB-sized statistics table."""
+    g = gram_matrix(embs)
+    diag = g.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("s").cast("double").alias("skk")
+    )
+    sums = dim_stats(embs).select(
+        F.col("i").alias("k"),
+        F.col("s").cast("double").alias("sk"),
+        F.col("n").cast("double").alias("n"),
+    )
+    off = g.filter(F.col("i") < F.col("j")).select("i", "j", F.col("s").cast("double").alias("sij"))
+    da = diag.select(F.col("k").alias("i"), F.col("skk").alias("sii"))
+    db = diag.select(F.col("k").alias("j"), F.col("skk").alias("sjj"))
+    sa = sums.select(F.col("k").alias("i"), F.col("sk").alias("si"), "n")
+    sb = sums.select(F.col("k").alias("j"), F.col("sk").alias("sj"))
+    num = F.col("n") * F.col("sij") - F.col("si") * F.col("sj")
+    den = F.sqrt(F.col("n") * F.col("sii") - F.col("si") * F.col("si")) * F.sqrt(
+        F.col("n") * F.col("sjj") - F.col("sj") * F.col("sj")
+    )
+    return (
+        off.join(da, "i")
+        .join(db, "j")
+        .join(sa, "i")
+        .join(sb, "j")
+        .select("i", "j", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"))
+        .orderBy("i", "j")
+    )
+
+
+_CORR_SQL = f"""
+WITH quant AS (
+  SELECT {_SQL_QUANT_GRAM} AS q FROM embeddings
+),
+pairs AS (
+  SELECT iv.i - 1 AS i, jv.j - 1 AS j, q[iv.i] * q[jv.j] AS prod
+  FROM quant,
+       UNNEST(range(1, len(q) + 1)) iv(i),
+       UNNEST(range(1, len(q) + 1)) jv(j)
+  WHERE iv.i <= jv.j
+),
+gram AS (
+  SELECT i, j, CAST(SUM(prod) AS BIGINT) AS s FROM pairs GROUP BY i, j
+),
+sums AS (
+  SELECT iv.i - 1 AS i, CAST(SUM(q[iv.i]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM quant, UNNEST(range(1, len(q) + 1)) iv(i)
+  GROUP BY iv.i - 1
+)
+SELECT g.i, g.j,
+       ROUND((CAST(a.n AS DOUBLE) * CAST(g.s AS DOUBLE)
+              - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+             / NULLIF(sqrt(CAST(a.n AS DOUBLE) * CAST(da.s AS DOUBLE)
+                           - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+                      * sqrt(CAST(a.n AS DOUBLE) * CAST(db.s AS DOUBLE)
+                             - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)), 0.0),
+             6) AS r
+FROM gram g
+JOIN gram da ON da.i = g.i AND da.j = g.i
+JOIN gram db ON db.i = g.j AND db.j = g.j
+JOIN sums a ON a.i = g.i
+JOIN sums b ON b.i = g.j
+WHERE g.i < g.j
+ORDER BY g.i, g.j
+"""
+
+
+@query("embed_correlation_matrix", oracle=_CORR_SQL, defer=True)
+def embed_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the embedding dimensions — the
+    feature-redundancy audit from the exact PCA statistics pass."""
+    return correlation_matrix(_embs(spark, sf_dir))
+
+
 def pca_model(embs: DataFrame, k: int = PCA_K):
     """(components, mean): top-k principal directions from the exact
     Gram/dim-sum passes — numpy eigh on the KB-sized driver-side

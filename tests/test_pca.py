@@ -96,3 +96,31 @@ def test_gram_shuffle_is_combined_mapside_and_projection_shuffle_free(spark):
     comps, mean = pca.pca_model(embs, k=4)
     pplan = audit.formatted_plan(pca.pca_project(embs, comps, mean))
     assert audit.data_shuffle_count(pplan) == 0
+
+
+def test_correlation_matrix_planted_and_numpy(spark):
+    """Planted copies: an identical dimension pair gives r=1.0, a negated
+    pair r=-1.0; every entry matches the same formula evaluated in numpy
+    over the quantized values."""
+    d = pca.DIM
+    rows = []
+    for t in range(60):
+        base = [math.sin(0.3 * t * (i + 1)) for i in range(d)]
+        base[1] = base[0]          # identical pair (0, 1)
+        base[2] = -base[0]         # negated pair (0, 2)
+        rows.append((t, 0, base))
+    embs = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    got = {(r["i"], r["j"]): r["r"] for r in pca.correlation_matrix(embs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == -1.0
+
+    x = np.array([r[2] for r in rows], dtype=np.float64)
+    q = np.floor(np.float64(np.float32(x)) * pca.GRAM_SCALE)  # float-col round trip
+    n = float(len(q))
+    s = q.sum(axis=0)
+    g = q.T @ q
+    for (i, j), r in got.items():
+        num = n * g[i, j] - s[i] * s[j]
+        den = math.sqrt(n * g[i, i] - s[i] * s[i]) * math.sqrt(n * g[j, j] - s[j] * s[j])
+        want = round(num / den, 6) if den else None
+        assert r == want, (i, j, r, want)
