@@ -510,3 +510,113 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope a single logging outage cannot drag, computed at day grain
     after one corpus aggregate."""
     return theil_sen_daily_trend(tpch.load(spark, sf_dir, "events"))
+
+
+# --- categorical association audit (r13) -------------------------------------
+#
+# Dataset-bias profiling: how entangled are two categorical facets of the
+# corpus? If language and source are strongly associated, a source-level
+# split leaks language (and vice versa) — the standard contingency-table
+# trio quantifies it: mutual information (nats), Pearson chi-square, and
+# Cramér's V (chi² normalized to [0, 1]).
+#
+# Exactness: cell/margin/total counts are exact bigints; each cell's MI
+# and chi² term is one float expression over identical integers, and the
+# cross-cell sums fold in SORTED (facet_a, facet_b) order (sort_array +
+# aggregate ≡ list_reduce(list(... ORDER BY ...)) — the drift-JSD
+# idiom). Zero-observed cells never materialize, so chi² uses the
+# algebraic identity Σ_all (c−e)²/e = Σ_observed((c−e)²/e − e) + N
+# (every absent cell contributes exactly its expectation e, and all
+# expectations sum to N).
+#
+# Scale shape: ONE partial-agg groupBy collapses the corpus to the cell
+# table (|langs|·|sources| rows — model-sized); margins, the total and
+# the ordered fold all run over that KB table.
+
+
+def categorical_association(docs: DataFrame, col_a: str = "lang", col_b: str = "source") -> DataFrame:
+    """One row (n_docs, n_a, n_b, mi_nats, chi2, cramers_v) for the
+    ``col_a`` × ``col_b`` contingency table of ``docs``."""
+    cells = docs.groupBy(col_a, col_b).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ra = cells.groupBy(col_a).agg(F.sum("c").cast("bigint").alias("r"))
+    cb = cells.groupBy(col_b).agg(F.sum("c").cast("bigint").alias("s"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    joined = cells.join(ra, col_a).join(cb, col_b).crossJoin(tot)
+    cd = F.col("c").cast("double")
+    rd = F.col("r").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    e = (rd * sd) / nd
+    mi_t = (cd / nd) * F.log((nd * cd) / (rd * sd))
+    chi_t = (cd - e) * (cd - e) / e - e
+    contrib = F.struct(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b"), mi_t.alias("mi"), chi_t.alias("chi")
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.transform(F.sort_array(F.collect_list(contrib)), lambda x: x[field]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    chi2_raw = fold("chi") + F.max("n").cast("double")
+    k = F.least(
+        F.countDistinct(col_a) - F.lit(1), F.countDistinct(col_b) - F.lit(1)
+    ).cast("double")
+    return joined.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.countDistinct(col_a).cast("bigint").alias("n_a"),
+        F.countDistinct(col_b).cast("bigint").alias("n_b"),
+        F.round(fold("mi"), 6).alias("mi_nats"),
+        F.round(chi2_raw, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2_raw / F.nullif(F.max("n").cast("double") * k, F.lit(0.0))), 6
+        ).alias("cramers_v"),
+    )
+
+
+_ASSOC_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS s FROM cells GROUP BY b),
+terms AS (
+  SELECT cells.a, cells.b,
+         (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE))
+                / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) AS mi_t,
+         (CAST(c AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+           * (CAST(c AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+           / ((CAST(r AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+           - (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) AS chi_t
+  FROM cells
+  JOIN ra ON ra.a = cells.a
+  JOIN cb ON cb.b = cells.b
+  CROSS JOIN tot
+)
+SELECT (SELECT n FROM tot) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS n_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_b,
+       ROUND(list_reduce(list(mi_t ORDER BY a, b), (x, y) -> x + y), 6) AS mi_nats,
+       ROUND(list_reduce(list(chi_t ORDER BY a, b), (x, y) -> x + y)
+             + (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS chi2,
+       ROUND(sqrt((list_reduce(list(chi_t ORDER BY a, b), (x, y) -> x + y)
+                   + (SELECT CAST(n AS DOUBLE) FROM tot))
+                  / NULLIF((SELECT CAST(n AS DOUBLE) FROM tot)
+                           * CAST(least((SELECT COUNT(*) - 1 FROM ra),
+                                        (SELECT COUNT(*) - 1 FROM cb)) AS DOUBLE),
+                           0.0)), 6) AS cramers_v
+FROM terms
+"""
+
+
+@query("corpus_lang_source_assoc", oracle=_ASSOC_SQL, defer=True)
+def corpus_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source association audit — mutual information, chi²,
+    Cramér's V over the exact contingency table (split-leakage risk
+    signal for facet-based corpus splits)."""
+    return categorical_association(tpch.load(spark, sf_dir, "documents"))
