@@ -228,3 +228,81 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 at every distinct-score threshold of the
     stopword-density en detector — exact bigint confusion cells."""
     return pr_curve(_docs(spark, sf_dir))
+
+
+# --- sliced evaluation ---------------------------------------------------------
+#
+# Metric-by-slice: a global AUC can hide a slice where the classifier is
+# inverted (Simpson-style). Same exact math per facet value; the rank
+# cumsum window is PARTITIONED by the facet, so unlike the global metric
+# it needs no single-partition stage at all — facets spread across the
+# cluster, each facet's count table stays KB-sized.
+
+
+def roc_auc_by(docs: DataFrame, facet: str = "source") -> DataFrame:
+    """(facet, n_pos, n_neg, auc) per facet value — the per-slice exact
+    tie-aware AUC; NULL where a slice holds a single class."""
+    scored = score_label(docs).join(
+        docs.select("doc_id", F.col(facet).alias("facet")), "doc_id"
+    )
+    by = scored.groupBy("facet", "score_key").agg(
+        F.sum("label").cast("bigint").alias("p"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("facet").orderBy("score_key")
+    ranked = by.withColumn("cum_q", F.sum("q").over(w))
+    num2 = F.sum(F.col("p") * (2 * F.col("cum_q") - F.col("q")))
+    return (
+        ranked.groupBy("facet")
+        .agg(
+            F.sum("p").cast("bigint").alias("n_pos"),
+            F.sum("q").cast("bigint").alias("n_neg"),
+            num2.cast("bigint").alias("_num2"),
+        )
+        .select(
+            "facet",
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.col("_num2").cast("double")
+                / F.nullif(
+                    (2 * F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("facet")
+    )
+
+
+_AUC_BY_SQL = f"""
+WITH scored AS ({_sql_score_label()}),
+faceted AS (
+  SELECT d.source AS facet, s.score_key, s.label
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+counts AS (
+  SELECT facet, score_key, CAST(SUM(label) AS BIGINT) AS p,
+         CAST(SUM(1 - label) AS BIGINT) AS q
+  FROM faceted GROUP BY facet, score_key
+),
+ranked AS (
+  SELECT facet, p, q,
+         SUM(q) OVER (PARTITION BY facet ORDER BY score_key) AS cum_q
+  FROM counts
+)
+SELECT facet, CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(q) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(p * (2 * cum_q - q)) AS DOUBLE)
+             / NULLIF(CAST(2 * SUM(p) * SUM(q) AS DOUBLE), 0.0), 6) AS auc
+FROM ranked
+GROUP BY facet
+ORDER BY facet
+"""
+
+
+@query("eval_roc_auc_by_source", oracle=_AUC_BY_SQL, defer=True)
+def eval_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sliced AUC of the en detector — the facet-partitioned
+    variant whose rank window distributes across slices."""
+    return roc_auc_by(_docs(spark, sf_dir), facet="source")

@@ -94,3 +94,27 @@ def test_window_runs_on_compact_counts_not_corpus(spark):
     before = plan.split("Arguments: SinglePartition")[0]
     input_line = before.rsplit("Input [3]: [", 1)[1].split("]")[0]
     assert "p#" in input_line and "q#" in input_line and "score_key" in input_line
+
+
+def test_sliced_auc_per_facet_and_partitioned_window(spark):
+    """One separable slice, one inverted slice, one single-class slice:
+    per-facet AUC = 1.0 / 0.0 / NULL — a global AUC would average the
+    story away. The rank window must be PARTITIONED by the facet (no
+    single-partition stage)."""
+    rows = [
+        # slice A: detector perfect
+        (1, "A", "en", "the and of is"),
+        (2, "A", "de", "x y z w"),
+        # slice B: detector inverted
+        (3, "B", "de", "the and of is"),
+        (4, "B", "en", "x y z w"),
+        # slice C: single class
+        (5, "C", "en", "the and"),
+        (6, "C", "en", "p q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, lang string, text string")
+    df = ev.roc_auc_by(docs, facet="source")
+    got = {r["facet"]: r["auc"] for r in df.collect()}
+    assert got == {"A": 1.0, "B": 0.0, "C": None}
+    plan = audit.formatted_plan(df)
+    assert "windowspecdefinition(facet" in plan
