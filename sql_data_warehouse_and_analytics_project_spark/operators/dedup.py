@@ -1320,6 +1320,111 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized(out, caches, order=["doc_id"])
 
 
+# --- split-leakage audit (r13) ----------------------------------------------
+#
+# The MEASUREMENT companion to leakage_free_split: how many near-dup
+# pairs would a naive per-document hash split tear across the
+# train/test boundary (eval contamination), and — by construction — the
+# component split tears zero. A pipeline that reports this number
+# proves its split hygiene instead of asserting it. Scale shape: the
+# pair set is LSH-bounded; both split assignments are row-local md5
+# uniforms (doc-keyed vs group-keyed) joined back over the narrow pair
+# list.
+
+
+def split_leakage_audit(docs: DataFrame, _caches: list | None = None) -> DataFrame:
+    """One row (n_pairs, naive_cross_pairs, component_cross_pairs): how
+    many near-dup pairs straddle splits under a per-doc hash split vs the
+    component-aware split (always 0, pytest- and oracle-pinned)."""
+    own_caches = _caches if _caches is not None else []
+    pairs = (
+        minhash_lsh_pairs(docs, _caches=own_caches, _sorted=False)
+        .select("doc_id_1", "doc_id_2")
+        .cache()
+    )
+    own_caches.append(pairs)
+    comp_split = leakage_free_split(docs, pairs).select("doc_id", F.col("split").alias("gsplit"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 52))
+    naive_split = docs.select(
+        "doc_id",
+        F.when(u < _SPLIT_TRAIN_FRAC, "train")
+        .when(u < _SPLIT_VAL_FRAC, "val")
+        .otherwise("test")
+        .alias("nsplit"),
+    )
+    labeled = (
+        pairs.join(naive_split.select(F.col("doc_id").alias("doc_id_1"), F.col("nsplit").alias("n1")), "doc_id_1")
+        .join(naive_split.select(F.col("doc_id").alias("doc_id_2"), F.col("nsplit").alias("n2")), "doc_id_2")
+        .join(comp_split.select(F.col("doc_id").alias("doc_id_1"), F.col("gsplit").alias("g1")), "doc_id_1")
+        .join(comp_split.select(F.col("doc_id").alias("doc_id_2"), F.col("gsplit").alias("g2")), "doc_id_2")
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("n1") != F.col("n2")).cast("bigint")).cast("bigint").alias("naive_cross_pairs"),
+        F.sum((F.col("g1") != F.col("g2")).cast("bigint")).cast("bigint").alias("component_cross_pairs"),
+    )
+
+
+_LEAKAGE_AUDIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+gsplit AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 13))::BIGINT
+                   / CAST({1 << 52} AS DOUBLE) < {_SPLIT_TRAIN_FRAC} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 13))::BIGINT
+                   / CAST({1 << 52} AS DOUBLE) < {_SPLIT_VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM grouped
+),
+nsplit AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / CAST({1 << 52} AS DOUBLE) < {_SPLIT_TRAIN_FRAC} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / CAST({1 << 52} AS DOUBLE) < {_SPLIT_VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_cross_pairs,
+       CAST(SUM(CASE WHEN ga.split <> gb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS component_cross_pairs
+FROM pairs p
+JOIN nsplit na ON na.doc_id = p.doc_id_1
+JOIN nsplit nb ON nb.doc_id = p.doc_id_2
+JOIN gsplit ga ON ga.doc_id = p.doc_id_1
+JOIN gsplit gb ON gb.doc_id = p.doc_id_2
+"""
+
+
+@query("split_leakage_audit", oracle=_LEAKAGE_AUDIT_SQL, defer=True)
+def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene measurement: near-dup pairs torn across splits by a
+    naive per-doc hash split vs the component-aware split (always 0)."""
+    caches: list = []
+    return _materialized(split_leakage_audit(_docs(spark, sf_dir), _caches=caches), caches)
+
+
 # --- Incremental MinHash index: dedup a NEW batch against a stored corpus --
 #
 # The batch pipelines above recompute signatures over the whole corpus every

@@ -64,3 +64,16 @@ def test_error_bounded_and_small_for_near_copies(spark):
     assert out["n_pairs"] == 15  # all C(6,2) pairs band together
     assert 0 <= out["max_err_ppm"] <= 1000000
     assert 0.0 <= out["mean_abs_err"] <= 0.25
+
+
+def test_split_leakage_audit_planted_cross_pair(spark):
+    """Near-identical docs on ids 1 (naive→train) and 3 (naive→test):
+    the naive per-doc split tears the pair, the component split never
+    does — md5 splits precomputed, so the assertion is deterministic."""
+    filler = [(i, "en", f"unique filler doc number {i} " + " ".join(f"w{i}x{k}" for k in range(12)))
+              for i in range(100, 106)]
+    rows = [(1, "en", BASE + "tail one"), (3, "en", BASE + "tail two")] + filler
+    out = dedup.split_leakage_audit(_docs(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 1
+    assert out["naive_cross_pairs"] == 1
+    assert out["component_cross_pairs"] == 0
