@@ -210,10 +210,17 @@ def pca_model(embs: DataFrame, k: int = PCA_K):
 
     ``components`` is a (k, d) list-of-lists in the ORIGINAL float
     units; ``mean`` the per-dimension float means."""
-    import numpy as np
-
     g_rows = gram_matrix(embs).collect()  # ≤ d(d+1)/2 rows — KB driver state
     d_rows = dim_stats(embs).collect()  # d rows
+    return eigen_from_stats(g_rows, d_rows, k)
+
+
+def eigen_from_stats(g_rows, d_rows, k: int = PCA_K):
+    """The driver-side eigen phase over collected (i, j, s) Gram rows and
+    (i, s, n) dim rows — shared by the batch model and the streaming
+    statistics state (``streaming.jobs.stream_pca_model``)."""
+    import numpy as np
+
     d = max(r["i"] for r in d_rows) + 1
     n = d_rows[0]["n"]
     sums = np.zeros(d)

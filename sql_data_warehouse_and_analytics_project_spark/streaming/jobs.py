@@ -1098,3 +1098,72 @@ def stream_pr_curve(spark: SparkSession, state_path: str) -> DataFrame:
     from ..operators.evalmetrics import pr_from_counts
 
     return pr_from_counts(stream_eval_counts(spark, state_path))
+
+
+# --- streaming embedding statistics (r13) -------------------------------------
+#
+# The PCA/correlation statistics of operators.pca are SUM-merge monoids
+# (Gram cells, per-dim sums, row count), so the CMS-family per-batch_id
+# idempotent-overwrite discipline applies verbatim: each micro-batch's
+# exact partial statistics land under their own batch_id partition, the
+# merge is a read-time SUM over KB-sized tables, and the learned PCA /
+# correlation model can be refreshed from stream state at any moment
+# without re-scanning a byte of ingested embeddings.
+
+
+def sink_stream_embed_stats(embs_stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming embedding-statistics sink: per micro-batch, the exact
+    Gram upper triangle and per-dimension sums/count of the batch land
+    under ``<state_path>/{gram,dims}/batch_id=N`` — idempotent per-batch
+    writes (CMS-sink replay discipline)."""
+    from ..operators.pca import dim_stats, gram_matrix
+
+    def _sink_batch(batch: DataFrame, batch_id: int) -> None:
+        gram_matrix(batch).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/gram/batch_id={batch_id}"
+        )
+        dim_stats(batch).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/dims/batch_id={batch_id}"
+        )
+
+    return (
+        embs_stream.writeStream.foreachBatch(_sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_gram_matrix(spark: SparkSession, state_path: str) -> DataFrame:
+    """(i, j, s) merged over every ingested batch — bit-identical to the
+    one-shot batch Gram over the union (pytest-pinned)."""
+    return (
+        spark.read.parquet(f"{state_path}/gram")
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+
+
+def stream_dim_stats(spark: SparkSession, state_path: str) -> DataFrame:
+    """(i, s, n) merged per-dimension sums/count over every batch."""
+    return (
+        spark.read.parquet(f"{state_path}/dims")
+        .groupBy("i")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def stream_pca_model(spark: SparkSession, state_path: str, k: int = 16):
+    """(components, mean) refreshed from the streamed statistics — the
+    driver-side eigen phase of ``operators.pca.eigen_from_stats`` over
+    merged state instead of a corpus scan."""
+    from ..operators.pca import eigen_from_stats
+
+    return eigen_from_stats(
+        stream_gram_matrix(spark, state_path).collect(),
+        stream_dim_stats(spark, state_path).collect(),
+        k,
+    )

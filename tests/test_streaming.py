@@ -1017,3 +1017,52 @@ def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(map(repr, jobs.stream_eval_counts(spark, state).collect())) == want_counts
     assert [repr(r) for r in jobs.stream_roc_auc(spark, state).collect()] == want_auc
+
+
+def test_stream_embed_stats_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming embedding-statistics sink (r13): after draining three
+    batches, the merged Gram/dim state must equal the one-shot batch
+    statistics over the union EXACTLY (bigint monoid), the refreshed PCA
+    model must match the batch model, and a full redelivery must leave
+    state bit-identical (per-batch_id overwrite on a SUM monoid)."""
+    import math
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import pca
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    schema = "vec_id bigint, label int, embedding array<float>"
+    batches = [
+        [(b * 100 + t, 0, [math.sin(0.1 * (b + 1) * t * (i + 1)) for i in range(pca.DIM)])
+         for t in range(15)]
+        for b in range(3)
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    all_embs = spark.createDataFrame([r for rows in batches for r in rows], schema)
+
+    state = str(tmp_path / "stats")
+    stream = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q = jobs.sink_stream_embed_stats(stream, state, str(tmp_path / "st_ck1"))
+    q.awaitTermination(120)
+
+    want_gram = sorted(map(repr, pca.gram_matrix(all_embs).collect()))
+    got_gram = sorted(map(repr, jobs.stream_gram_matrix(spark, state).collect()))
+    assert got_gram == want_gram
+    want_dims = sorted(map(repr, pca.dim_stats(all_embs).collect()))
+    got_dims = sorted(map(repr, jobs.stream_dim_stats(spark, state).collect()))
+    assert got_dims == want_dims
+
+    want_comps, want_mean = pca.pca_model(all_embs, k=4)
+    got_comps, got_mean = jobs.stream_pca_model(spark, state, k=4)
+    assert got_mean == want_mean and got_comps == want_comps
+
+    stream2 = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
+    q2 = jobs.sink_stream_embed_stats(stream2, state, str(tmp_path / "st_ck2"))
+    q2.awaitTermination(120)
+    assert sorted(map(repr, jobs.stream_gram_matrix(spark, state).collect())) == want_gram
+    assert sorted(map(repr, jobs.stream_dim_stats(spark, state).collect())) == want_dims
