@@ -1160,6 +1160,140 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- near-dup component cohesion audit (r13) --------------------------------
+#
+# Connected components over near-dup pairs OVER-MERGE by design: a chain
+# A~B~C collapses even when A and C share nothing (transitive-closure
+# overreach — the known failure mode of component dedup). This audit
+# measures it per component with the standard graph statistics: edge
+# density, triangle count, and the global clustering coefficient
+# 3·triangles / wedges — a clique-like component (every member really
+# duplicates every other) scores 1.0, a chain scores 0.0, and a low
+# score on a big component is the signal to re-verify before dropping
+# members. Triangles come from the ordered adjacency 3-join
+# (a<b, b<c, a~c) — standard distributed triangle counting (Suri &
+# Vassilvitskii 2011); wedges are Σ deg·(deg−1)/2 exact bigints, so the
+# coefficient is one rounded division of identical integers. Scale:
+# inputs are the LSH-bounded pair set whose degrees the bucket cap
+# bounds; every aggregate is component-keyed.
+
+
+def component_cohesion(pairs: DataFrame, _caches: list | None = None) -> DataFrame:
+    """(component_id, n_nodes, n_edges, n_triangles, clustering) per
+    near-dup component of the undirected edge list ``pairs``
+    (doc_id_1 < doc_id_2)."""
+    edges = pairs.select("doc_id_1", "doc_id_2").distinct().cache()
+    if _caches is not None:
+        _caches.append(edges)
+    comp = connected_components(edges).select("doc_id", "component_id")
+    nodes = comp.groupBy("component_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    e_lab = edges.join(
+        comp.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1"
+    )
+    n_edges = e_lab.groupBy("component_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    deg = (
+        edges.select(F.col("doc_id_1").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .join(comp, "doc_id")
+    )
+    wedges = deg.groupBy("component_id").agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("wedges")
+    )
+    e1 = edges.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+    e2 = edges.select(F.col("doc_id_1").alias("b"), F.col("doc_id_2").alias("c"))
+    e3 = edges.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .join(comp.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        nodes.join(n_edges, "component_id")
+        .join(wedges, "component_id")
+        .join(tris, "component_id", "left")
+        .select(
+            "component_id",
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                (3 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / F.nullif(F.col("wedges").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy("component_id")
+    )
+
+
+_COHESION_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id FROM reach GROUP BY node),
+nodes AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM comp GROUP BY component_id),
+nedges AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM pairs p JOIN comp c ON c.doc_id = p.doc_id_1
+  GROUP BY c.component_id
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT doc_id_1 AS doc_id FROM pairs UNION ALL SELECT doc_id_2 FROM pairs)
+  GROUP BY doc_id
+),
+wedges AS (
+  SELECT c.component_id, CAST(SUM(d.deg * (d.deg - 1) / 2) AS BIGINT) AS wedges
+  FROM deg d JOIN comp c ON c.doc_id = d.doc_id
+  GROUP BY c.component_id
+),
+tris AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_id_1 = e1.doc_id_2
+  JOIN comp c ON c.doc_id = e1.doc_id_1
+  WHERE EXISTS (SELECT 1 FROM pairs e3
+                WHERE e3.doc_id_1 = e1.doc_id_1 AND e3.doc_id_2 = e2.doc_id_2)
+  GROUP BY c.component_id
+)
+SELECT n.component_id, n.n_nodes, e.n_edges,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(3 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / NULLIF(CAST(w.wedges AS DOUBLE), 0.0), 6) AS clustering
+FROM nodes n
+JOIN nedges e ON e.component_id = n.component_id
+JOIN wedges w ON w.component_id = n.component_id
+LEFT JOIN tris t ON t.component_id = n.component_id
+ORDER BY n.component_id
+"""
+
+
+@query("dedup_component_cohesion", oracle=_COHESION_SQL, defer=True)
+def dedup_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion audit of the near-dup components: per component, edge
+    density, triangle count and clustering coefficient — the
+    transitive-closure-overreach detector (chain vs clique)."""
+    caches: list = []
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches, _sorted=False)
+    return _materialized(
+        component_cohesion(pairs, _caches=caches), caches, order=["component_id"]
+    )
+
+
 # --- Cross-source contamination matrix -------------------------------------
 #
 # A corpus assembled from many crawls/dumps needs to know WHERE its
