@@ -1220,10 +1220,17 @@ def component_cohesion(pairs: DataFrame, _caches: list | None = None) -> DataFra
             "n_nodes",
             "n_edges",
             F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
-            F.round(
-                (3 * F.coalesce("n_triangles", F.lit(0))).cast("double")
-                / F.nullif(F.col("wedges").cast("double"), F.lit(0.0)),
-                6,
+            # networkx transitivity convention: 0.0 when no wedges exist
+            # (2-node components — consult clustering only for n_nodes ≥ 3);
+            # also keeps the output NULL-free (no None-vs-NaN representation
+            # hazard across engine fetch paths)
+            F.coalesce(
+                F.round(
+                    (3 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / F.nullif(F.col("wedges").cast("double"), F.lit(0.0)),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("clustering"),
         )
         .orderBy("component_id")
@@ -1272,8 +1279,8 @@ tris AS (
 )
 SELECT n.component_id, n.n_nodes, e.n_edges,
        CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
-       ROUND(CAST(3 * COALESCE(t.n_triangles, 0) AS DOUBLE)
-             / NULLIF(CAST(w.wedges AS DOUBLE), 0.0), 6) AS clustering
+       COALESCE(ROUND(CAST(3 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                      / NULLIF(CAST(w.wedges AS DOUBLE), 0.0), 6), 0.0) AS clustering
 FROM nodes n
 JOIN nedges e ON e.component_id = n.component_id
 JOIN wedges w ON w.component_id = n.component_id

@@ -40,6 +40,6 @@ def test_paw_graph_partial_clustering(spark):
     assert got[1] == (4, 4, 1, 0.6)
 
 
-def test_pair_component_clustering_undefined(spark):
+def test_pair_component_clustering_zero_by_convention(spark):
     got = _run(spark, [(5, 6)])
-    assert got[5] == (2, 1, 0, None)
+    assert got[5] == (2, 1, 0, 0.0)
