@@ -681,6 +681,120 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(_t(spark, sf_dir, "events"), "user_id", "value")
 
 
+# --- MAD robust outliers (r13) ------------------------------------------------
+#
+# The robust twin of zscore_outliers: mean/σ are themselves dragged by
+# the outliers they hunt (masking); median / median-absolute-deviation
+# have a 50% breakdown point. Flag |v − median| > k·MAD per group with
+# k = 3 (≈ 2σ on normal data via the 1.4826 consistency factor, which
+# is deliberately NOT applied — k is a tunable, keeping every number an
+# exact median of observed values).
+#
+# Determinism: positional medians via the integer both-middles idiom
+# (row_number ordered by (value, id); rn = floor((n+1)/2) / floor((n+2)/2)
+# ≡ DuckDB (n+1)//2 — the r13 ADVICE fix, reused twice: once for the
+# median, once for the MAD). The outlier comparison uses the UNROUNDED
+# mad; only outputs are rounded. Scale: exact per-group medians cost one
+# sort-shuffle per ranking pass (two total) — the honest price of exact
+# order statistics; the approximate path at 100 TB is the mergeable
+# histogram sketch (approx.hist_quantiles_by).
+
+
+def mad_outliers(
+    df: DataFrame, group: str, measure: str, id_col: str = "event_id", k: float = 3.0
+) -> DataFrame:
+    """(group, n_events, med, mad, n_outliers) per group: median, median
+    absolute deviation, and how many rows sit beyond k·MAD."""
+    m = F.col(measure)
+    rows = df.filter(m.isNotNull()).select(group, id_col, measure)
+    wg = Window.partitionBy(group)
+    w1 = Window.partitionBy(group).orderBy(measure, id_col)
+
+    def both_middles(ranked: DataFrame, val: str) -> DataFrame:
+        return (
+            ranked.filter(
+                (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+            )
+            .groupBy(group)
+            .agg(F.avg(val).alias(f"{val}_med"))
+        )
+
+    ranked = rows.select(
+        group, measure, F.row_number().over(w1).alias("rn"), F.count(F.lit(1)).over(wg).alias("n")
+    )
+    med = both_middles(ranked, measure).withColumnRenamed(f"{measure}_med", "med")
+    dev = rows.join(F.broadcast(med), group).select(
+        group, id_col, measure, "med", F.abs(m - F.col("med")).alias("ad")
+    )
+    w2 = Window.partitionBy(group).orderBy("ad", id_col)
+    dranked = dev.select(
+        group, "ad", F.row_number().over(w2).alias("rn"), F.count(F.lit(1)).over(wg).alias("n")
+    )
+    mad = both_middles(dranked, "ad").withColumnRenamed("ad_med", "mad")
+    return (
+        dev.join(F.broadcast(mad), group)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum((F.col("ad") > F.lit(k) * F.col("mad")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy(group)
+    )
+
+
+_MAD_SQL = """
+WITH rows_ AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM rows_
+),
+med AS (
+  SELECT event_type, AVG(value) AS med FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, r.value, m.med, abs(r.value - m.med) AS ad
+  FROM rows_ r JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, ad,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, AVG(ad) AS mad FROM dranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+)
+SELECT d.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(md.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad md USING (event_type)
+GROUP BY d.event_type
+ORDER BY event_type
+"""
+
+
+@query("events_mad_outliers", oracle=_MAD_SQL, defer=True)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier counts via median/MAD — the
+    masking-immune twin of events_zscore_outliers."""
+    return mad_outliers(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 # --- weekly cohort retention (r12) -------------------------------------------
 #
 # The classic product-analytics matrix: users grouped by first-activity
