@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -653,6 +653,163 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- IVF recall audit (r13) --------------------------------------------------
+#
+# The ANN twin of dedup.minhash_estimator_error ("measure, don't
+# guess"): per query vector, how much of the exact brute-force top-k
+# does the probe-pruned IVF path actually return? recall@k per query as
+# an exact rational n_hits/k — mis-sized probe counts or a bad coarse
+# quantizer become a number. Both legs reuse the registered shapes
+# (ann_cosine_topk / ann_ivf_topk) generalized to a BROADCAST query
+# batch: per-query ranking runs as qid-partitioned windows
+# (WindowGroupLimit pre-trim), so the audit distributes across queries —
+# no single-partition stage. Determinism: identical to the ANN oracles
+# (exact int64 dots, bit-identical cosines, vec_id tie-breaks).
+
+
+def ivf_recall_audit(
+    embs: DataFrame, k: int = 10, n_probes: int = 3, query_mod: int = 50
+) -> DataFrame:
+    """(query_id, n_hits, recall) per query vector (vec_id % query_mod == 0):
+    overlap between the exact cosine top-k and the n_probes IVF top-k."""
+    normed = embs.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    ).withColumn("nq", dot_q(F.col("q"), F.col("q")))
+    queries = F.broadcast(
+        normed.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("nq").alias("nqq")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored = (
+        normed.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine_q(F.col("q"), F.col("qq"), F.col("nq"), F.col("nqq")).alias("cosine"),
+        )
+    )
+    brute = (
+        scored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= k).select("qid", "vec_id")
+    )
+    cent = (
+        normed.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform(F.col("pairs"), lambda s: s.cval).alias("centroid"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("cdot"), F.asc("label"))
+    probes = (
+        cent.crossJoin(queries)
+        .select("qid", "label", dot_q(F.col("centroid"), F.col("qq")).alias("cdot"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probes)
+        .select("qid", "label")
+    )
+    ivf = (
+        scored.join(probes, ["qid", "label"], "left_semi")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(ivf, ["qid", "vec_id"], "left_semi").groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_IVF_RECALL_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, q, {SQL_NORM_Q} AS nq FROM quant
+),
+queries AS (
+  SELECT vec_id AS qid, q AS qq, nq AS nqq FROM normed WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT u.qid, n.vec_id, n.label,
+         CAST(CAST(list_sum([n.q[i+1] * u.qq[i+1] FOR i IN range(len(n.q))]) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(u.nqq AS DOUBLE))) AS cosine
+  FROM normed n, queries u
+  WHERE n.vec_id <> u.qid
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+expl AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS val FROM quant
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM expl GROUP BY label, pos
+),
+centlist AS (
+  SELECT label, list(cval ORDER BY pos) AS cent FROM cent GROUP BY label
+),
+probes AS (
+  SELECT qid, label FROM (
+    SELECT u.qid, c.label,
+           row_number() OVER (
+             PARTITION BY u.qid
+             ORDER BY CAST(list_sum([c.cent[i+1] * u.qq[i+1] FOR i IN range(len(c.cent))]) AS BIGINT) DESC,
+                      c.label
+           ) AS rn
+    FROM centlist c, queries u
+  ) WHERE rn <= 3
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rn
+    FROM scored s
+    JOIN probes p ON p.qid = s.qid AND p.label = s.label
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM brute b
+  WHERE EXISTS (SELECT 1 FROM ivf i WHERE i.qid = b.qid AND i.vec_id = b.vec_id)
+  GROUP BY b.qid
+)
+SELECT u.qid AS query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+FROM queries u
+LEFT JOIN hits h ON h.qid = u.qid
+ORDER BY query_id
+"""
+
+
+@query("ann_ivf_recall", oracle=_IVF_RECALL_SQL, defer=True)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the 3-probe IVF path against exact brute
+    force — the ANN-quality audit twin of dedup_minhash_error."""
+    return ivf_recall_audit(_emb(spark, sf_dir))
 
 
 # --- Semantic (SemDeDup-style) near-dup: learned-cluster blocking ----------
