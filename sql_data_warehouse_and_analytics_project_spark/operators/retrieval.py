@@ -854,23 +854,60 @@ def positional_postings(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
 
 
-def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = _PHRASE) -> DataFrame:
-    """(doc_id, n_matches): documents containing the exact consecutive
-    ``phrase``, with how many times it occurs — k-1 adjacency joins over
-    single-term posting slices."""
+def phrase_positions(docs: DataFrame, phrase: tuple[str, ...] = _PHRASE) -> DataFrame:
+    """(doc_id, pos): every starting position of an exact consecutive
+    ``phrase`` occurrence — the adjacency-join core shared by the match
+    counter and the snippet extractor."""
     if not phrase:
         raise ValueError("phrase must have at least one term")
     posts = positional_postings(docs)
-    first = posts.filter(F.col("term") == phrase[0].lower()).select("doc_id", "pos")
-    matched = first
+    matched = posts.filter(F.col("term") == phrase[0].lower()).select("doc_id", "pos")
     for i, w in enumerate(phrase[1:], start=1):
         leg = posts.filter(F.col("term") == w.lower()).select(
             "doc_id", (F.col("pos") - i).alias("pos")
         )
         matched = matched.join(leg, ["doc_id", "pos"])
+    return matched
+
+
+def phrase_match(docs: DataFrame, phrase: tuple[str, ...] = _PHRASE) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact consecutive
+    ``phrase``, with how many times it occurs — k-1 adjacency joins over
+    single-term posting slices."""
     return (
-        matched.groupBy("doc_id")
+        phrase_positions(docs, phrase)
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+def phrase_snippets(
+    docs: DataFrame, phrase: tuple[str, ...] = _PHRASE, window: int = 5
+) -> DataFrame:
+    """(doc_id, first_pos, snippet): keyword-in-context extraction — the
+    original-case tokens from ``window`` before the FIRST phrase match to
+    ``window`` after its last word, joined by single spaces. The slice is
+    an array HOF over the matched docs only (the phrase join prunes the
+    corpus before any token array materializes for output)."""
+    k = len(phrase)
+    first = (
+        phrase_positions(docs, phrase)
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("bigint").alias("first_pos"))
+    )
+    toks = tokens_col(F.col("text"))
+    start = F.greatest(F.lit(1), F.col("first_pos") - window)
+    end = F.least(F.size(toks).cast("bigint"), F.col("first_pos") + F.lit(k - 1 + window))
+    return (
+        docs.join(first, "doc_id")
+        .select(
+            "doc_id",
+            "first_pos",
+            F.concat_ws(
+                " ", F.slice(toks, start, (end - start + 1).cast("int"))
+            ).alias("snippet"),
+        )
         .orderBy("doc_id")
     )
 
@@ -910,6 +947,51 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words BM25 surface cannot express, reading only the queried
     terms' postings."""
     return phrase_match(_docs(spark, sf_dir))
+
+
+def _phrase_snippet_sql(phrase: tuple[str, ...] = _PHRASE, window: int = 5) -> str:
+    k = len(phrase)
+    legs = "\n".join(
+        f"JOIN posts p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        f" AND p{i}.term = '{w.lower()}'"
+        for i, w in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+posts AS (
+  SELECT doc_id, lower(t[i]) AS term, i AS pos
+  FROM toks, UNNEST(range(1, len(t) + 1)) v(i)
+),
+matched AS (
+  SELECT p0.doc_id AS doc_id, p0.pos AS pos
+  FROM posts p0
+  {legs}
+  WHERE p0.term = '{phrase[0].lower()}'
+),
+firstm AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS first_pos FROM matched GROUP BY doc_id
+)
+SELECT f.doc_id AS doc_id, f.first_pos AS first_pos,
+       array_to_string(
+         d.t[greatest(1, f.first_pos - {window}):least(len(d.t), f.first_pos + {k - 1 + window})],
+         ' ') AS snippet
+FROM firstm f JOIN toks d ON d.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+_PHRASE_SNIPPET_SQL = _phrase_snippet_sql()
+
+
+@query("retrieval_phrase_snippets", oracle=_PHRASE_SNIPPET_SQL, defer=True)
+def retrieval_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets around the first "stream data" phrase
+    match per document — the result-presentation leg of the positional
+    retrieval stack (search → phrase → snippet)."""
+    return phrase_snippets(_docs(spark, sf_dir))
 
 
 # --- TF-IDF keyword extraction (r12) -----------------------------------------

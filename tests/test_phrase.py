@@ -84,3 +84,31 @@ def test_phrase_plan_filters_each_leg_no_cartesian(spark):
     # each leg's single-term filter survives into the physical plan,
     # BELOW the join (posting-list-sized join inputs)
     assert "(term" in plan and "= stream)" in plan and "= data)" in plan
+
+
+def test_phrase_snippets_window_and_edges(spark):
+    docs = _docs(
+        spark,
+        [
+            # match at pos 1: left edge clips, window extends right
+            (1, "stream data a b c d e f g h"),
+            # match mid-doc: exactly 2 context tokens each side (window=2)
+            (2, "w x stream data y z tail"),
+            # two matches: snippet anchors on the FIRST
+            (3, "a stream data b stream data c"),
+            # match at the very end: right edge clips
+            (4, "p q r stream data"),
+        ],
+    )
+    got = {r["doc_id"]: (r["first_pos"], r["snippet"])
+           for r in rt.phrase_snippets(docs, ("stream", "data"), window=2).collect()}
+    assert got[1] == (1, "stream data a b")
+    assert got[2] == (3, "w x stream data y z")
+    assert got[3] == (2, "a stream data b stream")
+    assert got[4] == (4, "q r stream data")
+
+
+def test_phrase_snippets_preserve_original_case(spark):
+    docs = _docs(spark, [(1, "Alpha STREAM Data Omega")])
+    [r] = rt.phrase_snippets(docs, ("stream", "data"), window=1).collect()
+    assert r["snippet"] == "Alpha STREAM Data Omega"
