@@ -949,6 +949,75 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir))
 
 
+# --- persisted positional layer ----------------------------------------------
+#
+# Indexed phrase serving: the corpus-scan phrase join above re-tokenizes
+# every document per query; production serves phrases from a PERSISTED
+# positional layer living INSIDE the inverted-index directory —
+# ``positions/bucket=N/`` (term, doc_id, pos) rows in the SAME md5
+# term-hash bucket layout, sharing the index's stats (n_buckets), its
+# append contract, and — crucially — its tombstone sidecar, so
+# ``delete_from_inverted_index`` masks phrase results with no extra
+# bookkeeping. A phrase query hashes its terms driver-side and reads
+# only those buckets (PartitionFilters, plan-pinned); serving cost
+# scales with the queried terms' position lists, never the corpus.
+
+
+def add_positional_layer(docs: DataFrame, path: str) -> None:
+    """Build ``positions/`` inside an EXISTING inverted index at ``path``
+    (reads n_buckets from its stats) over the same corpus."""
+    spark = docs.sparkSession
+    nb = int(spark.read.parquet(f"{path}/stats").first()["n_buckets"])
+    positional_postings(docs).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), nb)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/positions")
+
+
+def append_positional_layer(docs_new: DataFrame, path: str) -> None:
+    """Fold NEW documents' positional rows into the layer — same
+    disjoint-doc_id append contract as ``append_inverted_index``; plain
+    partition appends, old files never touched."""
+    spark = docs_new.sparkSession
+    nb = int(spark.read.parquet(f"{path}/stats").first()["n_buckets"])
+    positional_postings(docs_new).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), nb)
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/positions")
+
+
+def phrase_search_indexed(
+    spark: SparkSession, path: str, phrase: tuple[str, ...] = _PHRASE
+) -> DataFrame:
+    """(doc_id, n_matches) for an exact phrase served from the positional
+    layer: driver-side term hashing prunes to the queried buckets, the
+    shared tombstone sidecar masks deleted docs, then the same k-1
+    adjacency joins as :func:`phrase_match` — answers identical to the
+    corpus-scan path over the indexed corpus (pytest-pinned)."""
+    from . import tombstones
+
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    nb = int(spark.read.parquet(f"{path}/stats").first()["n_buckets"])
+    lowered = [t.lower() for t in phrase]
+    buckets = sorted({_term_bucket_py(t, nb) for t in lowered})
+    posts = tombstones.mask(
+        spark.read.parquet(f"{path}/positions")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(lowered))))
+        .drop("bucket"),
+        spark,
+        path,
+        "doc_id",
+    )
+    matched = posts.filter(F.col("term") == lowered[0]).select("doc_id", "pos")
+    for i, w in enumerate(lowered[1:], start=1):
+        leg = posts.filter(F.col("term") == w).select("doc_id", (F.col("pos") - i).alias("pos"))
+        matched = matched.join(leg, ["doc_id", "pos"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
 def _phrase_snippet_sql(phrase: tuple[str, ...] = _PHRASE, window: int = 5) -> str:
     k = len(phrase)
     legs = "\n".join(
