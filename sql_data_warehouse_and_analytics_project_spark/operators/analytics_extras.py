@@ -927,3 +927,94 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+# --- LOCF gap-fill over an hourly spine (r13) ----------------------------------
+#
+# The interpolation leg the spine family lacked: olap_date_spine_monthly
+# GENERATES dense time axes; this FILLS them — per event type, an hourly
+# spine from the corpus min to max hour, hours with no events carrying
+# the last observed hourly average forward (LOCF). The standard prep for
+# downstream models that assume a dense regular series.
+#
+# Determinism: hourly averages go through the exact-moments discipline
+# (SUM over DECIMAL(28,8), one division — the zscore_outliers idiom);
+# last(ignorenulls) picks single already-rounded values so the fill
+# itself adds no float work. Scale shape: one partial-agg groupBy at
+# (type, hour) grain, the spine is |types| × |hours| rows built from ONE
+# sequence() literal range (KB for years of hours), and the fill is a
+# type-partitioned window — distributes across types, state = one value.
+
+
+def locf_hourly_fill(events: DataFrame) -> DataFrame:
+    """(event_type, hour_ts, avg_value, is_gap): dense hourly series per
+    type, gaps carried forward from the last observed hour."""
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("raw_avg")
+        )
+        .select("event_type", "hour_ts", F.round("raw_avg", 6).alias("obs_avg"))
+    )
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    return (
+        joined.select(
+            "event_type",
+            "hour_ts",
+            F.last("obs_avg", ignorenulls=True).over(w).alias("avg_value"),
+            F.col("obs_avg").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+_LOCF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS obs_avg
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, s.h AS hour_ts
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN bounds b,
+  LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h) s
+)
+SELECT s.event_type, s.hour_ts,
+       last_value(h.obs_avg IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour_ts) AS avg_value,
+       h.obs_avg IS NULL AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+ORDER BY s.event_type, s.hour_ts
+"""
+
+
+@query("events_locf_hourly", oracle=_LOCF_SQL, defer=True)
+def events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly average-value series per event type with
+    last-observation-carried-forward gap fill — the interpolation leg of
+    the time-spine family."""
+    return locf_hourly_fill(_t(spark, sf_dir, "events"))

@@ -1,0 +1,49 @@
+"""LOCF hourly gap-fill semantics on a planted sparse series."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from sql_data_warehouse_and_analytics_project_spark.operators import analytics_extras as ax
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+
+
+def test_locf_fills_gaps_and_flags_them(spark):
+    h = lambda hr, mi=0: datetime(2024, 3, 1, hr, mi)
+    rows = [
+        (1, 1, h(0), "a", 10.0),
+        (2, 1, h(0, 30), "a", 20.0),   # hour 0 avg = 15.0
+        (3, 1, h(3), "a", 40.0),       # hours 1-2 are gaps carrying 15.0
+        (4, 1, h(1), "b", 7.0),        # b starts at hour 1: leading gap at 0
+    ]
+    got = {
+        (r["event_type"], r["hour_ts"].hour): (r["avg_value"], r["is_gap"])
+        for r in ax.locf_hourly_fill(_events(spark, rows)).collect()
+    }
+    # dense spine hours 0..3 for both types
+    assert len(got) == 8
+    assert got[("a", 0)] == (15.0, False)
+    assert got[("a", 1)] == (15.0, True)
+    assert got[("a", 2)] == (15.0, True)
+    assert got[("a", 3)] == (40.0, False)
+    # leading gap before b's first observation: nothing to carry → NULL
+    assert got[("b", 0)] == (None, True)
+    assert got[("b", 1)] == (7.0, False)
+    assert got[("b", 2)] == (7.0, True)
+    assert got[("b", 3)] == (7.0, True)
+
+
+def test_locf_null_values_are_excluded_from_averages(spark):
+    h = lambda hr: datetime(2024, 3, 1, hr)
+    rows = [
+        (1, 1, h(0), "a", 10.0),
+        (2, 1, h(0), "a", None),  # NULL measure must not drag the average
+        (3, 1, h(1), "a", 30.0),
+    ]
+    got = {r["hour_ts"].hour: r["avg_value"] for r in ax.locf_hourly_fill(_events(spark, rows)).collect()}
+    assert got[0] == 10.0 and got[1] == 30.0
