@@ -1018,3 +1018,90 @@ def events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-observation-carried-forward gap fill — the interpolation leg of
     the time-spine family."""
     return locf_hourly_fill(_t(spark, sf_dir, "events"))
+
+
+# --- daily TWAP (r13) -----------------------------------------------------------
+#
+# Time-WEIGHTED average value: a plain AVG treats a value held for 20
+# hours and one held for 2 minutes identically; TWAP integrates the
+# step function — each observation holds until the next one (last one
+# holds to day end), weight = exact integer ms from the truncating
+# epoch-ms functions. Exactness end to end: value enters as 1e6
+# fixed-point bigint (floor of a double — identical both engines), each
+# v_fp·w term ≤ max(v_fp)·86.4e6 and the per-day terms sum to ≤
+# max(v_fp)·Σw = max(v_fp)·86.4e6 « 2^63 (weights PARTITION the day, so
+# the bound does not grow with event count); ONE division at the end.
+# Scale shape: one (type, day)-partitioned lead window + one groupBy at
+# the same grain — the window shuffle is reused by the aggregate.
+
+
+def twap_daily(events: DataFrame) -> DataFrame:
+    """(event_type, day, n_events, twap) per type and day: the
+    time-weighted mean of value, each observation held until the next
+    (last until midnight)."""
+    rows = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("v_fp"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w), F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    seg = rows.select(
+        "event_type",
+        "day",
+        "v_fp",
+        (F.unix_millis(nxt) - F.unix_millis(F.col("ts"))).alias("w_ms"),
+    )
+    return (
+        seg.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("v_fp") * F.col("w_ms")).cast("bigint").alias("_num"),
+            F.sum("w_ms").cast("bigint").alias("_den"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            "n_events",
+            F.round(
+                F.col("_num").cast("double")
+                / (F.lit(1000000.0) * F.col("_den").cast("double")),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_TWAP_SQL = """
+WITH rows_ AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_fp
+  FROM events WHERE value IS NOT NULL
+),
+seg AS (
+  SELECT event_type, day, v_fp,
+         epoch_ms(COALESCE(
+           lead(ts) OVER (PARTITION BY event_type, day ORDER BY ts, event_id),
+           day + INTERVAL 1 DAY)) - epoch_ms(ts) AS w_ms
+  FROM rows_
+)
+SELECT event_type, CAST(day AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(v_fp * w_ms) AS DOUBLE)
+             / (1000000.0 * CAST(SUM(w_ms) AS DOUBLE)), 6) AS twap
+FROM seg
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+@query("events_twap_daily", oracle=_TWAP_SQL, defer=True)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average event value per type — the step-series
+    integral a plain AVG misrepresents."""
+    return twap_daily(_t(spark, sf_dir, "events"))

@@ -47,3 +47,35 @@ def test_locf_null_values_are_excluded_from_averages(spark):
     ]
     got = {r["hour_ts"].hour: r["avg_value"] for r in ax.locf_hourly_fill(_events(spark, rows)).collect()}
     assert got[0] == 10.0 and got[1] == 30.0
+
+
+def test_twap_weights_by_holding_time(spark):
+    """Value 10 held for 18h then 100 held for 6h: plain AVG says 55,
+    TWAP says 10·0.75 + 100·0.25 = 32.5. Midnight-start observation, so
+    the full day is covered."""
+    h = lambda hr: datetime(2024, 3, 1, hr)
+    rows = [
+        (1, 1, h(0), "a", 10.0),
+        (2, 1, h(18), "a", 100.0),
+    ]
+    got = ax.twap_daily(_events(spark, rows)).collect()
+    assert [(r["event_type"], str(r["day"]), r["n_events"], r["twap"]) for r in got] == [
+        ("a", "2024-03-01", 2, 32.5)
+    ]
+
+
+def test_twap_first_observation_starts_its_own_clock(spark):
+    """Observation at 12:00 held to midnight: the morning (no data) is
+    NOT imputed — denominator is 12h, twap = the single value."""
+    rows = [(1, 1, datetime(2024, 3, 1, 12), "a", 42.0)]
+    [r] = ax.twap_daily(_events(spark, rows)).collect()
+    assert r["twap"] == 42.0 and r["n_events"] == 1
+
+
+def test_twap_ties_broken_by_event_id(spark):
+    """Two observations at the same ts: the first (by event_id) gets
+    zero weight — the (ts, event_id) total order pins which one holds."""
+    h = datetime(2024, 3, 1, 0)
+    rows = [(1, 1, h, "a", 10.0), (2, 1, h, "a", 30.0)]
+    [r] = ax.twap_daily(_events(spark, rows)).collect()
+    assert r["twap"] == 30.0
