@@ -1461,6 +1461,88 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized(out, caches, order=["doc_id"])
 
 
+# --- dedup savings report (r13) -----------------------------------------------
+#
+# The number a curation run actually reports upward: how much corpus
+# does near-dedup remove? One row — documents touched by a near-dup
+# component, documents dropped (non-survivors under the min-id rule),
+# and the character mass removed, as exact counts plus a 6-dp fraction.
+# Composes the existing pair pipeline + connected components; the
+# report itself is two KB joins against the narrow (doc_id, len) projection.
+
+
+def dedup_savings_report(docs: DataFrame, _caches: list | None = None) -> DataFrame:
+    """One row (n_docs, n_in_components, n_dropped, chars_total,
+    chars_dropped, pct_chars_dropped) for the MinHash/LSH near-dedup
+    pass over ``docs``."""
+    own = _caches if _caches is not None else []
+    pairs = minhash_lsh_pairs(docs, _caches=own, _sorted=False)
+    comp = connected_components(pairs).select("doc_id", "is_survivor")
+    lens = docs.select("doc_id", F.length("text").cast("bigint").alias("chars"))
+    labeled = lens.join(comp, "doc_id", "left")
+    return labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_survivor").isNotNull().cast("bigint")).cast("bigint").alias("n_in_components"),
+        F.sum((~F.coalesce("is_survivor", F.lit(True))).cast("bigint")).cast("bigint").alias("n_dropped"),
+        F.sum("chars").cast("bigint").alias("chars_total"),
+        F.sum(F.when(~F.coalesce("is_survivor", F.lit(True)), F.col("chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    ).select(
+        "n_docs",
+        "n_in_components",
+        "n_dropped",
+        "chars_total",
+        "chars_dropped",
+        F.round(
+            F.col("chars_dropped").cast("double") / F.col("chars_total").cast("double"), 6
+        ).alias("pct_chars_dropped"),
+    )
+
+
+_SAVINGS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lab) = node AS is_survivor FROM reach GROUP BY node
+),
+labeled AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS chars, c.is_survivor
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_survivor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_components,
+       CAST(SUM(CASE WHEN NOT COALESCE(is_survivor, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN NOT COALESCE(is_survivor, TRUE) THEN chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped,
+       ROUND(CAST(SUM(CASE WHEN NOT COALESCE(is_survivor, TRUE) THEN chars ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(chars) AS DOUBLE), 6) AS pct_chars_dropped
+FROM labeled
+"""
+
+
+@query("dedup_savings_report", oracle=_SAVINGS_SQL, defer=True)
+def dedup_savings_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation headline number: documents and character mass removed
+    by near-dedup (min-id survivor rule), one summary row."""
+    caches: list = []
+    return _materialized(dedup_savings_report(_docs(spark, sf_dir), _caches=caches), caches)
+
+
 # --- split-leakage audit (r13) ----------------------------------------------
 #
 # The MEASUREMENT companion to leakage_free_split: how many near-dup

@@ -77,3 +77,21 @@ def test_split_leakage_audit_planted_cross_pair(spark):
     assert out["n_pairs"] == 1
     assert out["naive_cross_pairs"] == 1
     assert out["component_cross_pairs"] == 0
+
+
+def test_dedup_savings_report_hand_computed(spark):
+    """One near-dup pair (ids 1, 3) among unique filler: min-id rule keeps
+    1 and drops 3 — dropped character mass is exactly doc 3's length."""
+    filler = [(i, "en", f"unique filler doc number {i} " + " ".join(f"w{i}x{k}" for k in range(12)))
+              for i in range(100, 104)]
+    d1 = BASE + "tail one"
+    d3 = BASE + "tail two longer"
+    rows = [(1, "en", d1), (3, "en", d3)] + filler
+    out = dedup.dedup_savings_report(_docs(spark, rows)).collect()[0]
+    total = sum(len(t) for _, _, t in rows)
+    assert out["n_docs"] == 6
+    assert out["n_in_components"] == 2
+    assert out["n_dropped"] == 1
+    assert out["chars_total"] == total
+    assert out["chars_dropped"] == len(d3)
+    assert out["pct_chars_dropped"] == round(len(d3) / total, 6)
