@@ -1105,3 +1105,112 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average event value per type — the step-series
     integral a plain AVG misrepresents."""
     return twap_daily(_t(spark, sf_dir, "events"))
+
+
+# --- 24-hour seasonality: lag autocorrelation (r13) -----------------------------
+#
+# Does the event stream have a daily rhythm? Pearson autocorrelation of
+# the hourly COUNT series at lag 24, per event type — near +1 means a
+# strong diurnal cycle, near 0 an arrhythmic stream. Counts are exact
+# bigints and the series pairs (y_t, y_{t−24}) come from one lag window
+# over the DENSE hourly spine (missing hours count 0 — a true zero, not
+# a gap), so every correlation input is an identical integer in both
+# engines: r = (n·S_xy − S_x·S_y) / (√(n·S_xx − S_x²)·√(n·S_yy − S_y²)),
+# bigints cast to double BEFORE the products (the pca.py convention).
+# Scale shape: one (type, hour) partial-agg groupBy, the spine from one
+# sequence() range, one type-partitioned lag window over the KB-per-type
+# hourly table, one groupBy(type) fold.
+
+
+def hourly_autocorr(events: DataFrame, lag: int = 24) -> DataFrame:
+    """(event_type, n_pairs, autocorr) per type: Pearson correlation of
+    hourly counts against the series ``lag`` hours earlier."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    bounds = hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type", "hour_ts", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    paired = dense.select(
+        "event_type", "y", F.lag("y", lag).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    stats = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
+    ).orderBy("event_type")
+
+
+_AUTOCORR_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, s.h AS hour_ts
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN bounds b,
+  LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h) s
+),
+dense AS (
+  SELECT s.event_type, s.hour_ts, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS y
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+),
+paired AS (
+  SELECT event_type, y,
+         lag(y, 24) OVER (PARTITION BY event_type ORDER BY hour_ts) AS x
+  FROM dense
+  QUALIFY x IS NOT NULL
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0),
+             6) AS autocorr
+FROM stats
+ORDER BY event_type
+"""
+
+
+@query("events_autocorr_24h", oracle=_AUTOCORR_SQL, defer=True)
+def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality detector: lag-24 Pearson autocorrelation of the
+    dense hourly event-count series, per event type."""
+    return hourly_autocorr(_t(spark, sf_dir, "events"))

@@ -79,3 +79,25 @@ def test_twap_ties_broken_by_event_id(spark):
     rows = [(1, 1, h, "a", 10.0), (2, 1, h, "a", 30.0)]
     [r] = ax.twap_daily(_events(spark, rows)).collect()
     assert r["twap"] == 30.0
+
+
+def test_autocorr_detects_planted_daily_cycle(spark):
+    """Exactly 24-periodic counts → lag-24 autocorr = 1.0; a 48-periodic
+    alternating-day series → −1.0; a constant series → NULL (zero
+    variance)."""
+    rows = []
+    eid = 0
+    for day in range(4):
+        for hr in range(24):
+            ts = datetime(2024, 3, 1 + day, hr)
+            n_a = 5 if hr < 12 else 1                  # 24-periodic
+            n_b = 5 if day % 2 == 0 else 1             # 48-periodic
+            for _ in range(n_a):
+                rows.append((eid, 1, ts, "cyc", 1.0)); eid += 1
+            for _ in range(n_b):
+                rows.append((eid, 1, ts, "alt", 1.0)); eid += 1
+            rows.append((eid, 1, ts, "flat", 1.0)); eid += 1
+    got = {r["event_type"]: r["autocorr"] for r in ax.hourly_autocorr(_events(spark, rows)).collect()}
+    assert got["cyc"] == 1.0
+    assert got["alt"] == -1.0
+    assert got["flat"] is None
