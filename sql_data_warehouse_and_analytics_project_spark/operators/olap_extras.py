@@ -471,3 +471,79 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("*", segment.alias("segment")).orderBy("c_custkey")
+
+
+# --- Benford first-digit audit (r13) --------------------------------------------
+#
+# The classic fabricated-data / DQ detector: naturally-occurring amounts
+# follow Benford's law (P(d) = log10(1 + 1/d)); uniform-synthetic or
+# hand-keyed amounts do not, and the per-digit chi² terms say WHERE the
+# distribution breaks. First significant digit is extracted through the
+# string of FLOOR(amount) cast to bigint — decimal/double stringification
+# differs across engines, the bigint string does not (amount ≥ 1 holds
+# for o_totalprice by construction). Counts are exact bigints; expected
+# shares are ln((d+1)/d)/ln(10) on identical double literals; one
+# grand-total broadcast. KB-sized output at any scale — one partial-agg
+# groupBy over 9 digit groups.
+
+
+def benford_digits(df: DataFrame, amount: str) -> DataFrame:
+    """(digit, n, obs_share, exp_share, chi_term) for the first
+    significant digit of ``amount`` (values must be ≥ 1)."""
+    d = F.substring(
+        F.floor(F.col(amount)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = df.filter(F.col(amount).isNotNull()).groupBy(d.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    dd = F.col("digit").cast("double")
+    exp_share = F.log((dd + 1) / dd) / F.log(F.lit(10.0))
+    nd = F.col("n").cast("double")
+    td = F.col("total").cast("double")
+    e = td * exp_share
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(nd / td, 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round((nd - e) * (nd - e) / e, 6).alias("chi_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+       ROUND(ln((CAST(digit AS DOUBLE) + 1) / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+         AS exp_share,
+       ROUND((CAST(n AS DOUBLE)
+              - CAST(total AS DOUBLE)
+                * (ln((CAST(digit AS DOUBLE) + 1) / CAST(digit AS DOUBLE)) / ln(10.0)))
+             * (CAST(n AS DOUBLE)
+                - CAST(total AS DOUBLE)
+                  * (ln((CAST(digit AS DOUBLE) + 1) / CAST(digit AS DOUBLE)) / ln(10.0)))
+             / (CAST(total AS DOUBLE)
+                * (ln((CAST(digit AS DOUBLE) + 1) / CAST(digit AS DOUBLE)) / ln(10.0))),
+             6) AS chi_term
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@query("olap_benford_totalprice", oracle=_BENFORD_SQL, defer=True)
+def olap_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — per-digit observed vs
+    expected share and the chi² contribution."""
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")

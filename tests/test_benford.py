@@ -1,0 +1,42 @@
+"""Benford first-digit audit semantics."""
+
+from __future__ import annotations
+
+import math
+
+from sql_data_warehouse_and_analytics_project_spark.operators import olap_extras as ox
+
+
+def _amounts(spark, values):
+    rows = [(i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "rid bigint, amount double")
+
+
+def test_first_digit_across_magnitudes(spark):
+    got = {r["digit"]: r["n"] for r in
+           ox.benford_digits(_amounts(spark, [1.2, 95.0, 1320.51, 9.99, 20000.0, 2.5]), "amount").collect()}
+    assert got == {1: 2, 9: 2, 2: 2}
+
+
+def test_chi_term_hand_computed(spark):
+    """60 ones + 40 twos: e1 = 100·log10(2), e2 = 100·log10(1.5);
+    chi terms match the closed form."""
+    vals = [1.0] * 60 + [2.0] * 40
+    got = {r["digit"]: r for r in ox.benford_digits(_amounts(spark, vals), "amount").collect()}
+    e1 = 100 * math.log10(2.0)
+    e2 = 100 * math.log10(1.5)
+    assert got[1]["chi_term"] == round((60 - e1) ** 2 / e1, 6)
+    assert got[2]["chi_term"] == round((40 - e2) ** 2 / e2, 6)
+    assert got[1]["obs_share"] == 0.6 and got[2]["obs_share"] == 0.4
+
+
+def test_benford_distributed_data_scores_low(spark):
+    """Counts planted AT the Benford proportions: every chi term ≈ 0 —
+    the detector passes clean data."""
+    vals = []
+    for d in range(1, 10):
+        vals += [float(d)] * round(10000 * math.log10(1 + 1 / d))
+    got = ox.benford_digits(_amounts(spark, vals), "amount").collect()
+    assert len(got) == 9
+    for r in got:
+        assert r["chi_term"] < 0.05, (r["digit"], r["chi_term"])
