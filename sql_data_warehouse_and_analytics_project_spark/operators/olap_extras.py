@@ -547,3 +547,93 @@ def olap_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — per-digit observed vs
     expected share and the chi² contribution."""
     return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# --- Gini revenue concentration (r13) --------------------------------------------
+#
+# Inequality reporting: how concentrated is order revenue across the
+# customers of each nation? Gini via the exact rank formula over the
+# ascending-sorted totals
+#     G = (2·Σ i·x_i) / (n·Σ x_i) − (n + 1)/n
+# with x in cents (exact bigint via FLOOR(100·total)), i = row_number
+# ordered by (x, custkey) — ties pinned, every sum an exact bigint, one
+# final float expression on identical integers. Scale shape: one
+# partial-agg groupBy(custkey), one nation-partitioned rank window over
+# the per-customer totals (bounded by customers, not orders), one
+# groupBy(nation) fold. Σ i·x can exceed int64 at extreme scale (1e7
+# customers × 1e9-cent totals ≈ 1e23), so the rank-weighted leg sums as
+# DECIMAL(38,0) — exact to 1e38, and DuckDB's HUGEINT sum matches it
+# digit for digit.
+
+
+def gini_by_group(df: DataFrame, group: str, key: str, amount_cents) -> DataFrame:
+    """(group, n, total_cents, gini) per group over per-key exact cent
+    totals — ``amount_cents`` is a bigint Column of the row amount."""
+    per_key = df.groupBy(group, key).agg(F.sum(amount_cents).cast("bigint").alias("x"))
+    w = Window.partitionBy(group).orderBy("x", key)
+    ranked = per_key.select(
+        group, "x", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    agg = ranked.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        group,
+        F.col("n"),
+        F.col("sx").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.col("six").cast("double"))
+            / (nd * F.col("sx").cast("double"))
+            - (nd + 1.0) / nd,
+            6,
+        ).alias("gini"),
+    ).orderBy(group)
+
+
+_GINI_SQL = """
+WITH per_key AS (
+  SELECT n.n_name AS nation, c.c_custkey AS k,
+         CAST(SUM(CAST(FLOOR(100.0 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, c.c_custkey
+),
+ranked AS (
+  SELECT nation, x,
+         CAST(row_number() OVER (PARTITION BY nation ORDER BY x, k) AS BIGINT) AS i
+  FROM per_key
+),
+agg AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(i * x AS HUGEINT)) AS six
+  FROM ranked GROUP BY nation
+)
+SELECT nation, n, sx AS total_cents,
+       ROUND((2.0 * CAST(six AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+ORDER BY nation
+"""
+
+
+@query("olap_gini_revenue_by_nation", oracle=_GINI_SQL, defer=True)
+def olap_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each nation —
+    the concentration/inequality report."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("k"),
+            F.floor(F.lit(100.0) * F.col("o_totalprice")).cast("bigint").alias("cents"),
+        )
+    )
+    return gini_by_group(joined, "nation", "k", F.col("cents"))

@@ -40,3 +40,19 @@ def test_benford_distributed_data_scores_low(spark):
     assert len(got) == 9
     for r in got:
         assert r["chi_term"] < 0.05, (r["digit"], r["chi_term"])
+
+
+def test_gini_hand_computed_extremes(spark):
+    """Perfect equality → 0; one customer holding everything → (n−1)/n."""
+    from pyspark.sql import functions as F
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "nation string, k bigint, cents bigint")
+        [r] = ox.gini_by_group(df, "nation", "k", F.col("cents")).collect()
+        return r["gini"]
+
+    assert run([("x", i, 100) for i in range(5)]) == 0.0
+    # x = [0,0,0,0,1000]: G = (2·(5·1000))/(5·1000) − 6/5 = 0.8 = (n−1)/n
+    assert run([("x", i, 0) for i in range(4)] + [("x", 9, 1000)]) == 0.8
+    # hand case [1,2,3,4]: Σi·x = 1+4+9+16 = 30; G = 60/40 − 5/4 = 0.25
+    assert run([("x", i, v) for i, v in enumerate([1, 2, 3, 4])]) == 0.25
