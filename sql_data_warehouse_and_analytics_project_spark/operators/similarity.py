@@ -1556,3 +1556,121 @@ def knn_join_ivf(
         .filter(F.col("nn_rank") <= k)
         .orderBy("q_id", "nn_rank")
     )
+
+
+# --- simplified silhouette (r13) -----------------------------------------------
+#
+# Cluster-quality eval the clustering family lacked: per point, the
+# simplified silhouette (Hruschka et al. 2004) s = (b − a)/max(a, b)
+# with a = distance to the OWN cluster centroid and b = the nearest
+# OTHER centroid — linear in n where the classic silhouette is the
+# quadratic all-pairs version. Here over the label partition under the
+# same integer per-label centroids the IVF coarse quantizer uses:
+# squared-L2 distances are exact int64 sums (≤ 64·(2e7)² ≈ 2.6e16),
+# every per-point ratio becomes a 1e6 fixed-point bigint (floor of a
+# double computed from identical integers), so per-label sums are exact
+# and the mean is ONE division — no ordered fold needed. On the
+# unstructured synthetic corpus the scores sit near 0 (labels are not
+# geometric clusters — consistent with ann_ivf_recall's finding);
+# planted clusters score near 1 (pytest).
+
+
+def silhouette_by_label(embs: DataFrame) -> DataFrame:
+    """(label, n, mean_silhouette): simplified silhouette of the label
+    partition under integer per-label centroids."""
+    normed = embs.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    cent = (
+        normed.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform(F.col("pairs"), lambda s: s.cval).alias("centroid"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dists = normed.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    a = dists.filter(F.col("label") == F.col("clabel")).select("vec_id", "label", F.col("d2").alias("a"))
+    b = (
+        dists.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b"))
+    )
+    s_fp = F.floor(
+        F.lit(1000000.0)
+        * (F.col("b").cast("double") - F.col("a").cast("double"))
+        / F.nullif(F.greatest("a", "b").cast("double"), F.lit(0.0))
+    ).cast("bigint")
+    return (
+        a.join(b, "vec_id")
+        .select("label", F.coalesce(s_fp, F.lit(0)).alias("s_fp"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("s_fp").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+_SILHOUETTE_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings
+),
+expl AS (
+  SELECT label, UNNEST(range(len(q))) AS pos, UNNEST(q) AS val FROM quant
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM expl GROUP BY label, pos
+),
+centlist AS (
+  SELECT label AS clabel, list(cval ORDER BY pos) AS cent FROM cent GROUP BY label
+),
+dists AS (
+  SELECT n.vec_id, n.label, c.clabel,
+         CAST(list_sum([(n.q[i+1] - c.cent[i+1]) * (n.q[i+1] - c.cent[i+1])
+                        FOR i IN range(len(n.q))]) AS BIGINT) AS d2
+  FROM quant n, centlist c
+),
+own AS (SELECT vec_id, label, d2 AS a FROM dists WHERE label = clabel),
+other AS (
+  SELECT vec_id, CAST(MIN(d2) AS BIGINT) AS b FROM dists WHERE label <> clabel GROUP BY vec_id
+),
+pts AS (
+  SELECT o.label,
+         COALESCE(CAST(FLOOR(1000000.0 * (CAST(t.b AS DOUBLE) - CAST(o.a AS DOUBLE))
+                             / NULLIF(CAST(greatest(o.a, t.b) AS DOUBLE), 0.0)) AS BIGINT),
+                  0) AS s_fp
+  FROM own o JOIN other t ON t.vec_id = o.vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(s_fp) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+         AS mean_silhouette
+FROM pts
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("cluster_silhouette_by_label", oracle=_SILHOUETTE_SQL, defer=True)
+def cluster_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette cluster-coherence score per label partition —
+    the quality metric the clustering family lacked."""
+    return silhouette_by_label(_emb(spark, sf_dir))

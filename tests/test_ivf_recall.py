@@ -53,3 +53,15 @@ def test_hits_bounded_by_k(spark):
     embs = _clustered_embs(spark, n_clusters=2, per=12)
     got = sim.ivf_recall_audit(embs, k=5, n_probes=2, query_mod=10).collect()
     assert got and all(0 <= r["n_hits"] <= 5 for r in got)
+
+
+def test_silhouette_planted_clusters_near_one_mixed_near_zero(spark):
+    """Well-separated orthogonal clusters score near 1; scrambling the
+    labels onto the SAME geometry collapses the score toward ≤ 0 — the
+    coherence signal the metric exists to give."""
+    embs = _clustered_embs(spark, n_clusters=4, per=20)
+    good = sim.silhouette_by_label(embs).collect()
+    assert all(r["mean_silhouette"] > 0.9 for r in good), good
+    scrambled = embs.selectExpr("vec_id", "embedding", "CAST(vec_id % 4 AS INT) AS label")
+    bad = sim.silhouette_by_label(scrambled).collect()
+    assert all(r["mean_silhouette"] < 0.1 for r in bad), bad
