@@ -949,6 +949,96 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir))
 
 
+# --- ranker agreement (r13) ----------------------------------------------------
+#
+# The measurement companion to RRF: fusing two rankers only helps when
+# they DISAGREE usefully — near-perfect rank correlation means the
+# second leg adds cost, not signal. Spearman rho between the BM25 and
+# unigram-LM rankings over the docs BOTH top-k legs retain: ranks are
+# the same row_number-over-(score, doc_id) integers RRF consumes, so
+# rho is the exact bigint Pearson formula on identical small integers —
+# one float expression at the end. O(k) everywhere.
+
+
+def ranker_agreement(
+    legs: list[tuple[DataFrame, str, str]],
+) -> DataFrame:
+    """One row (n_common, spearman_rho) between exactly two ranked legs
+    (same (df, score, alias) triples ``rrf_fuse`` takes)."""
+    if len(legs) != 2:
+        raise ValueError("ranker_agreement compares exactly two legs")
+    a = _ranked(*legs[0]).withColumnRenamed(legs[0][2], "x")
+    b = _ranked(*legs[1]).withColumnRenamed(legs[1][2], "y")
+    joined = a.join(b, "doc_id")
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return stats.select(
+        F.col("n").alias("n_common"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+    )
+
+
+def _ranker_agreement_sql(terms: tuple[str, ...], k: int) -> str:
+    from .text import _LM_SQL
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS x
+  FROM ({_bm25_sql(terms, k)})
+),
+lm AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS y
+  FROM (SELECT doc_id, avg_logprob FROM ({_LM_SQL})
+        ORDER BY avg_logprob DESC, doc_id LIMIT {k})
+),
+joined AS (SELECT bm.x, lm.y FROM bm JOIN lm ON bm.doc_id = lm.doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM joined
+)
+SELECT n AS n_common,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0),
+             6) AS spearman_rho
+FROM stats
+"""
+
+
+@query("retrieval_ranker_agreement", oracle=_ranker_agreement_sql(_BM25_TERMS, _BM25_K), defer=True)
+def retrieval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the BM25 and unigram-LM top-50
+    rankings — the fusion-worthiness measurement behind retrieval_rrf_hybrid."""
+    from .text import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    bm = bm25_topk(docs)
+    lm = (
+        unigram_logprob(docs)
+        .select("doc_id", "avg_logprob")
+        .orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+    return ranker_agreement([(bm, "bm25", "bm25_rank"), (lm, "avg_logprob", "fluency_rank")])
+
+
 # --- persisted positional layer ----------------------------------------------
 #
 # Indexed phrase serving: the corpus-scan phrase join above re-tokenizes

@@ -112,3 +112,20 @@ def test_phrase_snippets_preserve_original_case(spark):
     docs = _docs(spark, [(1, "Alpha STREAM Data Omega")])
     [r] = rt.phrase_snippets(docs, ("stream", "data"), window=1).collect()
     assert r["snippet"] == "Alpha STREAM Data Omega"
+
+
+def test_ranker_agreement_extremes_and_hand_case(spark):
+    """Identical rankings → rho 1.0; exactly reversed → −1.0; the classic
+    4-item one-swap case → 0.8 (Spearman on ranks [1,2,3,4] vs [2,1,3,4])."""
+    def leg(scores):
+        rows = [(i + 1, float(s)) for i, s in enumerate(scores)]
+        return (spark.createDataFrame(rows, "doc_id bigint, s double"), "s", "r")
+
+    def rho(a, b):
+        [r] = rt.ranker_agreement([leg(a), leg(b)]).collect()
+        return r["spearman_rho"]
+
+    assert rho([40, 30, 20, 10], [8, 6, 4, 2]) == 1.0
+    assert rho([40, 30, 20, 10], [2, 4, 6, 8]) == -1.0
+    # doc ranks: leg A = [1,2,3,4]; leg B swaps the top two → rho = 1 − 6·2/(4·15) = 0.8
+    assert rho([40, 30, 20, 10], [30, 40, 20, 10]) == 0.8
