@@ -1214,3 +1214,64 @@ def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-seasonality detector: lag-24 Pearson autocorrelation of the
     dense hourly event-count series, per event type."""
     return hourly_autocorr(_t(spark, sf_dir, "events"))
+
+
+# --- peak burst rate (r13) --------------------------------------------------------
+#
+# Capacity-planning question the tumbling hourly counts blur: what was
+# the WORST trailing-hour burst, at any instant? Per event, the count of
+# same-type events in the sliding (t − 1h, t] window via a RANGE frame
+# over integer epoch-ms (RANGE 3599999 PRECEDING — value-based, so it
+# needs no spine and handles irregular timestamps exactly); then per
+# type the max and the earliest instant achieving it. All integers; the
+# only shuffle is the type-partitioned window the rollup reuses.
+
+
+def peak_rate(events: DataFrame, window_ms: int = 3600000) -> DataFrame:
+    """(event_type, peak_events_1h, peak_at_ms): the maximum trailing-
+    ``window_ms`` event count per type and the earliest instant it was hit."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-(window_ms - 1), 0)
+    )
+    rated = events.select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("t_ms"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rate"),
+    )
+    return (
+        rated.groupBy("event_type")
+        .agg(
+            F.max("rate").cast("bigint").alias("peak_events_1h"),
+            # packed order key: highest rate first, then earliest instant
+            # (t_ms < 2^41 until year ~2109; rate < 2^21 documented bound)
+            F.min_by("t_ms", -F.col("rate") * F.lit(1 << 42) + F.col("t_ms"))
+            .cast("bigint")
+            .alias("peak_at_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PEAK_SQL = """
+WITH rated AS (
+  SELECT event_type, epoch_ms(ts) AS t_ms,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS BIGINT) AS rate
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(rate) AS BIGINT) AS peak_events_1h,
+       CAST(arg_min(t_ms, -rate * 4398046511104 + t_ms) AS BIGINT) AS peak_at_ms
+FROM rated
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_peak_rate", oracle=_PEAK_SQL, defer=True)
+def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst trailing-hour burst per event type (value-based RANGE frame
+    over epoch-ms) and the earliest instant it occurred."""
+    return peak_rate(_t(spark, sf_dir, "events"))

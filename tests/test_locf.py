@@ -101,3 +101,31 @@ def test_autocorr_detects_planted_daily_cycle(spark):
     assert got["cyc"] == 1.0
     assert got["alt"] == -1.0
     assert got["flat"] is None
+
+
+def test_peak_rate_planted_burst(spark):
+    """Nine spread events plus a 5-event burst inside one hour: peak = 6
+    (burst + the spread event the window catches) — hand-verified; the
+    peak instant is the LAST burst event (trailing window), earliest such
+    instant under ties."""
+    rows = []
+    eid = 0
+    for hr in range(9):                      # one event every 2 hours
+        rows.append((eid, 1, datetime(2024, 3, 1, hr * 2), "a", 1.0)); eid += 1
+    for mi in range(5):                      # burst: 5 events 16:10..16:50
+        rows.append((eid, 1, datetime(2024, 3, 1, 16, 10 * (mi + 1)), "a", 1.0)); eid += 1
+    [r] = ax.peak_rate(_events(spark, rows)).collect()
+    # window ending at 16:50 holds 16:00 + the 5 burst events = 6
+    assert r["peak_events_1h"] == 6
+    assert r["peak_at_ms"] == int(datetime(2024, 3, 1, 16, 50).timestamp() * 1000)
+
+
+def test_peak_rate_window_excludes_exact_hour_boundary(spark):
+    """RANGE 3599999 PRECEDING: an event exactly 1h earlier falls OUT of
+    the trailing window (the window is (t-1h, t])."""
+    rows = [
+        (1, 1, datetime(2024, 3, 1, 10, 0), "a", 1.0),
+        (2, 1, datetime(2024, 3, 1, 11, 0), "a", 1.0),
+    ]
+    [r] = ax.peak_rate(_events(spark, rows)).collect()
+    assert r["peak_events_1h"] == 1
