@@ -172,6 +172,50 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     return stats.orderBy(F.desc("tf"), F.asc("term")).limit(k)
 
 
+_VOCAB_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source, lower(UNNEST({SQL_TOKENS})) AS term FROM documents
+),
+stats AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY source, term
+)
+SELECT source, term, tf, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, term, tf,
+         row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rk
+  FROM stats
+)
+WHERE rk <= 10
+ORDER BY source, rk
+"""
+
+
+@query("vocab_top_terms_by_source", oracle=_VOCAB_BY_SOURCE_SQL, defer=True)
+def vocab_top_terms_by_source(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Per-source top-k terms by frequency — the grouped twin of
+    vocab_top_terms (per-slice stopword/template discovery; a source whose
+    top terms diverge from its peers is a template or a contamination
+    signal). Ranks on exact bigint counts with term tie-break; the
+    row_number ≤ k filter compiles to WindowGroupLimit, so each source's
+    candidate set is pre-trimmed before the shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("raw")
+    ).select("source", F.lower(F.col("raw")).alias("term"))
+    stats = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        stats.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .orderBy("source", "rk")
+    )
+
+
 # --- Training-mix resampling ----------------------------------------------
 #
 # Rebalancing a corpus to target per-language (or per-source/domain)

@@ -129,3 +129,24 @@ def test_ranker_agreement_extremes_and_hand_case(spark):
     assert rho([40, 30, 20, 10], [2, 4, 6, 8]) == -1.0
     # doc ranks: leg A = [1,2,3,4]; leg B swaps the top two → rho = 1 − 6·2/(4·15) = 0.8
     assert rho([40, 30, 20, 10], [30, 40, 20, 10]) == 0.8
+
+
+def test_vocab_top_terms_by_source_semantics(spark):
+    """Per-source rank-by-tf with term tie-break, plan compiles to the
+    WindowGroupLimit pre-trim."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import packing as pk
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+    from conftest import SF_DIR
+
+    df = pk.vocab_top_terms_by_source(spark, SF_DIR, k=3)
+    rows = df.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["tf"], r["term"]))
+    for src, lst in by_src.items():
+        assert [x[0] for x in sorted(lst)] == list(range(1, len(lst) + 1))
+        tfs = [x[1] for x in sorted(lst)]
+        assert tfs == sorted(tfs, reverse=True)
+        assert len(lst) <= 3
+    plan = audit.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
