@@ -155,7 +155,7 @@ FROM ranked
 """
 
 
-@query("eval_roc_auc", oracle=_AUC_SQL, defer=True)
+@query("eval_roc_auc", oracle=_AUC_SQL, headline=True, defer=True)
 def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC of the stopword-density en detector —
     bigint Mann-Whitney over the per-distinct-score count table."""
