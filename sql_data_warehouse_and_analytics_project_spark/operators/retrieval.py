@@ -1074,6 +1074,23 @@ def append_positional_layer(docs_new: DataFrame, path: str) -> None:
     ).write.mode("append").partitionBy("bucket").parquet(f"{path}/positions")
 
 
+def repair_positional_append(docs_new: DataFrame, path: str) -> None:
+    """Convergent append into the positional layer: anti-join the arriving
+    docs against the stored doc_ids and append only the remainder — a
+    redelivered batch (same or later at-least-once duplicate) is a no-op,
+    the winnow-index repair argument (single table, no multi-table crash
+    window). Builds the layer on first contact."""
+    from ..warehouse import hdfs
+
+    spark = docs_new.sparkSession
+    if not hdfs.exists(spark, f"{path}/positions"):
+        add_positional_layer(docs_new, path)
+        return
+    existing = spark.read.parquet(f"{path}/positions").select("doc_id").distinct()
+    fresh = docs_new.join(existing, "doc_id", "left_anti")
+    append_positional_layer(fresh, path)
+
+
 def phrase_search_indexed(
     spark: SparkSession, path: str, phrase: tuple[str, ...] = _PHRASE
 ) -> DataFrame:

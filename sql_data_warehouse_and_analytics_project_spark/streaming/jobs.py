@@ -1167,3 +1167,26 @@ def stream_pca_model(spark: SparkSession, state_path: str, k: int = 16):
         stream_dim_stats(spark, state_path).collect(),
         k,
     )
+
+
+def sink_stream_positional_layer(docs_stream: DataFrame, index_path: str, checkpoint: str):
+    """Streaming ingest into the positional phrase layer of an inverted
+    index (r13) — between batches the layer serves
+    ``operators.retrieval.phrase_search_indexed`` exactly as a batch
+    build would. Replay safety by the winnow-sink argument: the layer is
+    a single table and every batch routes through
+    ``repair_positional_append`` (doc_id anti-join), so any redelivery
+    converges with no sidecar. Requires the inverted index to exist at
+    ``index_path`` (the layer reads its n_buckets from stats) — pair
+    with ``sink_stream_inverted_index`` over the same stream."""
+    from ..operators.retrieval import repair_positional_append
+
+    def _ingest_batch(batch: DataFrame, _batch_id: int) -> None:
+        repair_positional_append(batch, index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

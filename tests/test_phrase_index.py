@@ -70,3 +70,43 @@ def test_append_equals_fresh_build(spark, tmp_path):
     rt.add_positional_layer(docs, fresh)
     want = [tuple(r) for r in rt.phrase_search_indexed(spark, fresh, PHRASE).collect()]
     assert got == want and len(want) > 0
+
+
+def test_stream_positional_ingest_serves_phrase_and_replay_is_noop(spark, tmp_path):
+    """Three streamed batches into the positional layer: indexed phrase
+    answers == one-shot batch build over the union; a full fresh-
+    checkpoint redelivery leaves the layer row-identical (anti-join
+    repair — no sidecar)."""
+    import os
+
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    docs = _docs(spark)
+    path = str(tmp_path / "sidx")
+    rt.build_inverted_index(docs, path, n_buckets=16)  # stats for n_buckets
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for bi in range(3):
+        docs.filter(F.col("doc_id") % 3 == bi).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    stream = spark.readStream.schema(docs.schema).parquet(f"{input_dir}/*")
+    q = jobs.sink_stream_positional_layer(stream, path, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    got = [tuple(r) for r in rt.phrase_search_indexed(spark, path, PHRASE).collect()]
+    want = [tuple(r) for r in rt.phrase_match(docs, PHRASE).collect()]
+    assert got == want and len(want) > 0
+
+    rows_before = sorted(
+        map(repr, spark.read.parquet(f"{path}/positions").collect())
+    )
+    stream2 = spark.readStream.schema(docs.schema).parquet(f"{input_dir}/*")
+    q2 = jobs.sink_stream_positional_layer(stream2, path, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    rows_after = sorted(
+        map(repr, spark.read.parquet(f"{path}/positions").collect())
+    )
+    assert rows_after == rows_before
+    assert [tuple(r) for r in rt.phrase_search_indexed(spark, path, PHRASE).collect()] == want
