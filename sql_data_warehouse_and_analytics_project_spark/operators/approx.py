@@ -763,6 +763,164 @@ def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_by(hll_registers_by(terms, "source", "term"))
 
 
+# --- HLL set algebra: pairwise vocabulary overlap (r13) -----------------------
+#
+# The sketch-ALGEBRA leg the HLL family exercised only at ingest time
+# (streaming MAX-merge): per source PAIR, merge the two register tables
+# by MAX(rho) — the union sketch — and estimate the intersection by
+# inclusion–exclusion |A∩B| ≈ |A| + |B| − |A∪B|. The overlap matrix
+# says WHICH crawls duplicate vocabulary (dedup_source_fingerprints
+# gives MinHash Jaccard of shingle SETS; this gives cardinalities).
+# Inclusion–exclusion on sketches can go slightly negative on disjoint
+# pairs (estimator noise) — reported raw, not clamped (no-silent-caps).
+# All register math is the engine-exact md5-HLL; pair tables are
+# |pairs|·m KB rows. Estimates reuse the 6-dp-rounded single-source
+# numbers so both engines do identical double arithmetic.
+
+
+def hll_overlap_pairs(values: DataFrame, group_col: str, col: str, p: int = _HLL_P) -> DataFrame:
+    """(source_a, source_b, est_a, est_b, est_union, est_intersection,
+    jaccard_est) per group pair (a < b) from grouped md5-HLL sketches."""
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    regs = hll_registers_by(values, group_col, col, p)
+    singles = hll_estimate_by(regs, p).select("grp", "estimate")
+    gs = regs.select("grp").distinct()
+    pairs = (
+        gs.select(F.col("grp").alias("ga"))
+        .crossJoin(gs.select(F.col("grp").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    ra = pairs.join(regs.withColumnRenamed("grp", "ga"), "ga").select("ga", "gb", "bucket", "rho")
+    rb = pairs.join(regs.withColumnRenamed("grp", "gb"), "gb").select("ga", "gb", "bucket", "rho")
+    merged = ra.unionByName(rb).groupBy("ga", "gb", "bucket").agg(F.max("rho").alias("rho"))
+    agg = merged.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonzero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)"))
+        .cast("bigint")
+        .alias("sum_nz"),
+    )
+    denom_int = F.col("sum_nz") + (F.lit(m) - F.col("nonzero")) * F.lit(scale)
+    raw = (
+        F.lit(_HLL_ALPHA * float(m) * float(m))
+        * F.lit(float(scale))
+        / denom_int.cast("double")
+    )
+    v = (F.lit(m) - F.col("nonzero")).cast("bigint")
+    est_u = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw),
+        6,
+    )
+    unions = agg.select("ga", "gb", est_u.alias("est_union"))
+    sa = singles.select(F.col("grp").alias("ga"), F.col("estimate").alias("est_a"))
+    sb = singles.select(F.col("grp").alias("gb"), F.col("estimate").alias("est_b"))
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        unions.join(sa, "ga")
+        .join(sb, "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(inter, 6).alias("est_intersection"),
+            F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _hll_overlap_sql(p: int = _HLL_P) -> str:
+    from .dedup import _sql_md5_long
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    scale = 1 << rmax
+    alpha_m2_s = repr(_HLL_ALPHA * float(m) * float(m))
+    h = _sql_md5_long("v", 13)
+    est = (
+        f"ROUND(CASE WHEN CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)"
+        f" / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE)"
+        f" <= CAST({2.5 * m!r} AS DOUBLE) AND {m} - nonzero > 0"
+        f" THEN CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nonzero AS DOUBLE))"
+        f" ELSE CAST({alpha_m2_s} AS DOUBLE) * CAST({float(scale)!r} AS DOUBLE)"
+        f" / CAST(sum_nz + ({m} - nonzero) * CAST({scale} AS BIGINT) AS DOUBLE) END, 6)"
+    )
+    return f"""
+WITH vals AS (
+  SELECT source AS grp, lower(UNNEST({{tok}})) AS v FROM documents
+),
+hashed AS (
+  SELECT grp, {h} % {m} AS bucket, {h} // {m} AS w
+  FROM vals WHERE v IS NOT NULL
+),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {_HLL_BITS - p} - length(bin(w)) + 1 END) AS rho
+  FROM hashed GROUP BY grp, bucket
+),
+single_agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS sum_nz
+  FROM regs GROUP BY grp
+),
+singles AS (SELECT grp, {est} AS estimate FROM single_agg),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+),
+merged AS (
+  SELECT ga, gb, bucket, MAX(rho) AS rho FROM (
+    SELECT p.ga, p.gb, r.bucket, r.rho FROM pairs p JOIN regs r ON r.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.rho FROM pairs p JOIN regs r ON r.grp = p.gb
+  ) GROUP BY ga, gb, bucket
+),
+pair_agg AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)) AS BIGINT) AS sum_nz
+  FROM merged GROUP BY ga, gb
+),
+unions AS (SELECT ga, gb, {est} AS est_union FROM pair_agg)
+SELECT u.ga AS source_a, u.gb AS source_b,
+       sa.estimate AS est_a, sb.estimate AS est_b, u.est_union,
+       ROUND(sa.estimate + sb.estimate - u.est_union, 6) AS est_intersection,
+       ROUND((sa.estimate + sb.estimate - u.est_union) / u.est_union, 6) AS jaccard_est
+FROM unions u
+JOIN singles sa ON sa.grp = u.ga
+JOIN singles sb ON sb.grp = u.gb
+ORDER BY source_a, source_b
+"""
+
+
+def _overlap_oracle() -> str:
+    from .text import SQL_TOKENS
+
+    return _hll_overlap_sql().replace("{tok}", SQL_TOKENS)
+
+
+@query("corpus_vocab_overlap", oracle=_overlap_oracle(), defer=True)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary overlap via HLL set algebra — union by
+    register MAX-merge, intersection by inclusion–exclusion."""
+    from .text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))).alias("term"),
+    )
+    return hll_overlap_pairs(terms, "source", "term")
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window actives via sketch expansion (r12): DAU / WAU / MAU.
 #

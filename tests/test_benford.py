@@ -56,3 +56,24 @@ def test_gini_hand_computed_extremes(spark):
     assert run([("x", i, 0) for i in range(4)] + [("x", 9, 1000)]) == 0.8
     # hand case [1,2,3,4]: Σi·x = 1+4+9+16 = 30; G = 60/40 − 5/4 = 0.25
     assert run([("x", i, v) for i, v in enumerate([1, 2, 3, 4])]) == 0.25
+
+
+def test_hll_overlap_planted_disjoint_and_identical(spark):
+    """Identical vocabularies → jaccard_est ≈ 1; disjoint → ≈ 0 (sketch
+    noise only, within the ~1.6% HLL rsd at 4096 registers)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import approx
+
+    rows = []
+    for i in range(400):
+        rows.append(("a", f"tok{i}"))
+        rows.append(("b", f"tok{i}"))          # identical to a
+        rows.append(("c", f"other{i}"))        # disjoint from both
+    vals = spark.createDataFrame(rows, "source string, term string")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           approx.hll_overlap_pairs(vals, "source", "term").collect()}
+    ab = got[("a", "b")]
+    assert ab["jaccard_est"] == 1.0 and ab["est_union"] == ab["est_a"]
+    ac = got[("a", "c")]
+    assert abs(ac["jaccard_est"]) < 0.05
+    # union of disjoint 400+400 within 5% of 800
+    assert abs(ac["est_union"] - 800) / 800 < 0.05
