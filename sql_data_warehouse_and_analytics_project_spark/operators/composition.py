@@ -416,3 +416,79 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split, stratified uniform, weighted global, weighted
     per-stratum)."""
     return weighted_sample_per_stratum(_docs(spark, sf_dir))
+
+
+# --- corpus mass concentration (r13) -------------------------------------------
+#
+# Shard-planning skew report: what fraction of the character mass do the
+# LARGEST ceil(n/10) documents hold, per source? A source where one
+# decile owns most of the bytes packs badly (stragglers) and deserves
+# chunking before export. Exact: per-source rank by (chars DESC, doc_id),
+# top-decile membership rank <= ceil(n/10) = (n+9)//10 in integers, both
+# char sums exact bigints, ONE 6-dp division. One partial-agg projection
+# + one source-partitioned rank window bounded by docs.
+
+
+def mass_concentration(docs: DataFrame, group: str = "source") -> DataFrame:
+    """(source, n_docs, chars_total, chars_top_decile, top_decile_share)."""
+    from pyspark.sql import Window
+
+    lens = docs.select(group, "doc_id", F.length("text").cast("bigint").alias("chars"))
+    w = Window.partitionBy(group).orderBy(F.desc("chars"), F.asc("doc_id"))
+    wg = Window.partitionBy(group)
+    ranked = lens.select(
+        group,
+        "chars",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
+    )
+    top = F.when(F.col("rk") <= F.floor((F.col("n") + 9) / 10), F.col("chars")).otherwise(0)
+    return (
+        ranked.groupBy(group)
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("chars_total"),
+            F.sum(top).cast("bigint").alias("chars_top_decile"),
+        )
+        .select(
+            group,
+            "n_docs",
+            "chars_total",
+            "chars_top_decile",
+            F.round(
+                F.col("chars_top_decile").cast("double") / F.col("chars_total").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+        .orderBy(group)
+    )
+
+
+_MASS_SQL = """
+WITH lens AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS chars FROM documents
+),
+ranked AS (
+  SELECT source, chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY chars DESC, doc_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM lens
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN rk <= (n + 9) // 10 THEN chars ELSE 0 END) AS BIGINT)
+         AS chars_top_decile,
+       ROUND(CAST(SUM(CASE WHEN rk <= (n + 9) // 10 THEN chars ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(chars) AS DOUBLE), 6) AS top_decile_share
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("corpus_mass_concentration", oracle=_MASS_SQL, defer=True)
+def corpus_mass_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-decile character-mass share — the export-shard skew
+    report (a decile owning most bytes means stragglers; chunk first)."""
+    return mass_concentration(_docs(spark, sf_dir))

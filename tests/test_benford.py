@@ -77,3 +77,19 @@ def test_hll_overlap_planted_disjoint_and_identical(spark):
     assert abs(ac["jaccard_est"]) < 0.05
     # union of disjoint 400+400 within 5% of 800
     assert abs(ac["est_union"] - 800) / 800 < 0.05
+
+
+def test_mass_concentration_hand_computed(spark):
+    """10 docs, one giant: top decile = ceil(10/10) = 1 doc = the giant;
+    4 docs → ceil(4/10) = 1 doc even for tiny groups."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import composition as cp
+
+    rows = [(i, "s1", "x" * (100 if i == 0 else 10)) for i in range(10)]
+    rows += [(100 + i, "s2", "y" * 20) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r["source"]: r for r in cp.mass_concentration(docs).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["chars_total"], s1["chars_top_decile"]) == (10, 190, 100)
+    assert s1["top_decile_share"] == round(100 / 190, 6)
+    s2 = got["s2"]
+    assert (s2["chars_top_decile"], s2["top_decile_share"]) == (20, 0.25)
