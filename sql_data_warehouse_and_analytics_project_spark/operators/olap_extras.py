@@ -637,3 +637,89 @@ def olap_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gini_by_group(joined, "nation", "k", F.col("cents"))
+
+
+# --- market-basket affinity (r13) -------------------------------------------------
+#
+# The classic association-rule surface (Agrawal et al. 1993) over order
+# baskets: for the 20 most co-ordered part pairs, support, confidence
+# and lift from EXACT integer counts (one final float expression each).
+# Scale shape: the within-order self-join fans out by basket size (≤
+# C(13,2) pairs per order here; bounded by the largest basket, never
+# the catalog), the pair table partial-aggregates map-side, the top-20
+# cut is TakeOrderedAndProject with a full deterministic tie-break, and
+# the per-item support table (|parts| rows) broadcasts back.
+
+
+def basket_affinity(lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """(part_a, part_b, pair_orders, orders_a, orders_b, support,
+    confidence_a_to_b, lift) for the top-k co-ordered part pairs."""
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = baskets.agg(F.countDistinct("okey").cast("bigint").alias("n")) 
+    item = baskets.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_orders"))
+        .orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )
+    ia = item.select(F.col("part").alias("part_a"), F.col("cnt").alias("orders_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("cnt").alias("orders_b"))
+    out = (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    pd_ = F.col("pair_orders").cast("double")
+    return out.select(
+        "part_a",
+        "part_b",
+        "pair_orders",
+        "orders_a",
+        "orders_b",
+        F.round(pd_ / F.col("n").cast("double"), 6).alias("support"),
+        F.round(pd_ / F.col("orders_a").cast("double"), 6).alias("confidence_a_to_b"),
+        F.round(
+            (pd_ * F.col("n").cast("double"))
+            / (F.col("orders_a").cast("double") * F.col("orders_b").cast("double")),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
+
+
+_BASKET_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM baskets),
+item AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+  ORDER BY pair_orders DESC, part_a, part_b
+  LIMIT 20
+)
+SELECT p.part_a, p.part_b, p.pair_orders,
+       ia.cnt AS orders_a, ib.cnt AS orders_b,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence_a_to_b,
+       ROUND((CAST(p.pair_orders AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN item ia ON ia.part = p.part_a
+JOIN item ib ON ib.part = p.part_b
+CROSS JOIN n_orders n
+ORDER BY p.pair_orders DESC, p.part_a, p.part_b
+"""
+
+
+@query("olap_basket_affinity", oracle=_BASKET_SQL, defer=True)
+def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-ordered part pairs with support/confidence/lift — the
+    association-rule affinity surface over order baskets."""
+    return basket_affinity(_t(spark, sf_dir, "lineitem"))

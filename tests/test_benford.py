@@ -93,3 +93,23 @@ def test_mass_concentration_hand_computed(spark):
     assert s1["top_decile_share"] == round(100 / 190, 6)
     s2 = got["s2"]
     assert (s2["chars_top_decile"], s2["top_decile_share"]) == (20, 0.25)
+
+
+def test_basket_affinity_hand_computed(spark):
+    """4 orders, pair (A,B) in two of them: support 0.5, confidence 2/3,
+    lift 8/9; a part repeated within one order counts once."""
+    from sql_data_warehouse_and_analytics_project_spark.operators import olap_extras as ox2
+
+    rows = [
+        (1, 10), (1, 20), (1, 10),   # duplicate part 10 in order 1
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 20), (4, 40),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    got = {(r["part_a"], r["part_b"]): r for r in ox2.basket_affinity(li).collect()}
+    ab = got[(10, 20)]
+    assert ab["pair_orders"] == 2 and ab["orders_a"] == 3 and ab["orders_b"] == 3
+    assert ab["support"] == 0.5
+    assert ab["confidence_a_to_b"] == round(2 / 3, 6)
+    assert ab["lift"] == round(8 / 9, 6)
