@@ -1240,15 +1240,20 @@ def peak_rate(events: DataFrame, window_ms: int = 3600000) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("t_ms"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("rate"),
     )
+    # "earliest instant of the max rate" without a packed -rate·2^k + t_ms
+    # order key (whose rate < 2^21 / t_ms < 2^41 bounds would wrap silently
+    # in Spark and raise in DuckDB when exceeded — r13 ADVICE): a second
+    # window over the SAME partitioning (no extra shuffle; the Exchange is
+    # reused) marks the per-type max, then the groupBy takes MIN(t_ms)
+    # among the rows that achieve it.
+    wmax = Window.partitionBy("event_type")
     return (
-        rated.groupBy("event_type")
+        rated.withColumn("mx", F.max("rate").over(wmax))
+        .filter(F.col("rate") == F.col("mx"))
+        .groupBy("event_type")
         .agg(
             F.max("rate").cast("bigint").alias("peak_events_1h"),
-            # packed order key: highest rate first, then earliest instant
-            # (t_ms < 2^41 until year ~2109; rate < 2^21 documented bound)
-            F.min_by("t_ms", -F.col("rate") * F.lit(1 << 42) + F.col("t_ms"))
-            .cast("bigint")
-            .alias("peak_at_ms"),
+            F.min("t_ms").cast("bigint").alias("peak_at_ms"),
         )
         .orderBy("event_type")
     )
@@ -1260,11 +1265,17 @@ WITH rated AS (
          CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
               RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS BIGINT) AS rate
   FROM events
+),
+marked AS (
+  SELECT event_type, t_ms, rate,
+         MAX(rate) OVER (PARTITION BY event_type) AS mx
+  FROM rated
 )
 SELECT event_type,
        CAST(MAX(rate) AS BIGINT) AS peak_events_1h,
-       CAST(arg_min(t_ms, -rate * 4398046511104 + t_ms) AS BIGINT) AS peak_at_ms
-FROM rated
+       CAST(MIN(t_ms) AS BIGINT) AS peak_at_ms
+FROM marked
+WHERE rate = mx
 GROUP BY event_type
 ORDER BY event_type
 """

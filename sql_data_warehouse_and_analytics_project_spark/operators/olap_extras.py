@@ -489,12 +489,17 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def benford_digits(df: DataFrame, amount: str) -> DataFrame:
     """(digit, n, obs_share, exp_share, chi_term) for the first
-    significant digit of ``amount`` (values must be ≥ 1)."""
+    significant digit of ``amount``. The ``amount >= 1`` precondition is
+    ENFORCED (not assumed): a value in [0, 1) would yield digit 0 and an
+    Inf/NaN chi term (ln(1/0)), with a different failure mode per engine,
+    so sub-1 amounts are filtered out on both sides (r13 ADVICE)."""
     d = F.substring(
         F.floor(F.col(amount)).cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    counts = df.filter(F.col(amount).isNotNull()).groupBy(d.alias("digit")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    counts = (
+        df.filter(F.col(amount).isNotNull() & (F.col(amount) >= 1))
+        .groupBy(d.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
     dd = F.col("digit").cast("double")
@@ -520,7 +525,7 @@ WITH counts AS (
   SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
            AS digit,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders WHERE o_totalprice IS NOT NULL
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
   GROUP BY 1
 ),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
@@ -577,7 +582,10 @@ def gini_by_group(df: DataFrame, group: str, key: str, amount_cents) -> DataFram
     agg = ranked.groupBy(group).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+        # cast BEFORE the multiply: an int64 i·x product can wrap silently
+        # in Spark (ANSI off) while DuckDB raises — the decimal(38,0)
+        # widening must cover the product, not just the SUM (r13 ADVICE)
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
     nd = F.col("n").cast("double")
     return agg.select(
@@ -609,7 +617,7 @@ ranked AS (
 ),
 agg AS (
   SELECT nation, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-         SUM(CAST(i * x AS HUGEINT)) AS six
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
   FROM ranked GROUP BY nation
 )
 SELECT nation, n, sx AS total_cents,

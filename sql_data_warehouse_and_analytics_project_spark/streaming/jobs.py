@@ -1007,11 +1007,17 @@ def sink_stream_winnow_index(
             audit = winnow.compact_winnow_index(spark, index_path)
             # coalesce(1): an empty audit (nothing over-cap) must still
             # land one schema-bearing file so the audit table stays
-            # readable from its first compaction on
-            audit.withColumn(
-                "batch_id", F.lit(batch_id).cast("bigint")
-            ).coalesce(1).write.mode("append").parquet(
-                f"{index_path}/audit/bucket_overflow"
+            # readable from its first compaction on. The write is keyed
+            # on the batch_id PARTITION and overwrites it, so a
+            # redelivered compacting micro-batch (crash after compaction,
+            # before checkpoint commit) replaces its own audit rather
+            # than appending duplicates — the same idempotent-replay
+            # discipline as the CMS/histogram sinks (r13 ADVICE).
+            # batch_id lives in the partition PATH (discovered as a column
+            # at read time); carrying it as a data column too would make
+            # partition discovery raise a duplicate-column error.
+            audit.coalesce(1).write.mode("overwrite").parquet(
+                f"{index_path}/audit/bucket_overflow/batch_id={batch_id}"
             )
 
     return (

@@ -876,9 +876,24 @@ def test_stream_winnow_index_sink_equals_batch_and_replay_is_noop(spark, tmp_pat
         map(repr, spark.read.parquet(f"{idx}/fingerprints").select("doc_id", "h").collect())
     )
     assert rows_after == rows_before
-    # compaction audit landed with the compacting batch id (batch 1)
+    # compaction audit landed with the compacting batch id (batch 1),
+    # keyed on its batch_id partition
     audit = spark.read.parquet(f"{idx}/audit/bucket_overflow")
     assert set(audit.columns) == {"h", "n_members", "trimmed", "batch_id"}
+    audit_rows_before = audit.count()
+
+    # a redelivered COMPACTING run (fresh checkpoint, compaction enabled)
+    # must overwrite its own batch_id partition, not append duplicate
+    # audit rows (r13 ADVICE: the one replay surface the fingerprint
+    # table's convergence argument did not cover)
+    q3 = jobs.sink_stream_winnow_index(
+        stream, idx, str(tmp_path / "ck3"), compact_every_batches=2
+    )
+    q3.processAllAvailable(); q3.stop(); q3.awaitTermination()
+    assert (
+        spark.read.parquet(f"{idx}/audit/bucket_overflow").count()
+        == audit_rows_before
+    )
 
 
 def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_path):
