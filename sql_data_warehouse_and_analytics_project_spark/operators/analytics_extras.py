@@ -203,7 +203,7 @@ ORDER BY stage
 """
 
 
-@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL, defer=True)
+@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL)
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage, n_converted, median_ms, p90_ms) per funnel transition among
     users who converted in order — positional median (both middles
@@ -788,7 +788,7 @@ ORDER BY event_type
 """
 
 
-@query("events_mad_outliers", oracle=_MAD_SQL, defer=True)
+@query("events_mad_outliers", oracle=_MAD_SQL)
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-event-type outlier counts via median/MAD — the
     masking-immune twin of events_zscore_outliers."""
@@ -825,7 +825,7 @@ ORDER BY cohort_week, week_offset
 """
 
 
-@query("events_cohort_retention", oracle=_COHORT_SQL)
+@query("events_cohort_retention", oracle=_COHORT_SQL, defer=True)
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: per first-activity-week cohort, the share
     of its users active at each later week offset — see the section note
@@ -898,7 +898,7 @@ ORDER BY event_type, bar_ts
 """
 
 
-@query("events_ohlc_hourly", oracle=_OHLC_SQL)
+@query("events_ohlc_hourly", oracle=_OHLC_SQL, defer=True)
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars of event value per event type — open/close pinned
     by the (ts, event_id) total order, one partial-agg groupBy at bar
@@ -1012,7 +1012,7 @@ ORDER BY s.event_type, s.hour_ts
 """
 
 
-@query("events_locf_hourly", oracle=_LOCF_SQL, defer=True)
+@query("events_locf_hourly", oracle=_LOCF_SQL)
 def events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly average-value series per event type with
     last-observation-carried-forward gap fill — the interpolation leg of
@@ -1100,7 +1100,7 @@ ORDER BY event_type, day
 """
 
 
-@query("events_twap_daily", oracle=_TWAP_SQL, defer=True)
+@query("events_twap_daily", oracle=_TWAP_SQL)
 def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average event value per type — the step-series
     integral a plain AVG misrepresents."""
@@ -1209,7 +1209,7 @@ ORDER BY event_type
 """
 
 
-@query("events_autocorr_24h", oracle=_AUTOCORR_SQL, defer=True)
+@query("events_autocorr_24h", oracle=_AUTOCORR_SQL)
 def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-seasonality detector: lag-24 Pearson autocorrelation of the
     dense hourly event-count series, per event type."""
@@ -1281,7 +1281,7 @@ ORDER BY event_type
 """
 
 
-@query("events_peak_rate", oracle=_PEAK_SQL, defer=True)
+@query("events_peak_rate", oracle=_PEAK_SQL)
 def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst trailing-hour burst per event type (value-based RANGE frame
     over epoch-ms) and the earliest instant it occurred."""

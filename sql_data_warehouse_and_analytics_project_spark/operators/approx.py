@@ -231,7 +231,7 @@ _HLL_VOCAB_SQL = _hll_sql(
 )
 
 
-@query("eval_hll_vocab", oracle=_HLL_VOCAB_SQL)
+@query("eval_hll_vocab", oracle=_HLL_VOCAB_SQL, defer=True)
 def eval_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary-size estimate via the engine-reproducible md5-HLL
     (4096 registers, ~1.6% rsd) over lowered whitespace tokens — the
@@ -380,7 +380,7 @@ ORDER BY exact_cnt DESC, term
 _CMS_HH_SQL = _cms_sql()
 
 
-@query("eval_cms_heavy_hitters", oracle=_CMS_HH_SQL)
+@query("eval_cms_heavy_hitters", oracle=_CMS_HH_SQL, defer=True)
 def eval_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus terms with their Count-Min estimates beside the exact
     counts — the frequency-sketch twin of eval_hll_vocab, every cell
@@ -522,7 +522,7 @@ ORDER BY q
 _HQ_DOCLEN_SQL = _hist_quantile_sql("length(text)", "FROM documents")
 
 
-@query("eval_hist_quantiles", oracle=_HQ_DOCLEN_SQL)
+@query("eval_hist_quantiles", oracle=_HQ_DOCLEN_SQL, defer=True)
 def eval_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of document character length via the engine-reproducible
     fixed-bin quantile sketch — the quantile leg of the sketch trio
@@ -622,7 +622,7 @@ ORDER BY grp, q
 _HQ_BY_SOURCE_SQL = _hist_quantile_by_sql("source", "length(text)", "FROM documents")
 
 
-@query("eval_hist_quantiles_by_source", oracle=_HQ_BY_SOURCE_SQL, defer=True)
+@query("eval_hist_quantiles_by_source", oracle=_HQ_BY_SOURCE_SQL)
 def eval_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source p50/p90/p99 document length via the grouped fixed-bin
     quantile sketch — the grouped leg of the quantile family (the HLL
@@ -745,7 +745,7 @@ _HLL_BY_SOURCE_SQL = _hll_by_sql(
 )
 
 
-@query("corpus_vocab_by_source", oracle=_HLL_BY_SOURCE_SQL)
+@query("corpus_vocab_by_source", oracle=_HLL_BY_SOURCE_SQL, defer=True)
 def corpus_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-size estimates via the GROUPED md5-HLL — one
     KB-sized sketch per source from a single partial-aggregating
@@ -907,7 +907,7 @@ def _overlap_oracle() -> str:
     return _hll_overlap_sql().replace("{tok}", SQL_TOKENS)
 
 
-@query("corpus_vocab_overlap", oracle=_overlap_oracle(), defer=True)
+@query("corpus_vocab_overlap", oracle=_overlap_oracle())
 def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source vocabulary overlap via HLL set algebra — union by
     register MAX-merge, intersection by inclusion–exclusion."""
@@ -1069,7 +1069,7 @@ ORDER BY day
 _ACTIVE_SQL = _active_sql()
 
 
-@query("events_active_users_sketch", oracle=_ACTIVE_SQL, headline=True)
+@query("events_active_users_sketch", oracle=_ACTIVE_SQL, headline=True, defer=True)
 def events_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU (exact) + trailing 7/28-day distinct actives via HLL register
     expansion — the sliding-distinct composition whose shuffle carries

@@ -145,7 +145,7 @@ FROM point p
 """
 
 
-@query("eval_bootstrap_mean_chars", oracle=_BOOT_SQL)
+@query("eval_bootstrap_mean_chars", oracle=_BOOT_SQL, defer=True)
 def eval_bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap CI for the corpus mean document length
     (n_chars), 200 replicas — every replica's weights drawn from the

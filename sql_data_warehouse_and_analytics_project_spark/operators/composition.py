@@ -344,7 +344,7 @@ LIMIT {k}
 """
 
 
-@query("sample_weighted_chars", oracle=_wsample_sql())
+@query("sample_weighted_chars", oracle=_wsample_sql(), defer=True)
 def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-weighted document draw (k=50) via Efraimidis–Spirakis
     exponential clocks — long documents proportionally likelier, the
@@ -409,7 +409,7 @@ ORDER BY stratum, priority, doc_id
 """
 
 
-@query("sample_weighted_per_lang", oracle=_wstrat_sql())
+@query("sample_weighted_per_lang", oracle=_wstrat_sql(), defer=True)
 def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-weighted draw of 10 documents PER LANGUAGE — the
     balanced-but-weighted eval sample completing the family (uniform
@@ -487,7 +487,7 @@ ORDER BY source
 """
 
 
-@query("corpus_mass_concentration", oracle=_MASS_SQL, defer=True)
+@query("corpus_mass_concentration", oracle=_MASS_SQL)
 def corpus_mass_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-decile character-mass share — the export-shard skew
     report (a decile owning most bytes means stragglers; chunk first)."""

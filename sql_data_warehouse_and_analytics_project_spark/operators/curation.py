@@ -414,7 +414,7 @@ ORDER BY d.doc_id
 """
 
 
-@query("curation_drop_reasons", oracle=_drop_reasons_sql())
+@query("curation_drop_reasons", oracle=_drop_reasons_sql(), defer=True)
 def curation_drop_reasons_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation lineage: the first pipeline stage that dropped
     each doc (or its kept split) — the audit table that answers 'why is
@@ -510,7 +510,7 @@ def documents_dq_checks(docs: DataFrame) -> DataFrame:
     ).orderBy("check_name")
 
 
-@query("curation_dq_checks", oracle=_DQ_SQL)
+@query("curation_dq_checks", oracle=_DQ_SQL, defer=True)
 def curation_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The six ingest data-quality rules over the documents table — the
     gate an automated curation pipeline runs before trusting the table

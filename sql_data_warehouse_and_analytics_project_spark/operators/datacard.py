@@ -115,7 +115,7 @@ ORDER BY metric
 _DATACARD_SQL = _datacard_sql()
 
 
-@query("corpus_data_card", oracle=_DATACARD_SQL)
+@query("corpus_data_card", oracle=_DATACARD_SQL, defer=True)
 def corpus_data_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global corpus data card: size, HLL vocabulary, sketch length
     quantiles, and the Zipf naturalness fit in one (metric, value) frame

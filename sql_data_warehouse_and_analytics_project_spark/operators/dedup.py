@@ -861,7 +861,7 @@ FROM errs
 """
 
 
-@query("dedup_minhash_error", oracle=_MINHASH_ERROR_SQL, defer=True)
+@query("dedup_minhash_error", oracle=_MINHASH_ERROR_SQL)
 def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator-quality audit over the LSH candidate population —
     exact ppm error between signature-agreement Jaccard and exact shingle
@@ -1289,7 +1289,7 @@ ORDER BY n.component_id
 """
 
 
-@query("dedup_component_cohesion", oracle=_COHESION_SQL, defer=True)
+@query("dedup_component_cohesion", oracle=_COHESION_SQL)
 def dedup_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohesion audit of the near-dup components: per component, edge
     density, triangle count and clustering coefficient — the
@@ -1535,7 +1535,7 @@ FROM labeled
 """
 
 
-@query("dedup_savings_report", oracle=_SAVINGS_SQL, defer=True)
+@query("dedup_savings_report", oracle=_SAVINGS_SQL)
 def dedup_savings_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation headline number: documents and character mass removed
     by near-dedup (min-id survivor rule), one summary row."""
@@ -1640,7 +1640,7 @@ JOIN gsplit gb ON gb.doc_id = p.doc_id_2
 """
 
 
-@query("split_leakage_audit", oracle=_LEAKAGE_AUDIT_SQL, defer=True)
+@query("split_leakage_audit", oracle=_LEAKAGE_AUDIT_SQL)
 def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-hygiene measurement: near-dup pairs torn across splits by a
     naive per-doc hash split vs the component-aware split (always 0)."""
@@ -2532,7 +2532,7 @@ def cdc_dedup_strip(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_cdc_strip", oracle=_CDC_STRIP_SQL)
+@query("dedup_cdc_strip", oracle=_CDC_STRIP_SQL, defer=True)
 def dedup_cdc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide CDC chunk stripping: first occurrence wins, documents
     rebuilt from surviving chunks — shift-robust boilerplate removal."""
@@ -2605,7 +2605,7 @@ def quality_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_quality_survivor", oracle=_QUALITY_SURVIVOR_SQL)
+@query("dedup_quality_survivor", oracle=_QUALITY_SURVIVOR_SQL, defer=True)
 def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters with the quality-aware survivor rule: the
     RICHEST copy (most distinct tokens, ties min-id) survives each
@@ -2719,7 +2719,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_cross_lang_pairs", oracle=_XLANG_SQL)
+@query("dedup_cross_lang_pairs", oracle=_XLANG_SQL, defer=True)
 def dedup_cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content duplicate pairs whose language labels disagree — the
     lang-ID label-noise detector a per-language mixture needs before its

@@ -143,7 +143,7 @@ ORDER BY source_a, source_b
 """
 
 
-@query("corpus_jsd_sources", oracle=_JSD_SQL)
+@query("corpus_jsd_sources", oracle=_JSD_SQL, defer=True)
 def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen–Shannon divergence of every source's unigram
     distribution — the re-weighting/drift detector the set-overlap
@@ -272,7 +272,7 @@ FROM folded
 """
 
 
-@query("corpus_zipf_slope", oracle=_ZIPF_SQL)
+@query("corpus_zipf_slope", oracle=_ZIPF_SQL, defer=True)
 def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit over the top-256 corpus terms: slope,
     intercept, r² of ln(freq) ~ ln(rank) — the one-row naturalness /
@@ -381,7 +381,7 @@ def centroid_cosine(emb: DataFrame) -> DataFrame:
     )
 
 
-@query("corpus_centroid_cosine", oracle=_CENTROID_SQL)
+@query("corpus_centroid_cosine", oracle=_CENTROID_SQL, defer=True)
 def corpus_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise centroid cosine between every embedding label cluster —
     the embedding-space drift/contrast check beside the unigram JSD,
@@ -504,7 +504,7 @@ FROM med_slope ms CROSS JOIN med_icept mi
 """
 
 
-@query("events_theil_sen_trend", oracle=_SEN_SQL)
+@query("events_theil_sen_trend", oracle=_SEN_SQL, defer=True)
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of daily event volume — the outlier-immune
     slope a single logging outage cannot drag, computed at day grain
@@ -614,7 +614,7 @@ FROM terms
 """
 
 
-@query("corpus_lang_source_assoc", oracle=_ASSOC_SQL, defer=True)
+@query("corpus_lang_source_assoc", oracle=_ASSOC_SQL)
 def corpus_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language × source association audit — mutual information, chi²,
     Cramér's V over the exact contingency table (split-leakage risk

@@ -155,7 +155,7 @@ FROM ranked
 """
 
 
-@query("eval_roc_auc", oracle=_AUC_SQL, headline=True, defer=True)
+@query("eval_roc_auc", oracle=_AUC_SQL, headline=True)
 def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC of the stopword-density en detector —
     bigint Mann-Whitney over the per-distinct-score count table."""
@@ -223,7 +223,7 @@ ORDER BY threshold_ppm
 """
 
 
-@query("eval_pr_curve", oracle=_PR_SQL, defer=True)
+@query("eval_pr_curve", oracle=_PR_SQL)
 def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 at every distinct-score threshold of the
     stopword-density en detector — exact bigint confusion cells."""
@@ -301,7 +301,7 @@ ORDER BY facet
 """
 
 
-@query("eval_roc_auc_by_source", oracle=_AUC_BY_SQL, defer=True)
+@query("eval_roc_auc_by_source", oracle=_AUC_BY_SQL)
 def eval_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sliced AUC of the en detector — the facet-partitioned
     variant whose rank window distributes across slices."""

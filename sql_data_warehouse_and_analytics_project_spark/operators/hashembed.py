@@ -138,7 +138,7 @@ ORDER BY s.doc_id, s.pos
 _EMBED_SQL = _embed_sql()
 
 
-@query("embed_hash_text", oracle=_EMBED_SQL)
+@query("embed_hash_text", oracle=_EMBED_SQL, defer=True)
 def embed_hash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-trick document embeddings (64-dim, L2-normalized), exploded
     to (doc_id, pos, value) — the engine-generated vector input that

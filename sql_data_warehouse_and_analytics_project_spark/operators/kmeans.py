@@ -185,7 +185,7 @@ ORDER BY vec_id""")
 _KMEANS_SQL = _kmeans_sql()
 
 
-@query("cluster_kmeans_fixed", oracle=_KMEANS_SQL)
+@query("cluster_kmeans_fixed", oracle=_KMEANS_SQL, defer=True)
 def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings table with the whole Lloyd trajectory
     under the hash check: 4 fixed seeds, 3 rounds, final (vec_id,

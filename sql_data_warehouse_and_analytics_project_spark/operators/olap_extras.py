@@ -433,7 +433,7 @@ ORDER BY c_custkey
 """
 
 
-@query("olap_rfm_segmentation", oracle=_RFM_SQL)
+@query("olap_rfm_segmentation", oracle=_RFM_SQL, defer=True)
 def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer RFM quintile scores and rule-based segment — the
     marketing-segmentation upgrade of q10's fixed spend bands; see the
@@ -547,7 +547,7 @@ ORDER BY digit
 """
 
 
-@query("olap_benford_totalprice", oracle=_BENFORD_SQL, defer=True)
+@query("olap_benford_totalprice", oracle=_BENFORD_SQL)
 def olap_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — per-digit observed vs
     expected share and the chi² contribution."""
@@ -628,7 +628,7 @@ ORDER BY nation
 """
 
 
-@query("olap_gini_revenue_by_nation", oracle=_GINI_SQL, defer=True)
+@query("olap_gini_revenue_by_nation", oracle=_GINI_SQL)
 def olap_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer order revenue within each nation —
     the concentration/inequality report."""
@@ -726,7 +726,7 @@ ORDER BY p.pair_orders DESC, p.part_a, p.part_b
 """
 
 
-@query("olap_basket_affinity", oracle=_BASKET_SQL, defer=True)
+@query("olap_basket_affinity", oracle=_BASKET_SQL)
 def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-ordered part pairs with support/confidence/lift — the
     association-rule affinity surface over order baskets."""

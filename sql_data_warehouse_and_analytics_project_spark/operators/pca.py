@@ -114,7 +114,7 @@ ORDER BY i, j
 """
 
 
-@query("embed_gram_matrix", oracle=_GRAM_SQL, defer=True)
+@query("embed_gram_matrix", oracle=_GRAM_SQL)
 def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact upper-triangle Gram matrix of the quantized embedding corpus —
     the distributed statistics pass behind the learned PCA projection."""
@@ -196,7 +196,7 @@ ORDER BY g.i, g.j
 """
 
 
-@query("embed_correlation_matrix", oracle=_CORR_SQL, defer=True)
+@query("embed_correlation_matrix", oracle=_CORR_SQL)
 def embed_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of the embedding dimensions — the
     feature-redundancy audit from the exact PCA statistics pass."""

@@ -482,6 +482,7 @@ LIMIT {k}
     "retrieval_bm25_indexed",
     oracle=_bm25_indexed_sql(_IDX_TERMS, _BM25_K),
     headline=True,
+    defer=True,
 )
 def retrieval_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Okapi BM25 for the fixed query (merge, stream,
@@ -940,7 +941,7 @@ ORDER BY p0.doc_id
 _PHRASE_SQL = _phrase_sql()
 
 
-@query("retrieval_phrase_match", oracle=_PHRASE_SQL, headline=True, defer=True)
+@query("retrieval_phrase_match", oracle=_PHRASE_SQL, headline=True)
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search ("stream data", consecutive and in order) via
     positional-posting adjacency joins — the word-order capability the
@@ -1022,7 +1023,7 @@ FROM stats
 """
 
 
-@query("retrieval_ranker_agreement", oracle=_ranker_agreement_sql(_BM25_TERMS, _BM25_K), defer=True)
+@query("retrieval_ranker_agreement", oracle=_ranker_agreement_sql(_BM25_TERMS, _BM25_K))
 def retrieval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between the BM25 and unigram-LM top-50
     rankings — the fusion-worthiness measurement behind retrieval_rrf_hybrid."""
@@ -1162,7 +1163,7 @@ ORDER BY f.doc_id
 _PHRASE_SNIPPET_SQL = _phrase_snippet_sql()
 
 
-@query("retrieval_phrase_snippets", oracle=_PHRASE_SNIPPET_SQL, defer=True)
+@query("retrieval_phrase_snippets", oracle=_PHRASE_SNIPPET_SQL)
 def retrieval_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context snippets around the first "stream data" phrase
     match per document — the result-presentation leg of the positional
@@ -1268,7 +1269,7 @@ def tfidf_keywords(docs: DataFrame, k: int = _TFIDF_K) -> DataFrame:
     )
 
 
-@query("retrieval_tfidf_keywords", oracle=_TFIDF_SQL)
+@query("retrieval_tfidf_keywords", oracle=_TFIDF_SQL, defer=True)
 def retrieval_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf keywords per document (smoothed sklearn idf) — the
     unsupervised keyword/topic-tag stage of a data card or retrieval

@@ -805,7 +805,7 @@ ORDER BY query_id
 """
 
 
-@query("ann_ivf_recall", oracle=_IVF_RECALL_SQL, defer=True)
+@query("ann_ivf_recall", oracle=_IVF_RECALL_SQL)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@10 of the 3-probe IVF path against exact brute
     force — the ANN-quality audit twin of dedup_minhash_error."""
@@ -1398,7 +1398,7 @@ def rescore_triplets(trip: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@query("train_triplets_rescored", oracle=_RESCORE_SQL)
+@query("train_triplets_rescored", oracle=_RESCORE_SQL, defer=True)
 def train_triplets_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine triplets from the embeddings table, then re-score each pair
     with the joint (cross-encoder-style) scorer over the paired documents
@@ -1669,7 +1669,7 @@ ORDER BY label
 """
 
 
-@query("cluster_silhouette_by_label", oracle=_SILHOUETTE_SQL, defer=True)
+@query("cluster_silhouette_by_label", oracle=_SILHOUETTE_SQL)
 def cluster_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified-silhouette cluster-coherence score per label partition —
     the quality metric the clustering family lacked."""

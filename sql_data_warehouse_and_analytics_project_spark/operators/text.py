@@ -1102,7 +1102,7 @@ def bigram_logprob(docs: DataFrame, vocab_size: int = _BLM_VOCAB) -> DataFrame:
     )
 
 
-@query("text_bigram_logprob", oracle=_BLM_SQL)
+@query("text_bigram_logprob", oracle=_BLM_SQL, defer=True)
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token bigram conditional log-probability per document —
     the word-order-aware perplexity-style quality score (CCNet-shape
@@ -1369,7 +1369,7 @@ ORDER BY doc_id
 """
 
 
-@query("text_decontaminate_bloom", oracle=_BLOOM_DECONTAM_SQL)
+@query("text_decontaminate_bloom", oracle=_BLOOM_DECONTAM_SQL, defer=True)
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Bloom-cascade decontamination: per training doc, the
     4-grams passing all 3 Bloom probes of the eval slice's filter

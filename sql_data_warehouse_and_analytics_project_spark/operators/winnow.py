@@ -162,7 +162,7 @@ ORDER BY doc_a, doc_b
 _WINNOW_SQL = _winnow_sql()
 
 
-@query("dedup_winnow_pairs", oracle=_WINNOW_SQL, headline=True)
+@query("dedup_winnow_pairs", oracle=_WINNOW_SQL, headline=True, defer=True)
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint pairs: documents sharing >= 2 selected
     k-gram fingerprints — the LOCAL-match guarantee (any verbatim
@@ -277,7 +277,7 @@ ORDER BY doc_a, doc_b
 _WINNOW_VERIFIED_SQL = _winnow_verified_sql()
 
 
-@query("dedup_winnow_verified", oracle=_WINNOW_VERIFIED_SQL)
+@query("dedup_winnow_verified", oracle=_WINNOW_VERIFIED_SQL, defer=True)
 def dedup_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow candidates confirmed by exact 4-gram CONTAINMENT (shared /
     min-side) — the quotation/boilerplate-inclusion detector Jaccard
@@ -552,7 +552,7 @@ ORDER BY new_doc_id, indexed_doc_id
 _WINNOW_INDEX_SQL = _winnow_index_sql()
 
 
-@query("dedup_winnow_index_hits", oracle=_WINNOW_INDEX_SQL, headline=True, defer=True)
+@query("dedup_winnow_index_hits", oracle=_WINNOW_INDEX_SQL, headline=True)
 def dedup_winnow_index_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing: an arriving batch (doc_id % 5 == 0) checked
     for verbatim-run overlap against the stored corpus (the rest) through
