@@ -633,6 +633,68 @@ def minhash_band_table(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _candidate_shared_counts(
+    sh_c: DataFrame, candidates: DataFrame, df_cut: int = _JACCARD_DF_CUT
+) -> DataFrame:
+    """EXACT (doc_id_1, doc_id_2, shared) distinct-shingle overlap for
+    EVERY candidate pair, with the hot-shingle df-cut guard of
+    :func:`ngram_jaccard_candidates` (r13 VERDICT ask #2).
+
+    The naive verify leg self-joins candidate-doc shingles on the shingle
+    key, so one boilerplate shingle present in ~all candidate docs fans
+    out quadratically on a single reducer key. Here shingles with
+    df > ``df_cut`` are split out: the self-join runs only over rare
+    shingles (per-key fan-out ≤ df_cut²), and the hot shingles' overlap is
+    recovered exactly via per-doc common-shingle arrays (bounded by the
+    number of distinct hot shingles) intersected per pair. Unlike the
+    ngram candidate GENERATOR — where a pair overlapping only in hot
+    shingles is never generated (documented recall trade) — the pair list
+    here is the LSH candidate set itself, so the recovery is exact for
+    every pair: shared = shared_rare + |common₁ ∩ common₂|, bit-identical
+    to the unguarded join."""
+    common = (
+        sh_c.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cut)
+        .select("shingle")
+    )
+    rare = sh_c.join(common, "shingle", "left_anti").select("doc_id", "shingle")
+    common_sets = (
+        sh_c.join(common, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("common_arr"))
+    )
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    shared_rare = (
+        ra.join(
+            rb,
+            (F.col("ra.shingle") == F.col("rb.shingle"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .groupBy(F.col("ra.doc_id").alias("doc_id_1"), F.col("rb.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+        .join(candidates, ["doc_id_1", "doc_id_2"], "left_semi")
+    )
+    c1 = common_sets.select(F.col("doc_id").alias("doc_id_1"), F.col("common_arr").alias("c1"))
+    c2 = common_sets.select(F.col("doc_id").alias("doc_id_2"), F.col("common_arr").alias("c2"))
+    empty = F.array().cast("array<string>")
+    return (
+        candidates.join(shared_rare, ["doc_id_1", "doc_id_2"], "left")
+        .join(c1, "doc_id_1", "left")
+        .join(c2, "doc_id_2", "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (
+                F.coalesce(F.col("shared_rare"), F.lit(0))
+                + F.size(F.array_intersect(F.coalesce("c1", empty), F.coalesce("c2", empty)))
+            )
+            .cast("bigint")
+            .alias("shared"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = _NEARDUP_THRESHOLD,
@@ -691,14 +753,10 @@ def minhash_lsh_pairs(
     if _caches is not None:
         _caches.append(sh_c)
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh_c.alias("sa")
-    sb = sh_c.alias("sb")
-    shared = (
-        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("doc_id_1"), F.col("sb.doc_id").alias("doc_id_2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(candidates, ["doc_id_1", "doc_id_2"], "left_semi")
-    )
+    # exact shared counts through the hot-shingle df-cut guard — a
+    # boilerplate shingle in ~all candidate docs no longer fans out
+    # quadratically on one reducer key (see _candidate_shared_counts)
+    shared = _candidate_shared_counts(sh_c, candidates)
     s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))
@@ -774,16 +832,8 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     )
     sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga, gb = sh_c.alias("ga"), sh_c.alias("gb")
-    shared = (
-        ga.join(
-            gb,
-            (F.col("ga.shingle") == F.col("gb.shingle"))
-            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
-        )
-        .groupBy(F.col("ga.doc_id").alias("doc_id_1"), F.col("gb.doc_id").alias("doc_id_2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    # same hot-shingle df-cut guard as the pipeline's verify leg
+    shared = _candidate_shared_counts(sh_c, candidates)
     paired = (
         est.join(shared, ["doc_id_1", "doc_id_2"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1")
