@@ -701,10 +701,33 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mad_outliers(
-    df: DataFrame, group: str, measure: str, id_col: str = "event_id", k: float = 3.0
+    df: DataFrame,
+    group: str,
+    measure: str,
+    id_col: str = "event_id",
+    k: float = 3.0,
+    mode: str = "exact",
+    w: int = 4,
 ) -> DataFrame:
     """(group, n_events, med, mad, n_outliers) per group: median, median
-    absolute deviation, and how many rows sit beyond k·MAD."""
+    absolute deviation, and how many rows sit beyond k·MAD.
+
+    ``mode="exact"`` (default, oracle-parity) computes exact positional
+    medians — one sort-shuffle per ranking pass, the honest price of
+    exact order statistics. ``mode="scale"`` is the 100 TB path (r13
+    VERDICT ask #3): both medians come from the mergeable fixed-bin
+    histogram sketch (``approx.hist_bins_by`` / ``hist_quantiles_by``
+    with bin width ``w``), so every pass is a partial-aggregating
+    groupBy over ≤256 cells per group — no per-group sort, no window
+    over data rows, skew-immune. Error is bounded by one bin: the
+    estimated median/MAD sit within ``w`` of exact, so the outlier
+    count can differ only for rows whose deviation lies within
+    ``(k+1)·w`` of the k·MAD boundary (pytest-pinned tolerance in
+    tests/test_mad.py)."""
+    if mode == "scale":
+        return _mad_outliers_scale(df, group, measure, k=k, w=w)
+    if mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
     m = F.col(measure)
     rows = df.filter(m.isNotNull()).select(group, id_col, measure)
     wg = Window.partitionBy(group)
@@ -732,6 +755,44 @@ def mad_outliers(
         group, "ad", F.row_number().over(w2).alias("rn"), F.count(F.lit(1)).over(wg).alias("n")
     )
     mad = both_middles(dranked, "ad").withColumnRenamed("ad_med", "mad")
+    return (
+        dev.join(F.broadcast(mad), group)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum((F.col("ad") > F.lit(k) * F.col("mad")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy(group)
+    )
+
+
+def _mad_outliers_scale(
+    df: DataFrame, group: str, measure: str, k: float = 3.0, w: int = 4
+) -> DataFrame:
+    """Sketch-backed MAD outliers (same output schema as the exact mode):
+    per-group approximate median via the grouped histogram sketch, exact
+    deviations against it, approximate MAD via a second sketch over the
+    deviations, exact outlier count against the sketched threshold. Two
+    linear passes, each collapsing map-side to ≤256 bins per group before
+    its only shuffle — the shape that survives 1000 executors and a
+    billion-row group where the exact mode's per-group sort cannot."""
+    from .approx import hist_bins_by, hist_quantiles_by
+
+    m = F.col(measure)
+    rows = df.filter(m.isNotNull()).select(group, measure)
+    med = hist_quantiles_by(
+        hist_bins_by(rows, group, measure, w=w), qs=(0.5,), w=w
+    ).select(F.col("grp").alias(group), F.col("estimate").alias("med"))
+    dev = rows.join(F.broadcast(med), group).select(
+        group, measure, "med", F.abs(m - F.col("med")).alias("ad")
+    )
+    mad = hist_quantiles_by(
+        hist_bins_by(dev, group, "ad", w=w), qs=(0.5,), w=w
+    ).select(F.col("grp").alias(group), F.col("estimate").alias("mad"))
     return (
         dev.join(F.broadcast(mad), group)
         .groupBy(group)

@@ -46,3 +46,48 @@ def test_mad_immune_to_masking_where_zscore_is_dragged(spark):
     # med of 10..17,60,1e5 (n=10, middles 14,15) = 14.5; ads sorted:
     # 0.5..4.5 pairs → mad = 2.5; threshold 7.5 → 60 and 1e5 both flag
     assert got["d"] == (10, 14.5, 2.5, 2)
+
+
+def test_scale_mode_tolerance_on_10k_values(spark):
+    """mode='scale' (r14): sketch-backed median/MAD on a deterministic 10K
+    permutation must sit within one bin width (w) of exact, and the
+    outlier count within the exact counts at the k-MAD boundary widened
+    by (k+1)*w — the documented one-bin error bound propagated through
+    ad = |v - med| and the k*mad threshold."""
+    import statistics
+
+    # deterministic pseudo-random sample, heavy-tailed: (i*2654435761 %
+    # 10007) scaled, with every 97th value pushed far out
+    vals = []
+    for i in range(10_000):
+        v = (i * 2654435761) % 10007 / 101.0  # 0..99.08
+        if i % 97 == 0:
+            v += 400.0
+        vals.append(v)
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    k, w = 3.0, 4
+    got = (
+        ax.mad_outliers(_events(spark, rows), "event_type", "value", k=k, mode="scale", w=w)
+        .collect()[0]
+    )
+    med = statistics.median(vals)
+    ads = [abs(v - med) for v in vals]
+    mad = statistics.median(ads)
+    assert abs(got["med"] - med) <= w
+    assert abs(got["mad"] - mad) <= w
+    thr = k * mad
+    slack = (k + 1) * w
+    lo = sum(1 for a in ads if a > thr + slack)
+    hi = sum(1 for a in ads if a > thr - slack)
+    assert lo <= got["n_outliers"] <= hi
+    assert got["n_events"] == 10_000
+    # the planted far-out spikes (>= 400 above a <=100 baseline) must all
+    # flag regardless of sketch error
+    assert got["n_outliers"] >= sum(1 for i in range(10_000) if i % 97 == 0)
+
+
+def test_scale_mode_rejects_unknown_mode(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        ax.mad_outliers(_events(spark, [(1, "a", 1.0)]), "event_type", "value", mode="nope")
