@@ -215,10 +215,13 @@ def pca_model(embs: DataFrame, k: int = PCA_K):
     return eigen_from_stats(g_rows, d_rows, k)
 
 
-def eigen_from_stats(g_rows, d_rows, k: int = PCA_K):
-    """The driver-side eigen phase over collected (i, j, s) Gram rows and
-    (i, s, n) dim rows — shared by the batch model and the streaming
-    statistics state (``streaming.jobs.stream_pca_model``)."""
+def _eigen_decomp(g_rows, d_rows):
+    """Full-rank eigen phase over collected (i, j, s) Gram rows and
+    (i, s, n) dim rows: (eigvals_desc, components_desc (d, d) ndarray
+    with the deterministic sign convention, mean (d,) in float units).
+    Shared by :func:`eigen_from_stats` (top-k slice) and the OPQ
+    rotation (``operators.opq``, which also needs the eigenvalues for
+    its allocation step)."""
     import numpy as np
 
     d = max(r["i"] for r in d_rows) + 1
@@ -233,13 +236,21 @@ def eigen_from_stats(g_rows, d_rows, k: int = PCA_K):
     mean_q = sums / n
     cov = gram / n - np.outer(mean_q, mean_q)
     vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1][:k]
-    comps = vecs[:, order].T  # (k, d), unit-norm columns from eigh
+    order = np.argsort(vals)[::-1]
+    comps = vecs[:, order].T  # (d, d), unit-norm columns from eigh
     for row in comps:  # deterministic sign: largest-|coord| positive
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1.0
-    return comps.tolist(), (mean_q / GRAM_SCALE).tolist()
+    return vals[order], comps, mean_q / GRAM_SCALE
+
+
+def eigen_from_stats(g_rows, d_rows, k: int = PCA_K):
+    """The driver-side eigen phase over collected (i, j, s) Gram rows and
+    (i, s, n) dim rows — shared by the batch model and the streaming
+    statistics state (``streaming.jobs.stream_pca_model``)."""
+    _, comps, mean = _eigen_decomp(g_rows, d_rows)
+    return comps[:k].tolist(), mean.tolist()
 
 
 def pca_project(embs: DataFrame, components, mean) -> DataFrame:

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         nb,
         olap_extras,
         packing,
+        opq,
         pagerank,
         pca,
         pq,
