@@ -1347,3 +1347,120 @@ def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst trailing-hour burst per event type (value-based RANGE frame
     over epoch-ms) and the earliest instant it occurred."""
     return peak_rate(_t(spark, sf_dir, "events"))
+
+
+# --- trailing EWMA over the dense hourly series (r14) ------------------------------
+#
+# Exponentially-weighted smoothing with DYADIC weights 2^-d over the
+# trailing 12 points of the dense hourly value series (missing hours are
+# true zeros, as in autocorr's spine). Powers of two keep BOTH the
+# numerator and denominator exact BIGINTs — num = Σ hv·2^(11-d),
+# den = Σ 2^(11-d) — so the only float op is the final divide on
+# identical integers in every engine: the twap_daily fixed-point
+# discipline extended to weighted smoothing. The 12 lag terms share one
+# type-partitioned window over the KB-per-type hourly table; the corpus
+# shuffles once into the hourly groupBy and never again. Rows earlier
+# than 11 hours into the series normalize over the weights present.
+
+_EWMA_POINTS = 12  # trailing points; the d-hours-ago point weighs 2^-d
+
+
+def ewma_hourly(events: DataFrame, points: int = _EWMA_POINTS) -> DataFrame:
+    """(event_type, hour_ts, hourly_value, ewma_value): dense hourly
+    total value per type smoothed by a trailing ``points``-term EWMA
+    with dyadic weights (see the section note)."""
+    if not 1 <= points <= 32:
+        raise ValueError(f"points must be in [1, 32], got {points}")
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint"))
+            .cast("bigint")
+            .alias("hv")
+        )
+    )
+    bounds = hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_ts"
+            ),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type", "hour_ts", F.coalesce("hv", F.lit(0)).cast("bigint").alias("hv")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    num = sum(
+        F.coalesce(F.lag("hv", d).over(w) * F.lit(1 << (points - 1 - d)), F.lit(0))
+        for d in range(points)
+    ).cast("bigint")
+    den = sum(
+        F.when(
+            F.lag("hv", d).over(w).isNotNull(), F.lit(1 << (points - 1 - d))
+        ).otherwise(F.lit(0))
+        for d in range(points)
+    ).cast("bigint")
+    return dense.select(
+        "event_type",
+        "hour_ts",
+        F.round(F.col("hv").cast("double") / F.lit(1000000.0), 6).alias("hourly_value"),
+        F.round(
+            num.cast("double") / (den.cast("double") * F.lit(1000000.0)), 6
+        ).alias("ewma_value"),
+    ).orderBy("event_type", "hour_ts")
+
+
+def _ewma_sql(points: int = _EWMA_POINTS) -> str:
+    num_terms = " + ".join(
+        f"COALESCE(lag(hv, {d}) OVER w * {1 << (points - 1 - d)}, 0)"
+        for d in range(points)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag(hv, {d}) OVER w IS NOT NULL THEN {1 << (points - 1 - d)} ELSE 0 END"
+        for d in range(points)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT) AS hv
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, s.h AS hour_ts
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN bounds b,
+  LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h) s
+),
+dense AS (
+  SELECT s.event_type, s.hour_ts, CAST(COALESCE(h.hv, 0) AS BIGINT) AS hv
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+),
+smoothed AS (
+  SELECT event_type, hour_ts, hv,
+         CAST({num_terms} AS BIGINT) AS num,
+         CAST({den_terms} AS BIGINT) AS den
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+)
+SELECT event_type, hour_ts,
+       ROUND(CAST(hv AS DOUBLE) / 1000000.0, 6) AS hourly_value,
+       ROUND(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000.0), 6) AS ewma_value
+FROM smoothed
+ORDER BY event_type, hour_ts
+"""
+
+
+@query("events_ewma_hourly", oracle=_ewma_sql(), defer=True)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 12-point EWMA (dyadic weights, exact-integer numerator
+    and denominator) of the dense hourly value series per event type."""
+    return ewma_hourly(_t(spark, sf_dir, "events"))

@@ -1,23 +1,35 @@
-"""Temporal join operators: as-of join and banded range join.
+"""Temporal join operators: as-of join, banded range join, interval join.
 
-Neither exists in the reference (its only joins are equi joins, SURVEY
-§2.3) and Spark has no native ASOF JOIN — these are the canonical custom
-operators a time-series consumer of the warehouse needs, implemented as
-compositions of built-in DataFrame ops (SURVEY §7 custom-operator tier a;
-no Python UDFs):
+None exist in the reference (its only joins are equi joins, SURVEY
+§2.3) and Spark has no native ASOF/RANGE JOIN — these are the canonical
+custom operators a time-series consumer of the warehouse needs,
+implemented as compositions of built-in DataFrame ops (SURVEY §7
+custom-operator tier a; no Python UDFs):
 
 - :func:`asof_join_backward` — for each left row, the latest right row with
   ``right_time <= left_time`` per key. NOT a join-then-rank (which would
   materialize every (left × matching-right) pair before pruning): both
   sides are tagged and unioned, sorted per key by time, and the match is
   ``last(payload, ignorenulls=True)`` over a running window — one shuffle
-  on the key, state linear in rows, survives arbitrary key fan-in.
+  on the key, state linear in rows, survives arbitrary key fan-in. The
+  payload may be a LIST of right columns (carried as one struct through
+  the same single window — matched timestamp + value ride together).
 - :func:`range_band_join` — assign rows to bands from a (lo, hi) lookup via
   a broadcast theta join; the band table is tiny by definition, so the plan
   is scan → BroadcastNestedLoopJoin with the range predicate, no shuffle.
+- :func:`interval_overlap_counts` — match point events to HALF-OPEN time
+  intervals when BOTH sides are data-sized and there is NO equi key (the
+  case range_band_join's broadcast cannot cover). Bucketing restores an
+  equi key: quantize time into buckets of the interval length, explode
+  each interval to the (exactly 2) buckets it covers, equi-join points on
+  their single bucket, then apply the exact containment predicate. Every
+  true (point, interval) pair meets in exactly one bucket — the point's —
+  so no post-join dedup is needed; a hot bucket is ordinary join skew
+  (AQE/salting), never a cartesian. Generalizes to intervals of length L
+  with ceil(L/bucket)+1 explosion.
 
-DuckDB speaks native ``ASOF JOIN``, giving the as-of operator a true
-cross-engine oracle.
+DuckDB speaks native ``ASOF JOIN`` and plain inequality joins, giving
+all three operators true cross-engine oracles.
 """
 
 from __future__ import annotations
@@ -36,8 +48,8 @@ def asof_join_backward(
     right_on: str,
     left_time: str,
     right_time: str,
-    payload: str,
-    payload_alias: str = "asof_value",
+    payload: str | list[str],
+    payload_alias: str | list[str] = "asof_value",
     inner: bool = True,
 ) -> DataFrame:
     """Latest-right-at-or-before-left as-of join (see module docstring).
@@ -45,18 +57,28 @@ def asof_join_backward(
     At equal timestamps the right row wins (``ts >= right_time`` semantics):
     right rows sort before left rows within a tie so the running
     ``last(payload)`` already contains them when the left row is evaluated.
-    """
-    p_type = dict(right.dtypes)[payload]
+    ``payload``/``payload_alias`` may be parallel lists — all columns of
+    the matched right row travel as one struct through the same single
+    window (e.g. matched timestamp + value). The right side must be
+    unique per (key, time); equal-time right duplicates would make the
+    carried struct order-dependent — collapse them upstream
+    (groupBy + max_by)."""
+    payloads = [payload] if isinstance(payload, str) else list(payload)
+    aliases = [payload_alias] if isinstance(payload_alias, str) else list(payload_alias)
+    if len(aliases) != len(payloads):
+        raise ValueError(
+            f"{len(payloads)} payload columns but {len(aliases)} aliases"
+        )
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.col(payload).alias("_p"),
+        F.struct(*[F.col(p) for p in payloads]).alias("_p"),
         F.lit(1).alias("_is_r"),
     )
     l = (
         left.withColumn("_k", F.col(left_on))
         .withColumn("_t", F.col(left_time))
-        .withColumn("_p", F.lit(None).cast(p_type))
+        .withColumn("_p", F.lit(None).cast(dict(r.dtypes)["_p"]))
         .withColumn("_is_r", F.lit(0))
     )
     u = l.unionByName(r, allowMissingColumns=True)
@@ -65,14 +87,16 @@ def asof_join_backward(
         .orderBy(F.col("_t"), F.desc("_is_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
-        u.withColumn(payload_alias, F.last("_p", ignorenulls=True).over(w))
-        .filter(F.col("_is_r") == 0)
-        .drop("_k", "_t", "_p", "_is_r")
+    out = u.withColumn("_pm", F.last("_p", ignorenulls=True).over(w)).filter(
+        F.col("_is_r") == 0
     )
     if inner:
-        out = out.filter(F.col(payload_alias).isNotNull())
-    return out
+        # on the struct itself, not a field: a matched row whose payload
+        # FIELD is legitimately NULL must survive an inner as-of join
+        out = out.filter(F.col("_pm").isNotNull())
+    return out.select(
+        "*", *[F.col(f"_pm.{p}").alias(a) for p, a in zip(payloads, aliases)]
+    ).drop("_k", "_t", "_p", "_is_r", "_pm")
 
 
 _ASOF_SQL = """
@@ -145,4 +169,154 @@ def temporal_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
         .orderBy("band")
+    )
+
+
+_FP = 1_000_000  # value fixed-point scale shared with analytics_extras
+
+_ASOF_CLICK_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts,
+         arg_max(CAST(FLOOR(value * {_FP}.0) AS BIGINT), event_id) AS c_fp
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS last_click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click,
+       ROUND(CAST(c.c_fp AS DOUBLE) / {_FP}.0, 6) AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@query("events_asof_last_click", oracle=_ASOF_CLICK_SQL, defer=True)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined AS-OF backward to
+    the user's latest click at-or-before it — matched timestamp, exact
+    elapsed epoch-micros (no ms truncation, no float division), and the
+    click's value, all carried by ONE struct through the single
+    key-partitioned window (multi-payload as-of). Clicks are collapsed
+    to one row per (user, ts) first (max_by event_id) so ties cannot
+    make either engine nondeterministic."""
+    events = tpch.load(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint").alias("v"),
+            "event_id",
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("v", "event_id").alias("c_fp"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["ts", "c_fp"],
+        payload_alias=["last_click_ts", "_c_fp"],
+        inner=False,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click_ts",
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
+            "micros_since_click"
+        ),
+        F.round(F.col("_c_fp").cast("double") / F.lit(float(_FP)), 6).alias(
+            "last_click_value"
+        ),
+    ).orderBy("event_id")
+
+
+def interval_overlap_counts(
+    points: DataFrame,
+    intervals: DataFrame,
+    window_ms: int,
+    point_ts: str = "ts",
+    interval_start: str = "ts",
+) -> DataFrame:
+    """For each point row: how many half-open intervals
+    ``[start, start + window_ms)`` contain it, and the latest such start.
+
+    Bucketed big-big interval join — see the module docstring. Returns
+    the points frame (all columns) + ``n_overlaps`` (bigint, 0 when
+    none) + ``last_overlap_start`` (null when none)."""
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    p_cols = points.columns
+
+    def bucket(c: str) -> Column:
+        return F.floor(F.unix_millis(F.col(c)) / F.lit(window_ms))
+
+    iv = intervals.select(
+        F.col(interval_start).alias("__start"),
+        F.explode(
+            F.array(bucket(interval_start), bucket(interval_start) + 1)
+        ).alias("__bucket"),
+    )
+    pt = points.withColumn("__bucket", bucket(point_ts))
+    hit = pt.join(iv, "__bucket").filter(
+        (F.unix_millis(F.col(point_ts)) >= F.unix_millis("__start"))
+        & (F.unix_millis(F.col(point_ts)) < F.unix_millis("__start") + F.lit(window_ms))
+    )
+    # points whose bucket held no containing interval vanish from `hit`;
+    # the left join back restores them with n_overlaps = 0
+    agg = hit.groupBy(*[F.col(c) for c in p_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.max("__start").alias("last_overlap_start"),
+    )
+    return points.join(agg, p_cols, "left").select(
+        *p_cols,
+        F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
+        "last_overlap_start",
+    )
+
+
+_INTERVAL_SQL = """
+WITH errors AS (
+  SELECT event_id AS err_id, ts AS err_ts FROM events WHERE event_type = 'error'
+),
+purchases AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.ts,
+       CAST(COUNT(e.err_id) AS BIGINT) AS n_overlaps,
+       MAX(e.err_ts) AS last_overlap_start
+FROM purchases p
+LEFT JOIN errors e
+  ON p.ts >= e.err_ts AND p.ts < e.err_ts + INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+@query("events_error_window_join", oracle=_INTERVAL_SQL, defer=True)
+def events_error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident attribution without an equi key: each purchase vs the
+    half-open 30-minute windows opened by error events — overlap count
+    and latest incident start, via the bucketed interval join (the
+    DuckDB oracle runs the plain inequality join the bucketing
+    replaces)."""
+    events = tpch.load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select("ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    return interval_overlap_counts(purchases, errors, window_ms=30 * 60 * 1000).orderBy(
+        "event_id"
     )

@@ -64,3 +64,122 @@ def test_asof_single_shuffle_plan(spark):
     plan = audit.executed_plan(out)
     assert audit.data_shuffle_count(plan) == 1, plan
     assert "Join" not in plan  # pure union + window, never a pairwise join
+
+
+def test_asof_multi_payload_carries_matched_struct(spark):
+    """Matched ts + value ride together; outer rows get NULLs in both."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-05 00:00:00")), (2, "u2", _ts("2024-01-01 00:00:00"))],
+        "id int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-03 00:00:00"), 42.5)],
+        "k string, t timestamp, v double",
+    )
+    out = asof_join_backward(
+        left, right, "k", "k", "t", "t",
+        payload=["t", "v"], payload_alias=["m_t", "m_v"], inner=False,
+    ).collect()
+    got = {r["id"]: (r["m_t"], r["m_v"]) for r in out}
+    assert got[1] == (_ts("2024-01-03 00:00:00"), 42.5)
+    assert got[2] == (None, None)
+
+
+def test_asof_inner_keeps_matched_null_payload_field(spark):
+    """A matched right row whose payload FIELD is NULL must survive
+    inner=True (the match existence test is on the struct, not a field)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-05 00:00:00"))], "id int, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-03 00:00:00"), None)], "k string, t timestamp, v double"
+    )
+    out = asof_join_backward(
+        left, right, "k", "k", "t", "t", payload="v", payload_alias="m_v", inner=True
+    ).collect()
+    assert len(out) == 1 and out[0]["m_v"] is None
+
+
+def test_interval_overlap_counts_boundaries(spark):
+    """Half-open [start, start+W): start included, end excluded; an
+    interval straddling a bucket boundary still matches points in the
+    next bucket; non-overlapping points come back with 0."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        interval_overlap_counts,
+    )
+
+    W = 30 * 60 * 1000  # 30 min
+    intervals = spark.createDataFrame(
+        [(_ts("2024-01-01 00:10:00"),), (_ts("2024-01-01 00:20:00"),)], "ts timestamp"
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00")),  # == start of i1 → in i1
+            (2, _ts("2024-01-01 00:40:00")),  # end of i1 (excluded) → only i2
+            (3, _ts("2024-01-01 00:39:59")),  # in both (crosses i1's bucket edge)
+            (4, _ts("2024-01-01 02:00:00")),  # in none
+            (5, _ts("2024-01-01 00:49:59")),  # last instant of i2
+        ],
+        "id int, ts timestamp",
+    )
+    got = {
+        r["id"]: (r["n_overlaps"], r["last_overlap_start"])
+        for r in interval_overlap_counts(points, intervals, W).collect()
+    }
+    assert got[1] == (1, _ts("2024-01-01 00:10:00"))
+    assert got[2] == (1, _ts("2024-01-01 00:20:00"))
+    assert got[3] == (2, _ts("2024-01-01 00:20:00"))
+    assert got[4] == (0, None)
+    assert got[5] == (1, _ts("2024-01-01 00:20:00"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_overlap_counts(points, intervals, 0)
+
+
+def test_interval_join_no_cartesian_plan(spark):
+    """The physical plan must be an equi join on the bucket — never
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        interval_overlap_counts,
+    )
+
+    intervals = spark.createDataFrame([(_ts("2024-01-01 00:10:00"),)], "ts timestamp")
+    points = spark.createDataFrame([(1, _ts("2024-01-01 00:10:00"))], "id int, ts timestamp")
+    plan = interval_overlap_counts(points, intervals, 60000)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_hourly_hand_computed(spark):
+    """3-point EWMA, weights 4/2/1 — hand-checked dense series including
+    a missing hour (true zero) and the short-prefix normalization."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.analytics_extras import (
+        ewma_hourly,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:15:00"), "a", 8.0),
+            (2, _ts("2024-01-01 00:45:00"), "a", 4.0),
+            # hour 01 missing entirely → hv = 0
+            (3, _ts("2024-01-01 02:30:00"), "a", 6.0),
+        ],
+        "event_id int, ts timestamp, event_type string, value double",
+    )
+    got = {
+        r["hour_ts"].hour: (r["hourly_value"], r["ewma_value"])
+        for r in ewma_hourly(events, points=3).collect()
+    }
+    # hour0: hv=12 → den=4           → 12*4/4 = 12
+    # hour1: hv=0  → (0*4 + 12*2)/6  = 4
+    # hour2: hv=6  → (6*4+0*2+12*1)/7 = 36/7
+    assert got[0] == (12.0, 12.0)
+    assert got[1] == (0.0, 4.0)
+    assert got[2] == (6.0, round(36 / 7, 6))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma_hourly(events, points=0)
