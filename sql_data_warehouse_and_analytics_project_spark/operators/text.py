@@ -1188,6 +1188,233 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_docs(spark, sf_dir))
 
 
+# --- Interpolated Kneser-Ney bigram LM (r14) --------------------------------
+#
+# The smoothing the real perplexity filters use: KenLM (the CCNet
+# scorer) is interpolated modified-KN — Laplace (above) over-penalizes
+# frequent contexts and rewards raw frequency where KN rewards
+# CONTEXTUAL DIVERSITY (P_cont counts how many distinct contexts a word
+# follows, famously rating "Francisco" low despite high frequency).
+# Fixed discount D = 0.75 (Chen & Goodman 1999's canonical value; 3/4 is
+# exact in binary, so every subtraction below is float-exact):
+#
+#   P_KN(c|p) = max(n(p,c) − D, 0)/n(p) + (D·N1+(p·)/n(p)) · P_cont(c)
+#   P_cont(c) = N1+(·c) / N1+(··)
+#
+# All statistics are exact bigint counts over the same mapped
+# (<s>-prefixed, vocab+<unk>) pair stream as the Laplace model; the
+# three model maps (pair → full log-prob, context → log backoff weight
+# λ(p), word → log P_cont) are KB-sized and JVM-built (no driver
+# collect), and scoring is the same token-order fold. Self-scored
+# corpora always hit the pair map; the backoff legs exist for held-out
+# text: unseen pair with known context and word → λ(p)·P_cont(c);
+# anything else → the uniform 1/classes floor. Float discipline: both
+# engines evaluate the IDENTICAL arithmetic expression on identical
+# exact integers, ln differs ≤1 ULP, 6-dp round — the house argument.
+
+_KN_D = 0.75
+
+
+def _kn_ctes(vocab_size: int = _BLM_VOCAB) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({SQL_TOKENS}, x -> lower(x)) AS t FROM documents
+),
+vocab AS (
+  SELECT term FROM (SELECT UNNEST(t) AS term FROM toks)
+  GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT {vocab_size}
+),
+vset AS (
+  SELECT map_from_entries(list((term, 1) ORDER BY term)) AS vm,
+         CAST(COUNT(*) + 1 AS DOUBLE) AS classes
+  FROM vocab
+),
+mapped AS (
+  SELECT doc_id,
+         list_transform(t, x -> CASE WHEN vm[x][1] IS NOT NULL THEN x ELSE '{_BLM_UNK}' END) AS m
+  FROM toks CROSS JOIN vset
+),
+seq AS (
+  SELECT doc_id, m, list_prepend('{_BLM_START}', m) AS fseq FROM mapped
+),
+pairs AS (
+  SELECT fseq[i + 1] AS prev, m[i + 1] AS cur
+  FROM (SELECT UNNEST(range(len(m))) AS i, fseq, m FROM seq)
+),
+bgc AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c FROM pairs GROUP BY prev, cur),
+ctxs AS (
+  SELECT prev, CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS n1p
+  FROM bgc GROUP BY prev
+),
+conts AS (SELECT cur, CAST(COUNT(*) AS DOUBLE) AS nc FROM bgc GROUP BY cur),
+ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM bgc),
+model AS (
+  SELECT
+    (SELECT map_from_entries(list((b.prev || chr(31) || b.cur,
+             ln(greatest(b.c - {_KN_D}, 0.0) / x.n
+                + (({_KN_D} * x.n1p) / x.n) * (k.nc / ntot.nt))) ORDER BY b.prev, b.cur))
+     FROM bgc b JOIN ctxs x ON b.prev = x.prev
+                JOIN conts k ON b.cur = k.cur, ntot) AS mpb,
+    (SELECT map_from_entries(list((prev, ln(({_KN_D} * n1p) / n)) ORDER BY prev))
+     FROM ctxs) AS mpc,
+    (SELECT map_from_entries(list((cur, ln(nc / ntot.nt)) ORDER BY cur))
+     FROM conts, ntot) AS mpk,
+    -ln((SELECT classes FROM vset)) AS fb
+)"""
+
+
+_KN_SCORE = """ROUND(list_reduce(
+               [coalesce(mpb[fseq[i + 1] || chr(31) || m[i + 1]][1],
+                         mpc[fseq[i + 1]][1] + mpk[m[i + 1]][1], fb)
+                FOR i IN range(len(m))],
+               (a, b) -> a + b) / CAST(len(m) AS DOUBLE), 6)"""
+
+_KN_SQL = (
+    _kn_ctes()
+    + f"""
+SELECT doc_id,
+       CAST(len(m) AS BIGINT) AS n_tokens,
+       {_KN_SCORE} AS avg_logprob
+FROM seq CROSS JOIN model
+ORDER BY doc_id
+"""
+)
+
+
+def kn_bigram_logprob(
+    docs: DataFrame, vocab_size: int = _BLM_VOCAB, discount: float = _KN_D
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) under the interpolated Kneser-Ney
+    bigram model — see the section note for the recipe, backoff legs,
+    and float discipline. Same scale shape as :func:`bigram_logprob`:
+    KB model maps broadcast as one row, token-order score fold, the two
+    narrow model groupBys are the only shuffles."""
+    from .dedup import _spread_rows
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    docs = _spread_rows(docs)
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    with_t = docs.select("doc_id", toks.alias("t"))
+    vocab_df = (
+        with_t.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    vrow = vocab_df.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.lit(1).alias("one")))
+        ).alias("vm"),
+        (F.count(F.lit(1)) + 1).cast("double").alias("classes"),
+    )
+    mapped = with_t.crossJoin(F.broadcast(vrow)).select(
+        "doc_id",
+        F.transform(
+            F.col("t"),
+            lambda x: F.when(F.element_at(F.col("vm"), x).isNotNull(), x).otherwise(
+                F.lit(_BLM_UNK)
+            ),
+        ).alias("m"),
+        "classes",
+    )
+    full = F.concat(F.array(F.lit(_BLM_START)), F.col("m"))
+    seq = mapped.select(
+        "doc_id", "m", "classes", F.slice(full, 1, F.size("m")).alias("prevs")
+    )
+    pairs = seq.select(
+        F.explode(
+            F.zip_with(
+                F.col("prevs"),
+                F.col("m"),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("pc")
+    ).select(F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    bgc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    ctxs = bgc.groupBy("prev").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n1p"),
+    )
+    conts = bgc.groupBy("cur").agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    ntot = F.broadcast(bgc.agg(F.count(F.lit(1)).cast("double").alias("nt")))
+    d = F.lit(discount)
+    lp_pair = F.log(
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("n")
+        + ((d * F.col("n1p")) / F.col("n")) * (F.col("nc") / F.col("nt"))
+    )
+    mpb_row = (
+        bgc.join(F.broadcast(ctxs), "prev")
+        .join(F.broadcast(conts), "cur")
+        .crossJoin(ntot)
+        .select(
+            F.struct(
+                F.concat(F.col("prev"), F.lit(_BLM_SEP), F.col("cur")).alias("k"),
+                lp_pair.alias("lp"),
+            ).alias("e")
+        )
+        .agg(F.map_from_entries(F.collect_list("e")).alias("mpb"))
+    )
+    mpc_row = ctxs.select(
+        F.struct(
+            F.col("prev").alias("k"), F.log((d * F.col("n1p")) / F.col("n")).alias("lp")
+        ).alias("e")
+    ).agg(F.map_from_entries(F.collect_list("e")).alias("mpc"))
+    mpk_row = (
+        conts.crossJoin(ntot)
+        .select(
+            F.struct(
+                F.col("cur").alias("k"), F.log(F.col("nc") / F.col("nt")).alias("lp")
+            ).alias("e")
+        )
+        .agg(F.map_from_entries(F.collect_list("e")).alias("mpk"))
+    )
+    classes_row = F.broadcast(vrow.select("classes"))
+    model = (
+        mpb_row.crossJoin(mpc_row)
+        .crossJoin(mpk_row)
+        .crossJoin(classes_row)
+        .select("mpb", "mpc", "mpk", (-F.log(F.col("classes"))).alias("fb"))
+    )
+    zipped = F.zip_with(
+        F.col("prevs"),
+        F.col("m"),
+        lambda p, c: F.struct(
+            p.alias("p"),
+            c.alias("c"),
+            F.concat(p, F.lit(_BLM_SEP), c).alias("k"),
+        ),
+    )
+    score = F.aggregate(
+        zipped,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.coalesce(
+            F.element_at(F.col("mpb"), s["k"]),
+            F.element_at(F.col("mpc"), s["p"]) + F.element_at(F.col("mpk"), s["c"]),
+            F.col("fb"),
+        ),
+    )
+    return (
+        seq.crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            F.size("m").cast("bigint").alias("n_tokens"),
+            F.round(score / F.size("m").cast("double"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("text_kn_bigram_logprob", oracle=_KN_SQL, defer=True)
+def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token interpolated Kneser-Ney bigram log-probability
+    per document — the KenLM-shaped upgrade of the Laplace bigram score
+    (contextual diversity, not raw frequency, drives the backoff)."""
+    return kn_bigram_logprob(_docs(spark, sf_dir))
+
+
 # --- Corpus profile (data-card statistics) ---------------------------------
 
 # NOTE: distinct name from the earlier _PROFILE_SQL (text_profile's oracle):

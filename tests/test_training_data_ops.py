@@ -3286,3 +3286,78 @@ def test_theil_sen_even_count_median_matches_oracle(spark, tmp_path):
             d,
         )
         con.close()
+
+
+def test_kn_bigram_matches_pure_python_reference(spark):
+    """Interpolated KN on a tiny corpus vs an independent pure-Python
+    implementation of P_KN(c|p) = max(n(p,c)-D,0)/n(p) + D*N1p(p)/n(p)
+    * Ncont(c)/Ntot — bit-level agreement at the 6-dp surface."""
+    import math
+    from collections import Counter
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        kn_bigram_logprob,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "san francisco san francisco san francisco",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in kn_bigram_logprob(docs, vocab_size=256).collect()
+    }
+
+    # pure-python model over the same mapped stream (vocab covers all terms)
+    D = 0.75
+    pair_c, ctx_n = Counter(), Counter()
+    for t in texts.values():
+        toks = ["<s>"] + t.split()
+        for p, c in zip(toks, toks[1:]):
+            pair_c[(p, c)] += 1
+            ctx_n[p] += 1
+    n1p = Counter(p for p, _ in pair_c)
+    ncont = Counter(c for _, c in pair_c)
+    ntot = len(pair_c)
+    for i, t in texts.items():
+        toks = ["<s>"] + t.split()
+        lp = 0.0
+        for p, c in zip(toks, toks[1:]):
+            lp += math.log(
+                max(pair_c[(p, c)] - D, 0.0) / ctx_n[p]
+                + ((D * n1p[p]) / ctx_n[p]) * (ncont[c] / ntot)
+            )
+        n = len(toks) - 1
+        assert got[i] == (n, round(lp / n, 6)), f"doc {i}"
+
+
+def test_kn_contextual_diversity_beats_raw_frequency(spark):
+    """The Francisco effect: 'francisco' is the most frequent non-stop
+    token but follows ONLY 'san', so its continuation probability — and
+    the score of a doc using it in a fresh context — must be lower than
+    for an equally-frequent word seen after many different contexts."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.text import (
+        kn_bigram_logprob,
+    )
+
+    corpus = [
+        (1, "san francisco san francisco san francisco san francisco"),
+        (2, "red fish blue fish one fish two fish"),
+        # both probes use the target word after the same unseen context
+        # ('nice'), so only the continuation leg separates them
+        (3, "nice francisco"),
+        (4, "nice fish"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in kn_bigram_logprob(docs).collect()}
+    # 'fish' (4 distinct contexts) must outscore 'francisco' (1 context)
+    assert got[4] > got[3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kn_bigram_logprob(docs, discount=1.5)
