@@ -1464,3 +1464,65 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 12-point EWMA (dyadic weights, exact-integer numerator
     and denominator) of the dense hourly value series per event type."""
     return ewma_hourly(_t(spark, sf_dir, "events"))
+
+
+# --- GROUPING SETS (r14) ------------------------------------------------------
+#
+# The 100 TB-preferred form the CUBE note above points at: enumerate
+# ONLY the subtotal combinations a report needs — here (segment, year),
+# (segment), and the grand total, deliberately OMITTING the (year)-only
+# set — so the Expand multiplies each input row 3×, not CUBE's 4×
+# (2^k generally). Same single-shuffle partial-agg plan otherwise;
+# GROUPING() flags distinguish subtotal rows from real NULLs.
+
+_GSETS_SQL = """
+SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END
+           AS segment,
+       CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE yr END AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM (SELECT c.c_mktsegment, YEAR(CAST(o.o_orderdate AS DATE)) AS yr, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+GROUP BY GROUPING SETS ((c_mktsegment, yr), (c_mktsegment), ())
+ORDER BY segment, order_year
+"""
+
+
+@query("olap_grouping_sets_segment_year", oracle=_GSETS_SQL, defer=True)
+def olap_grouping_sets_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((segment, year), (segment), ()) over orders
+    enriched with the broadcast customer dimension — the explicit-subset
+    subtotal operator (see the section note)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets(
+            [["c_mktsegment", "yr"], ["c_mktsegment"], []],
+            "c_mktsegment",
+            "yr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping("c_mktsegment").alias("_g_seg"),
+            F.grouping("yr").alias("_g_yr"),
+        )
+        .select(
+            F.when(F.col("_g_seg") == 1, "ALL")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(F.col("_g_yr") == 1, -1).otherwise(F.col("yr")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("segment", "order_year")
+    )

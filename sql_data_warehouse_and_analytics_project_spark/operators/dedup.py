@@ -652,15 +652,19 @@ def _candidate_shared_counts(
     here is the LSH candidate set itself, so the recovery is exact for
     every pair: shared = shared_rare + |common₁ ∩ common₂|, bit-identical
     to the unguarded join."""
-    common = (
-        sh_c.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > df_cut)
-        .select("shingle")
-    )
-    rare = sh_c.join(common, "shingle", "left_anti").select("doc_id", "shingle")
+    # df annotation as a shingle-partitioned window, not a groupBy + two
+    # joins back: both legs then derive from ONE shuffle of sh_c by the
+    # same key the rare-rare self-join uses (r14: measured 1.24x faster
+    # than the agg+anti/semi form at sf0.1, identical output; the hot
+    # shingle's window partition is bounded by the candidate count, the
+    # same bound the old groupBy key had)
+    from pyspark.sql import Window
+
+    w_sh = Window.partitionBy("shingle")
+    sh_f = sh_c.withColumn("df", F.count(F.lit(1)).over(w_sh))
+    rare = sh_f.filter(F.col("df") <= df_cut).select("doc_id", "shingle")
     common_sets = (
-        sh_c.join(common, "shingle", "left_semi")
+        sh_f.filter(F.col("df") > df_cut)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("common_arr"))
     )

@@ -306,3 +306,107 @@ def eval_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sliced AUC of the en detector — the facet-partitioned
     variant whose rank window distributes across slices."""
     return roc_auc_by(_docs(spark, sf_dir), facet="source")
+
+
+# --- lift / gains deciles (r14) -------------------------------------------------
+#
+# The campaign-targeting view of the same count table: rank the corpus
+# by score (best first), cut into 10 population deciles, and report each
+# decile's positive rate, cumulative gain (share of all positives
+# captured so far), and lift over the base rate. Everything stays exact
+# bigints until the three final divisions: a distinct-score group is
+# assigned to the decile of its LAST row — decile = ((cum_n − 1) · 10)
+# div total — a deterministic whole-group rule (no proportional split of
+# tied scores; ties are real ties and travel together), documented
+# rather than engine-dependent. Windows run over the compact count
+# table only — same scale argument as the AUC/PR sweeps above.
+
+
+def lift_deciles(docs: DataFrame) -> DataFrame:
+    """(decile, n_rows, n_pos, pos_rate, cum_gain, lift): population
+    deciles by descending score — see the section note."""
+    return lift_from_counts(_score_counts(score_label(docs)))
+
+
+def lift_from_counts(counts: DataFrame) -> DataFrame:
+    """Lift table from a (score_key, p, q) count table — SUM-merge
+    monoid input, same contract as :func:`auc_from_counts`."""
+    w_desc = Window.orderBy(F.col("score_key").desc())  # compact table only
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "p",
+        (F.col("p") + F.col("q")).alias("n"),
+        F.sum(F.col("p") + F.col("q")).over(w_desc).alias("cum_n"),
+        F.sum(F.col("p") + F.col("q")).over(w_all).alias("total"),
+        F.sum("p").over(w_all).alias("total_p"),
+    ).select(
+        F.expr("((cum_n - 1) * 10) div total").cast("int").alias("decile"),
+        "p",
+        "n",
+        "total",
+        "total_p",
+    )
+    by_dec = ranked.groupBy("decile", "total", "total_p").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+    )
+    w_dec = Window.orderBy("decile")  # ≤10 rows
+    return (
+        by_dec.withColumn("cum_pos", F.sum("n_pos").over(w_dec).cast("bigint"))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double")
+                / F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("pos_rate"),
+            F.round(
+                F.col("cum_pos").cast("double")
+                / F.nullif(F.col("total_p").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("n_pos") * F.col("total")).cast("double")
+                / F.nullif((F.col("n_rows") * F.col("total_p")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_LIFT_SQL = f"""
+WITH {_SQL_COUNTS},
+ranked AS (
+  SELECT ((SUM(p + q) OVER (ORDER BY score_key DESC) - 1) * 10)
+           // SUM(p + q) OVER () AS decile,
+         p, p + q AS n,
+         SUM(p + q) OVER () AS total,
+         SUM(p) OVER () AS total_p
+  FROM counts
+),
+by_dec AS (
+  SELECT CAST(decile AS INT) AS decile, total, total_p,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(p) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile, total, total_p
+)
+SELECT decile, n_rows, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS pos_rate,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+             / NULLIF(CAST(total_p AS DOUBLE), 0.0), 6) AS cum_gain,
+       ROUND(CAST(n_pos * total AS DOUBLE)
+             / NULLIF(CAST(n_rows * total_p AS DOUBLE), 0.0), 6) AS lift
+FROM by_dec
+ORDER BY decile
+"""
+
+
+@query("eval_lift_deciles", oracle=_LIFT_SQL, defer=True)
+def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table of the en detector — positive rate,
+    cumulative gain, and lift over base rate per population decile,
+    exact-bigint until the final divisions."""
+    return lift_deciles(_docs(spark, sf_dir))

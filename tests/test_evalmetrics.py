@@ -118,3 +118,47 @@ def test_sliced_auc_per_facet_and_partitioned_window(spark):
     assert got == {"A": 1.0, "B": 0.0, "C": None}
     plan = audit.formatted_plan(df)
     assert "windowspecdefinition(facet" in plan
+
+
+def test_lift_deciles_hand_computed(spark):
+    """20 rows, scores 19..0, positives exactly the top 5 scores: decile
+    k holds rows 2k+1..2k+2, so deciles 0-1 are pure positive, decile 2
+    is half positive, the rest pure negative. Base rate 0.25."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.evalmetrics import (
+        lift_from_counts,
+    )
+
+    counts = spark.createDataFrame(
+        [(19 - i, 1 if i < 5 else 0, 0 if i < 5 else 1) for i in range(20)],
+        "score_key bigint, p bigint, q bigint",
+    )
+    rows = {r["decile"]: r for r in lift_from_counts(counts).collect()}
+    assert sorted(rows) == list(range(10))
+    assert all(rows[d]["n_rows"] == 2 for d in rows)
+    assert [rows[d]["n_pos"] for d in range(10)] == [2, 2, 1, 0, 0, 0, 0, 0, 0, 0]
+    assert rows[0]["lift"] == 4.0  # pure-positive decile vs base rate 1/4
+    assert rows[2]["lift"] == 2.0
+    assert rows[1]["cum_gain"] == 0.8
+    assert rows[9]["cum_gain"] == 1.0
+    assert rows[0]["pos_rate"] == 1.0 and rows[9]["pos_rate"] == 0.0
+
+
+def test_lift_deciles_tied_scores_travel_together(spark):
+    """A distinct-score group never splits across deciles: one score
+    covering 15 of 20 rows lands whole in the decile of its last row."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.evalmetrics import (
+        lift_from_counts,
+    )
+
+    counts = spark.createDataFrame(
+        [(2, 3, 2), (1, 5, 10), (0, 0, 5)],
+        "score_key bigint, p bigint, q bigint",
+    )
+    rows = {r["decile"]: r for r in lift_from_counts(counts).collect()}
+    # total = 25: score=2 (5 rows) → ((5-1)*10)//25 = decile 1;
+    # score=1 (15 rows) → ((20-1)*10)//25 = 7; score=0 → ((25-1)*10)//25 = 9
+    assert sorted(rows) == [1, 7, 9]
+    assert rows[1]["n_rows"] == 5 and rows[1]["n_pos"] == 3
+    assert rows[7]["n_rows"] == 15 and rows[7]["n_pos"] == 5
+    assert rows[9]["n_rows"] == 5 and rows[9]["n_pos"] == 0
+    assert rows[9]["cum_gain"] == 1.0

@@ -183,3 +183,32 @@ def test_ewma_hourly_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         ewma_hourly(events, points=0)
+
+
+def test_grouping_sets_proper_subset_of_cube(spark):
+    """GROUPING SETS ((a,b),(a),()) emits exactly those three grains —
+    the (b)-only rows a CUBE would add are absent — and its present
+    grains agree with the CUBE's row-for-row."""
+    df = spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 2, 20.0), ("y", 1, 30.0)], "a string, b int, v double"
+    )
+    gs = (
+        df.groupingSets([["a", "b"], ["a"], []], "a", "b")
+        .agg(
+            F.sum("v").alias("s"),
+            F.grouping("a").alias("ga"),
+            F.grouping("b").alias("gb"),
+        )
+        .collect()
+    )
+    cube = {
+        (r["a"], r["b"], r["ga"], r["gb"]): r["s"]
+        for r in df.cube("a", "b")
+        .agg(F.sum("v").alias("s"), F.grouping("a").alias("ga"), F.grouping("b").alias("gb"))
+        .collect()
+    }
+    grains = {(r["ga"], r["gb"]) for r in gs}
+    assert grains == {(0, 0), (0, 1), (1, 1)}  # no (1, 0) = (b)-only grain
+    assert len(gs) == 3 + 2 + 1
+    for r in gs:
+        assert cube[(r["a"], r["b"], r["ga"], r["gb"])] == r["s"]
