@@ -167,10 +167,14 @@ def score_lr(feats: DataFrame, w: list[float]) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _lr_sql(n_buckets: int = _D, iters: int = _T, lr: float = _LR) -> str:
+def _lr_sql(
+    n_buckets: int = _D, iters: int = _T, lr: float = _LR, as_cte: bool = False
+) -> str:
     """Unroll the full training loop into chained CTEs — one (margin,
     gradient, weight-update) triple per iteration, every fold in the same
-    fixed order the Spark side uses."""
+    fixed order the Spark side uses. ``as_cte=True`` closes the chain as
+    a ``scored`` CTE instead of the final ordered SELECT, so downstream
+    oracles (calibration) can build on the scored output."""
     h = _sql_md5_long("term", 13)
     parts = [
         f"""WITH toks AS MATERIALIZED (
@@ -212,13 +216,14 @@ w{t + 1} AS MATERIALIZED (
   SELECT f.doc_id,
          list_reduce(list(f.x * w.w ORDER BY f.bucket), (a, b) -> a + b) AS m
   FROM feats f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id
-)
-SELECT f.doc_id,
+)""")
+    select = f"""SELECT f.doc_id,
        CAST(f.y AS BIGINT) AS y,
        ROUND(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score
-FROM (SELECT DISTINCT doc_id, y FROM feats) f JOIN mf USING (doc_id)
-ORDER BY f.doc_id""")
-    return ",\n".join(parts)
+FROM (SELECT DISTINCT doc_id, y FROM feats) f JOIN mf USING (doc_id)"""
+    if as_cte:
+        return ",\n".join(parts) + ",\nscored AS (\n" + select + "\n)"
+    return ",\n".join(parts) + "\n" + select + "\nORDER BY f.doc_id"
 
 
 _LR_SQL = _lr_sql()
@@ -241,3 +246,148 @@ def text_lr_langid_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = hashed_features(docs, label=label)
     w = train_lr(feats, fold="parity")
     return score_lr(feats, w)
+
+
+# --- calibration: reliability bins + ECE (r14) -------------------------------
+#
+# "Is the classifier's 0.8 really an 80%?" — the question a quality
+# threshold (e.g. keep docs with P(en) > 0.7) silently depends on. The
+# LR score is a true [0,1] probability surface, so calibration is
+# well-posed: ten equal-width reliability bins (bin = floor(score·10),
+# clamped to 9), each reporting mean predicted probability vs empirical
+# positive rate and the |gap|; ECE is the doc-weighted mean of the gaps
+# (Naeini et al. 2015 / Guo et al. 2017). Float discipline: scores are
+# 6-dp-rounded, hence exactly representable as DECIMAL(18,6) — per-bin
+# sums are partition-order-exact (the perplexity_buckets argument); the
+# ≤10-bin ECE fold runs in bin order via the ordered-fold idiom.
+# Scale shape: one groupBy collapses the corpus to ≤10 bin rows;
+# everything after is constant-size.
+
+
+def calibration_bins(scored: DataFrame) -> DataFrame:
+    """(bin, n_docs, mean_score, pos_rate, abs_gap) from a
+    (doc_id, y, score) frame — ten equal-width reliability bins."""
+    b = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("_s"),
+            F.sum("y").cast("bigint").alias("_p"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.round(F.col("_s").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("_p").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.abs(
+                    F.col("_s").cast("double") / F.col("n_docs").cast("double")
+                    - F.col("_p").cast("double") / F.col("n_docs").cast("double")
+                ),
+                6,
+            ).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_ece(scored: DataFrame) -> DataFrame:
+    """One row (n_bins, n_docs, ece): expected calibration error — the
+    doc-weighted mean |gap| over the reliability bins, folded in bin
+    order (≤10 doubles, ordered-fold idiom)."""
+    b = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("score").cast("decimal(18,6)")).alias("s"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    gap_w = F.abs(
+        F.col("s").cast("double") / F.col("n").cast("double")
+        - F.col("p").cast("double") / F.col("n").cast("double")
+    ) * F.col("n").cast("double")
+    folded = bins.select(F.struct("bin", gap_w.alias("gw")).alias("e"), "n").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda s: s["gw"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("gsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+    )
+    return folded.select(
+        "n_bins",
+        "n_docs",
+        F.round(F.col("gsum") / F.col("n_docs").cast("double"), 6).alias("ece"),
+    )
+
+
+_CAL_TAIL = """
+binned AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(score AS DECIMAL(18,6))) AS s,
+         CAST(SUM(y) AS BIGINT) AS p
+  FROM scored GROUP BY 1
+)"""
+
+_CAL_BINS_SQL = (
+    _lr_sql(as_cte=True)
+    + ",\n"
+    + _CAL_TAIL
+    + """
+SELECT bin, n_docs,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_score,
+       ROUND(CAST(p AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pos_rate,
+       ROUND(abs(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 - CAST(p AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS abs_gap
+FROM binned
+ORDER BY bin
+"""
+)
+
+_CAL_ECE_SQL = (
+    _lr_sql(as_cte=True)
+    + ",\n"
+    + _CAL_TAIL
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       ROUND(list_reduce(
+               list(abs(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                        - CAST(p AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * CAST(n_docs AS DOUBLE) ORDER BY bin),
+               (a, b) -> a + b) / CAST(SUM(n_docs) AS DOUBLE), 6) AS ece
+FROM binned
+"""
+)
+
+
+def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    label = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    feats = hashed_features(docs, label=label)
+    w = train_lr(feats, fold="parity")
+    return score_lr(feats, w)
+
+
+@query("eval_calibration_bins", oracle=_CAL_BINS_SQL, defer=True)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained LR en-classifier: mean
+    predicted probability vs empirical positive rate per equal-width
+    probability bin — the oracle replays training AND binning."""
+    return calibration_bins(_lr_scored(spark, sf_dir))
+
+
+@query("eval_calibration_ece", oracle=_CAL_ECE_SQL, defer=True)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the trained LR en-classifier —
+    one doc-weighted number a probability-thresholding curation gate
+    can be audited by."""
+    return calibration_ece(_lr_scored(spark, sf_dir))

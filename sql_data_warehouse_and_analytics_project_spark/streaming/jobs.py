@@ -1106,6 +1106,16 @@ def stream_pr_curve(spark: SparkSession, state_path: str) -> DataFrame:
     return pr_from_counts(stream_eval_counts(spark, state_path))
 
 
+def stream_lift_deciles(spark: SparkSession, state_path: str) -> DataFrame:
+    """Lift/gains decile table over everything ingested so far —
+    identical to ``eval_lift_deciles`` run as one batch over the union
+    (the count table is the same SUM-merge monoid the AUC/PR monitors
+    read; lift adds zero new streaming state)."""
+    from ..operators.evalmetrics import lift_from_counts
+
+    return lift_from_counts(stream_eval_counts(spark, state_path))
+
+
 # --- streaming embedding statistics (r13) -------------------------------------
 #
 # The PCA/correlation statistics of operators.pca are SUM-merge monoids

@@ -128,3 +128,36 @@ def test_lr_langid_label_survives_null_lang(spark):
     # NULL lang folded to the negative class, identically to its 'de' twin
     assert scored[2]["y"] == 0 and scored[3]["y"] == 0
     assert scored[2]["score"] == scored[3]["score"]
+
+
+def test_calibration_bins_and_ece_hand_computed(spark):
+    """Planted scored frame: bin 9 perfectly calibrated (gap 0), bin 2
+    maximally off (predicts 0.2, rate 1.0) — bins and the doc-weighted
+    ECE match hand arithmetic."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.lr import (
+        calibration_bins,
+        calibration_ece,
+    )
+
+    rows = (
+        # bin 9: four docs at 0.9, three positive... use score 0.75 for an
+        # exactly-representable double: bin 7, mean 0.75, rate 0.75 → gap 0
+        [(i, 1, 0.75) for i in range(3)]
+        + [(3, 0, 0.75)]
+        # bin 2: two docs at 0.25, both positive → gap 0.75
+        + [(10, 1, 0.25), (11, 1, 0.25)]
+        # score 1.0 clamps into bin 9
+        + [(20, 1, 1.0)]
+    )
+    scored = spark.createDataFrame(rows, "doc_id bigint, y bigint, score double")
+    bins = {r["bin"]: r for r in calibration_bins(scored).collect()}
+    assert sorted(bins) == [2, 7, 9]
+    assert bins[7]["n_docs"] == 4 and bins[7]["abs_gap"] == 0.0
+    assert bins[7]["mean_score"] == 0.75 and bins[7]["pos_rate"] == 0.75
+    assert bins[2]["abs_gap"] == 0.75
+    assert bins[9]["n_docs"] == 1 and bins[9]["mean_score"] == 1.0
+
+    ece = calibration_ece(scored).collect()[0]
+    # (4*0 + 2*0.75 + 1*0) / 7
+    assert ece["n_bins"] == 3 and ece["n_docs"] == 7
+    assert ece["ece"] == round(1.5 / 7, 6)

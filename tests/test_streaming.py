@@ -1026,6 +1026,10 @@ def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     got_pr = [repr(r) for r in jobs.stream_pr_curve(spark, state).collect()]
     assert got_pr == want_pr
 
+    want_lift = [repr(r) for r in ev.lift_deciles(all_docs).collect()]
+    got_lift = [repr(r) for r in jobs.stream_lift_deciles(spark, state).collect()]
+    assert got_lift == want_lift
+
     # full redelivery: fresh checkpoint, same input — state bit-identical
     stream2 = spark.readStream.schema(schema).parquet(f"{input_dir}/*")
     q2 = jobs.sink_stream_eval_counts(stream2, state, str(tmp_path / "ev_ck2"))
