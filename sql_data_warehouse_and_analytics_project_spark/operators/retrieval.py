@@ -1275,3 +1275,122 @@ def retrieval_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsupervised keyword/topic-tag stage of a data card or retrieval
     pipeline, ranked on the rounded score so the cut is engine-exact."""
     return tfidf_keywords(_docs(spark, sf_dir))
+
+
+# --- MMR: maximal marginal relevance re-rank (r14) ---------------------------
+#
+# Relevance-only top-k returns near-duplicates of the best hit; MMR
+# (Carbonell & Goldstein 1998) greedily picks
+#   argmax_i  λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j)
+# trading relevance against redundancy — the standard diversification
+# pass RAG retrieval runs over its candidate pool. The greedy argmax is
+# inherently ITERATIVE (each pick changes every remaining score), so
+# this is a custom-operator tier-b implementation (SURVEY §7.3): the
+# per-query candidate pool is top-N-bounded KB data, grouped
+# applyInPandas runs the numpy greedy per query — the ONLY shuffle is
+# the groupBy(query_id) of pools, the corpus is never touched.
+#
+# Determinism: candidates enter in doc_id order; relevance is min-max
+# normalized per pool (constant pools → 0.5); cosine over L2-normalized
+# vectors; np.argmax takes the FIRST max, i.e. ties break to the
+# smallest doc_id; identical float ops on identical inputs in every run
+# → bit-stable output (pytest pins a pure-Python replay + partition
+# invariance). Rows-only by design: an iterative data-dependent greedy
+# has no SQL twin (same class as BPE's merge loop).
+
+MMR_SCHEMA = (
+    "query_id bigint, rank int, doc_id bigint, rel double, mmr_score double"
+)
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    vecs: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query_id, rank, doc_id, rel, mmr_score): per-query greedy MMR
+    selection of ``k`` docs from the candidate pool. ``cands`` =
+    (query_id, doc_id, <rel_col>); ``vecs`` = (doc_id, embedding) — only
+    candidate docs' vectors are joined in (left join; a candidate with
+    no vector gets similarity 0 to everything, i.e. pure relevance)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pool = cands.select(
+        "query_id", "doc_id", F.col(rel_col).cast("double").alias("rel")
+    ).join(vecs.select("doc_id", "embedding"), "doc_id", "left")
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n = len(pdf)
+        dim = next((len(v) for v in pdf["embedding"] if v is not None), 1)
+        V = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(dim, dtype=np.float64)
+                for v in pdf["embedding"]
+            ]
+        )
+        norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+        V = np.divide(V, norms, out=np.zeros_like(V), where=norms > 0.0)
+        sims = V @ V.T
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        lo, hi = rel.min(), rel.max()
+        rel_n = (rel - lo) / (hi - lo) if hi > lo else np.full(n, 0.5)
+        selected: list[int] = []
+        out = []
+        alive = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            if selected:
+                red = sims[:, selected].max(axis=1)
+            else:
+                red = np.zeros(n)
+            score = lam * rel_n - (1.0 - lam) * red
+            score[~alive] = -np.inf
+            i = int(np.argmax(score))  # first max → smallest doc_id on ties
+            alive[i] = False
+            selected.append(i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[i]),
+                    step + 1,
+                    int(pdf["doc_id"].iloc[i]),
+                    float(pdf["rel"].iloc[i]),
+                    round(float(score[i]), 6),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "doc_id", "rel", "mmr_score"]
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .applyInPandas(greedy, MMR_SCHEMA)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("retrieval_mmr_rerank", oracle=None, defer=True)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 over the BM25 top-50 pool (fixed query,
+    λ = 0.7), redundancy measured by cosine over the engine-generated
+    hashed-trick embeddings — retrieval, vectors, and diversification
+    composed inside one engine. Rows-only by design (iterative greedy;
+    pure-Python-replay + diversification pytests in
+    tests/test_retrieval_mmr.py)."""
+    from .hashembed import hash_embeddings
+
+    docs = _docs(spark, sf_dir)
+    cands = bm25_topk(docs).select(
+        F.lit(0).cast("bigint").alias("query_id"), "doc_id", F.col("bm25").alias("rel")
+    )
+    cand_docs = docs.join(cands.select("doc_id"), "doc_id", "left_semi")
+    vecs = hash_embeddings(cand_docs)
+    return mmr_rerank(cands, vecs, k=10, lam=0.7)
