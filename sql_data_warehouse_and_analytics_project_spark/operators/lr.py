@@ -391,3 +391,50 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-weighted number a probability-thresholding curation gate
     can be audited by."""
     return calibration_ece(_lr_scored(spark, sf_dir))
+
+
+# Brier score: the proper scoring rule the ECE diagnostic complements —
+# mean squared error of the probability against the 0/1 label. The 6-dp
+# scores are DECIMAL(18,6)-exact, so (score − y)² accumulates as
+# DECIMAL(38,12) with no float order-dependence; one corpus-collapsing
+# aggregate, one final divide.
+
+
+def brier_score(scored: DataFrame) -> DataFrame:
+    """One row (n_docs, brier) from a (doc_id, y, score) frame."""
+    sq = (
+        (F.col("score").cast("decimal(18,6)") - F.col("y").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((sq * sq).cast("decimal(38,12)")).alias("_ss"),
+    ).select(
+        "n_docs",
+        F.round(
+            F.col("_ss").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("brier"),
+    )
+
+
+_BRIER_SQL = (
+    _lr_sql(as_cte=True)
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(CAST(CAST(score AS DECIMAL(18,6))
+                                 - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                           * CAST(CAST(score AS DECIMAL(18,6))
+                                  - CAST(y AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS brier
+FROM scored
+"""
+)
+
+
+@query("eval_brier_score", oracle=_BRIER_SQL, defer=True)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared probability error) of the trained LR
+    en-classifier — the proper scoring rule beside the ECE diagnostic,
+    decimal-exact until the single final divide."""
+    return brier_score(_lr_scored(spark, sf_dir))
