@@ -2788,3 +2788,145 @@ def dedup_cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _XLANG_PROBES, "doc_id bigint, lang string, text string"
     )
     return cross_lang_dup_pairs(docs.unionByName(spark_probes))
+
+
+# --- cross-method clustering agreement: Adjusted Rand Index (r14) ------------
+#
+# The engine ships TWO independent near-dup families (MinHash/LSH on
+# shingle sets, SimHash on token hashes). Do they agree on WHAT is a
+# duplicate? The Adjusted Rand Index (Hubert & Arabie 1985) is the
+# standard chance-corrected agreement between two clusterings — ~1.0
+# means the cheaper signature family can stand in for the expensive one,
+# ~0 means the families disagree beyond chance and thresholds need
+# retuning. Both clusterings are the transitive closures of each
+# family's pair set with every unpaired document as its own singleton,
+# so the universe is the full corpus. All combinatorics are exact
+# bigints (n·(n−1)/2 terms; the Σa·Σb product alone crosses to double —
+# it exceeds int64 at corpus scale — identically in both engines before
+# the single rounded division). Scale shape: two pipelines the engine
+# already runs + one (ca, cb) contingency groupBy whose row count is
+# bounded by the number of non-trivial clusters, not the corpus.
+
+
+def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame) -> DataFrame:
+    """One row (n_docs, clusters_a, clusters_b, ari): Adjusted Rand Index
+    between two (doc_id, component_id) labelings over ``universe``
+    (doc_id); docs missing from a labeling count as singletons."""
+    lab = (
+        universe.select("doc_id")
+        .join(labels_a.select("doc_id", F.col("component_id").alias("ca")), "doc_id", "left")
+        .join(labels_b.select("doc_id", F.col("component_id").alias("cb")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ca", F.col("doc_id")).alias("ca"),
+            F.coalesce("cb", F.col("doc_id")).alias("cb"),
+        )
+    )
+    cont = lab.groupBy("ca", "cb").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+    sij = cont.agg(F.sum(comb("n")).cast("bigint").alias("sij"))
+    sa = (
+        cont.groupBy("ca")
+        .agg(F.sum("n").alias("m"))
+        .agg(
+            F.sum(comb("m")).cast("bigint").alias("sa"),
+            F.count(F.lit(1)).cast("bigint").alias("ka"),
+        )
+    )
+    sb = (
+        cont.groupBy("cb")
+        .agg(F.sum("n").alias("m"))
+        .agg(
+            F.sum(comb("m")).cast("bigint").alias("sb"),
+            F.count(F.lit(1)).cast("bigint").alias("kb"),
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    j = sij.crossJoin(sa).crossJoin(sb).crossJoin(tot)
+    cn2 = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").cast("double")
+    exp = F.col("sa").cast("double") * F.col("sb").cast("double") / cn2
+    num = F.col("sij").cast("double") - exp
+    den = (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0) - exp
+    return j.select(
+        "n_docs",
+        F.col("ka").alias("clusters_a"),
+        F.col("kb").alias("clusters_b"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ari"),
+    )
+
+
+_ARI_SQL = f"""
+WITH RECURSIVE
+pa AS (SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})),
+ea AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pa
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pa
+),
+reacha(node, lab) AS (
+  SELECT a, a FROM ea
+  UNION
+  SELECT e.a, r.lab FROM ea e JOIN reacha r ON e.b = r.node
+),
+la AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reacha GROUP BY node),
+pb AS (SELECT doc_id_1, doc_id_2 FROM ({_SIMHASH_SQL})),
+eb AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pb
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM pb
+),
+reachb(node, lab) AS (
+  SELECT a, a FROM eb
+  UNION
+  SELECT e.a, r.lab FROM eb e JOIN reachb r ON e.b = r.node
+),
+lb AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reachb GROUP BY node),
+lab AS (
+  SELECT d.doc_id,
+         COALESCE(la.comp, d.doc_id) AS ca,
+         COALESCE(lb.comp, d.doc_id) AS cb
+  FROM documents d
+  LEFT JOIN la ON la.doc_id = d.doc_id
+  LEFT JOIN lb ON lb.doc_id = d.doc_id
+),
+cont AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY ca, cb),
+sij AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sij FROM cont),
+sa AS (
+  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS sa,
+         CAST(COUNT(*) AS BIGINT) AS ka
+  FROM (SELECT ca, SUM(n) AS m FROM cont GROUP BY ca)
+),
+sb AS (
+  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS sb,
+         CAST(COUNT(*) AS BIGINT) AS kb
+  FROM (SELECT cb, SUM(n) AS m FROM cont GROUP BY cb)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab)
+SELECT n_docs, ka AS clusters_a, kb AS clusters_b,
+       ROUND((CAST(sij AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                / CAST(CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS DOUBLE))
+             / NULLIF((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                        / CAST(CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS DOUBLE),
+                      0.0), 6) AS ari
+FROM sij, sa, sb, tot
+"""
+
+
+@query("dedup_methods_ari", oracle=_ARI_SQL, defer=True)
+def dedup_methods_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Adjusted Rand Index) between the
+    MinHash/LSH and SimHash near-dup clusterings over the full corpus —
+    the audit that says whether the two signature families identify the
+    same duplicate structure. Oracle replays both pipelines, both
+    recursive closures, and the exact pair combinatorics."""
+    caches: list = []
+    pa = minhash_lsh_pairs(_docs(spark, sf_dir), _caches=caches)
+    pb = simhash_pairs(_docs(spark, sf_dir), _caches=caches)
+    la = connected_components(pa)
+    lb = connected_components(pb)
+    out = clustering_ari(la, lb, _docs(spark, sf_dir)).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
