@@ -1526,3 +1526,95 @@ def olap_grouping_sets_segment_year(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("segment", "order_year")
     )
+
+
+# --- winsorized statistics (r14) ------------------------------------------------
+#
+# Heavy-tail preprocessing: clamp each type's values at its exact
+# interpolated p01/p99 before averaging — the robust mean a spiky
+# `value` column needs (the MAD/z-score outlier DETECTORS above flag
+# rows; winsorization is the TREATMENT that keeps them bounded).
+# Percentiles are exact linear interpolation (Spark percentile ≡ DuckDB
+# quantile_cont, 6-dp-rounded — the perplexity_buckets threshold idiom);
+# clamping and the means run in 1e6 fixed point so every sum is a
+# partition-order-exact bigint, with the thresholds floored to the same
+# fixed point in both engines. Scale shape: one per-type percentile agg
+# (Spark's percentile is a partial-aggregating sketchless exact impl
+# over the per-type groups), broadcast back, one clamped partial-agg
+# pass — two corpus scans, no window.
+
+
+def winsorized_stats(events: DataFrame, lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """(event_type, n_events, p_lo, p_hi, mean_raw, mean_winsorized,
+    n_clamped) per type — see the section note."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    rows = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("v")
+    )
+    th = rows.groupBy("event_type").agg(
+        F.floor(
+            F.round(F.percentile(F.col("v").cast("double"), F.lit(lo)), 6)
+        ).cast("bigint").alias("t_lo"),
+        F.floor(
+            F.round(F.percentile(F.col("v").cast("double"), F.lit(hi)), 6)
+        ).cast("bigint").alias("t_hi"),
+    )
+    clamped = F.greatest(F.least(F.col("v"), F.col("t_hi")), F.col("t_lo"))
+    return (
+        rows.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "t_lo", "t_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v").cast("bigint").alias("_sr"),
+            F.sum(clamped).cast("bigint").alias("_sw"),
+            F.sum(F.when(clamped != F.col("v"), 1).otherwise(0)).cast("bigint").alias("n_clamped"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("t_lo").cast("double") / F.lit(1000000.0), 6).alias("p_lo"),
+            F.round(F.col("t_hi").cast("double") / F.lit(1000000.0), 6).alias("p_hi"),
+            F.round(
+                F.col("_sr").cast("double") / (F.col("n_events").cast("double") * F.lit(1000000.0)), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.col("_sw").cast("double") / (F.col("n_events").cast("double") * F.lit(1000000.0)), 6
+            ).alias("mean_winsorized"),
+            "n_clamped",
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSOR_SQL = """
+WITH rows_ AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+th AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(quantile_cont(CAST(v AS DOUBLE), 0.01), 6)) AS BIGINT) AS t_lo,
+         CAST(FLOOR(ROUND(quantile_cont(CAST(v AS DOUBLE), 0.99), 6)) AS BIGINT) AS t_hi
+  FROM rows_ GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(t_lo AS DOUBLE) / 1000000.0, 6) AS p_lo,
+       ROUND(CAST(t_hi AS DOUBLE) / 1000000.0, 6) AS p_hi,
+       ROUND(CAST(SUM(v) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_raw,
+       ROUND(CAST(SUM(greatest(least(v, t_hi), t_lo)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_winsorized,
+       CAST(SUM(CASE WHEN greatest(least(v, t_hi), t_lo) <> v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped
+FROM rows_ r JOIN th USING (event_type)
+GROUP BY r.event_type, t_lo, t_hi
+ORDER BY r.event_type
+"""
+
+
+@query("events_winsorized_stats", oracle=_WINSOR_SQL, defer=True)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clamped) vs raw mean value per event type —
+    the robust-mean treatment beside the MAD/z-score detectors."""
+    return winsorized_stats(_t(spark, sf_dir, "events"))
