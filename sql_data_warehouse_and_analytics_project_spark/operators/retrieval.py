@@ -1377,7 +1377,10 @@ def mmr_rerank(
     )
 
 
-@query("retrieval_mmr_rerank", oracle=None, defer=True)
+@query("retrieval_mmr_rerank", oracle=None)  # rows-only: sorts after the
+# oracle-backed window on its own (the contract reserves defer=True for
+# oracle-backed keys — a deferred key without an oracle would read as
+# silently unverified)
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 over the BM25 top-50 pool (fixed query,
     λ = 0.7), redundancy measured by cosine over the engine-generated

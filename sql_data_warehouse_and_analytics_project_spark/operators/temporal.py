@@ -255,7 +255,12 @@ def interval_overlap_counts(
 
     Bucketed big-big interval join — see the module docstring. Returns
     the points frame (all columns) + ``n_overlaps`` (bigint, 0 when
-    none) + ``last_overlap_start`` (null when none)."""
+    none) + ``last_overlap_start`` (null when none).
+
+    Point ROWS must be unique (carry a unique id column): the per-point
+    rollup groups by all point columns, so two bit-identical point rows
+    would merge and double-count their shared overlaps. Both registered
+    queries carry ``event_id``; enforce the same upstream when reusing."""
     if window_ms <= 0:
         raise ValueError(f"window_ms must be positive, got {window_ms}")
     p_cols = points.columns
