@@ -2857,8 +2857,8 @@ def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame
 
 _ARI_SQL = f"""
 WITH RECURSIVE
-pa AS (SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})),
-ea AS (
+pa AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM ({_sql_minhash_pairs_over("documents")})),
+ea AS MATERIALIZED (
   SELECT doc_id_1 AS a, doc_id_2 AS b FROM pa
   UNION
   SELECT doc_id_2, doc_id_1 FROM pa
@@ -2868,9 +2868,9 @@ reacha(node, lab) AS (
   UNION
   SELECT e.a, r.lab FROM ea e JOIN reacha r ON e.b = r.node
 ),
-la AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reacha GROUP BY node),
-pb AS (SELECT doc_id_1, doc_id_2 FROM ({_SIMHASH_SQL})),
-eb AS (
+la AS MATERIALIZED (SELECT node AS doc_id, MIN(lab) AS comp FROM reacha GROUP BY node),
+pb AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM ({_SIMHASH_SQL})),
+eb AS MATERIALIZED (
   SELECT doc_id_1 AS a, doc_id_2 AS b FROM pb
   UNION
   SELECT doc_id_2, doc_id_1 FROM pb
@@ -2880,7 +2880,7 @@ reachb(node, lab) AS (
   UNION
   SELECT e.a, r.lab FROM eb e JOIN reachb r ON e.b = r.node
 ),
-lb AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reachb GROUP BY node),
+lb AS MATERIALIZED (SELECT node AS doc_id, MIN(lab) AS comp FROM reachb GROUP BY node),
 lab AS (
   SELECT d.doc_id,
          COALESCE(la.comp, d.doc_id) AS ca,

@@ -438,3 +438,108 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     en-classifier — the proper scoring rule beside the ECE diagnostic,
     decimal-exact until the single final divide."""
     return brier_score(_lr_scored(spark, sf_dir))
+
+
+# --- isotonic (PAV) calibration (r14) ----------------------------------------
+#
+# The TREATMENT beside the ECE diagnostic: pool-adjacent-violators
+# (Ayer et al. 1955; Zadrozny & Elkan 2002) fits the L2-optimal
+# monotone map score → P(y=1) and is the standard non-parametric
+# recalibration for any ranking-faithful score. Scale shape mirrors
+# kmeans/PQ: scores collapse to a ≤10⁴-row binned count table (4-dp
+# fixed-point keys — PAV on raw distinct floats would make model size
+# corpus-dependent), the sequential PAV runs driver-side over that KB
+# table (rows-only by design, the BPE/greedy class), and application is
+# one broadcast equi-join of the fitted step table back onto the corpus.
+
+
+def _pav(pairs: list[tuple[int, float, float]]) -> list[tuple[int, float]]:
+    """Pool-adjacent-violators over (key, weight, mean) rows sorted by
+    key → (key, fitted) with fitted non-decreasing in key. Pure driver
+    arithmetic on the compact table."""
+    blocks: list[list[float]] = []  # [weight, weighted_sum, n_members]
+    keys = [k for k, _, _ in pairs]
+    for _, w, m in pairs:
+        blocks.append([w, w * m, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] >= blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, s2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    out: list[tuple[int, float]] = []
+    i = 0
+    for w, s, c in blocks:
+        v = s / w
+        for _ in range(int(c)):  # a block spans consecutive keys
+            out.append((keys[i], v))
+            i += 1
+    return out
+
+
+def isotonic_fit(scored: DataFrame, key_dp: int = 4) -> list[tuple[int, float]]:
+    """Driver-side PAV fit over the binned (score → positive rate) count
+    table: returns the (bin_key, fitted_p) step table (≤ 10^key_dp + 1
+    rows). ``bin_key = floor(score · 10^key_dp)``."""
+    scale = 10 ** key_dp
+    tbl = (
+        scored.groupBy(F.floor(F.col("score") * scale).cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+            F.sum("y").cast("bigint").alias("p"),
+        )
+        .orderBy("k")
+        .collect()  # bounded: ≤ 10^key_dp + 1 rows (KB model state)
+    )
+    pairs = [(int(r["k"]), float(r["w"]), r["p"] / r["w"]) for r in tbl]
+    return _pav(pairs)
+
+
+def isotonic_apply(
+    scored: DataFrame, fit: list[tuple[int, float]], key_dp: int = 4
+) -> DataFrame:
+    """scored + ``calibrated`` column: broadcast equi-join of the fitted
+    step table on the bin key (every in-sample key is present in the
+    fit; unseen keys at inference time should be clamped upstream)."""
+    scale = 10 ** key_dp
+    spark = scored.sparkSession
+    ft = F.broadcast(
+        spark.createDataFrame(
+            [(k, round(v, 6)) for k, v in fit], "k bigint, calibrated double"
+        )
+    )
+    return scored.withColumn(
+        "k", F.floor(F.col("score") * scale).cast("bigint")
+    ).join(ft, "k", "left").drop("k")
+
+
+@query("eval_isotonic_calibration", oracle=None)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, n_keys, n_blocks, ece_raw, ece_isotonic): fit PAV
+    on the trained LR scores, apply it, and report the before/after ECE
+    — the full diagnose→treat calibration loop in one query. Rows-only
+    by design (PAV is a sequential pool merge, the BPE class); pytest
+    pins the PAV math against hand-solved cases and its defining
+    properties."""
+    scored = _lr_scored(spark, sf_dir).localCheckpoint(eager=True)
+    fit = isotonic_fit(scored)
+    applied = isotonic_apply(scored, fit).withColumn(
+        "score_raw", F.col("score")
+    )
+    ece_raw = calibration_ece(scored).collect()[0]
+    cal = applied.select("doc_id", "y", F.col("calibrated").alias("score"))
+    ece_iso = calibration_ece(cal).collect()[0]
+    n_blocks = len(set(v for _, v in fit))
+    return spark.createDataFrame(
+        [
+            (
+                int(ece_raw["n_docs"]),
+                len(fit),
+                n_blocks,
+                float(ece_raw["ece"]),
+                float(ece_iso["ece"]),
+            )
+        ],
+        "n_docs bigint, n_keys bigint, n_blocks bigint, ece_raw double, ece_isotonic double",
+    )

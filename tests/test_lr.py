@@ -161,3 +161,75 @@ def test_calibration_bins_and_ece_hand_computed(spark):
     # (4*0 + 2*0.75 + 1*0) / 7
     assert ece["n_bins"] == 3 and ece["n_docs"] == 7
     assert ece["ece"] == round(1.5 / 7, 6)
+
+
+def test_pav_hand_solved_and_properties(spark):
+    """PAV on a hand-solved violator sequence plus its defining
+    properties: non-decreasing output, block values are weighted means
+    of their members, total weighted mean preserved."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.lr import _pav
+
+    # keys 0..3, weights 1, means [0.8, 0.2, 0.6, 0.4]:
+    # PAV pools everything into one block of mean 0.5
+    got = _pav([(0, 1.0, 0.8), (1, 1.0, 0.2), (2, 1.0, 0.6), (3, 1.0, 0.4)])
+    assert got == [(0, 0.5), (1, 0.5), (2, 0.5), (3, 0.5)]
+
+    # classic partial pool: [0.1, 0.6, 0.4, 0.9] -> middle pair pools to 0.5
+    got = _pav([(0, 1.0, 0.1), (1, 1.0, 0.6), (2, 1.0, 0.4), (3, 1.0, 0.9)])
+    assert got == [(0, 0.1), (1, 0.5), (2, 0.5), (3, 0.9)]
+
+    # weighted pool: w=[3,1] means [0.0, 0.75] keeps order (no violation)
+    assert _pav([(0, 3.0, 0.0), (1, 1.0, 0.75)]) == [(0, 0.0), (1, 0.75)]
+    # reversed -> pools to weighted mean (3*0.75 + 1*0.25)/4 = 0.625 (exact)
+    got = _pav([(0, 3.0, 0.75), (1, 1.0, 0.25)])
+    assert got == [(0, 0.625), (1, 0.625)]
+
+    # property sweep on a deterministic pseudo-random sequence
+    seq = [(k, 1.0 + (k * 7) % 3, ((k * 2654435761) % 1000) / 1000.0) for k in range(50)]
+    out = _pav(seq)
+    vals = [v for _, v in out]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))  # monotone
+    tot_w = sum(w for _, w, _ in seq)
+    assert abs(
+        sum(w * m for _, w, m in seq) - sum(w * v for (_, w, _), (_, v) in zip(seq, out))
+    ) < 1e-9 * tot_w  # weighted mean preserved
+
+
+def test_isotonic_fit_apply_reduces_ece(spark):
+    """A deliberately miscalibrated-but-ranking-faithful score (prob =
+    score/2): isotonic recalibration must cut the in-sample ECE to ~0
+    and stay monotone; every row gets a calibrated value."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.lr import (
+        calibration_ece,
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    rows = []
+    for i in range(2000):
+        s = (i % 100) / 100.0  # scores 0.00..0.99
+        y = 1 if (i * 2654435761) % 100 < (i % 100) / 2 else 0  # P(y)=s/2
+        rows.append((i, y, s))
+    scored = spark.createDataFrame(rows, "doc_id bigint, y bigint, score double")
+    fit = isotonic_fit(scored)
+    vals = [v for _, v in fit]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    applied = isotonic_apply(scored, fit)
+    assert applied.filter(F.col("calibrated").isNull()).count() == 0
+    ece_raw = calibration_ece(scored).collect()[0]["ece"]
+    cal = applied.select("doc_id", "y", F.col("calibrated").alias("score"))
+    ece_iso = calibration_ece(cal).collect()[0]["ece"]
+    assert ece_iso < ece_raw
+    assert ece_iso < 0.05 and ece_raw > 0.15
+
+
+def test_registered_isotonic_key_shape(spark):
+    from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
+
+    row = all_queries()["eval_isotonic_calibration"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == 500 and r["n_blocks"] <= r["n_keys"]
+    assert r["ece_isotonic"] <= r["ece_raw"] + 1e-9
