@@ -63,6 +63,46 @@ def asof_join_backward(
     unique per (key, time); equal-time right duplicates would make the
     carried struct order-dependent — collapse them upstream
     (groupBy + max_by)."""
+    return _asof_join(
+        left, right, left_on, right_on, left_time, right_time,
+        payload, payload_alias, inner, forward=False,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload: str | list[str],
+    payload_alias: str | list[str] = "asof_value",
+    inner: bool = True,
+) -> DataFrame:
+    """Earliest-right-at-or-after-left as-of join — the forward mirror
+    (``right_time >= left_time``; the equal-timestamp right row wins,
+    matching DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``). Same union-tag +
+    one-window shape: the sequence is walked in DESCENDING time, so the
+    carried payload is always the nearest future right row."""
+    return _asof_join(
+        left, right, left_on, right_on, left_time, right_time,
+        payload, payload_alias, inner, forward=True,
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload: str | list[str],
+    payload_alias: str | list[str],
+    inner: bool,
+    forward: bool,
+) -> DataFrame:
     payloads = [payload] if isinstance(payload, str) else list(payload)
     aliases = [payload_alias] if isinstance(payload_alias, str) else list(payload_alias)
     if len(aliases) != len(payloads):
@@ -82,9 +122,10 @@ def asof_join_backward(
         .withColumn("_is_r", F.lit(0))
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    t_ord = F.desc("_t") if forward else F.col("_t")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.desc("_is_r"))
+        .orderBy(t_ord, F.desc("_is_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = u.withColumn("_pm", F.last("_p", ignorenulls=True).over(w)).filter(
@@ -325,3 +366,69 @@ def events_error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_counts(purchases, errors, window_ms=30 * 60 * 1000).orderBy(
         "event_id"
     )
+
+
+_ASOF_NEXT_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts,
+         arg_max(CAST(FLOOR(value * {_FP}.0) AS BIGINT), event_id) AS c_fp
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS next_click_ts,
+       epoch_us(c.ts) - epoch_us(p.ts) AS micros_to_click,
+       ROUND(CAST(c.c_fp AS DOUBLE) / {_FP}.0, 6) AS next_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id
+"""
+
+
+@query("events_asof_next_click", oracle=_ASOF_NEXT_SQL, defer=True)
+def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-purchase behavior: each purchase joined AS-OF forward to the
+    user's earliest click at-or-after it — the reaction-time mirror of
+    `events_asof_last_click`, checked against DuckDB's forward ASOF
+    (``p.ts <= c.ts``)."""
+    events = tpch.load(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint").alias("v"),
+            "event_id",
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("v", "event_id").alias("c_fp"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_forward(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["ts", "c_fp"],
+        payload_alias=["next_click_ts", "_c_fp"],
+        inner=False,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_click_ts",
+        (F.unix_micros("next_click_ts") - F.unix_micros("ts")).alias(
+            "micros_to_click"
+        ),
+        F.round(F.col("_c_fp").cast("double") / F.lit(float(_FP)), 6).alias(
+            "next_click_value"
+        ),
+    ).orderBy("event_id")

@@ -212,3 +212,38 @@ def test_grouping_sets_proper_subset_of_cube(spark):
     assert len(gs) == 3 + 2 + 1
     for r in gs:
         assert cube[(r["a"], r["b"], r["ga"], r["gb"])] == r["s"]
+
+
+def test_asof_forward_crafted(spark):
+    """Forward mirror: earliest right at-or-after left; equal-ts right
+    wins; no future right row -> NULL (outer) / dropped (inner)."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-05 00:00:00")),   # before q2 → q2
+            (2, "u1", _ts("2024-01-10 00:00:00")),   # exactly at q2 → q2
+            (3, "u1", _ts("2024-01-10 00:00:01")),   # after the last quote → none
+            (4, "u2", _ts("2024-01-01 00:00:00")),   # u2's quote is later → q9
+        ],
+        "id int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:00:00"), "q1"),
+            ("u1", _ts("2024-01-10 00:00:00"), "q2"),
+            ("u2", _ts("2024-06-01 00:00:00"), "q9"),
+        ],
+        "k string, t timestamp, quote string",
+    )
+    outer = asof_join_forward(
+        left, right, "k", "k", "t", "t", "quote", "matched", inner=False
+    )
+    got = {r["id"]: r["matched"] for r in outer.collect()}
+    assert got == {1: "q2", 2: "q2", 3: None, 4: "q9"}
+    inner = asof_join_forward(
+        left, right, "k", "k", "t", "t", "quote", "matched", inner=True
+    )
+    assert {r["id"] for r in inner.collect()} == {1, 2, 4}
