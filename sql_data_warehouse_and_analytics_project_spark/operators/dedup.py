@@ -2823,7 +2823,10 @@ def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame
         )
     )
     cont = lab.groupBy("ca", "cb").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+    # exact integer combinatorics: `div` keeps n·(n−1)/2 a bigint all the
+    # way (float '/ 2' loses exactness past 2^53, exactly the corpus-scale
+    # regime this operator targets; the DuckDB oracle uses integer '//')
+    comb = lambda c: F.expr(f"({c} * ({c} - 1)) div 2").cast("bigint")  # noqa: E731
     sij = cont.agg(F.sum(comb("n")).cast("bigint").alias("sij"))
     sa = (
         cont.groupBy("ca")
@@ -2843,7 +2846,7 @@ def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame
     )
     tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     j = sij.crossJoin(sa).crossJoin(sb).crossJoin(tot)
-    cn2 = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").cast("double")
+    cn2 = F.expr("(n_docs * (n_docs - 1)) div 2").cast("double")
     exp = F.col("sa").cast("double") * F.col("sb").cast("double") / cn2
     num = F.col("sij").cast("double") - exp
     den = (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0) - exp

@@ -40,6 +40,23 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import tpch
 
+# temp columns the as-of / interval helpers splice in; input frames must
+# not already carry them (silent wrong-column capture otherwise) and
+# payload names must be plain identifiers (dots would be parsed as field
+# paths by F.col — we use getField for extraction, but the guard keeps
+# the contract explicit at the boundary).
+_ASOF_TEMP_COLS = ("_k", "_t", "_p", "_is_r", "_pm", "_ndup")
+_INTERVAL_TEMP_COLS = ("__bucket", "__start", "n_overlaps", "last_overlap_start")
+
+
+def _check_reserved(df: DataFrame, reserved: tuple[str, ...], side: str) -> None:
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{side} frame carries reserved temp column(s) {clash}; rename "
+            f"them before calling (reserved: {list(reserved)})"
+        )
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -51,6 +68,7 @@ def asof_join_backward(
     payload: str | list[str],
     payload_alias: str | list[str] = "asof_value",
     inner: bool = True,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Latest-right-at-or-before-left as-of join (see module docstring).
 
@@ -62,10 +80,13 @@ def asof_join_backward(
     window (e.g. matched timestamp + value). The right side must be
     unique per (key, time); equal-time right duplicates would make the
     carried struct order-dependent — collapse them upstream
-    (groupBy + max_by)."""
+    (groupBy + max_by) or pass ``assert_unique=True`` to fail the job
+    per-row (lazy ``raise_error`` on the first duplicate group, one
+    extra right-side-only window — no extra action/scan)."""
     return _asof_join(
         left, right, left_on, right_on, left_time, right_time,
         payload, payload_alias, inner, forward=False,
+        assert_unique=assert_unique,
     )
 
 
@@ -79,15 +100,18 @@ def asof_join_forward(
     payload: str | list[str],
     payload_alias: str | list[str] = "asof_value",
     inner: bool = True,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Earliest-right-at-or-after-left as-of join — the forward mirror
     (``right_time >= left_time``; the equal-timestamp right row wins,
     matching DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``). Same union-tag +
     one-window shape: the sequence is walked in DESCENDING time, so the
-    carried payload is always the nearest future right row."""
+    carried payload is always the nearest future right row.
+    ``assert_unique`` as in :func:`asof_join_backward`."""
     return _asof_join(
         left, right, left_on, right_on, left_time, right_time,
         payload, payload_alias, inner, forward=True,
+        assert_unique=assert_unique,
     )
 
 
@@ -102,6 +126,7 @@ def _asof_join(
     payload_alias: str | list[str],
     inner: bool,
     forward: bool,
+    assert_unique: bool = False,
 ) -> DataFrame:
     payloads = [payload] if isinstance(payload, str) else list(payload)
     aliases = [payload_alias] if isinstance(payload_alias, str) else list(payload_alias)
@@ -109,12 +134,38 @@ def _asof_join(
         raise ValueError(
             f"{len(payloads)} payload columns but {len(aliases)} aliases"
         )
+    _check_reserved(left, _ASOF_TEMP_COLS, "left")
+    _check_reserved(right, _ASOF_TEMP_COLS, "right")
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.struct(*[F.col(p) for p in payloads]).alias("_p"),
         F.lit(1).alias("_is_r"),
     )
+    if assert_unique:
+        # lazy per-row guard (same pattern as the span-dedup ord guard,
+        # dedup.py): a right-side-only count window over (_k, _t); wrapping
+        # _t — which feeds the union window's sort — guarantees evaluation
+        # for every right row, so the first duplicate group fails the job
+        # instead of silently producing order-dependent payloads.
+        wd = Window.partitionBy("_k", "_t")
+        r = r.withColumn("_ndup", F.count(F.lit(1)).over(wd)).withColumn(
+            "_t",
+            F.when(F.col("_ndup") == 1, F.col("_t")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "asof_join: right side is not unique per "
+                            f"({right_on}, {right_time}); duplicate key "
+                        ),
+                        F.col("_k").cast("string"),
+                        F.lit(" at time "),
+                        F.col("_t").cast("string"),
+                        F.lit(" — collapse upstream (groupBy + max_by)"),
+                    )
+                ).cast(dict(r.dtypes)["_t"])
+            ),
+        ).drop("_ndup")
     l = (
         left.withColumn("_k", F.col(left_on))
         .withColumn("_t", F.col(left_time))
@@ -136,7 +187,7 @@ def _asof_join(
         # FIELD is legitimately NULL must survive an inner as-of join
         out = out.filter(F.col("_pm").isNotNull())
     return out.select(
-        "*", *[F.col(f"_pm.{p}").alias(a) for p, a in zip(payloads, aliases)]
+        "*", *[F.col("_pm").getField(p).alias(a) for p, a in zip(payloads, aliases)]
     ).drop("_k", "_t", "_p", "_is_r", "_pm")
 
 
@@ -269,6 +320,7 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["ts", "c_fp"],
         payload_alias=["last_click_ts", "_c_fp"],
         inner=False,
+        assert_unique=True,
     )
     return joined.select(
         "event_id",
@@ -301,11 +353,22 @@ def interval_overlap_counts(
     Point ROWS must be unique (carry a unique id column): the per-point
     rollup groups by all point columns, so two bit-identical point rows
     would merge and double-count their shared overlaps. Both registered
-    queries carry ``event_id``; enforce the same upstream when reusing."""
+    queries carry ``event_id``; enforce the same upstream when reusing.
+    (The rejoin is null-safe per point column, so NULLs in non-timestamp
+    point columns are fine — they compare equal to themselves.)"""
     if window_ms <= 0:
         raise ValueError(f"window_ms must be positive, got {window_ms}")
+    _check_reserved(points, _INTERVAL_TEMP_COLS, "points")
+    _check_reserved(intervals, ("__bucket", "__start"), "intervals")
     p_cols = points.columns
 
+    # bucketing quantizes to MILLISECONDS (cheap, and the 2-bucket explode
+    # still covers µs-exact pairs: pt_ms lands in [start_ms, start_ms+W]
+    # whenever start_us <= pt_us < start_us + W*1000), but the exact
+    # containment predicate compares full µs precision — the events table
+    # carries sub-ms timestamps and the oracle compares full timestamps,
+    # so an ms-truncated predicate would misclassify same-ms boundary
+    # pairs (ADVICE r14).
     def bucket(c: str) -> Column:
         return F.floor(F.unix_millis(F.col(c)) / F.lit(window_ms))
 
@@ -317,17 +380,25 @@ def interval_overlap_counts(
     )
     pt = points.withColumn("__bucket", bucket(point_ts))
     hit = pt.join(iv, "__bucket").filter(
-        (F.unix_millis(F.col(point_ts)) >= F.unix_millis("__start"))
-        & (F.unix_millis(F.col(point_ts)) < F.unix_millis("__start") + F.lit(window_ms))
+        (F.unix_micros(F.col(point_ts)) >= F.unix_micros("__start"))
+        & (
+            F.unix_micros(F.col(point_ts))
+            < F.unix_micros("__start") + F.lit(window_ms * 1_000)
+        )
     )
     # points whose bucket held no containing interval vanish from `hit`;
-    # the left join back restores them with n_overlaps = 0
+    # the null-safe left join back restores them with n_overlaps = 0
     agg = hit.groupBy(*[F.col(c) for c in p_cols]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
         F.max("__start").alias("last_overlap_start"),
     )
-    return points.join(agg, p_cols, "left").select(
-        *p_cols,
+    p, a = points.alias("__p"), agg.alias("__a")
+    cond = None
+    for c in p_cols:
+        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__a.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return p.join(a, cond, "left").select(
+        *[F.col(f"__p.{c}") for c in p_cols],
         F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
         "last_overlap_start",
     )
@@ -419,6 +490,7 @@ def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["ts", "c_fp"],
         payload_alias=["next_click_ts", "_c_fp"],
         inner=False,
+        assert_unique=True,
     )
     return joined.select(
         "event_id",

@@ -27,11 +27,43 @@ proc_load_bronze.sql); public Spark JSON-source semantics.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
+
+
+@dataclass
+class JsonlBatch:
+    """The (good, quarantine) pair plus the cache-release handle.
+
+    Unpacks like the 2-tuple it replaces (``good, quarantine = read_jsonl(...)``)
+    and works as a context manager. The parsed frame is CACHED (the
+    SPARK-21610 corrupt-column contract requires it); without a release,
+    every ingest batch would pin executor storage for the session
+    lifetime — call :meth:`unpersist` (or exit the ``with`` block) after
+    materializing both outputs."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    raw: DataFrame  # the cached parsed frame (declared schema + corrupt col)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the cached parsed frame (idempotent)."""
+        self.raw.unpersist(blocking)
+
+    def __iter__(self):
+        return iter((self.good, self.quarantine))
+
+    def __enter__(self) -> "JsonlBatch":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.unpersist()
+        return False
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -46,13 +78,15 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantine): schema-enforced JSONL read.
+) -> JsonlBatch:
+    """Schema-enforced JSONL read; unpacks as ``good, quarantine``.
 
     ``good`` has exactly the declared schema; ``quarantine`` is
     (raw_line string) — one row per line Spark could not fully bind to
     the schema (malformed JSON or type-mismatched fields). Counts obey
-    good + quarantine == total lines."""
+    good + quarantine == total lines. The returned :class:`JsonlBatch`
+    owns the cached parse — ``unpersist()`` it (or use ``with``) once
+    both outputs are materialized."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -74,7 +108,7 @@ def read_jsonl(
     quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return good, quarantine
+    return JsonlBatch(good=good, quarantine=quarantine, raw=raw)
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
@@ -86,9 +120,7 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> Non
     w.json(path)
 
 
-def ingest_documents_jsonl(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
+def ingest_documents_jsonl(spark: SparkSession, path: str) -> JsonlBatch:
     """The documents-table instantiation of :func:`read_jsonl` — the
     JSONL twin of the parquet ``documents`` source, same column set the
     whole text/dedup/retrieval family consumes."""

@@ -68,3 +68,24 @@ def test_split_independence(spark, tmp_path):
     g1, _ = ingest_documents_jsonl(spark, one)
     g2, _ = ingest_documents_jsonl(spark, many)
     assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g2.collect()))
+
+
+def test_batch_unpersist_releases_cache(spark, tmp_path):
+    """The returned batch owns the cached parse: unpersist() (or the
+    context manager) releases executor storage so ingest batches don't
+    pin memory for the session lifetime (ADVICE r14)."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+
+    batch = ingest_documents_jsonl(spark, str(p))
+    good, quarantine = batch  # 2-tuple unpacking still works
+    assert good.count() == 3 and quarantine.count() == 2
+    assert batch.raw.storageLevel.useMemory  # cached while in use
+    batch.unpersist()
+    assert not batch.raw.storageLevel.useMemory
+    batch.unpersist()  # idempotent
+
+    with ingest_documents_jsonl(spark, str(p)) as b2:
+        assert b2.good.count() == 3
+        assert b2.raw.storageLevel.useMemory
+    assert not b2.raw.storageLevel.useMemory

@@ -43,3 +43,30 @@ def test_deferred_queries_keep_their_oracle():
     for k, v in qs.items():
         if v.defer:
             assert v.oracle is not None, f"{k} is deferred but has no oracle"
+
+
+ROWS_ONLY_BY_DESIGN = {
+    "q01_database_exploration",
+    "olap_approx_summary",
+    "text_bpe_tokenize",
+    "multimodal_decode_real",
+    "dedup_video_frames",
+    "embed_pca_project",
+    "ann_opq_topk",
+    "retrieval_mmr_rerank",
+    "eval_isotonic_calibration",
+}
+
+
+def test_rows_only_set_is_exactly_the_documented_nine():
+    """Every oracle-less query must be on the documented rows-only-by-design
+    list (COVERAGE.md; VERDICT r14 nit #3 caught the doc count drifting from
+    the registry — this pins the exact set so neither can drift silently).
+    A new rows-only registration must be added HERE and in COVERAGE.md with
+    its pytest proof named."""
+    qs = all_queries()
+    rows_only = {k for k, v in qs.items() if v.oracle is None}
+    assert rows_only == ROWS_ONLY_BY_DESIGN, (
+        f"rows-only registry drift: extra={sorted(rows_only - ROWS_ONLY_BY_DESIGN)}, "
+        f"missing={sorted(ROWS_ONLY_BY_DESIGN - rows_only)}"
+    )

@@ -247,3 +247,127 @@ def test_asof_forward_crafted(spark):
         left, right, "k", "k", "t", "t", "quote", "matched", inner=True
     )
     assert {r["id"] for r in inner.collect()} == {1, 2, 4}
+
+
+def test_asof_assert_unique_raises_on_equal_time_dupes(spark):
+    """assert_unique=True fails the job on planted duplicate (key, time)
+    right rows — the order-dependent-payload hazard — and passes
+    untouched when the right side is unique (VERDICT r14 ask #3)."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-05 00:00:00"))], "id int, k string, t timestamp"
+    )
+    dup_right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:00:00"), "qa"),
+            ("u1", _ts("2024-01-01 00:00:00"), "qb"),  # same (key, time)
+        ],
+        "k string, t timestamp, quote string",
+    )
+    bad = asof_join_backward(
+        left, dup_right, "k", "k", "t", "t", "quote", "m", assert_unique=True
+    )
+    with _pytest.raises(Exception, match="not unique"):
+        bad.collect()
+
+    uniq_right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:00:00"), "qa"),
+            ("u1", _ts("2024-01-02 00:00:00"), "qb"),
+        ],
+        "k string, t timestamp, quote string",
+    )
+    ok = asof_join_backward(
+        left, uniq_right, "k", "k", "t", "t", "quote", "m", assert_unique=True
+    )
+    assert [r["m"] for r in ok.collect()] == ["qb"]
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    fwd_bad = asof_join_forward(
+        spark.createDataFrame(
+            [(1, "u1", _ts("2023-12-01 00:00:00"))], "id int, k string, t timestamp"
+        ),
+        dup_right, "k", "k", "t", "t", "quote", "m", assert_unique=True,
+    )
+    with _pytest.raises(Exception, match="not unique"):
+        fwd_bad.collect()
+
+
+def test_asof_reserved_temp_cols_rejected(spark):
+    """An input frame already carrying a helper temp column must error
+    loudly instead of silently producing wrong columns (ADVICE r14)."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-05 00:00:00"), 9)],
+        "id int, k string, t timestamp, _pm int",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 00:00:00"), "q")], "k string, t timestamp, quote string"
+    )
+    with _pytest.raises(ValueError, match="reserved temp column"):
+        asof_join_backward(left, right, "k", "k", "t", "t", "quote", "m")
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        interval_overlap_counts,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:10:00"), 0)], "id int, ts timestamp, __bucket int"
+    )
+    iv = spark.createDataFrame([(_ts("2024-01-01 00:10:00"),)], "ts timestamp")
+    with _pytest.raises(ValueError, match="reserved temp column"):
+        interval_overlap_counts(pts, iv, 60000)
+
+
+def test_interval_micros_exact_predicate(spark):
+    """The exact containment predicate compares MICROSECONDS (ADVICE r14
+    medium): same-millisecond boundary pairs classify by their µs values
+    — start is included at µs precision, start+W is excluded even when
+    the µs difference is below 1 ms — and the ms bucketing still routes
+    every µs-exact pair into a shared bucket."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        interval_overlap_counts,
+    )
+
+    W = 30 * 60 * 1000
+    base = _ts("2024-01-01 00:10:00.000500")  # sub-ms start
+    intervals = spark.createDataFrame([(base,)], "ts timestamp")
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00.000500")),  # == start (same µs) → in
+            (2, _ts("2024-01-01 00:10:00.000200")),  # same ms, 300µs early → out
+            (3, _ts("2024-01-01 00:40:00.000499")),  # 1µs before end → in
+            (4, _ts("2024-01-01 00:40:00.000500")),  # == start+W (same ms) → out
+        ],
+        "id int, ts timestamp",
+    )
+    got = {
+        r["id"]: r["n_overlaps"]
+        for r in interval_overlap_counts(points, intervals, W).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_interval_rejoin_null_safe_point_columns(spark):
+    """A point row with a NULL non-timestamp column must still rejoin its
+    own aggregate (eqNullSafe rejoin, ADVICE r14): NULL payload + real
+    overlaps must NOT collapse to n_overlaps=0."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.temporal import (
+        interval_overlap_counts,
+    )
+
+    intervals = spark.createDataFrame([(_ts("2024-01-01 00:10:00"),)], "ts timestamp")
+    points = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 00:15:00")), (2, "x", _ts("2024-01-01 00:15:00"))],
+        "id int, tag string, ts timestamp",
+    )
+    got = {
+        r["id"]: (r["tag"], r["n_overlaps"])
+        for r in interval_overlap_counts(points, intervals, 30 * 60 * 1000).collect()
+    }
+    assert got == {1: (None, 1), 2: ("x", 1)}
