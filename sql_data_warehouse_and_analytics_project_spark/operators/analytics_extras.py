@@ -1073,7 +1073,7 @@ ORDER BY s.event_type, s.hour_ts
 """
 
 
-@query("events_locf_hourly", oracle=_LOCF_SQL)
+@query("events_locf_hourly", oracle=_LOCF_SQL, defer=True)
 def events_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly average-value series per event type with
     last-observation-carried-forward gap fill — the interpolation leg of
@@ -1161,7 +1161,7 @@ ORDER BY event_type, day
 """
 
 
-@query("events_twap_daily", oracle=_TWAP_SQL)
+@query("events_twap_daily", oracle=_TWAP_SQL, defer=True)
 def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average event value per type — the step-series
     integral a plain AVG misrepresents."""
@@ -1270,7 +1270,7 @@ ORDER BY event_type
 """
 
 
-@query("events_autocorr_24h", oracle=_AUTOCORR_SQL)
+@query("events_autocorr_24h", oracle=_AUTOCORR_SQL, defer=True)
 def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-seasonality detector: lag-24 Pearson autocorrelation of the
     dense hourly event-count series, per event type."""
@@ -1342,7 +1342,7 @@ ORDER BY event_type
 """
 
 
-@query("events_peak_rate", oracle=_PEAK_SQL)
+@query("events_peak_rate", oracle=_PEAK_SQL, defer=True)
 def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst trailing-hour burst per event type (value-based RANGE frame
     over epoch-ms) and the earliest instant it occurred."""
@@ -1459,7 +1459,7 @@ ORDER BY event_type, hour_ts
 """
 
 
-@query("events_ewma_hourly", oracle=_ewma_sql(), defer=True)
+@query("events_ewma_hourly", oracle=_ewma_sql())
 def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 12-point EWMA (dyadic weights, exact-integer numerator
     and denominator) of the dense hourly value series per event type."""
@@ -1488,7 +1488,7 @@ ORDER BY segment, order_year
 """
 
 
-@query("olap_grouping_sets_segment_year", oracle=_GSETS_SQL, defer=True)
+@query("olap_grouping_sets_segment_year", oracle=_GSETS_SQL)
 def olap_grouping_sets_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((segment, year), (segment), ()) over orders
     enriched with the broadcast customer dimension — the explicit-subset
@@ -1613,7 +1613,7 @@ ORDER BY r.event_type
 """
 
 
-@query("events_winsorized_stats", oracle=_WINSOR_SQL, defer=True)
+@query("events_winsorized_stats", oracle=_WINSOR_SQL)
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (p01/p99-clamped) vs raw mean value per event type —
     the robust-mean treatment beside the MAD/z-score detectors."""

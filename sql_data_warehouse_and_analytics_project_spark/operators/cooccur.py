@@ -141,7 +141,7 @@ ORDER BY p.a, p.b
 """
 
 
-@query("text_pmi_cooccur", oracle=_PMI_SQL)
+@query("text_pmi_cooccur", oracle=_PMI_SQL, defer=True)
 def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of token pairs co-occurring within a
     ±2 window — collocation mining over the documents corpus."""

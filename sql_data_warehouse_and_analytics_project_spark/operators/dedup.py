@@ -2917,7 +2917,7 @@ FROM sij, sa, sb, tot
 """
 
 
-@query("dedup_methods_ari", oracle=_ARI_SQL, defer=True)
+@query("dedup_methods_ari", oracle=_ARI_SQL)
 def dedup_methods_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chance-corrected agreement (Adjusted Rand Index) between the
     MinHash/LSH and SimHash near-dup clusterings over the full corpus —

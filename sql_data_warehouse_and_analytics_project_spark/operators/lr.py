@@ -377,7 +377,7 @@ def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_lr(feats, w)
 
 
-@query("eval_calibration_bins", oracle=_CAL_BINS_SQL, defer=True)
+@query("eval_calibration_bins", oracle=_CAL_BINS_SQL)
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the trained LR en-classifier: mean
     predicted probability vs empirical positive rate per equal-width
@@ -385,7 +385,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(_lr_scored(spark, sf_dir))
 
 
-@query("eval_calibration_ece", oracle=_CAL_ECE_SQL, defer=True)
+@query("eval_calibration_ece", oracle=_CAL_ECE_SQL)
 def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected calibration error of the trained LR en-classifier —
     one doc-weighted number a probability-thresholding curation gate
@@ -432,7 +432,7 @@ FROM scored
 )
 
 
-@query("eval_brier_score", oracle=_BRIER_SQL, defer=True)
+@query("eval_brier_score", oracle=_BRIER_SQL)
 def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier score (mean squared probability error) of the trained LR
     en-classifier — the proper scoring rule beside the ECE diagnostic,

@@ -547,7 +547,7 @@ ORDER BY digit
 """
 
 
-@query("olap_benford_totalprice", oracle=_BENFORD_SQL)
+@query("olap_benford_totalprice", oracle=_BENFORD_SQL, defer=True)
 def olap_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — per-digit observed vs
     expected share and the chi² contribution."""

@@ -191,7 +191,7 @@ ORDER BY source, rk
 """
 
 
-@query("vocab_top_terms_by_source", oracle=_VOCAB_BY_SOURCE_SQL)
+@query("vocab_top_terms_by_source", oracle=_VOCAB_BY_SOURCE_SQL, defer=True)
 def vocab_top_terms_by_source(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Per-source top-k terms by frequency — the grouped twin of
     vocab_top_terms (per-slice stopword/template discovery; a source whose

@@ -196,7 +196,7 @@ ORDER BY g.i, g.j
 """
 
 
-@query("embed_correlation_matrix", oracle=_CORR_SQL)
+@query("embed_correlation_matrix", oracle=_CORR_SQL, defer=True)
 def embed_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of the embedding dimensions — the
     feature-redundancy audit from the exact PCA statistics pass."""

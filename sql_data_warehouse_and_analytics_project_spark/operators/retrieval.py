@@ -1163,7 +1163,7 @@ ORDER BY f.doc_id
 _PHRASE_SNIPPET_SQL = _phrase_snippet_sql()
 
 
-@query("retrieval_phrase_snippets", oracle=_PHRASE_SNIPPET_SQL)
+@query("retrieval_phrase_snippets", oracle=_PHRASE_SNIPPET_SQL, defer=True)
 def retrieval_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context snippets around the first "stream data" phrase
     match per document — the result-presentation leg of the positional

@@ -1669,7 +1669,7 @@ ORDER BY label
 """
 
 
-@query("cluster_silhouette_by_label", oracle=_SILHOUETTE_SQL)
+@query("cluster_silhouette_by_label", oracle=_SILHOUETTE_SQL, defer=True)
 def cluster_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified-silhouette cluster-coherence score per label partition —
     the quality metric the clustering family lacked."""

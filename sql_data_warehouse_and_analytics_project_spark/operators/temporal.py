@@ -286,7 +286,7 @@ ORDER BY p.event_id
 """
 
 
-@query("events_asof_last_click", oracle=_ASOF_CLICK_SQL, defer=True)
+@query("events_asof_last_click", oracle=_ASOF_CLICK_SQL)
 def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time attribution: each purchase joined AS-OF backward to
     the user's latest click at-or-before it — matched timestamp, exact
@@ -422,7 +422,7 @@ ORDER BY p.event_id
 """
 
 
-@query("events_error_window_join", oracle=_INTERVAL_SQL, defer=True)
+@query("events_error_window_join", oracle=_INTERVAL_SQL)
 def events_error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incident attribution without an equi key: each purchase vs the
     half-open 30-minute windows opened by error events — overlap count
@@ -459,7 +459,7 @@ ORDER BY p.event_id
 """
 
 
-@query("events_asof_next_click", oracle=_ASOF_NEXT_SQL, defer=True)
+@query("events_asof_next_click", oracle=_ASOF_NEXT_SQL)
 def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-purchase behavior: each purchase joined AS-OF forward to the
     user's earliest click at-or-after it — the reaction-time mirror of

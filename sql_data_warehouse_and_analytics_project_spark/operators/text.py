@@ -1407,7 +1407,7 @@ def kn_bigram_logprob(
     )
 
 
-@query("text_kn_bigram_logprob", oracle=_KN_SQL, defer=True)
+@query("text_kn_bigram_logprob", oracle=_KN_SQL)
 def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average per-token interpolated Kneser-Ney bigram log-probability
     per document — the KenLM-shaped upgrade of the Laplace bigram score

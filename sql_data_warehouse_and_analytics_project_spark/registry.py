@@ -149,6 +149,26 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # multimodal pytests (stays a bench headliner); curation_report ↔
     # curation_drop_reasons, which replays the same stage chain;
     # etl_join_suite ↔ etl_window_keys).
+    # r15 rotated 12-for-12 (VERDICT r14 ask #1): promoted the twelve
+    # r14-generation keys (events_asof_last_click, events_asof_next_click,
+    # events_error_window_join, events_ewma_hourly, events_winsorized_stats,
+    # text_kn_bigram_logprob, eval_lift_deciles, eval_calibration_bins,
+    # eval_calibration_ece, eval_brier_score, olap_grouping_sets_segment_year,
+    # dedup_methods_ari — all twelve sf0.01-parity-verified pre-flip, then
+    # the full 50-key window re-simulated 50/50 green post-flip), deferring
+    # twelve long-stable sibling-covered keys: events_locf_hourly /
+    # events_twap_daily / events_autocorr_24h (↔ promoted hourly-window
+    # events family), events_peak_rate (↔ events_funnel_latency stays),
+    # eval_roc_auc (↔ eval_roc_auc_by_source stays, a strict
+    # generalization), eval_pr_curve (↔ promoted eval_lift_deciles
+    # threshold-sweep), text_pmi_cooccur (↔ promoted text_kn_bigram_logprob
+    # shares the bigram-count machinery), cluster_silhouette_by_label
+    # (↔ dedup_component_cohesion stays), olap_benford_totalprice
+    # (↔ olap_gini_revenue_by_nation stays), vocab_top_terms_by_source
+    # (↔ corpus_vocab_overlap + corpus_mass_concentration stay),
+    # embed_correlation_matrix (↔ embed_gram_matrix stays — same exact-
+    # bigint statistics pass), retrieval_phrase_snippets
+    # (↔ retrieval_phrase_match stays — same phrase-index machinery).
     # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries
