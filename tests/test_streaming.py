@@ -1085,3 +1085,134 @@ def test_stream_embed_stats_equals_batch_and_replay_is_noop(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(map(repr, jobs.stream_gram_matrix(spark, state).collect())) == want_gram
     assert sorted(map(repr, jobs.stream_dim_stats(spark, state).collect())) == want_dims
+
+
+def test_stream_asof_attribution_equals_batch(spark, tmp_path):
+    """sink_stream_asof_attribution (r15): replaying the events stream in
+    file batches emits, for every finalized purchase, exactly the rows of
+    the batch as-of twin (latest click at-or-before, horizon null-out) —
+    bit-equality, one row per purchase."""
+    input_dir = str(tmp_path / "input")
+    state = str(tmp_path / "asof_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # split by EVENT TIME (the stream arrives roughly in time order;
+    # lateness=0 means an id-parity split would legitimately drop
+    # cross-batch late clicks and diverge from the batch twin)
+    events = tpch.load(spark, SF_DIR, "events")
+    cutoff = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    events.filter(F.unix_micros("ts") <= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    events.filter(F.unix_micros("ts") > cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    stream = jobs.read_events_stream(spark, input_dir, max_files_per_trigger=1)
+    q = jobs.sink_stream_asof_attribution(
+        stream, state, ckpt, horizon_minutes=120, lateness_minutes=0
+    )
+    q.awaitTermination()
+
+    got = jobs.stream_asof_attributions(spark, state)
+    batch = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(input_dir)
+    expected = jobs.asof_attribution_batch(batch, horizon_minutes=120)
+    assert _rows(got) == _rows(expected)
+    n_purch = batch.filter(F.col("event_type") == "purchase").count()
+    assert got.count() == n_purch  # lateness=0 -> everything finalized
+    assert got.select("event_id").distinct().count() == n_purch
+
+
+def test_stream_asof_late_click_attributed(spark, tmp_path):
+    """The late-click scenario an eager per-batch join gets wrong: the
+    purchase arrives in batch 1, its matching click only in batch 2 (late
+    but within lateness) — the purchase must NOT finalize in batch 1 and
+    must attribute to the late click when it does."""
+    from datetime import datetime as dt
+
+    input_dir = str(tmp_path / "input")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, minute, user, etype, value=1.5):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, value, "{}")
+
+    # batch 1: the purchase at t=30 plus an advancing event at t=40;
+    # watermark after batch 1 = 40m - 60m lateness < purchase -> pending
+    spark.createDataFrame(
+        [ev(10, 30, 7, "purchase"), ev(99, 40, 8, "view")], schema=jobs.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = jobs.read_events_stream(spark, input_dir, max_files_per_trigger=1)
+    jobs.sink_stream_asof_attribution(
+        stream, state, ckpt, horizon_minutes=60, lateness_minutes=60
+    ).awaitTermination()
+    assert jobs.stream_asof_attributions(spark, state).count() == 0
+    assert jobs.stream_asof_pending(spark, state).count() == 1
+
+    # batch 2: the LATE click (t=20 < purchase t=30, event time in the
+    # past) plus an event at t=120 that pushes wm to 60m >= purchase
+    # one file: the late click and the wm-advancing event must land in
+    # the SAME microbatch (multi-part writes + maxFilesPerTrigger=1 would
+    # otherwise split them in arbitrary order)
+    spark.createDataFrame(
+        [ev(5, 20, 7, "click", 2.25), ev(100, 120, 8, "view")],
+        schema=jobs.EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream2 = jobs.read_events_stream(spark, input_dir, max_files_per_trigger=1)
+    jobs.sink_stream_asof_attribution(
+        stream2, state, ckpt, horizon_minutes=60, lateness_minutes=60
+    ).awaitTermination()
+
+    out = jobs.stream_asof_attributions(spark, state).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 10 and r["user_id"] == 7
+    assert r["last_click_ts"] == dt(2024, 3, 1, 10, 20)
+    assert r["micros_since_click"] == 10 * 60 * 1_000_000
+    assert r["last_click_value"] == 2.25
+    assert jobs.stream_asof_pending(spark, state).count() == 0
+
+
+def test_stream_asof_replay_is_noop_and_state_bounded(spark, tmp_path):
+    """Re-running the sink over the same checkpoint is a no-op (no new
+    output dirs, same rows), and the committed click state never retains
+    clicks older than watermark - horizon (bounded state)."""
+    import os
+
+    from datetime import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import commit as _commit
+
+    input_dir = str(tmp_path / "input")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, minute, user, etype):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, 1.0, "{}")
+
+    rows = [ev(1, 0, 7, "click"), ev(2, 10, 7, "purchase"),
+            ev(3, 300, 7, "click"), ev(4, 310, 7, "purchase")]
+    spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).write.mode("append").parquet(input_dir)
+
+    def run():
+        s = jobs.read_events_stream(spark, input_dir)
+        jobs.sink_stream_asof_attribution(
+            s, state, ckpt, horizon_minutes=60, lateness_minutes=0
+        ).awaitTermination()
+
+    run()
+    first = _rows(jobs.stream_asof_attributions(spark, state))
+    out_dirs = sorted(os.listdir(f"{state}/out"))
+    run()  # same checkpoint, no new files -> no new batch
+    assert _rows(jobs.stream_asof_attributions(spark, state)) == first
+    assert sorted(d for d in os.listdir(f"{state}/out") if d.startswith("ingest_batch")) == [
+        d for d in out_dirs if d.startswith("ingest_batch")
+    ]
+    assert len(first) == 2  # both purchases finalized (lateness=0)
+    # bounded click state: wm = 310m; horizon 60m -> the t=0 click evicted
+    clicks = spark.read.parquet(
+        os.path.join(_commit.resolve(f"{state}/state"), "clicks")
+    ).collect()
+    assert [c["ts"] for c in clicks] == [dt(2024, 3, 1, 15, 0)]
