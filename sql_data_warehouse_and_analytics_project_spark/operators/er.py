@@ -1,0 +1,132 @@
+"""Entity resolution: fuzzy string matching via deletion-neighborhood
+blocking (FastSS) + edit-distance verify.
+
+Training-data curation constantly needs approximate entity matching —
+author/site dedup, license-holder reconciliation, near-identical id
+strings from flaky producers — and a naive fuzzy join is an O(n²)
+cartesian with a per-pair edit distance. The classic exact blocking for
+small thresholds is the DELETION NEIGHBORHOOD (FastSS; Bocek et al.,
+"Fast Similarity Search in Large Dictionaries", 2007): for threshold
+t=1, index every string under itself plus each of its single-character
+deletions (|s|+1 keys). Two strings within Levenshtein distance 1 ALWAYS
+share a key — a substitution at position i collides after both delete i;
+an insertion/deletion collides the shorter string with the longer one's
+deletion — so candidate generation is a plain equi self-join on the
+variant key with zero false negatives, and the (cheap, built-in)
+``levenshtein`` verify only runs on candidates.
+
+Why this blocking survives low-entropy ids where segment blocking dies:
+names like ``Customer#000000123`` share a long constant prefix, so any
+prefix/half segment is one giant hot block (a cross join in disguise).
+A deletion variant KEEPS the discriminative digits — deleting a prefix
+character of two different names yields two different keys — so variant
+groups are as small as the true near-duplicate clusters themselves. A
+genuinely hot variant (a real mass-duplicate cluster) is the same
+bounded-bucket situation as LSH bands: cap + audit via ``bucket_cap``.
+
+Scale shape (100 TB): |s|+1 keys per row (names/ids are short), one
+equi-join shuffle on the variant key, verify on candidates only.
+Threshold t>1 generalizes by deleting up to t characters (key count
+C(|s|,t) — document the growth; production fuzzy ids use t ≤ 2).
+
+No reference counterpart — curation-tier extension; DuckDB verifies the
+whole chain (variant generation, blocking join, levenshtein) natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+
+def deletion_variants(col_name: str) -> Column:
+    """array<string>: the string itself + every single-char deletion.
+    Takes the COLUMN NAME (spliced into a SQL lambda — ``transform`` over
+    a dynamic-length ``sequence`` needs the expr form)."""
+    c = col_name
+    dels = F.expr(
+        f"transform(sequence(1, length({c})), i -> "
+        f"concat(substring({c}, 1, i-1), substring({c}, i+1, length({c}))))"
+    )
+    return F.concat(F.array(F.col(c)), dels)
+
+
+def fuzzy_pairs(
+    names: DataFrame,
+    key: str,
+    name: str,
+    max_dist: int = 1,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(key_1, key_2, name_1, name_2, dist): all pairs with
+    ``levenshtein <= max_dist`` (only ``max_dist=1`` is exact — the
+    deletion neighborhood is built for t=1; larger thresholds would need
+    multi-deletion variants). ``bucket_cap`` drops candidate generation
+    from variant groups larger than the cap (hot-cluster guard; capped
+    groups are real mass-duplicate clusters a curation pipeline routes to
+    the exact-dup path instead)."""
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking is exact for max_dist=1 only")
+    n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
+    v = n.select("_k", "_s", F.explode(deletion_variants("_s")).alias("_v"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("_v")
+        v = v.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
+            F.col("_df") <= bucket_cap
+        ).drop("_df")
+    a = v.select(F.col("_k").alias("k1"), F.col("_s").alias("s1"), "_v")
+    b = v.select(F.col("_k").alias("k2"), F.col("_s").alias("s2"), "_v")
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("k1", "k2", "s1", "s2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("k1").alias(f"{key}_1"),
+            F.col("k2").alias(f"{key}_2"),
+            F.col("s1").alias(f"{name}_1"),
+            F.col("s2").alias(f"{name}_2"),
+            "dist",
+        )
+    )
+
+
+_ER_SQL = """
+WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
+vars AS (
+  SELECT k, s,
+         UNNEST(list_append(
+           [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+           s)) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.k AS k1, b.k AS k2, a.s AS s1, b.s AS s2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+)
+SELECT k1 AS c_custkey_1, k2 AS c_custkey_2,
+       s1 AS c_name_1, s2 AS c_name_2,
+       CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s1, s2) <= 1
+ORDER BY c_custkey_1, c_custkey_2
+"""
+
+
+@query("er_fuzzy_customer_pairs", oracle=_ER_SQL, defer=True)
+def er_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 1 (ids
+    differing in one digit), found via deletion-neighborhood blocking —
+    DuckDB replays variant generation, the blocking join, and the
+    levenshtein verify natively."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(cust, "c_custkey", "c_name").orderBy(
+        "c_custkey_1", "c_custkey_2"
+    )

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         drift,
         dsir,
+        er,
         etl_queries,
         evalmetrics,
         hashembed,
@@ -87,9 +88,11 @@ def all_queries() -> dict[str, RegisteredQuery]:
         security_queries,
         seqexamples,
         similarity,
+        skyline,
         skew,
         temporal,
         text,
+        triangles,
         waterfill,
         winnow,
     )
