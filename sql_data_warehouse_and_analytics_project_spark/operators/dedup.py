@@ -651,20 +651,33 @@ def _candidate_shared_counts(
     shingles is never generated (documented recall trade) — the pair list
     here is the LSH candidate set itself, so the recovery is exact for
     every pair: shared = shared_rare + |common₁ ∩ common₂|, bit-identical
-    to the unguarded join."""
-    # df annotation as a shingle-partitioned window, not a groupBy + two
-    # joins back: both legs then derive from ONE shuffle of sh_c by the
-    # same key the rare-rare self-join uses (r14: measured 1.24x faster
-    # than the agg+anti/semi form at sf0.1, identical output; the hot
-    # shingle's window partition is bounded by the candidate count, the
-    # same bound the old groupBy key had)
-    from pyspark.sql import Window
+    to the unguarded join.
 
-    w_sh = Window.partitionBy("shingle")
-    sh_f = sh_c.withColumn("df", F.count(F.lit(1)).over(w_sh))
-    rare = sh_f.filter(F.col("df") <= df_cut).select("doc_id", "shingle")
+    Form (r15, quiet-host bisect of the r14 1.76x bench reading): the
+    guard consumes ``sh_c`` from several branches (df stats, the rare
+    self-join's two sides, the hot collect_set), and without
+    materialization EACH branch re-executes the whole candidate-shingle
+    lineage (LSH banding + explode) — that recompute, plus the full
+    shuffle+sort the r14 window-df form paid to annotate df, was the
+    real cost, not ambient noise. So: (1) ``sh_c`` is localCheckpoint-ed
+    once (bounded — candidate docs' shingles only, post-semi-join);
+    (2) df stats partial-aggregate into a hot-shingle list that is tiny
+    by construction (≤ occurrences/df_cut rows) and BROADCAST back for
+    the rare/hot split — two map-side joins, no window sort. Measured
+    interleaved at sf0.1 on a quiet host (probes at r13 levels):
+    unguarded+ckpt 4.21 s, THIS form 4.88 s, r14 window-df 6.11 s —
+    the protection now costs ~0.65 s instead of ~1.9 s, output
+    bit-identical across all three."""
+    sh_c = sh_c.localCheckpoint(eager=True)
+    hot = F.broadcast(
+        sh_c.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cut)
+        .select("shingle")
+    )
+    rare = sh_c.join(hot, "shingle", "left_anti").select("doc_id", "shingle")
     common_sets = (
-        sh_f.filter(F.col("df") > df_cut)
+        sh_c.join(hot, "shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("common_arr"))
     )
