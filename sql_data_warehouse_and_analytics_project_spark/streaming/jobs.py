@@ -1316,6 +1316,90 @@ def asof_attribution_batch(events: DataFrame, horizon_minutes: int = 60) -> Data
     )
 
 
+def asof_attribution_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    horizon_minutes: int = 60,
+    lateness_minutes: int = 60,
+) -> None:
+    """One microbatch of the as-of attribution sink — module-level so the
+    redelivery/crash tests can drive it directly (foreachBatch is
+    at-least-once: a batch may re-run with the SAME batch_id after a
+    crash anywhere in this function, and must converge)."""
+    import os as _os
+
+    from ..warehouse import commit as _commit
+
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    lateness_us = lateness_minutes * 60 * 1_000_000
+    state_dir = f"{state_path}/state"
+    spark = batch.sparkSession
+    if _commit.current_version(state_dir) is not None:
+        vdir = _commit.resolve(state_dir)
+        clicks_st = spark.read.parquet(_os.path.join(vdir, "clicks"))
+        pending_st = spark.read.parquet(_os.path.join(vdir, "pending"))
+        wm_old = int(
+            spark.read.parquet(_os.path.join(vdir, "meta")).collect()[0][
+                "wm_micros"
+            ]
+        )
+    else:
+        clicks_st = spark.createDataFrame(
+            [], "user_id bigint, ts timestamp, c_fp bigint, src_id bigint"
+        )
+        pending_st = spark.createDataFrame(
+            [], "event_id bigint, user_id bigint, ts timestamp"
+        )
+        wm_old = -(1 << 62)
+
+    mx = batch.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
+    wm_new = max(wm_old, int(mx) - lateness_us) if mx is not None else wm_old
+
+    all_clicks = (
+        _collapse_clicks(batch)
+        .unionByName(clicks_st)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("c_fp", "src_id").alias("c_fp"),
+            F.max("src_id").alias("src_id"),
+        )
+    )
+    all_pending = pending_st.unionByName(
+        batch.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+    ).dropDuplicates(["event_id"])
+
+    fin = all_pending.filter(F.unix_micros("ts") <= F.lit(wm_new))
+    attributed = _attribute_finalized(fin, all_clicks, horizon_minutes)
+    # lineage cut before any write: every frame above reads the
+    # committed version dir the publish below will supersede
+    attributed = attributed.localCheckpoint(eager=True)
+    pend_new = all_pending.filter(
+        F.unix_micros("ts") > F.lit(wm_new)
+    ).localCheckpoint(eager=True)
+    clicks_new = all_clicks.filter(
+        F.unix_micros("ts") > F.lit(wm_new - horizon_us)
+    ).localCheckpoint(eager=True)
+
+    # idempotent output first (a retry overwrites the same dir with
+    # the same rows — it recomputes from the still-unflipped state),
+    # then the atomic state swap: the pointer flip is the commit point
+    attributed.write.mode("overwrite").parquet(
+        f"{state_path}/out/ingest_batch={batch_id}"
+    )
+
+    def _write_state(vdir: str) -> None:
+        clicks_new.write.parquet(_os.path.join(vdir, "clicks"))
+        pend_new.write.parquet(_os.path.join(vdir, "pending"))
+        spark.createDataFrame(
+            [(int(wm_new), int(batch_id))], "wm_micros bigint, batch_id bigint"
+        ).coalesce(1).write.parquet(_os.path.join(vdir, "meta"))
+
+    _commit.publish(state_dir, _write_state, keep_versions=1)
+
+
 def sink_stream_asof_attribution(
     events_stream: DataFrame,
     state_path: str,
@@ -1328,79 +1412,11 @@ def sink_stream_asof_attribution(
     event-time watermark (max seen ts − lateness) passes the purchase;
     clicks and still-pending purchases live in a manifest-pointer
     committed state at ``<state_path>/state``."""
-    import os as _os
-
-    from ..warehouse import commit as _commit
-
-    horizon_us = horizon_minutes * 60 * 1_000_000
-    lateness_us = lateness_minutes * 60 * 1_000_000
-    state_dir = f"{state_path}/state"
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if _commit.current_version(state_dir) is not None:
-            vdir = _commit.resolve(state_dir)
-            clicks_st = spark.read.parquet(_os.path.join(vdir, "clicks"))
-            pending_st = spark.read.parquet(_os.path.join(vdir, "pending"))
-            wm_old = int(
-                spark.read.parquet(_os.path.join(vdir, "meta")).collect()[0][
-                    "wm_micros"
-                ]
-            )
-        else:
-            clicks_st = spark.createDataFrame(
-                [], "user_id bigint, ts timestamp, c_fp bigint, src_id bigint"
-            )
-            pending_st = spark.createDataFrame(
-                [], "event_id bigint, user_id bigint, ts timestamp"
-            )
-            wm_old = -(1 << 62)
-
-        mx = batch.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
-        wm_new = max(wm_old, int(mx) - lateness_us) if mx is not None else wm_old
-
-        all_clicks = (
-            _collapse_clicks(batch)
-            .unionByName(clicks_st)
-            .groupBy("user_id", "ts")
-            .agg(
-                F.max_by("c_fp", "src_id").alias("c_fp"),
-                F.max("src_id").alias("src_id"),
-            )
+        asof_attribution_apply_batch(
+            batch, batch_id, state_path, horizon_minutes, lateness_minutes
         )
-        all_pending = pending_st.unionByName(
-            batch.filter(F.col("event_type") == "purchase").select(
-                "event_id", "user_id", "ts"
-            )
-        ).dropDuplicates(["event_id"])
-
-        fin = all_pending.filter(F.unix_micros("ts") <= F.lit(wm_new))
-        attributed = _attribute_finalized(fin, all_clicks, horizon_minutes)
-        # lineage cut before any write: every frame above reads the
-        # committed version dir the publish below will supersede
-        attributed = attributed.localCheckpoint(eager=True)
-        pend_new = all_pending.filter(
-            F.unix_micros("ts") > F.lit(wm_new)
-        ).localCheckpoint(eager=True)
-        clicks_new = all_clicks.filter(
-            F.unix_micros("ts") > F.lit(wm_new - horizon_us)
-        ).localCheckpoint(eager=True)
-
-        # idempotent output first (a retry overwrites the same dir with
-        # the same rows — it recomputes from the still-unflipped state),
-        # then the atomic state swap: the pointer flip is the commit point
-        attributed.write.mode("overwrite").parquet(
-            f"{state_path}/out/ingest_batch={batch_id}"
-        )
-
-        def _write_state(vdir: str) -> None:
-            clicks_new.write.parquet(_os.path.join(vdir, "clicks"))
-            pend_new.write.parquet(_os.path.join(vdir, "pending"))
-            spark.createDataFrame(
-                [(int(wm_new), int(batch_id))], "wm_micros bigint, batch_id bigint"
-            ).coalesce(1).write.parquet(_os.path.join(vdir, "meta"))
-
-        _commit.publish(state_dir, _write_state, keep_versions=1)
 
     return (
         events_stream.writeStream.foreachBatch(_batch)

@@ -1216,3 +1216,58 @@ def test_stream_asof_replay_is_noop_and_state_bounded(spark, tmp_path):
         os.path.join(_commit.resolve(f"{state}/state"), "clicks")
     ).collect()
     assert [c["ts"] for c in clicks] == [dt(2024, 3, 1, 15, 0)]
+
+
+def test_stream_asof_redelivery_same_batch_converges(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME microbatch
+    (same batch_id — the crash-retry path) must converge: output
+    directory identical, committed state semantically identical, and the
+    next batch applies cleanly on top. Also simulates a crash BETWEEN
+    the out write and the pointer flip: garbage pre-written into the
+    batch's out dir is overwritten with the correct rows."""
+    import os
+
+    from datetime import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.streaming.jobs import (
+        asof_attribution_apply_batch,
+        stream_asof_attributions,
+        stream_asof_pending,
+    )
+
+    state = str(tmp_path / "state")
+
+    def ev(eid, minute, user, etype, value=1.0):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, value, "{}")
+
+    b1 = spark.createDataFrame(
+        [ev(1, 0, 7, "click", 3.5), ev(2, 10, 7, "purchase"), ev(3, 200, 8, "view")],
+        schema=jobs.EVENTS_SCHEMA,
+    )
+    # crash simulation: a dead attempt got as far as writing garbage into
+    # the out dir but died before the state pointer flip
+    spark.createDataFrame(
+        [(999, 999, dt(2000, 1, 1), None, None, None)],
+        "event_id bigint, user_id bigint, ts timestamp, last_click_ts timestamp,"
+        " micros_since_click bigint, last_click_value double",
+    ).write.mode("overwrite").parquet(f"{state}/out/ingest_batch=0")
+
+    asof_attribution_apply_batch(b1, 0, state, horizon_minutes=60, lateness_minutes=60)
+    first_out = _rows(stream_asof_attributions(spark, state))
+    first_pending = _rows(stream_asof_pending(spark, state))
+    assert not any(r[0] == 999 for r in first_out)  # garbage replaced
+
+    # redelivery of the SAME batch_id (crash after commit, retry replays)
+    asof_attribution_apply_batch(b1, 0, state, horizon_minutes=60, lateness_minutes=60)
+    assert _rows(stream_asof_attributions(spark, state)) == first_out
+    assert _rows(stream_asof_pending(spark, state)) == first_pending
+
+    # next batch applies on top: wm passes the purchase, click attributes
+    b2 = spark.createDataFrame([ev(4, 200, 8, "view")], schema=jobs.EVENTS_SCHEMA)
+    asof_attribution_apply_batch(b2, 1, state, horizon_minutes=60, lateness_minutes=60)
+    out = {r["event_id"]: r for r in stream_asof_attributions(spark, state).collect()}
+    assert set(out) == {2}
+    assert out[2]["last_click_value"] == 3.5
+    assert stream_asof_pending(spark, state).count() == 0
+    batch_dirs = [d for d in os.listdir(f"{state}/out") if d.startswith("ingest_batch")]
+    assert sorted(batch_dirs) == ["ingest_batch=0", "ingest_batch=1"]
