@@ -410,3 +410,319 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative gain, and lift over base rate per population decile,
     exact-bigint until the final divisions."""
     return lift_deciles(_docs(spark, sf_dir))
+
+
+# --- Cohen's kappa (r15) ------------------------------------------------------
+#
+# Chance-corrected agreement between a hard classifier and the truth —
+# the label-QA number a data-labeling pipeline alerts on (raw accuracy
+# flatters any skewed-prior rater). kappa = (po − pe) / (1 − pe) with
+# po = observed agreement and pe = the product-of-marginals chance rate.
+# Everything collapses to the 4-cell confusion table first (one
+# partial-agg groupBy), so the arithmetic is exact bigints until the
+# single rounded division — and the 100 TB cost is the one count pass.
+
+_KAPPA_THRESHOLD = 20_000  # score_key (en-marker ppm) decision threshold
+
+
+def cohens_kappa(docs: DataFrame, threshold: int = _KAPPA_THRESHOLD) -> DataFrame:
+    """One row (n_docs, n_agree, po, pe, kappa): agreement between the
+    thresholded en detector and the true label."""
+    scored = score_label(docs).select(
+        "label", (F.col("score_key") >= threshold).cast("int").alias("pred")
+    )
+    cells = scored.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    j = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("c")).otherwise(0)).alias("agree"),
+        F.sum(F.when(F.col("label") == 1, F.col("c")).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("pred") == 1, F.col("c")).otherwise(0)).alias("p1"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = (
+        F.col("t1").cast("double") * F.col("p1").cast("double")
+        + (n - F.col("t1").cast("double")) * (n - F.col("p1").cast("double"))
+    ) / (n * n)
+    return j.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias("kappa"),
+    )
+
+
+_KAPPA_SQL = f"""
+WITH scored AS ({_sql_score_label()}),
+cells AS (
+  SELECT label, CAST(score_key >= {_KAPPA_THRESHOLD} AS INT) AS pred,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored GROUP BY label, pred
+),
+j AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN label = pred THEN c ELSE 0 END) AS agree,
+         SUM(CASE WHEN label = 1 THEN c ELSE 0 END) AS t1,
+         SUM(CASE WHEN pred = 1 THEN c ELSE 0 END) AS p1
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+       ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND((CAST(t1 AS DOUBLE) * CAST(p1 AS DOUBLE)
+              + (CAST(n AS DOUBLE) - CAST(t1 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(p1 AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       ROUND(((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+              - (CAST(t1 AS DOUBLE) * CAST(p1 AS DOUBLE)
+                 + (CAST(n AS DOUBLE) - CAST(t1 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(p1 AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / NULLIF(1.0 - (CAST(t1 AS DOUBLE) * CAST(p1 AS DOUBLE)
+                 + (CAST(n AS DOUBLE) - CAST(t1 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(p1 AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0), 6) AS kappa
+FROM j
+"""
+
+
+@query("eval_cohens_kappa", oracle=_KAPPA_SQL, defer=True)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement of the thresholded en detector with the
+    lang labels — confusion cells exact, one rounded kappa."""
+    return cohens_kappa(_docs(spark, sf_dir))
+
+
+# --- split-conformal coverage audit (r15) -------------------------------------
+#
+# Distribution-free prediction sets (Vovk; Angelopoulos & Bates 2021
+# tutorial form): a hash-based calibration split supplies nonconformity
+# scores; q-hat is the ceil((n_cal+1)(1-a))-th smallest; a test point's
+# prediction set is every label whose nonconformity <= q-hat, and
+# marginal coverage of the true label is guaranteed >= 1-a in
+# expectation — IF the pipeline is implemented exactly. This operator is
+# the audit: it recomputes coverage on the held-out split, the number an
+# eval harness alerts on. Nonconformity: a(x, y=1) = -score_key,
+# a(x, y=0) = +score_key (higher score = more en-like). All integers;
+# the split is the md5-13-hex parity both engines compute identically;
+# the order statistic is taken over the COMPACT (alpha, count) table via
+# cumulative counts — never a corpus-wide sort (the window runs on
+# distinct nonconformity values only, bounded by the ppm construction).
+# Scale = two count passes; q-hat derivation is model-sized.
+
+_CONF_ALPHA_PPM = 100_000  # a = 0.1 as exact ppm (avoids float n*a edges)
+
+
+def _md5_even(col: str):
+    """Engine-portable 50/50 split: parity of the md5-13-hex integer
+    (the repo-standard cross-engine hash, dedup._md5_long)."""
+    from .dedup import _md5_long
+
+    return _md5_long(F.col(col).cast("string"), 13) % 2 == 0
+
+
+def conformal_coverage(docs: DataFrame, alpha_ppm: int = _CONF_ALPHA_PPM) -> DataFrame:
+    """One row (n_calib, n_test, qhat, n_covered, coverage, target):
+    split-conformal coverage of the en-detector nonconformity on the
+    md5-held-out split (even md5(doc_id) = calibration)."""
+    scored = score_label(docs).select(
+        "doc_id",
+        "label",
+        F.when(F.col("label") == 1, -F.col("score_key"))
+        .otherwise(F.col("score_key"))
+        .alias("alpha"),
+        _md5_even("doc_id").alias("is_cal"),
+    )
+    cal = scored.filter("is_cal")
+    test = scored.filter(~F.col("is_cal"))
+    counts = cal.groupBy("alpha").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("alpha").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_cal = cal.count()
+    k = -(-((n_cal + 1) * (1_000_000 - alpha_ppm)) // 1_000_000)  # ceil, exact ints
+    k = min(k, n_cal) if n_cal else 0
+    qhat_rows = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .filter(F.col("cum") >= k)
+        .orderBy("alpha")
+        .limit(1)
+        .collect()
+    )
+    qhat = int(qhat_rows[0]["alpha"]) if qhat_rows else 0
+    cov = test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((F.col("alpha") <= qhat).cast("int")).cast("bigint").alias("n_covered"),
+    )
+    return cov.select(
+        F.lit(int(n_cal)).cast("bigint").alias("n_calib"),
+        "n_test",
+        F.lit(qhat).cast("bigint").alias("qhat"),
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.nullif(F.col("n_test").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("coverage"),
+        F.round(F.lit((1_000_000 - alpha_ppm) / 1_000_000.0), 6).alias("target"),
+    )
+
+
+_CONF_SQL = f"""
+WITH scored AS ({_sql_score_label()}),
+tagged AS MATERIALIZED (
+  SELECT doc_id, label,
+         CASE WHEN label = 1 THEN -score_key ELSE score_key END AS alpha,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 2 = 0) AS is_cal
+  FROM scored
+),
+cal AS (SELECT alpha FROM tagged WHERE is_cal),
+ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+kk AS (
+  SELECT n_cal,
+         LEAST(CAST(CEIL(CAST((n_cal + 1) * {1_000_000 - _CONF_ALPHA_PPM} AS DOUBLE) / 1000000.0) AS BIGINT), n_cal) AS k
+  FROM ncal
+),
+counts AS (
+  SELECT alpha, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY alpha
+),
+cum AS (
+  SELECT alpha, SUM(c) OVER (ORDER BY alpha) AS cum FROM counts
+),
+qhat AS (
+  SELECT MIN(alpha) AS q FROM cum, kk WHERE cum >= kk.k
+),
+cov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.alpha <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM tagged t, qhat q WHERE NOT t.is_cal
+)
+SELECT kk.n_cal AS n_calib, cov.n_test, CAST(COALESCE(q.q, 0) AS BIGINT) AS qhat,
+       cov.n_covered,
+       ROUND(CAST(cov.n_covered AS DOUBLE) / NULLIF(CAST(cov.n_test AS DOUBLE), 0.0), 6) AS coverage,
+       ROUND({(1_000_000 - _CONF_ALPHA_PPM)} / 1000000.0, 6) AS target
+FROM cov, qhat q, kk
+"""
+
+
+@query("eval_conformal_coverage", oracle=_CONF_SQL, defer=True)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit of the en-detector nonconformity:
+    the md5-parity calibration split, the exact-integer order-statistic
+    threshold, and held-out coverage vs the 1-a target — DuckDB replays
+    split, threshold, and coverage."""
+    return conformal_coverage(_docs(spark, sf_dir))
+
+
+# --- information value / weight of evidence (r15) ------------------------------
+#
+# The feature-screening number (credit-scoring WoE/IV, standard in any
+# tabular curation pass): how much does a feature separate a binary
+# label? Buckets are population deciles of the feature assigned on the
+# COMPACT (value, pos, neg) count table via cumulative counts — the
+# lift_deciles discipline (no corpus-wide sort; the window runs over
+# distinct quantized values only). WoE per bucket = ln of the
+# smoothed odds ratio (+0.5 on both counts — keeps empty-side buckets
+# finite); IV term = (pos share − neg share) · WoE. Counts are exact
+# bigints; the ln argument is assembled from exact doubles with ONE
+# mirrored parenthesization so libm sees bit-identical input in both
+# engines. Scale = one partial-agg count pass + a ≤10-row rollup.
+
+_IV_FP = 1_000_000  # value fixed-point, the events-family convention
+
+
+def information_value(events: DataFrame) -> DataFrame:
+    """(decile, n_rows, n_pos, n_neg, woe, iv_term, iv_total): decile
+    WoE table of `value` against the purchase label."""
+    rows = events.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * F.lit(float(_IV_FP))).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    counts = rows.groupBy("v").agg(
+        F.sum("label").cast("bigint").alias("p"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("q"),
+    )
+    w_asc = Window.orderBy("v")  # compact table only
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "p",
+        "q",
+        F.sum(F.col("p") + F.col("q")).over(w_asc).alias("cum_n"),
+        F.sum(F.col("p") + F.col("q")).over(w_all).alias("total"),
+        F.sum("p").over(w_all).alias("total_p"),
+        F.sum("q").over(w_all).alias("total_q"),
+    ).select(
+        F.expr("((cum_n - 1) * 10) div total").cast("int").alias("decile"),
+        "p",
+        "q",
+        "total_p",
+        "total_q",
+    )
+    by_dec = ranked.groupBy("decile", "total_p", "total_q").agg(
+        F.sum(F.col("p") + F.col("q")).cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+    )
+    woe = F.log(
+        ((F.col("n_pos").cast("double") + F.lit(0.5)) * F.col("total_q").cast("double"))
+        / ((F.col("n_neg").cast("double") + F.lit(0.5)) * F.col("total_p").cast("double"))
+    )
+    iv_term = (
+        F.col("n_pos").cast("double") / F.col("total_p").cast("double")
+        - F.col("n_neg").cast("double") / F.col("total_q").cast("double")
+    ) * woe
+    w_dec = Window.partitionBy()  # ≤10 rows
+    return (
+        by_dec.select(
+            "decile", "n_rows", "n_pos", "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.round(iv_term, 6).alias("iv_term"),
+            F.round(F.sum(iv_term).over(w_dec), 6).alias("iv_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+_IV_SQL = f"""
+WITH rows_ AS (
+  SELECT CAST(FLOOR(value * {_IV_FP}.0) AS BIGINT) AS v,
+         CAST(event_type = 'purchase' AS INT) AS label
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT v, CAST(SUM(label) AS BIGINT) AS p, CAST(SUM(1 - label) AS BIGINT) AS q
+  FROM rows_ GROUP BY v
+),
+ranked AS (
+  SELECT ((SUM(p + q) OVER (ORDER BY v) - 1) * 10) // SUM(p + q) OVER () AS decile,
+         p, q,
+         SUM(p) OVER () AS total_p,
+         SUM(q) OVER () AS total_q
+  FROM counts
+),
+by_dec AS (
+  SELECT CAST(decile AS INT) AS decile, total_p, total_q,
+         CAST(SUM(p + q) AS BIGINT) AS n_rows,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg
+  FROM ranked GROUP BY decile, total_p, total_q
+),
+woe_t AS (
+  SELECT decile, n_rows, n_pos, n_neg,
+         ln(((CAST(n_pos AS DOUBLE) + 0.5) * CAST(total_q AS DOUBLE))
+            / ((CAST(n_neg AS DOUBLE) + 0.5) * CAST(total_p AS DOUBLE))) AS woe_raw,
+         (CAST(n_pos AS DOUBLE) / CAST(total_p AS DOUBLE)
+          - CAST(n_neg AS DOUBLE) / CAST(total_q AS DOUBLE)) AS share_gap
+  FROM by_dec
+)
+SELECT decile, n_rows, n_pos, n_neg,
+       ROUND(woe_raw, 6) AS woe,
+       ROUND(share_gap * woe_raw, 6) AS iv_term,
+       ROUND(SUM(share_gap * woe_raw) OVER (), 6) AS iv_total
+FROM woe_t
+ORDER BY decile
+"""
+
+
+@query("eval_information_value", oracle=_IV_SQL, defer=True)
+def eval_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile weight-of-evidence table of event value vs the purchase
+    label, with the summed information value — exact-bigint counts, one
+    mirrored ln per bucket."""
+    return information_value(tpch.load(spark, sf_dir, "events"))

@@ -162,3 +162,108 @@ def test_lift_deciles_tied_scores_travel_together(spark):
     assert rows[7]["n_rows"] == 15 and rows[7]["n_pos"] == 5
     assert rows[9]["n_rows"] == 5 and rows[9]["n_pos"] == 0
     assert rows[9]["cum_gain"] == 1.0
+
+
+# --- r15: kappa / conformal / information value -------------------------------
+
+
+def test_cohens_kappa_semantics(spark):
+    """Perfect agreement -> kappa 1; constant predictor -> kappa 0 (po ==
+    pe when one marginal is degenerate); hand-computed mixed case."""
+    import math
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.evalmetrics import (
+        cohens_kappa,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, l, "s", len(t)) for i, (t, l) in enumerate(rows)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+
+    # en docs full of en markers, others with none -> threshold separates
+    en = "the and is of to the and is of to"
+    xx = "zzz qqq www rrr ttt yyy uuu iii ooo ppp"
+    perfect = docs([(en, "en")] * 5 + [(xx, "fr")] * 5)
+    r = cohens_kappa(perfect).collect()[0]
+    assert r["kappa"] == 1.0 and r["n_agree"] == 10
+
+    # constant predictor (all below threshold): agreement = class prior,
+    # kappa -> 0
+    const = docs([(xx, "en")] * 4 + [(xx, "fr")] * 6)
+    r = cohens_kappa(const).collect()[0]
+    assert r["kappa"] == 0.0
+
+    # hand-computed 2x2: n11=4, n00=3, n10=1 (en predicted non-en),
+    # n01=2 (non-en predicted en)
+    mixed = docs(
+        [(en, "en")] * 4 + [(xx, "en")] * 1 + [(en, "fr")] * 2 + [(xx, "fr")] * 3
+    )
+    r = cohens_kappa(mixed).collect()[0]
+    po = 7 / 10
+    pe = (5 * 6 + 5 * 4) / 100
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-9
+    assert not math.isnan(r["kappa"])
+
+
+def test_conformal_coverage_guarantee_on_planted(spark):
+    """Marginal coverage must be >= 1 - alpha (within finite-sample
+    slack) on a corpus the detector separates imperfectly, and qhat must
+    be the exact order statistic of the calibration nonconformities."""
+    import itertools
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.evalmetrics import (
+        conformal_coverage,
+    )
+
+    words_en = ["the", "and", "is", "of", "to"]
+    words_xx = ["zzz", "qqq", "www", "rrr"]
+    rows = []
+    for i in range(400):
+        # graded mixtures so nonconformity has a real distribution
+        k = i % 11
+        toks = list(itertools.islice(itertools.cycle(words_en), k)) + list(
+            itertools.islice(itertools.cycle(words_xx), 11 - k)
+        )
+        text = " ".join(toks)
+        lang = "en" if k >= 6 else "fr"
+        rows.append((i, text, lang, "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    r = conformal_coverage(docs).collect()[0]
+    assert r["n_calib"] + r["n_test"] == 400
+    assert r["target"] == 0.9
+    # finite-sample guarantee: coverage >= 1 - alpha - O(1/n_cal) slack
+    assert r["coverage"] >= r["target"] - 2.0 / r["n_calib"]
+
+
+def test_information_value_semantics(spark):
+    """A perfectly separating feature yields large IV; a feature
+    independent of the label yields IV ~ 0; decile counts tile the
+    population."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.evalmetrics import (
+        information_value,
+    )
+    from datetime import datetime as dt
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, dt(2024, 1, 1), 1, t, v, "{}") for i, (v, t) in enumerate(rows)],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        )
+
+    # separable: purchases all have high value
+    sep = events([(float(i), "view") for i in range(100)]
+                 + [(1000.0 + i, "purchase") for i in range(100)])
+    t = information_value(sep).collect()
+    assert sum(r["n_rows"] for r in t) == 200
+    assert t[0]["iv_total"] > 2.0  # "suspiciously predictive" territory
+    # independent: every distinct value receives both labels equally
+    ind = events([(float((i // 2) % 50), "purchase" if i % 2 == 0 else "view") for i in range(200)])
+    t2 = information_value(ind).collect()
+    assert abs(t2[0]["iv_total"]) < 0.05
