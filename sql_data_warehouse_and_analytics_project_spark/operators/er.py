@@ -130,3 +130,95 @@ def er_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(cust, "c_custkey", "c_name").orderBy(
         "c_custkey_1", "c_custkey_2"
     )
+
+
+# --- pairs → entities (r15 completion of the ER story) ------------------------
+#
+# A pair list is not a resolution: the deliverable is the ENTITY — the
+# transitive closure of the match graph with one canonical record per
+# cluster. Reuses the dedup tier's driver-looped min-label propagation
+# (O(diameter) rounds, one scalar to the driver per round); the DuckDB
+# oracle replays the closure as a recursive CTE over MATERIALIZED
+# pair/edge CTEs (the ARI lesson: un-MATERIALIZED pipeline CTEs
+# re-evaluate inside every recursive iteration).
+
+
+def entity_clusters(names: DataFrame, key: str, name: str) -> DataFrame:
+    """(entity_id, n_members, min_key, max_key, canonical_name): one row
+    per multi-member entity from the Levenshtein<=1 match graph;
+    entity_id = smallest member key, canonical_name = that member's
+    name (the min-id survivor policy the dedup tier uses)."""
+    from .dedup import connected_components
+
+    pairs = fuzzy_pairs(names, key, name).select(
+        F.col(f"{key}_1").alias("doc_id_1"), F.col(f"{key}_2").alias("doc_id_2")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("member"), F.col("component_id").alias("entity_id")
+    )
+    canon = names.select(
+        F.col(key).alias("entity_id"), F.col(name).alias("canonical_name")
+    )
+    return (
+        comp.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("member").cast("bigint").alias("min_key"),
+            F.max("member").cast("bigint").alias("max_key"),
+        )
+        .join(canon, "entity_id")
+        .select("entity_id", "n_members", "min_key", "max_key", "canonical_name")
+    )
+
+
+_ER_CLUSTERS_SQL = """
+WITH RECURSIVE names AS MATERIALIZED (
+  SELECT c_custkey AS k, c_name AS s FROM customer
+),
+vars AS MATERIALIZED (
+  SELECT k, s,
+         UNNEST(list_append(
+           [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+           s)) AS v
+  FROM names
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.k AS k1, b.k AS k2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+),
+pairs AS MATERIALIZED (
+  SELECT c.k1, c.k2 FROM cand c
+  JOIN names n1 ON n1.k = c.k1 JOIN names n2 ON n2.k = c.k2
+  WHERE levenshtein(n1.s, n2.s) <= 1
+),
+edges AS MATERIALIZED (
+  SELECT k1 AS a, k2 AS b FROM pairs
+  UNION
+  SELECT k2, k1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS member, MIN(lab) AS entity_id FROM reach GROUP BY node
+)
+SELECT c.entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(c.member) AS BIGINT) AS min_key,
+       CAST(MAX(c.member) AS BIGINT) AS max_key,
+       n.s AS canonical_name
+FROM comp c JOIN names n ON n.k = c.entity_id
+GROUP BY c.entity_id, n.s
+ORDER BY c.entity_id
+"""
+
+
+@query("er_entity_clusters", oracle=_ER_CLUSTERS_SQL, defer=True)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer entities: the transitive closure of the Levenshtein<=1
+    name-match graph, one row per multi-member entity with the min-id
+    canonical record — DuckDB replays blocking, verify, and the closure
+    (recursive CTE over MATERIALIZED stages)."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return entity_clusters(cust, "c_custkey", "c_name").orderBy("entity_id")

@@ -71,3 +71,40 @@ def test_fuzzy_pairs_rejects_unsupported_threshold(spark):
     df = spark.createDataFrame(NAMES, "id bigint, name string")
     with pytest.raises(ValueError):
         fuzzy_pairs(df, "id", "name", max_dist=2)
+
+
+def test_entity_clusters_equal_union_find_truth(spark):
+    """pairs → entities: clusters equal the union-find closure of the
+    brute-force pair set, with min-id canonical records."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        entity_clusters,
+    )
+
+    parent = {k: k for k, _ in NAMES}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _python_truth():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for k, _ in NAMES:
+        truth.setdefault(find(k), set()).add(k)
+    multi = {r: m for r, m in truth.items() if len(m) > 1}
+
+    df = spark.createDataFrame(NAMES, "id bigint, name string")
+    got = {
+        r["entity_id"]: (r["n_members"], r["min_key"], r["max_key"], r["canonical_name"])
+        for r in entity_clusters(df, "id", "name").collect()
+    }
+    names_by_key = dict(NAMES)
+    assert set(got) == set(multi)
+    for root, members in multi.items():
+        assert got[root] == (
+            len(members), min(members), max(members), names_by_key[root]
+        )
