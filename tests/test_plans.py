@@ -865,3 +865,36 @@ def test_r13_query_plan_budgets(spark):
         assert n <= budget, (name, n, budget)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r15_query_plan_budgets(spark):
+    """Plan pins for the r15 registered queries: no cartesian anywhere;
+    the ER blocking join is an equi join on the variant key (never a
+    name×name nested loop); the triangle census is equi-join-only; the
+    permutation-PQ recall audit's LUT join and the skyline's global
+    refine stay broadcast."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+    for name in (
+        "er_fuzzy_customer_pairs",
+        "er_entity_clusters",
+        "graph_triangle_count",
+        "curation_pareto_front",
+        "ann_opq_recall",
+        "eval_cohens_kappa",
+        "eval_conformal_coverage",
+        "eval_information_value",
+    ):
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        plan = audit.executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+    # the fuzzy-pair candidate join must be hash/broadcast equi on the
+    # variant, not any nested-loop form
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        er_fuzzy_customer_pairs,
+    )
+
+    plan = audit.executed_plan(er_fuzzy_customer_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
