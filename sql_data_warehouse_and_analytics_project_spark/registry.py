@@ -90,6 +90,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         similarity,
         skyline,
         skew,
+        survival,
         temporal,
         text,
         triangles,

@@ -1,0 +1,80 @@
+"""Kaplan–Meier: equals a pure-Python product-limit reference on crafted
+cohorts (censoring shifts the curve up vs naive), and the d == n_risk
+terminal step lands survival exactly at 0 in both engines' fold."""
+
+from __future__ import annotations
+
+from datetime import datetime as dt, timedelta as td
+
+from sql_data_warehouse_and_analytics_project_spark.operators.survival import (
+    kaplan_meier_conversion,
+)
+
+T0 = dt(2024, 3, 1, 0, 0)
+
+
+def _events(rows):
+    return rows
+
+
+def _mk(spark, subjects, obs_end_hours):
+    """subjects: list of (user, duration_hours_or_None). None = never
+    converts (censored at obs_end). Builds click/purchase events plus an
+    observation-end marker event."""
+    rows = []
+    eid = 0
+    for u, d in subjects:
+        rows.append((eid, T0, u, "click", 1.0, "{}")); eid += 1
+        if d is not None:
+            rows.append((eid, T0 + td(hours=d), u, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, T0 + td(hours=obs_end_hours), 10_000, "view", 1.0, "{}"))
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+
+
+def _python_km(subjects, obs_end_hours):
+    durs = [
+        (d if d is not None else obs_end_hours, d is not None) for _, d in subjects
+    ]
+    times = sorted({t for t, ev in durs if ev})
+    out, s = [], 1.0
+    for t in times:
+        n = sum(1 for tt, _ in durs if tt >= t)
+        d = sum(1 for tt, ev in durs if tt == t and ev)
+        c = sum(1 for tt, ev in durs if tt == t and not ev)
+        s *= 1 - d / n
+        out.append((t, n, d, c, round(s, 6)))
+    return out
+
+
+def test_km_matches_python_reference_with_censoring(spark):
+    subjects = (
+        [(i, 5) for i in range(4)]          # 4 convert at 5h
+        + [(10 + i, 20) for i in range(3)]  # 3 convert at 20h
+        + [(20 + i, None) for i in range(3)]  # 3 never convert (censored @48h)
+        + [(30, 40)]                        # 1 converts at 40h
+    )
+    df = _mk(spark, subjects, obs_end_hours=48)
+    got = [
+        (r["t_hours"], r["n_risk"], r["n_events"], r["n_censored"], r["survival"])
+        for r in kaplan_meier_conversion(df).collect()
+    ]
+    assert got == _python_km(subjects, 48)
+    # censoring must keep survival ABOVE the naive everyone-converts curve
+    final_s = got[-1][4]
+    naive = 1.0
+    for _, n, d, _, _ in _python_km([(u, d if d is not None else 48) for u, d in subjects], 48):
+        naive *= 1 - d / n
+    assert final_s > round(naive, 6)
+
+
+def test_km_terminal_full_conversion_hits_zero(spark):
+    """Everyone converts; the last risk set has d == n -> survival must be
+    exactly 0.0 (the guarded-ln path, not an exp(-inf)/error artifact)."""
+    subjects = [(1, 2), (2, 2), (3, 7), (4, 7)]
+    df = _mk(spark, subjects, obs_end_hours=10)
+    got = [(r["t_hours"], r["survival"]) for r in kaplan_meier_conversion(df).collect()]
+    assert got == [(2, 0.5), (7, 0.0)]
