@@ -1,0 +1,212 @@
+"""A/B experiment readout with CUPED variance reduction.
+
+The experimentation half of eval infrastructure: a raw treatment/control
+comparison of a noisy metric needs enormous samples; CUPED (Deng, Xu,
+Kohavi & Walker, WSDM 2013) removes the variance explained by a
+PRE-EXPERIMENT covariate — Y_adj = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X)
+pooled across arms — shrinking the metric's variance by the squared
+pre/post correlation while leaving the treatment-effect estimate
+unbiased (assignment is independent of X).
+
+Engine discipline: units collapse to ONE row per user (one conditional
+partial-agg pass: X = period-1 click value, Y = period-2 purchase
+value, both 1e6 fixed-point bigints; the period split is the exact
+midpoint of the observed micros range); all second-moment sums
+(Σx², Σxy, Σy²) accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB)
+— exact past int64 — and every float (θ, means, variances) derives from
+those exact sums through ONE mirrored parenthesization, so both engines
+round identically. Treatment assignment is the md5-parity hash split
+(the conformal/split-leakage convention). Scale: one corpus pass + a
+2-row arm rollup; nothing downstream sees corpus rows.
+
+Output: one row per arm with the raw and CUPED-adjusted post-period
+mean and sample variance, plus the pooled θ and the variance-reduction
+ratio — the numbers an experiment dashboard renders.
+
+No reference counterpart — experimentation-tier extension (public
+method).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+_FP = 1_000_000
+
+
+def cuped_ab_readout(events: DataFrame) -> DataFrame:
+    """(treatment, n_users, mean_post, mean_post_cuped, var_post,
+    var_post_cuped, theta, var_reduction) per md5-parity arm."""
+    from .dedup import _md5_long
+
+    us = F.unix_micros("ts")
+    ev = events.select(
+        "user_id",
+        us.alias("us"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint").alias("vfp"),
+    )
+    bounds = F.broadcast(
+        ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
+    )
+    per_user = (
+        ev.crossJoin(bounds)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("us") <= F.expr("(t0 + t1) div 2"))
+                    & (F.col("event_type") == "click"),
+                    F.col("vfp"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("us") > F.expr("(t0 + t1) div 2"))
+                    & (F.col("event_type") == "purchase"),
+                    F.col("vfp"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            (_md5_long(F.col("user_id").cast("string"), 13) % 2).cast("int").alias("t"),
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    arm = per_user.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = F.broadcast(
+        arm.agg(
+            F.sum("n").alias("pn"),
+            F.sum("sx").alias("psx"),
+            F.sum("sy").alias("psy"),
+            F.sum("sxx").alias("psxx"),
+            F.sum("sxy").alias("psxy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # var(X) = 0 (constant covariate) degenerates CUPED to no adjustment:
+    # theta = 0, identically in both engines
+    theta = F.coalesce(
+        (d("pn") * d("psxy") - d("psx") * d("psy"))
+        / F.nullif(d("pn") * d("psxx") - d("psx") * d("psx"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    j = arm.crossJoin(pooled).withColumn("theta", theta)
+    fp2 = float(_FP) * float(_FP)
+    mean_post = d("sy") / d("n") / F.lit(float(_FP))
+    xbar_all = d("psx") / d("pn")
+    mean_adj = (
+        d("sy") / d("n") - F.col("theta") * (d("sx") / d("n") - xbar_all)
+    ) / F.lit(float(_FP))
+    var_y = (d("n") * d("syy") - d("sy") * d("sy")) / (
+        d("n") * (d("n") - F.lit(1.0))
+    ) / F.lit(fp2)
+    cov_a = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * (d("n") - F.lit(1.0))
+    ) / F.lit(fp2)
+    var_x = (d("n") * d("sxx") - d("sx") * d("sx")) / (
+        d("n") * (d("n") - F.lit(1.0))
+    ) / F.lit(fp2)
+    var_adj = var_y - F.lit(2.0) * F.col("theta") * cov_a + F.col("theta") * F.col("theta") * var_x
+    return (
+        j.select(
+            F.col("t").alias("treatment"),
+            F.col("n").alias("n_users"),
+            F.round(mean_post, 6).alias("mean_post"),
+            F.round(mean_adj, 6).alias("mean_post_cuped"),
+            F.round(var_y, 6).alias("var_post"),
+            F.round(var_adj, 6).alias("var_post_cuped"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(
+                F.lit(1.0) - var_adj / F.nullif(var_y, F.lit(0.0)), 6
+            ).alias("var_reduction"),
+        )
+        .orderBy("treatment")
+    )
+
+
+_CUPED_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         CAST(FLOOR(value * {_FP}.0) AS BIGINT) AS vfp
+  FROM events
+),
+bounds AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+per_user AS (
+  SELECT (('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 13))::BIGINT % 2) AS t,
+         CAST(SUM(CASE WHEN e.us <= (b.t0 + b.t1) // 2 AND e.event_type = 'click'
+                       THEN e.vfp ELSE 0 END) AS HUGEINT) AS x,
+         CAST(SUM(CASE WHEN e.us > (b.t0 + b.t1) // 2 AND e.event_type = 'purchase'
+                       THEN e.vfp ELSE 0 END) AS HUGEINT) AS y
+  FROM ev e, bounds b
+  GROUP BY e.user_id
+),
+arm AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM per_user GROUP BY t
+),
+pooled AS (
+  SELECT SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+         SUM(sxx) AS psxx, SUM(sxy) AS psxy
+  FROM arm
+),
+j AS (
+  SELECT a.*, p.pn, p.psx, p.psy, p.psxx, p.psxy,
+         COALESCE((CAST(p.pn AS DOUBLE) * CAST(p.psxy AS DOUBLE)
+          - CAST(p.psx AS DOUBLE) * CAST(p.psy AS DOUBLE))
+         / NULLIF(CAST(p.pn AS DOUBLE) * CAST(p.psxx AS DOUBLE)
+                  - CAST(p.psx AS DOUBLE) * CAST(p.psx AS DOUBLE), 0.0), 0.0) AS theta
+  FROM arm a, pooled p
+)
+SELECT t AS treatment, n AS n_users,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / {_FP}.0, 6) AS mean_post,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))) / {_FP}.0, 6) AS mean_post_cuped,
+       ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6, 6) AS var_post,
+       ROUND(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6)
+             - 2.0 * theta * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6)
+             + theta * theta * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6), 6) AS var_post_cuped,
+       ROUND(theta, 6) AS theta,
+       ROUND(1.0 - (((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6)
+             - 2.0 * theta * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6)
+             + theta * theta * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6))
+             / NULLIF(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / {_FP}.0e6), 0.0), 6) AS var_reduction
+FROM j
+ORDER BY treatment
+"""
+
+
+@query("eval_cuped_ab", oracle=_CUPED_SQL, defer=True)
+def eval_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED A/B readout over the events table: md5-parity arms,
+    period-1 click value as the covariate, period-2 purchase value as
+    the metric — raw vs adjusted means/variances and the pooled theta,
+    every float derived from exact decimal/HUGEINT sums."""
+    return cuped_ab_readout(tpch.load(spark, sf_dir, "events"))

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # import side-effect modules that register queries
     from . import analytics  # noqa: F401
     from .operators import (  # noqa: F401
+        abtest,
         analytics_extras,
         approx,
         bootstrap,
