@@ -83,6 +83,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         pq,
         profile_stats,
         quant,
+        ranking_eval,
         retrieval,
         rp,
         sampling_json,
