@@ -1266,7 +1266,10 @@ def component_cohesion(pairs: DataFrame, _caches: list | None = None) -> DataFra
         .join(comp, "doc_id")
     )
     wedges = deg.groupBy("component_id").agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("wedges")
+        # integer-exact wedge count: float '/ 2' loses exactness past 2^53
+        # (VERDICT r15 nit #2 — same hazard class as the clustering_ari
+        # fix); deg is LSH-bucket-cap bounded so bigint deg·(deg−1) holds
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("bigint").alias("wedges")
     )
     e1 = edges.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
     e2 = edges.select(F.col("doc_id_1").alias("b"), F.col("doc_id_2").alias("c"))
@@ -1331,7 +1334,7 @@ deg AS (
   GROUP BY doc_id
 ),
 wedges AS (
-  SELECT c.component_id, CAST(SUM(d.deg * (d.deg - 1) / 2) AS BIGINT) AS wedges
+  SELECT c.component_id, CAST(SUM(d.deg * (d.deg - 1) // 2) AS BIGINT) AS wedges
   FROM deg d JOIN comp c ON c.doc_id = d.doc_id
   GROUP BY c.component_id
 ),
@@ -2836,16 +2839,27 @@ def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame
         )
     )
     cont = lab.groupBy("ca", "cb").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # exact integer combinatorics: `div` keeps n·(n−1)/2 a bigint all the
-    # way (float '/ 2' loses exactness past 2^53, exactly the corpus-scale
-    # regime this operator targets; the DuckDB oracle uses integer '//')
-    comb = lambda c: F.expr(f"({c} * ({c} - 1)) div 2").cast("bigint")  # noqa: E731
-    sij = cont.agg(F.sum(comb("n")).cast("bigint").alias("sij"))
+    # exact integer combinatorics in decimal(38,0) (the repo's second-
+    # moment discipline): bigint n·(n−1) wraps silently past n ≈ 3.04e9
+    # in non-ANSI Spark (while the DuckDB oracle errors) — exactly the
+    # corpus-scale regime this operator targets. Halving the EVEN factor
+    # first (one of n, n−1 always is) keeps every step an exact integer:
+    # the halved factor still fits bigint, the decimal(38,0) multiply is
+    # exact past int64, and no `div` appears (Spark's IntegralDivide
+    # returns LongType, which would re-overflow the quotient). The Σcomb
+    # accumulators stay decimal for the same reason.
+    comb = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN {c} % 2 = 0"
+        f" THEN CAST({c} div 2 AS decimal(38,0)) * CAST({c} - 1 AS decimal(38,0))"
+        f" ELSE CAST({c} AS decimal(38,0)) * CAST(({c} - 1) div 2 AS decimal(38,0))"
+        f" END"
+    ).cast("decimal(38,0)")
+    sij = cont.agg(F.sum(comb("n")).cast("decimal(38,0)").alias("sij"))
     sa = (
         cont.groupBy("ca")
         .agg(F.sum("n").alias("m"))
         .agg(
-            F.sum(comb("m")).cast("bigint").alias("sa"),
+            F.sum(comb("m")).cast("decimal(38,0)").alias("sa"),
             F.count(F.lit(1)).cast("bigint").alias("ka"),
         )
     )
@@ -2853,13 +2867,13 @@ def clustering_ari(labels_a: DataFrame, labels_b: DataFrame, universe: DataFrame
         cont.groupBy("cb")
         .agg(F.sum("n").alias("m"))
         .agg(
-            F.sum(comb("m")).cast("bigint").alias("sb"),
+            F.sum(comb("m")).cast("decimal(38,0)").alias("sb"),
             F.count(F.lit(1)).cast("bigint").alias("kb"),
         )
     )
     tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     j = sij.crossJoin(sa).crossJoin(sb).crossJoin(tot)
-    cn2 = F.expr("(n_docs * (n_docs - 1)) div 2").cast("double")
+    cn2 = comb("n_docs").cast("double")
     exp = F.col("sa").cast("double") * F.col("sb").cast("double") / cn2
     num = F.col("sij").cast("double") - exp
     den = (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0) - exp
@@ -2906,14 +2920,16 @@ lab AS (
   LEFT JOIN lb ON lb.doc_id = d.doc_id
 ),
 cont AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY ca, cb),
-sij AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sij FROM cont),
+-- exact comb in HUGEINT (DuckDB's BIGINT n*(n-1) ERRORS past n ~ 3.04e9
+-- rather than wrapping; HUGEINT mirrors the engine's decimal(38,0) path)
+sij AS (SELECT SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS sij FROM cont),
 sa AS (
-  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS sa,
+  SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS sa,
          CAST(COUNT(*) AS BIGINT) AS ka
   FROM (SELECT ca, SUM(n) AS m FROM cont GROUP BY ca)
 ),
 sb AS (
-  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS sb,
+  SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS sb,
          CAST(COUNT(*) AS BIGINT) AS kb
   FROM (SELECT cb, SUM(n) AS m FROM cont GROUP BY cb)
 ),
@@ -2921,10 +2937,10 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab)
 SELECT n_docs, ka AS clusters_a, kb AS clusters_b,
        ROUND((CAST(sij AS DOUBLE)
               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
-                / CAST(CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS DOUBLE))
+                / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS DOUBLE))
              / NULLIF((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
-                        / CAST(CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS DOUBLE),
+                        / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS DOUBLE),
                       0.0), 6) AS ari
 FROM sij, sa, sb, tot
 """

@@ -54,6 +54,33 @@ def deletion_variants(col_name: str) -> Column:
     return F.concat(F.array(F.col(c)), dels)
 
 
+def deletion_variants2(col_name: str) -> Column:
+    """array<string>: the t=2 deletion neighborhood — the string itself,
+    every 1-deletion, and every 2-deletion (positions i<j), de-duplicated
+    (repeated characters make distinct deletion positions collide, and
+    duplicate keys only inflate the blocking join). Key growth is the
+    documented FastSS cost: 1 + |s| + C(|s|,2) keys per row before
+    de-dup — fine for short id/name strings, the audit a caller must do
+    before pointing this at long text. Empty/1-char strings are guarded
+    (Spark's ``sequence(1, 0)`` steps BACKWARD, it is not empty)."""
+    c = col_name
+    one = F.expr(
+        f"CASE WHEN length({c}) >= 1 THEN "
+        f"transform(sequence(1, length({c})), i -> "
+        f"concat(substring({c}, 1, i-1), substring({c}, i+1, length({c})))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    two = F.expr(
+        f"CASE WHEN length({c}) >= 2 THEN "
+        f"flatten(transform(sequence(1, length({c}) - 1), i -> "
+        f"transform(sequence(i + 1, length({c})), j -> "
+        f"concat(substring({c}, 1, i-1), substring({c}, i+1, j-i-1), "
+        f"substring({c}, j+1, length({c})))))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return F.array_distinct(F.concat(F.array(F.col(c)), one, two))
+
+
 def fuzzy_pairs(
     names: DataFrame,
     key: str,
@@ -62,16 +89,23 @@ def fuzzy_pairs(
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """(key_1, key_2, name_1, name_2, dist): all pairs with
-    ``levenshtein <= max_dist`` (only ``max_dist=1`` is exact — the
-    deletion neighborhood is built for t=1; larger thresholds would need
-    multi-deletion variants). ``bucket_cap`` drops candidate generation
-    from variant groups larger than the cap (hot-cluster guard; capped
-    groups are real mass-duplicate clusters a curation pipeline routes to
-    the exact-dup path instead)."""
-    if max_dist != 1:
-        raise ValueError("deletion-neighborhood blocking is exact for max_dist=1 only")
+    ``levenshtein <= max_dist``. Exact (zero false negatives) for
+    ``max_dist`` in {1, 2}: an alignment witnessing lev(u, v) <= t edits
+    touches <= t positions on each side, and deleting exactly those
+    positions from each string yields a COMMON member of both t-deletion
+    neighborhoods — so the equi self-join on variant keys is a candidate
+    superset and the ``levenshtein`` verify runs on candidates only
+    (FastSS, Bocek et al. 2007). t=2 pays C(|s|,2) keys per row
+    (``deletion_variants2``); t>2 raises — the key growth is
+    combinatorial and production fuzzy ids use t <= 2. ``bucket_cap``
+    drops candidate generation from variant groups larger than the cap
+    (hot-cluster guard; capped groups are real mass-duplicate clusters a
+    curation pipeline routes to the exact-dup path instead)."""
+    if max_dist not in (1, 2):
+        raise ValueError("deletion-neighborhood blocking supports max_dist in {1, 2}")
+    variants = deletion_variants if max_dist == 1 else deletion_variants2
     n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
-    v = n.select("_k", "_s", F.explode(deletion_variants("_s")).alias("_v"))
+    v = n.select("_k", "_s", F.explode(variants("_s")).alias("_v"))
     if bucket_cap is not None:
         w = Window.partitionBy("_v")
         v = v.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
@@ -128,6 +162,43 @@ def er_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein verify natively."""
     cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_pairs(cust, "c_custkey", "c_name").orderBy(
+        "c_custkey_1", "c_custkey_2"
+    )
+
+
+_ER_T2_SQL = """
+WITH names AS MATERIALIZED (SELECT c_custkey AS k, c_name AS s FROM customer),
+vars AS MATERIALIZED (
+  SELECT k, s, UNNEST(list_distinct(list_append(
+    flatten([[substr(s, 1, i-1) || substr(s, i+1, j-i-1) || substr(s, j+1)
+              FOR j IN range(i+1, length(s)+1)]
+             FOR i IN range(1, length(s))])
+    || [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+    s))) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.k AS k1, b.k AS k2, a.s AS s1, b.s AS s2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+)
+SELECT k1 AS c_custkey_1, k2 AS c_custkey_2,
+       s1 AS c_name_1, s2 AS c_name_2,
+       CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s1, s2) <= 2
+ORDER BY c_custkey_1, c_custkey_2
+"""
+
+
+@query("er_fuzzy_pairs_t2", oracle=_ER_T2_SQL, defer=True)
+def er_fuzzy_pairs_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 2 via the t=2
+    deletion neighborhood (VERDICT r15 ask #6) — DuckDB replays the
+    1-and-2-deletion variant generation (nested list comprehension), the
+    blocking join, and the levenshtein verify natively. Zero false
+    negatives proven against brute force in tests/test_er.py."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2).orderBy(
         "c_custkey_1", "c_custkey_2"
     )
 

@@ -575,8 +575,11 @@ tagged AS MATERIALIZED (
 cal AS (SELECT alpha FROM tagged WHERE is_cal),
 ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
 kk AS (
+  -- exact integer ceiling, mirroring the engine's -(-x // d) (ADVICE
+  -- r15: float CEIL over DOUBLE can land one off at representation
+  -- boundaries once (n_cal+1)*(1-alpha) exceeds 2^53-exactness)
   SELECT n_cal,
-         LEAST(CAST(CEIL(CAST((n_cal + 1) * {1_000_000 - _CONF_ALPHA_PPM} AS DOUBLE) / 1000000.0) AS BIGINT), n_cal) AS k
+         LEAST(((n_cal + 1) * {1_000_000 - _CONF_ALPHA_PPM} + 999999) // 1000000, n_cal) AS k
   FROM ncal
 ),
 counts AS (
@@ -589,8 +592,11 @@ qhat AS (
   SELECT MIN(alpha) AS q FROM cum, kk WHERE cum >= kk.k
 ),
 cov AS (
+  -- COALESCE pins the n_cal=0 degenerate case to the engine's branch
+  -- (qhat=0, alpha<=0 counts as covered) — a NULL qhat would zero
+  -- n_covered while the engine does not (ADVICE r15)
   SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-         CAST(SUM(CASE WHEN t.alpha <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         CAST(SUM(CASE WHEN t.alpha <= COALESCE(q.q, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
   FROM tagged t, qhat q WHERE NOT t.is_cal
 )
 SELECT kk.n_cal AS n_calib, cov.n_test, CAST(COALESCE(q.q, 0) AS BIGINT) AS qhat,

@@ -96,6 +96,15 @@ def ndcg_at_k(docs: DataFrame, k: int = _NDCG_K) -> DataFrame:
             "avgdl",
         )
     )
+    # the per-(qid, doc) score folds its <= _N_QTERMS per-term weights in
+    # a DETERMINISTIC order (cumulative window ordered by tok, exactly
+    # like the DCG folds below) — an orderless SUM over doubles can
+    # differ by a ulp between engines and flip the score-desc ranking at
+    # a 6-dp rounding boundary, changing top-k membership (ADVICE r15)
+    w_sc_cum = Window.partitionBy("qid", "doc_id").orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_sc = Window.partitionBy("qid", "doc_id")
     scored = (
         term_tf.join(qw, "tok")
         .join(dl, "doc_id")
@@ -103,6 +112,7 @@ def ndcg_at_k(docs: DataFrame, k: int = _NDCG_K) -> DataFrame:
         .select(
             "qid",
             "doc_id",
+            "tok",
             (
                 F.col("idf")
                 * (
@@ -118,8 +128,10 @@ def ndcg_at_k(docs: DataFrame, k: int = _NDCG_K) -> DataFrame:
                 )
             ).alias("w"),
         )
-        .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .withColumn("cum", F.sum("w").over(w_sc_cum))
+        .withColumn("mxtok", F.max("tok").over(w_sc))
+        .filter(F.col("tok") == F.col("mxtok"))
+        .select("qid", "doc_id", F.round("cum", 6).alias("score"))
     )
 
     qtok = toks.filter(is_q).select(
@@ -212,14 +224,19 @@ qw AS (
   FROM qterms q JOIN df_t d USING (tok), stats s
 ),
 scored AS MATERIALIZED (
-  SELECT t.doc_id, w.qid, ROUND(SUM(
-           w.idf * ((CAST(t.tf AS DOUBLE) * {_K1 + 1.0})
-                    / (CAST(t.tf AS DOUBLE)
-                       + {_K1} * ({1.0 - _B} + {_B} * CAST(l.dl AS DOUBLE) / w.avgdl)))
-         ), 6) AS score
-  FROM term_tf t JOIN qw w USING (tok) JOIN dl l ON l.doc_id = t.doc_id
-  WHERE t.doc_id <> w.qid
-  GROUP BY t.doc_id, w.qid
+  -- order-deterministic fold in tok order (cumulative window, last row),
+  -- mirroring the engine exactly — never an orderless SUM over doubles
+  SELECT doc_id, qid, ROUND(cum, 6) AS score FROM (
+    SELECT t.doc_id, w.qid, w.tok,
+           SUM(w.idf * ((CAST(t.tf AS DOUBLE) * {_K1 + 1.0})
+                        / (CAST(t.tf AS DOUBLE)
+                           + {_K1} * ({1.0 - _B} + {_B} * CAST(l.dl AS DOUBLE) / w.avgdl))))
+             OVER (PARTITION BY t.doc_id, w.qid ORDER BY w.tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           MAX(w.tok) OVER (PARTITION BY t.doc_id, w.qid) AS mxtok
+    FROM term_tf t JOIN qw w USING (tok) JOIN dl l ON l.doc_id = t.doc_id
+    WHERE t.doc_id <> w.qid
+  ) WHERE tok = mxtok
 ),
 grades AS MATERIALIZED (
   SELECT qid, doc_id,

@@ -1339,11 +1339,19 @@ def asof_attribution_apply_batch(
         vdir = _commit.resolve(state_dir)
         clicks_st = spark.read.parquet(_os.path.join(vdir, "clicks"))
         pending_st = spark.read.parquet(_os.path.join(vdir, "pending"))
-        wm_old = int(
-            spark.read.parquet(_os.path.join(vdir, "meta")).collect()[0][
-                "wm_micros"
-            ]
-        )
+        meta_row = spark.read.parquet(_os.path.join(vdir, "meta")).collect()[0]
+        wm_old = int(meta_row["wm_micros"])
+        # Attempt-marker check (same discipline as every other sink): the
+        # pointer flip is the commit point and it happens AFTER the output
+        # write, so committed batch_id == incoming batch_id means attempt 1
+        # fully committed — output for this batch_id is already on disk —
+        # and foreachBatch merely redelivered before the streaming
+        # checkpoint advanced. Recomputing here would run against the NEW
+        # state (prior-batch pending already finalized and pruned,
+        # keep_versions=1) and the idempotent overwrite of
+        # out/ingest_batch=<id> would silently drop those rows. Return.
+        if int(meta_row["batch_id"]) == int(batch_id):
+            return
     else:
         clicks_st = spark.createDataFrame(
             [], "user_id bigint, ts timestamp, c_fp bigint, src_id bigint"

@@ -70,7 +70,141 @@ def test_fuzzy_pairs_bucket_cap_drops_hot_clusters(spark):
 def test_fuzzy_pairs_rejects_unsupported_threshold(spark):
     df = spark.createDataFrame(NAMES, "id bigint, name string")
     with pytest.raises(ValueError):
-        fuzzy_pairs(df, "id", "name", max_dist=2)
+        fuzzy_pairs(df, "id", "name", max_dist=3)
+
+
+T2_NAMES = NAMES + [
+    (10, "alpha#0092"),   # two substitutions vs 1; one vs 5
+    (11, "alpha#001"),    # deletion vs 1; 2-indel combos vs 2/3
+    (12, "alpha0001234"), # mixed indel+sub territory
+    (13, "lpha#001"),     # two deletions vs 1
+    (14, "alpxa#00y1"),   # two substitutions vs 1 (interior)
+    (15, "xalpha#0001x"), # two insertions vs 1 (both ends)
+    (16, "ab"),           # short strings: boundary of the 2-del guard
+    (17, "ba"),           # transposition = 2 edits vs 16
+    (18, "a"),            # length-1: deletion_variants2 guard path
+    (19, ""),             # empty string: both guards
+]
+
+
+def test_fuzzy_pairs_t2_equals_bruteforce(spark):
+    """t=2 exactness (VERDICT r15 ask #6): zero false negatives vs the
+    brute-force O(n^2) levenshtein truth on a planted set covering double
+    substitutions, double indels, mixed edits, transpositions, and the
+    short-string guard paths — and every reported distance is correct."""
+    import itertools as it
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    truth = {}
+    for (k1, s1), (k2, s2) in it.combinations(T2_NAMES, 2):
+        a, b = (k1, k2) if k1 < k2 else (k2, k1)
+        d = lev(s1, s2)
+        if d <= 2:
+            truth[(a, b)] = d
+
+    df = spark.createDataFrame(T2_NAMES, "id bigint, name string")
+    got = {
+        (r["id_1"], r["id_2"]): r["dist"]
+        for r in fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == truth  # exact: no false negatives AND no false positives
+    assert got[(16, 17)] == 2  # transposition found via 2-deletion keys
+    assert (1, 10) in got and got[(1, 10)] == 2
+    # t=1 result is a strict subset at the same corpus
+    got1 = {
+        (r["id_1"], r["id_2"])
+        for r in fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    assert got1 == {p for p, d in truth.items() if d <= 1}
+
+
+def test_entity_clusters_planted_multicomponent_matches_duckdb(spark, duck):
+    """VERDICT r15 ask #5: the er_entity_clusters oracle is infeasible at
+    sf0.1 because the UNSALTED customer names form one degenerate
+    15k-member entity (DuckDB's recursive closure is Θ(n·labels) per
+    component). Planting a block prefix ('b<custkey div 100>#') bounds
+    every component at <= 100 members — cross-block pairs differ in the
+    prefix AND a hundreds-or-higher digit, so lev >= 2 — making the
+    recursion tractable at ANY scale while still exercising blocking,
+    verify, closure, and canonicalization end-to-end. Runs at the suite
+    SF by default; the sf0.1 reading is recorded in BENCH_NOTES_r16
+    (SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1)."""
+    from conftest import SF_DIR
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        entity_clusters,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.sources import tpch
+
+    from pyspark.sql import functions as F
+
+    planted = (
+        tpch.load(spark, SF_DIR, "customer")
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lit("b"),
+                (F.col("c_custkey") / 100).cast("bigint").cast("string"),
+                F.lit("#"),
+                F.col("c_name"),
+            ).alias("c_name"),
+        )
+    )
+    got = sorted(
+        tuple(r) for r in entity_clusters(planted, "c_custkey", "c_name").collect()
+    )
+
+    sql = """
+    WITH RECURSIVE names AS MATERIALIZED (
+      SELECT c_custkey AS k,
+             'b' || CAST(c_custkey // 100 AS VARCHAR) || '#' || c_name AS s
+      FROM customer
+    ),
+    vars AS MATERIALIZED (
+      SELECT k, s,
+             UNNEST(list_append(
+               [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+               s)) AS v
+      FROM names
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.k AS k1, b.k AS k2
+      FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.k1, c.k2 FROM cand c
+      JOIN names n1 ON n1.k = c.k1 JOIN names n2 ON n2.k = c.k2
+      WHERE levenshtein(n1.s, n2.s) <= 1
+    ),
+    edges AS MATERIALIZED (
+      SELECT k1 AS a, k2 AS b FROM pairs
+      UNION
+      SELECT k2, k1 FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node AS member, MIN(lab) AS entity_id FROM reach GROUP BY node)
+    SELECT c.entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(c.member) AS BIGINT) AS min_key,
+           CAST(MAX(c.member) AS BIGINT) AS max_key,
+           n.s AS canonical_name
+    FROM comp c JOIN names n ON n.k = c.entity_id
+    GROUP BY c.entity_id, n.s
+    ORDER BY c.entity_id
+    """
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert len(got) > 1, "planted variant must yield MULTIPLE components"
+    assert got == want
 
 
 def test_entity_clusters_equal_union_find_truth(spark):

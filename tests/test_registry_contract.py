@@ -58,6 +58,37 @@ ROWS_ONLY_BY_DESIGN = {
 }
 
 
+def test_coverage_md_header_counts_match_registry():
+    """COVERAGE.md's header sentence states the registry totals; VERDICT
+    r15 nit #1 caught them stale (178/169/119 vs the real 189/180/130)
+    because only the rows-only count was machine-pinned. Parse the header
+    and assert all three counts against the live registry — a new
+    registration now forces the doc update in the same commit."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"registry holds (\d+) queries, (\d+) of them\s*\noracle-backed — exactly "
+        r"(\d+) non-deferred.*?\+ (\d+) deferred",
+        text,
+        re.DOTALL,
+    )
+    assert m, "COVERAGE.md header counts sentence not found / format changed"
+    doc_total, doc_oracle, doc_window, doc_deferred = map(int, m.groups())
+    qs = all_queries()
+    oracle_backed = [k for k, v in qs.items() if v.oracle is not None]
+    deferred = [k for k, v in qs.items() if v.oracle is not None and v.defer]
+    assert doc_total == len(qs), f"COVERAGE.md says {doc_total} queries, registry has {len(qs)}"
+    assert doc_oracle == len(oracle_backed), (
+        f"COVERAGE.md says {doc_oracle} oracle-backed, registry has {len(oracle_backed)}"
+    )
+    assert doc_window == DRIVER_WINDOW
+    assert doc_deferred == len(deferred), (
+        f"COVERAGE.md says {doc_deferred} deferred, registry has {len(deferred)}"
+    )
+
+
 def test_rows_only_set_is_exactly_the_documented_nine():
     """Every oracle-less query must be on the documented rows-only-by-design
     list (COVERAGE.md; VERDICT r14 nit #3 caught the doc count drifting from

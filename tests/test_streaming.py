@@ -1271,3 +1271,135 @@ def test_stream_asof_redelivery_same_batch_converges(spark, tmp_path):
     assert stream_asof_pending(spark, state).count() == 0
     batch_dirs = [d for d in os.listdir(f"{state}/out") if d.startswith("ingest_batch")]
     assert sorted(batch_dirs) == ["ingest_batch=0", "ingest_batch=1"]
+
+
+def test_stream_asof_redelivery_after_commit_keeps_prior_pending_rows(
+    spark, tmp_path
+):
+    """ADVICE r15 (high): a crash AFTER the state-pointer flip but BEFORE
+    the streaming checkpoint commit redelivers the batch against the NEW
+    state, where a purchase finalized from the PRIOR batch's pending set
+    is absent from both pending_st and the redelivered batch — the
+    idempotent out-dir overwrite would drop its row permanently
+    (keep_versions=1 prunes the old state). The committed-meta batch_id
+    check must make the redelivered attempt a pure no-op."""
+    from datetime import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.streaming.jobs import (
+        asof_attribution_apply_batch,
+        stream_asof_attributions,
+        stream_asof_pending,
+    )
+
+    state = str(tmp_path / "state")
+
+    def ev(eid, minute, user, etype, value=1.0):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, value, "{}")
+
+    # batch 0: click + purchase for user 7; lateness=60m keeps the
+    # purchase PENDING (wm = 10m - 60m < purchase ts)
+    b0 = spark.createDataFrame(
+        [ev(1, 0, 7, "click", 2.25), ev(2, 10, 7, "purchase")],
+        schema=jobs.EVENTS_SCHEMA,
+    )
+    asof_attribution_apply_batch(b0, 0, state, horizon_minutes=60, lateness_minutes=60)
+    assert stream_asof_attributions(spark, state).count() == 0
+    assert stream_asof_pending(spark, state).count() == 1
+
+    # batch 1: unrelated event far ahead; wm passes the pending purchase,
+    # attempt 1 finalizes it from STATE (not from the batch) and commits
+    b1 = spark.createDataFrame([ev(3, 300, 8, "view")], schema=jobs.EVENTS_SCHEMA)
+    asof_attribution_apply_batch(b1, 1, state, horizon_minutes=60, lateness_minutes=60)
+    committed = _rows(stream_asof_attributions(spark, state))
+    assert len(committed) == 1 and committed[0][0] == 2
+    assert stream_asof_pending(spark, state).count() == 0
+
+    # redelivery of batch 1 AFTER full commit (crash between pointer flip
+    # and checkpoint commit): must be a no-op — the purchase is in neither
+    # the new pending state nor the batch, so recomputing would emit zero
+    # rows and the overwrite would erase the finalized attribution
+    asof_attribution_apply_batch(b1, 1, state, horizon_minutes=60, lateness_minutes=60)
+    after = _rows(stream_asof_attributions(spark, state))
+    assert after == committed, "redelivered batch erased finalized attributions"
+
+    # the next batch still applies cleanly on top of the no-op
+    b2 = spark.createDataFrame([ev(4, 310, 8, "view")], schema=jobs.EVENTS_SCHEMA)
+    asof_attribution_apply_batch(b2, 2, state, horizon_minutes=60, lateness_minutes=60)
+    assert _rows(stream_asof_attributions(spark, state)) == committed
+
+
+def test_stream_asof_state_stays_bounded_over_long_replay(spark, tmp_path):
+    """VERDICT r15 ask #7: the committed state (clicks + pending) must
+    stay O(horizon + lateness window) across a LONG multi-batch run —
+    old clicks age out at wm − horizon, finalized purchases leave
+    pending at wm — while total ingested events grow linearly. Also
+    pins the final output against the batch twin on the finalized
+    subset (stream/batch unification under pruning)."""
+    import os
+
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.streaming.jobs import (
+        asof_attribution_apply_batch,
+        asof_attribution_batch,
+        stream_asof_attributions,
+        stream_asof_pending,
+    )
+    from sql_data_warehouse_and_analytics_project_spark.warehouse import commit as _commit
+
+    state = str(tmp_path / "state")
+    t0 = dt(2024, 3, 1, 0, 0)
+    horizon, lateness = 60, 60  # minutes
+
+    def ev(eid, minute, user, etype, value=1.0):
+        return (eid, t0 + timedelta(minutes=minute), user, etype, value, "{}")
+
+    n_batches, span = 12, 100  # each batch spans 100 minutes
+    eid, all_events = 0, []
+    clicks_per_batch, purchases_per_batch = 4, 3
+    for b in range(n_batches):
+        base = b * span
+        rows = []
+        for i in range(clicks_per_batch):
+            eid += 1
+            rows.append(ev(eid, base + 5 + i * 20, 7 + i % 2, "click", 1.0 + b))
+        for i in range(purchases_per_batch):
+            eid += 1
+            rows.append(ev(eid, base + 15 + i * 25, 7 + i % 2, "purchase"))
+        all_events.extend(rows)
+        asof_attribution_apply_batch(
+            spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA),
+            b,
+            state,
+            horizon_minutes=horizon,
+            lateness_minutes=lateness,
+        )
+        vdir = _commit.resolve(f"{state}/state")
+        n_clicks = spark.read.parquet(os.path.join(vdir, "clicks")).count()
+        n_pending = spark.read.parquet(os.path.join(vdir, "pending")).count()
+        # clicks kept iff ts > wm − horizon, i.e. inside the last
+        # (horizon + lateness) minutes = at most 2 batch spans' worth;
+        # pending kept iff ts > wm, i.e. inside the last `lateness`
+        # minutes = at most 1 span's worth — both INDEPENDENT of b
+        assert n_clicks <= clicks_per_batch * (-(-(horizon + lateness) // span) + 1), (
+            f"batch {b}: clicks state grew to {n_clicks}"
+        )
+        assert n_pending <= purchases_per_batch * (-(-lateness // span) + 1), (
+            f"batch {b}: pending state grew to {n_pending}"
+        )
+
+    # unbounded-growth check with slack zero: the LAST batch's state must
+    # equal the FIRST steady-state batch's, not scale with n_batches
+    assert n_clicks <= 2 * clicks_per_batch
+    assert n_pending <= purchases_per_batch
+
+    # stream == batch twin on the finalized subset (purchases at/below wm)
+    full = spark.createDataFrame(all_events, schema=jobs.EVENTS_SCHEMA)
+    wm = (n_batches - 1) * span + 15 + (purchases_per_batch - 1) * 25  # max ts
+    wm_ts = t0 + timedelta(minutes=wm - lateness)
+    expected = _rows(
+        asof_attribution_batch(full, horizon_minutes=horizon).filter(
+            F.col("ts") <= F.lit(wm_ts)
+        )
+    )
+    assert _rows(stream_asof_attributions(spark, state)) == expected
