@@ -1,0 +1,369 @@
+"""Nonparametric A/B testing and multiple-comparison control.
+
+The experimentation tier has a variance-reduced mean readout
+(``abtest.py`` CUPED) but no NONPARAMETRIC test — heavy-tailed revenue
+metrics violate the t-test's assumptions and the standard fix is the
+Mann-Whitney / Wilcoxon rank-sum U (Mann & Whitney 1947) — and no
+MULTIPLE-COMPARISON control, which every per-segment dashboard needs
+before it flags "significant" segments (Benjamini & Hochberg 1995).
+
+Engine discipline (the CUPED/ROC-AUC playbook):
+
+- Mann-Whitney runs on EXACT INTEGERS end to end: per-user purchase
+  totals are 1e6 fixed-point bigints; the rank machinery works on the
+  per-distinct-value count table (one partial-agg shuffle, then
+  KB-scale); ties use midranks kept exact by tracking 2·R1 (twice the
+  treatment rank-sum — always an integer) in decimal(38,0)/HUGEINT.
+  z then derives from the exact sums through ONE mirrored
+  parenthesization (+,−,×,÷,sqrt are all IEEE-exactly-rounded, so the
+  statistic is bit-identical cross-engine; no erf/exp in this path).
+- BH-FDR orders segments by |z| DESC (bit-identical doubles), never by
+  the p-value, so the step-up ranking cannot be perturbed by libm; the
+  p-value itself comes from the Abramowitz-Stegun 7.1.26 erf
+  approximation (|error| < 1.5e-7) evaluated with the SAME Horner
+  parenthesization in both engines — exp() is the single
+  non-exactly-rounded call, and it only shifts a p ≤ threshold compare
+  at a ~1-ulp coincidence (the ln()/exp() tolerance class the
+  perplexity and KN-logprob keys already live in).
+
+Scale shape: one corpus pass collapses events to per-user rows
+(bounded: one row per user); the rank table is per-distinct-value
+(KB at any corpus size for fixed-point metrics); the BH sweep runs
+over SEGMENTS (25 nations), broadcast-joined against dim tables.
+Nothing downstream of the first groupBy sees corpus rows.
+
+No reference counterpart — experimentation-tier extension (public
+methods).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tpch
+
+_FP = 1_000_000
+_ALPHA_PPM = 50_000  # 0.05 in ppm — BH target FDR
+
+
+def _per_user_metric(events: DataFrame) -> DataFrame:
+    """(t, v): md5-parity arm and exact fixed-point purchase total per
+    user (users with no purchases contribute v = 0 — they are still
+    experiment units)."""
+    from .dedup import _md5_long
+
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+        .select(
+            (_md5_long(F.col("user_id").cast("string"), 13) % 2)
+            .cast("int")
+            .alias("t"),
+            "v",
+        )
+    )
+
+
+def mann_whitney_u(units: DataFrame) -> DataFrame:
+    """One row (n_treat, n_ctrl, u_treat, z, rank_biserial) from a
+    (t, v) unit table: exact tie-aware Mann-Whitney U of arm t=1 vs
+    t=0 with the normal approximation z (tie-corrected variance).
+
+    Midranks stay exact: for a distinct value v with c = c0 + c1 units,
+    2·midrank = 2·(units below) + c + 1, so
+    2·R1 = Σ_v c1·(2·cum_below + c + 1) is an exact integer and
+    2·U1 = 2·R1 − n1·(n1+1). The tie term Σ(c³−c) and every product
+    accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB)."""
+    counts = units.groupBy("v").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c0"),
+    )
+    # the count table is per-distinct-value (KB-scale); the ordered
+    # cumsum below runs over THAT, never over unit rows
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.col("c1") + F.col("c0")
+    ranked = counts.withColumn("cum", F.sum(c).over(w)).select(
+        "c1",
+        "c0",
+        (F.col("cum") - c).alias("below"),
+        c.alias("c"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c0").cast("decimal(38,0)").alias("n0"),
+        F.sum(F.col("c1") * (2 * F.col("below") + F.col("c") + 1))
+        .cast("decimal(38,0)")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    d = lambda x: x.cast("double")  # noqa: E731
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n0")
+    # tie-corrected variance of U:
+    #   Var = n1·n0/12 · [ (n+1) − Σ(c³−c) / (n·(n−1)) ]
+    # mirrored parenthesization; every input is an exact integer
+    var_u = (
+        d(F.col("n1") * F.col("n0"))
+        / F.lit(12.0)
+        * (d(n + 1) - d(F.col("ties")) / F.nullif(d(n * (n - 1)), F.lit(0.0)))
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        # U1 is a half-integer under ties — exact as 2U1/2
+        F.round(d(u1x2) / F.lit(2.0), 6).alias("u_treat"),
+        F.round(
+            (d(u1x2) - d(F.col("n1") * F.col("n0")))
+            / F.nullif(F.lit(2.0) * F.sqrt(var_u), F.lit(0.0)),
+            6,
+        ).alias("z"),
+        # rank-biserial effect size r = 2U1/(n1·n0) − 1
+        F.round(
+            d(u1x2) / F.nullif(d(F.col("n1") * F.col("n0")), F.lit(0.0)) - F.lit(1.0),
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+_MWU_SQL = f"""
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * {float(_FP)}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0
+  FROM units GROUP BY v
+),
+ranked AS (
+  SELECT c1, c0,
+         SUM(c1 + c0) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (c1 + c0) AS below,
+         c1 + c0 AS c
+  FROM counts
+),
+agg AS (
+  SELECT SUM(c1) AS n1, SUM(c0) AS n0,
+         SUM(c1 * (2 * below + c + 1)) AS r1x2,
+         SUM(c * c * c - c) AS ties
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 6) AS u_treat,
+       ROUND((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n0 AS DOUBLE))
+             / NULLIF(2.0 * SQRT(CAST(n1 * n0 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n0 + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / NULLIF(CAST((n1 + n0) * (n1 + n0 - 1) AS DOUBLE), 0.0))),
+               0.0), 6) AS z,
+       ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+             / NULLIF(CAST(n1 * n0 AS DOUBLE), 0.0) - 1.0, 6) AS rank_biserial
+FROM agg
+"""
+
+
+@query("eval_mann_whitney_ab", oracle=_MWU_SQL, defer=True)
+def eval_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney rank-sum readout of per-user purchase
+    value, treatment vs control by the md5-parity split — the
+    nonparametric sibling of eval_cuped_ab. Exact-integer rank core;
+    DuckDB replays the collapse, midranks, and the z derivation."""
+    return mann_whitney_u(_per_user_metric(tpch.load(spark, sf_dir, "events")))
+
+
+# --- Benjamini-Hochberg FDR over per-segment proportion tests -----------------
+
+# Abramowitz & Stegun 7.1.26 erf coefficients (shared Horner fold)
+_AS_P = 0.3275911
+_AS_A1, _AS_A2, _AS_A3, _AS_A4, _AS_A5 = (
+    0.254829592,
+    -0.284496736,
+    1.421413741,
+    -1.453152027,
+    1.061405429,
+)
+
+
+def _p_two_sided(absz):
+    """2·(1 − Φ(|z|)) via A&S 7.1.26: 1 − Φ(x) = 0.5·erfc(x/√2) with
+    erfc(y) = poly(t)·exp(−y²), t = 1/(1 + p·y) — Horner order mirrored
+    verbatim in the SQL twin."""
+    y = absz / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * y)
+    poly = (
+        (
+            (
+                (F.lit(_AS_A5) * t + F.lit(_AS_A4)) * t
+                + F.lit(_AS_A3)
+            )
+            * t
+            + F.lit(_AS_A2)
+        )
+        * t
+        + F.lit(_AS_A1)
+    ) * t
+    return poly * F.exp(-(y * y))
+
+
+def _sql_p_two_sided(absz: str) -> str:
+    return (
+        f"((((({_AS_A5} * (1.0 / (1.0 + {_AS_P} * ({absz} / SQRT(2.0)))) + {_AS_A4})"
+        f" * (1.0 / (1.0 + {_AS_P} * ({absz} / SQRT(2.0)))) + {_AS_A3})"
+        f" * (1.0 / (1.0 + {_AS_P} * ({absz} / SQRT(2.0)))) + {_AS_A2})"
+        f" * (1.0 / (1.0 + {_AS_P} * ({absz} / SQRT(2.0)))) + {_AS_A1})"
+        f" * (1.0 / (1.0 + {_AS_P} * ({absz} / SQRT(2.0)))))"
+        f" * EXP(-(({absz} / SQRT(2.0)) * ({absz} / SQRT(2.0))))"
+    )
+
+
+def bh_fdr_proportions(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(n_name, n_orders, n_urgent, rate, z, p_value, p_rank,
+    bh_threshold, rejected): per-nation two-proportion z-test of the
+    urgent-or-high order share against the pooled share, with
+    Benjamini-Hochberg step-up control at FDR 0.05 across the 25
+    nations. Counts are exact; z is bit-identical cross-engine (no
+    libm); the step-up RANKS by |z| DESC (never by the p-value) so the
+    sweep order is deterministic."""
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    seg = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(is_urgent.cast("int")).cast("bigint").alias("n_urgent"),
+        )
+    )
+    pooled = F.broadcast(
+        seg.agg(
+            F.sum("n_orders").cast("bigint").alias("tot_n"),
+            F.sum("n_urgent").cast("bigint").alias("tot_x"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    phat = d("tot_x") / d("tot_n")
+    z = (d("n_urgent") / d("n_orders") - phat) / F.sqrt(
+        phat * (F.lit(1.0) - phat) / d("n_orders")
+    )
+    scored = seg.crossJoin(pooled).withColumn("z_raw", z).withColumn(
+        "p_raw", _p_two_sided(F.abs(F.col("z_raw")))
+    )
+    # segment table only (m = 25 rows) — the global window is model-scale
+    w = Window.orderBy(F.abs(F.col("z_raw")).desc(), F.col("n_name"))
+    stepped = scored.withColumn("p_rank", F.row_number().over(w)).withColumn(
+        "bh_thresh",
+        F.col("p_rank").cast("double")
+        * F.lit(_ALPHA_PPM / 1_000_000.0)
+        / d("m"),
+    )
+    kstar = stepped.withColumn(
+        "kstar",
+        F.max(F.when(F.col("p_raw") <= F.col("bh_thresh"), F.col("p_rank"))).over(
+            Window.partitionBy()
+        ),
+    )
+    return kstar.select(
+        "n_name",
+        "n_orders",
+        "n_urgent",
+        F.round(d("n_urgent") / d("n_orders"), 6).alias("rate"),
+        F.round("z_raw", 6).alias("z"),
+        F.round("p_raw", 6).alias("p_value"),
+        F.col("p_rank").cast("bigint").alias("p_rank"),
+        F.round("bh_thresh", 6).alias("bh_threshold"),
+        (F.col("p_rank") <= F.coalesce(F.col("kstar"), F.lit(0))).alias("rejected"),
+    ).orderBy("p_rank")
+
+
+_BH_SQL = f"""
+WITH seg AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+pooled AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS tot_n,
+         CAST(SUM(n_urgent) AS BIGINT) AS tot_x,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM seg
+),
+scored AS (
+  SELECT s.*, p.m,
+         (CAST(s.n_urgent AS DOUBLE) / CAST(s.n_orders AS DOUBLE)
+          - CAST(p.tot_x AS DOUBLE) / CAST(p.tot_n AS DOUBLE))
+         / SQRT((CAST(p.tot_x AS DOUBLE) / CAST(p.tot_n AS DOUBLE))
+                * (1.0 - CAST(p.tot_x AS DOUBLE) / CAST(p.tot_n AS DOUBLE))
+                / CAST(s.n_orders AS DOUBLE)) AS z_raw
+  FROM seg s, pooled p
+),
+stepped AS (
+  SELECT *, {_sql_p_two_sided("ABS(z_raw)")} AS p_raw,
+         ROW_NUMBER() OVER (ORDER BY ABS(z_raw) DESC, n_name) AS p_rank
+  FROM scored
+),
+kk AS (
+  SELECT *,
+         CAST(p_rank AS DOUBLE) * {_ALPHA_PPM / 1_000_000.0} / CAST(m AS DOUBLE)
+           AS bh_thresh,
+         MAX(CASE WHEN p_raw <= CAST(p_rank AS DOUBLE)
+                              * {_ALPHA_PPM / 1_000_000.0} / CAST(m AS DOUBLE)
+                  THEN p_rank END) OVER () AS kstar
+  FROM stepped
+)
+SELECT n_name, n_orders, n_urgent,
+       ROUND(CAST(n_urgent AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS rate,
+       ROUND(z_raw, 6) AS z,
+       ROUND(p_raw, 6) AS p_value,
+       CAST(p_rank AS BIGINT) AS p_rank,
+       ROUND(bh_thresh, 6) AS bh_threshold,
+       p_rank <= COALESCE(kstar, 0) AS rejected
+FROM kk
+ORDER BY p_rank
+"""
+
+
+@query("eval_bh_fdr_nations", oracle=_BH_SQL, defer=True)
+def eval_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR sweep over per-nation urgent-order-share
+    z-tests — the multiple-comparison control a per-segment experiment
+    dashboard needs. DuckDB replays the counts, the z derivation, the
+    A&S p-value, and the step-up."""
+    return bh_fdr_proportions(
+        tpch.load(spark, sf_dir, "orders"),
+        tpch.load(spark, sf_dir, "customer"),
+        tpch.load(spark, sf_dir, "nation"),
+    )

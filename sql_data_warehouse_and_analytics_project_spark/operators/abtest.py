@@ -203,7 +203,7 @@ ORDER BY treatment
 """
 
 
-@query("eval_cuped_ab", oracle=_CUPED_SQL, defer=True)
+@query("eval_cuped_ab", oracle=_CUPED_SQL)
 def eval_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED A/B readout over the events table: md5-parity arms,
     period-1 click value as the covariate, period-2 purchase value as

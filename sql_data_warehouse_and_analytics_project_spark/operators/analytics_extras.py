@@ -849,7 +849,7 @@ ORDER BY event_type
 """
 
 
-@query("events_mad_outliers", oracle=_MAD_SQL)
+@query("events_mad_outliers", oracle=_MAD_SQL, defer=True)
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-event-type outlier counts via median/MAD — the
     masking-immune twin of events_zscore_outliers."""

@@ -622,7 +622,7 @@ ORDER BY grp, q
 _HQ_BY_SOURCE_SQL = _hist_quantile_by_sql("source", "length(text)", "FROM documents")
 
 
-@query("eval_hist_quantiles_by_source", oracle=_HQ_BY_SOURCE_SQL)
+@query("eval_hist_quantiles_by_source", oracle=_HQ_BY_SOURCE_SQL, defer=True)
 def eval_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source p50/p90/p99 document length via the grouped fixed-bin
     quantile sketch — the grouped leg of the quantile family (the HLL

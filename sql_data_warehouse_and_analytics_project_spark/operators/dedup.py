@@ -1605,7 +1605,7 @@ FROM labeled
 """
 
 
-@query("dedup_savings_report", oracle=_SAVINGS_SQL)
+@query("dedup_savings_report", oracle=_SAVINGS_SQL, defer=True)
 def dedup_savings_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation headline number: documents and character mass removed
     by near-dedup (min-id survivor rule), one summary row."""

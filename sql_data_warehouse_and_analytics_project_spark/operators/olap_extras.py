@@ -726,7 +726,7 @@ ORDER BY p.pair_orders DESC, p.part_a, p.part_b
 """
 
 
-@query("olap_basket_affinity", oracle=_BASKET_SQL)
+@query("olap_basket_affinity", oracle=_BASKET_SQL, defer=True)
 def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-ordered part pairs with support/confidence/lift — the
     association-rule affinity surface over order baskets."""

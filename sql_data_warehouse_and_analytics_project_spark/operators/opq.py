@@ -416,7 +416,7 @@ ORDER BY query_id
 """
 
 
-@query("ann_opq_recall", oracle=_OPQ_RECALL_SQL, defer=True)
+@query("ann_opq_recall", oracle=_OPQ_RECALL_SQL)
 def ann_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit for variance-permuted PQ (the SQL-expressible
     parametric OPQ variant): per query vector, the overlap between the

@@ -129,7 +129,7 @@ def pack_sequences(
     )
 
 
-@query("pack_token_chunks", oracle=_PACK_SQL, headline=True, defer=True)
+@query("pack_token_chunks", oracle=_PACK_SQL, defer=True)
 def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing over the documents table: every doc
     lands in a (bucket, chunk_id) training chunk of ~2048 BPE-ish tokens,
@@ -503,7 +503,7 @@ def mix_epoch_resample(
     )
 
 
-@query("mix_epoch_upsample", oracle=_EPOCH_MIX_SQL)
+@query("mix_epoch_upsample", oracle=_EPOCH_MIX_SQL, defer=True)
 def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-aware re-mix of the documents corpus toward (zh 40 / en 30 /
     fr 10 / de 10 / es 10) at 1.0x size — zh is upsampled to ~2.7 epochs,

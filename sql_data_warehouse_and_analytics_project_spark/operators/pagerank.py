@@ -143,7 +143,7 @@ r0 AS MATERIALIZED (
 _PAGERANK_SQL = _pagerank_sql()
 
 
-@query("graph_pagerank_trade", oracle=_PAGERANK_SQL)
+@query("graph_pagerank_trade", oracle=_PAGERANK_SQL, defer=True)
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trading graph, 6 rounds —
     every round's src-sorted contribution folds hash-checked through

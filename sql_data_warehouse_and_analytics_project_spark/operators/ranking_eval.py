@@ -288,7 +288,7 @@ ORDER BY query_id
 """
 
 
-@query("retrieval_ndcg_bm25", oracle=_NDCG_SQL, defer=True)
+@query("retrieval_ndcg_bm25", oracle=_NDCG_SQL)
 def retrieval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 of data-driven BM25 against graded token-overlap
     relevance, one row per self-labeled query document — DuckDB replays

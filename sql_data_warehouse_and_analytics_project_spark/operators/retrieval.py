@@ -1023,7 +1023,7 @@ FROM stats
 """
 
 
-@query("retrieval_ranker_agreement", oracle=_ranker_agreement_sql(_BM25_TERMS, _BM25_K))
+@query("retrieval_ranker_agreement", oracle=_ranker_agreement_sql(_BM25_TERMS, _BM25_K), defer=True)
 def retrieval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between the BM25 and unigram-LM top-50
     rankings — the fusion-worthiness measurement behind retrieval_rrf_hybrid."""

@@ -70,7 +70,7 @@ ORDER BY user_id, event_id
 """
 
 
-@query("train_next_event_examples", oracle=_SEQ_SQL)
+@query("train_next_event_examples", oracle=_SEQ_SQL, defer=True)
 def train_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event prediction examples from the events log: per-user
     3-event sliding contexts with the following event type as label."""

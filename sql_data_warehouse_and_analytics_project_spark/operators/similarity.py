@@ -805,7 +805,7 @@ ORDER BY query_id
 """
 
 
-@query("ann_ivf_recall", oracle=_IVF_RECALL_SQL)
+@query("ann_ivf_recall", oracle=_IVF_RECALL_SQL, defer=True)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@10 of the 3-probe IVF path against exact brute
     force — the ANN-quality audit twin of dedup_minhash_error."""

@@ -1181,7 +1181,7 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("quality_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
+@query("quality_perplexity_buckets", oracle=_PPL_BUCKETS_SQL, defer=True)
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus partitioning by bigram-LM
     perplexity tercile. Registered deferred per the 50-slot window rule."""
@@ -1514,7 +1514,7 @@ def lang_confusion(preds: DataFrame) -> DataFrame:
     )
 
 
-@query("text_lang_confusion", oracle=_CONFUSION_SQL)
+@query("text_lang_confusion", oracle=_CONFUSION_SQL, defer=True)
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-voting language identifier against
     the labeled lang column — the classifier-eval surface of the curation

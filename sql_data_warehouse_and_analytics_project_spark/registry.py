@@ -55,9 +55,11 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # import side-effect modules that register queries
     from . import analytics  # noqa: F401
     from .operators import (  # noqa: F401
+        abstats,
         abtest,
         analytics_extras,
         approx,
+        attribution,
         bootstrap,
         bpe,
         composition,
@@ -175,6 +177,31 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # embed_correlation_matrix (↔ embed_gram_matrix stays — same exact-
     # bigint statistics pass), retrieval_phrase_snippets
     # (↔ retrieval_phrase_match stays — same phrase-index machinery).
+    # r16 rotated 11-for-11 (VERDICT r15 ask #1): promoted the eleven
+    # r15-generation keys (ann_opq_recall, er_fuzzy_customer_pairs,
+    # er_entity_clusters, graph_triangle_count, curation_pareto_front,
+    # eval_cohens_kappa, eval_conformal_coverage, eval_information_value,
+    # events_kaplan_meier, eval_cuped_ab, retrieval_ndcg_bm25 — all eleven
+    # sf0.01-parity-verified pre-flip in one batch, 53 s; the full 50-key
+    # window re-simulated post-flip), deferring eleven long-stable
+    # sibling-covered keys: ann_ivf_recall (↔ promoted ann_opq_recall —
+    # the same recall-audit join, OPQ strictly extends IVF),
+    # graph_pagerank_trade (↔ promoted graph_triangle_count keeps the
+    # graph family; 4 green driver rounds), retrieval_ranker_agreement
+    # (↔ promoted retrieval_ndcg_bm25 — same ranking-eval surface),
+    # events_mad_outliers (↔ events_winsorized_stats stays — robust-stats
+    # family), dedup_savings_report (↔ dedup_minhash_error +
+    # dedup_methods_ari stay), olap_basket_affinity (↔
+    # corpus_lang_source_assoc stays — same association/lift machinery),
+    # mix_epoch_upsample (↔ curation_dsir_select stays — weighted-sampling
+    # family), train_next_event_examples (↔ the promoted-and-staying
+    # event-sequence keys events_asof_last_click/next_click),
+    # text_lang_confusion (↔ corpus_lang_source_assoc stays — language
+    # crosstab), quality_perplexity_buckets (↔ text_kn_bigram_logprob
+    # stays — same LM-scoring machinery), eval_hist_quantiles_by_source
+    # (↔ events_winsorized_stats stays — percentile machinery). No
+    # r15-window-debut key was deferred (the calibration family keeps
+    # bins, ece AND brier).
     # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries

@@ -1,0 +1,166 @@
+"""Semantics of the r16 experimentation operators: Mann-Whitney U
+against a pure-Python reference (midranks, tie correction), BH step-up
+against a hand-run of the procedure, and position-based multi-touch
+credits against hand-computed splits."""
+
+from __future__ import annotations
+
+from datetime import datetime as dt, timedelta
+
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+    bh_fdr_proportions,
+    mann_whitney_u,
+)
+from sql_data_warehouse_and_analytics_project_spark.operators.attribution import (
+    position_attribution,
+)
+
+
+def _mwu_reference(treat: list[int], ctrl: list[int]):
+    """Textbook midrank Mann-Whitney with tie-corrected normal z."""
+    pooled = sorted((v, 1) for v in treat) + sorted((v, 0) for v in ctrl)
+    pooled.sort(key=lambda x: x[0])
+    n1, n0 = len(treat), len(ctrl)
+    n = n1 + n0
+    # midranks
+    r1 = 0.0
+    i = 0
+    ties = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        c = j - i
+        midrank = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        r1 += midrank * sum(1 for k in range(i, j) if pooled[k][1] == 1)
+        ties += c**3 - c
+        i = j
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var = n1 * n0 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n0 / 2.0) / (var**0.5)
+    return u1, z, 2.0 * u1 / (n1 * n0) - 1.0
+
+
+def test_mann_whitney_matches_pure_python_reference(spark):
+    treat = [5, 7, 7, 9, 12, 12, 12, 30]
+    ctrl = [1, 3, 5, 7, 8, 12, 2, 2]
+    rows = [(1, v) for v in treat] + [(0, v) for v in ctrl]
+    got = mann_whitney_u(
+        spark.createDataFrame(rows, "t int, v bigint")
+    ).collect()[0]
+    u1, z, rb = _mwu_reference(treat, ctrl)
+    assert got["n_treat"] == len(treat) and got["n_ctrl"] == len(ctrl)
+    assert got["u_treat"] == round(u1, 6)
+    assert abs(got["z"] - z) < 1e-6
+    assert abs(got["rank_biserial"] - rb) < 1e-6
+
+
+def test_mann_whitney_detects_planted_shift(spark):
+    """A clean location shift must give |z| large and positive for the
+    shifted treatment arm; swapping arms flips the sign exactly."""
+    rows = [(1, 1000 + i) for i in range(40)] + [(0, i) for i in range(40)]
+    got = mann_whitney_u(spark.createDataFrame(rows, "t int, v bigint")).collect()[0]
+    assert got["u_treat"] == 1600.0  # every treat beats every ctrl: U1 = n1*n0
+    assert got["rank_biserial"] == 1.0
+    assert got["z"] > 7
+    flipped = [(1 - t, v) for t, v in rows]
+    got2 = mann_whitney_u(spark.createDataFrame(flipped, "t int, v bigint")).collect()[0]
+    assert got2["z"] == -got["z"]
+
+
+def test_bh_fdr_rejects_only_planted_outlier_segment(spark):
+    """Nine conforming segments at the pooled rate + one extreme outlier:
+    BH at FDR 0.05 must reject exactly the outlier, and the step-up must
+    match a hand-run of the procedure on the operator's own p-values."""
+    nations = [(i, f"NATION_{i:02d}") for i in range(10)]
+    customers = [(i, i) for i in range(10)]  # custkey=i in nation i
+    orders = []
+    oid = 0
+    for nk in range(10):
+        hi = 400 if nk == 7 else 100  # outlier nation 7: 80% urgent vs 20%
+        for j in range(500):
+            oid += 1
+            pri = "1-URGENT" if j < hi else "5-LOW"
+            orders.append((oid, nk, pri))
+    out = bh_fdr_proportions(
+        spark.createDataFrame(orders, "o_orderkey bigint, o_custkey bigint, o_orderpriority string"),
+        spark.createDataFrame(customers, "c_custkey bigint, c_nationkey bigint"),
+        spark.createDataFrame(nations, "n_nationkey bigint, n_name string"),
+    ).collect()
+    rejected = {r["n_name"] for r in out if r["rejected"]}
+    assert rejected == {"NATION_07"}
+    # hand-run BH on the operator's p-values: k* = max rank with p <= thr
+    ranked = sorted(out, key=lambda r: r["p_rank"])
+    kstar = max(
+        (r["p_rank"] for r in ranked if r["p_value"] <= r["bh_threshold"]),
+        default=0,
+    )
+    assert all(r["rejected"] == (r["p_rank"] <= kstar) for r in ranked)
+    assert ranked[0]["n_name"] == "NATION_07" and ranked[0]["p_value"] < 1e-6
+
+
+def test_multitouch_credits_split_exactly(spark):
+    """Planted paths of length 1, 2, and 4: 'only' takes v, a pair takes
+    v div 2 each, and a 4-path takes 40/20/20.../40 via exact integer
+    floor division; clicks outside the horizon are excluded."""
+    t0 = dt(2024, 5, 1, 12, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def ev(eid, minutes, user, etype, value=0.0):
+        return (eid, t0 + timedelta(minutes=minutes), user, etype, value, "{}")
+
+    rows = [
+        # user 1: single click -> 'only' gets full 10.0
+        ev(1, -30, 1, "click"),
+        ev(2, 0, 1, "purchase", 10.0),
+        # user 2: two clicks -> 5.0 each
+        ev(3, -40, 2, "click"),
+        ev(4, -20, 2, "click"),
+        ev(5, 0, 2, "purchase", 10.0),
+        # user 3: four clicks -> 4.0 / 1.0 / 1.0 / 4.0 (vfp=10e6)
+        ev(6, -50, 3, "click"),
+        ev(7, -40, 3, "click"),
+        ev(8, -30, 3, "click"),
+        ev(9, -20, 3, "click"),
+        ev(10, 0, 3, "purchase", 10.0),
+        # user 4: click OUTSIDE the 3-day horizon -> no touch rows at all
+        ev(11, -3 * 1440 - 1, 4, "click"),
+        ev(12, 0, 4, "purchase", 10.0),
+    ]
+    out = {
+        (str(r["day"]), r["position"]): (r["n_touches"], r["attributed_fp_sum"])
+        for r in position_attribution(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    day = str(t0.date())
+    assert out[(day, "only")] == (1, 10_000_000)
+    # user 2 contributes 2 touches at 5M each; user 3 first+last at 4M each
+    assert out[(day, "first")] == (2, 5_000_000 + 4_000_000)
+    assert out[(day, "last")] == (2, 5_000_000 + 4_000_000)
+    assert out[(day, "middle")] == (2, 2_000_000)
+    assert sum(v for _, v in out.values()) == 30_000_000  # user 4 absent
+
+
+def test_multitouch_total_credit_is_floor_bounded(spark):
+    """For any path length the credited sum never exceeds the purchase
+    value and falls short only by integer-floor remainders (< k
+    micro-units)."""
+    t0 = dt(2024, 5, 1, 12, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    rows = []
+    eid = 0
+    for k in range(1, 9):  # path lengths 1..8 for users 1..8
+        for i in range(k):
+            eid += 1
+            rows.append((eid, t0 + timedelta(minutes=-60 + i), k, "click", 0.0, "{}"))
+        eid += 1
+        rows.append((eid, t0, k, "purchase", 9.999999, "{}"))
+    df = position_attribution(spark.createDataFrame(rows, schema))
+    total = df.agg(F.sum("attributed_fp_sum")).collect()[0][0]
+    vfp = 9_999_999
+    exact = 8 * vfp
+    assert total <= exact
+    assert exact - total < sum(k for k in range(1, 9))

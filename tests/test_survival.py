@@ -71,6 +71,67 @@ def test_km_matches_python_reference_with_censoring(spark):
     assert final_s > round(naive, 6)
 
 
+def _arm(u: int) -> int:
+    """The engine's md5-parity split, replayed in Python."""
+    import hashlib
+
+    return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16) % 2
+
+
+def _python_logrank(subjects, obs_end_hours):
+    """Textbook log-rank: subjects = [(user, dur_or_None)], arm via md5
+    parity. Returns (o_minus_e, var_sum, n_event_times)."""
+    durs = [
+        (_arm(u), d if d is not None else obs_end_hours, d is not None)
+        for u, d in subjects
+    ]
+    times = sorted({t for _, t, ev in durs if ev})
+    oe = v = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in durs if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in durs if g == 0 and tt >= t)
+        d1 = sum(1 for g, tt, ev in durs if g == 1 and tt == t and ev)
+        d0 = sum(1 for g, tt, ev in durs if g == 0 and tt == t and ev)
+        n, d = n1 + n0, d1 + d0
+        oe += d1 - d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (1 - n1 / n) * ((n - d) / (n - 1))
+    return oe, v, len(times)
+
+
+def test_logrank_matches_python_reference_and_flags_planted_effect(spark):
+    """Planted effect: treatment-arm users convert fast (2-5h), control
+    slowly or never. The statistic must equal the textbook computation
+    on the same subjects and clear |z| > 2; a NO-effect cohort (both
+    arms identical durations) must give z == 0 exactly."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.survival import (
+        logrank_conversion,
+    )
+
+    treat = [u for u in range(200) if _arm(u) == 1][:20]
+    ctrl = [u for u in range(200) if _arm(u) == 0][:20]
+    subjects = [(u, 2 + (i % 4)) for i, u in enumerate(treat)] + [
+        (u, 30 + (i % 4)) if i % 2 == 0 else (u, None) for i, u in enumerate(ctrl)
+    ]
+    df = _mk(spark, subjects, obs_end_hours=48)
+    got = logrank_conversion(df).collect()[0]
+    oe, v, ntimes = _python_logrank(subjects, 48)
+    assert got["n_treat"] == 20 and got["n_ctrl"] == 20
+    assert got["n_event_times"] == ntimes
+    assert abs(got["o_minus_e"] - oe) < 1e-6
+    assert abs(got["var_sum"] - v) < 1e-6
+    assert abs(got["z"] - oe / v**0.5) < 1e-6
+    assert got["z"] > 2  # treatment converts earlier: observed > expected
+
+    # identical arms -> every term's d1 equals its expectation only in
+    # aggregate; use symmetric durations so O-E is exactly 0
+    sym = [(treat[i], 5 + i) for i in range(10)] + [(ctrl[i], 5 + i) for i in range(10)]
+    got0 = logrank_conversion(_mk(spark, sym, obs_end_hours=48)).collect()[0]
+    oe0, v0, _ = _python_logrank(sym, 48)
+    assert abs(got0["o_minus_e"] - oe0) < 1e-6
+    assert abs(got0["var_sum"] - v0) < 1e-6
+
+
 def test_km_terminal_full_conversion_hits_zero(spark):
     """Everyone converts; the last risk set has d == n -> survival must be
     exactly 0.0 (the guarded-ln path, not an exp(-inf)/error artifact)."""
