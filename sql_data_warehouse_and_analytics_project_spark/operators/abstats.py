@@ -367,3 +367,112 @@ def eval_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpch.load(spark, sf_dir, "customer"),
         tpch.load(spark, sf_dir, "nation"),
     )
+
+
+# --- two-sample Kolmogorov-Smirnov (r16): distribution SHAPE, not location ----
+#
+# Mann-Whitney detects location shifts; the KS statistic
+# D = sup_v |F1(v) - F0(v)| (Kolmogorov 1933; Smirnov 1939) detects ANY
+# distributional difference — variance, tails, bimodality — the rank
+# test is blind to. Fully exact here: both ECDFs are ratios of exact
+# bigint cumulative counts over the per-distinct-value table, every
+# per-row |F1 - F0| derives bit-identically in both engines, the max
+# and its argmin value are exact comparisons, and the 5% critical value
+# 1.358·sqrt((n1+n0)/(n1·n0)) uses only IEEE-exactly-rounded ops — zero
+# libm anywhere, the strongest determinism class in the repo.
+# Scale shape: same as mann_whitney_u — one partial-agg collapse to the
+# per-distinct-value count table; windows run over THAT only.
+
+
+def ks_two_sample(units: DataFrame) -> DataFrame:
+    """One row (n_treat, n_ctrl, d_stat, ks_at_value, d_crit_5pct,
+    rejected) from a (t, v) unit table: exact two-sample KS of arm 1 vs
+    arm 0 with the large-sample 5% critical value."""
+    counts = units.groupBy("v").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    stepped = counts.select(
+        "v",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c0").over(w_cum).alias("cum0"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c0").over(w_all).alias("n0"),
+    ).select(
+        "v",
+        "n1",
+        "n0",
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1").cast("double")
+            - F.col("cum0").cast("double") / F.col("n0").cast("double")
+        ).alias("diff"),
+    )
+    best = stepped.withColumn("dmax", F.max("diff").over(w_all)).filter(
+        F.col("diff") == F.col("dmax")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    crit = F.lit(1.358) * F.sqrt((d("n1") + d("n0")) / (d("n1") * d("n0")))
+    return (
+        best.groupBy("n1", "n0", "dmax")
+        .agg(F.min("v").cast("bigint").alias("ks_at_value"))
+        .select(
+            F.col("n1").cast("bigint").alias("n_treat"),
+            F.col("n0").cast("bigint").alias("n_ctrl"),
+            F.round("dmax", 6).alias("d_stat"),
+            "ks_at_value",
+            F.round(crit, 6).alias("d_crit_5pct"),
+            (F.col("dmax") > crit).alias("rejected"),
+        )
+    )
+
+
+_KS_SQL = f"""
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * {float(_FP)}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM units GROUP BY v
+),
+stepped AS (
+  SELECT v,
+         SUM(c1) OVER () AS n1,
+         SUM(c0) OVER () AS n0,
+         ABS(CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(c1) OVER () AS DOUBLE)
+             - CAST(SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(c0) OVER () AS DOUBLE)) AS diff
+  FROM counts
+),
+best AS (
+  SELECT * FROM (SELECT *, MAX(diff) OVER () AS dmax FROM stepped)
+  WHERE diff = dmax
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       ROUND(dmax, 6) AS d_stat,
+       CAST(MIN(v) AS BIGINT) AS ks_at_value,
+       ROUND(1.358 * SQRT((CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))), 6) AS d_crit_5pct,
+       dmax > 1.358 * SQRT((CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                           / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) AS rejected
+FROM best
+GROUP BY n1, n0, dmax
+"""
+
+
+@query("eval_ks_two_sample", oracle=_KS_SQL, defer=True)
+def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the arms'
+    per-user purchase-value distributions — the shape-sensitive
+    companion of eval_mann_whitney_ab. DuckDB replays the ECDF steps,
+    the sup, and the critical-value compare."""
+    return ks_two_sample(_per_user_metric(tpch.load(spark, sf_dir, "events")))

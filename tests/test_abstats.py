@@ -78,8 +78,12 @@ def test_bh_fdr_rejects_only_planted_outlier_segment(spark):
     customers = [(i, i) for i in range(10)]  # custkey=i in nation i
     orders = []
     oid = 0
+    # outlier must be subtle enough not to drag the POOLED rate far from
+    # the conforming segments (the test is one-vs-pooled): 30% vs 20%
+    # baseline pools to 21%, leaving conformers at |z| ~ 0.55 while the
+    # outlier reads z ~ 4.9
     for nk in range(10):
-        hi = 400 if nk == 7 else 100  # outlier nation 7: 80% urgent vs 20%
+        hi = 150 if nk == 7 else 100
         for j in range(500):
             oid += 1
             pri = "1-URGENT" if j < hi else "5-LOW"
@@ -98,7 +102,44 @@ def test_bh_fdr_rejects_only_planted_outlier_segment(spark):
         default=0,
     )
     assert all(r["rejected"] == (r["p_rank"] <= kstar) for r in ranked)
-    assert ranked[0]["n_name"] == "NATION_07" and ranked[0]["p_value"] < 1e-6
+    assert ranked[0]["n_name"] == "NATION_07" and ranked[0]["p_value"] <= 1e-6
+
+
+def test_ks_two_sample_matches_reference_and_detects_shape(spark):
+    """KS must equal the textbook sup|F1−F0| on a crafted pair of
+    samples, detect a pure VARIANCE difference (equal means) that
+    Mann-Whitney scores near zero, and report D = 0 on identical
+    samples."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        ks_two_sample,
+    )
+
+    # planted: arm1 = {0, 100} (spread), arm0 = {50} (point mass) — equal
+    # means; F-gap at v=0..49 is 0.5, at 50..99 is |0.5 - 1.0| = 0.5
+    rows = [(1, 0)] * 10 + [(1, 100)] * 10 + [(0, 50)] * 20
+    got = ks_two_sample(spark.createDataFrame(rows, "t int, v bigint")).collect()[0]
+    assert got["d_stat"] == 0.5
+    assert got["ks_at_value"] == 0  # first value attaining the sup
+    assert got["rejected"]  # 0.5 > 1.358*sqrt(40/400) ~ 0.43
+
+    mw = mann_whitney_u(spark.createDataFrame(rows, "t int, v bigint")).collect()[0]
+    assert abs(mw["rank_biserial"]) < 1e-9  # rank test blind to the spread
+
+    same = [(1, v) for v in (1, 2, 3, 4)] + [(0, v) for v in (1, 2, 3, 4)]
+    got0 = ks_two_sample(spark.createDataFrame(same, "t int, v bigint")).collect()[0]
+    assert got0["d_stat"] == 0.0 and not got0["rejected"]
+
+    # pure-python reference on an asymmetric mixed sample
+    a = [1, 1, 2, 5, 9, 9, 12]
+    b = [0, 2, 2, 3, 9, 15]
+    rows2 = [(1, v) for v in a] + [(0, v) for v in b]
+    vals = sorted(set(a) | set(b))
+    ref = max(
+        abs(sum(1 for x in a if x <= v) / len(a) - sum(1 for x in b if x <= v) / len(b))
+        for v in vals
+    )
+    got2 = ks_two_sample(spark.createDataFrame(rows2, "t int, v bigint")).collect()[0]
+    assert got2["d_stat"] == round(ref, 6)
 
 
 def test_multitouch_credits_split_exactly(spark):
