@@ -57,10 +57,22 @@ def position_attribution(
         F.col("user_id").alias("u"),
         F.col("ts").alias("cts"),
     )
-    touched = purchases.join(clicks, "u").filter(
+    # horizon-bucketed join (the interval_overlap_counts pattern): a bare
+    # user-keyed join is per-user ALL-PAIRS before the time filter — a
+    # hot user (bot traffic) goes quadratic across its whole history. A
+    # click at bucket cb = floor(cts/H) can only serve purchases in
+    # buckets {cb, cb+1} (window is (pts − H, pts]), so the 2-bucket
+    # explode bounds fan-out to horizon-local activity; the exact µs
+    # predicate then decides containment.
+    cb = F.floor(F.unix_micros("cts") / F.lit(horizon_us))
+    clicks_exp = clicks.withColumn("__b", F.explode(F.array(cb, cb + 1)))
+    purchases_b = purchases.withColumn(
+        "__b", F.floor(F.unix_micros("pts") / F.lit(horizon_us))
+    )
+    touched = purchases_b.join(clicks_exp, ["u", "__b"]).filter(
         (F.unix_micros("cts") <= F.unix_micros("pts"))
         & (F.unix_micros("cts") > F.unix_micros("pts") - F.lit(horizon_us))
-    )
+    ).drop("__b")
     wp = Window.partitionBy("pid")
     wo = wp.orderBy("cts", "cid")
     path = touched.withColumn("rn", F.row_number().over(wo)).withColumn(

@@ -1185,6 +1185,87 @@ def stream_pca_model(spark: SparkSession, state_path: str, k: int = 16):
     )
 
 
+# --- streaming A/B experiment monitor (r16) -----------------------------------
+#
+# Live experiment readouts without re-scanning ingested events: the
+# Mann-Whitney and KS statistics of operators.abstats run on per-USER
+# purchase totals, and a user's total is a SUM-merge monoid over its
+# per-batch partials — so the state is one (user_id, v_partial) row per
+# ACTIVE user per batch (bounded by the user population, never by event
+# volume), written under the CMS-family per-batch_id idempotent-
+# overwrite discipline. The read-time merge groups the KB-to-MB-sized
+# partials by user, re-derives the md5-parity arm, and hands the exact
+# (t, v) unit table to the SAME batch operators — stream == batch by
+# construction, pytest-pinned. Users with zero purchases are recorded
+# (v_partial = 0) because they are experiment units in the batch twin.
+
+
+def sink_stream_ab_units(events_stream: DataFrame, state_path: str, checkpoint: str):
+    """Streaming experiment-unit sink: per micro-batch, the per-user
+    fixed-point purchase partial sums (every user SEEN in the batch,
+    zero-purchase users included) land under
+    ``<state_path>/units/batch_id=N`` — idempotent per-batch write."""
+
+    def _sink_batch(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.abstats import _FP
+
+        batch.groupBy("user_id").agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("v_partial")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/units/batch_id={batch_id}"
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ab_units(spark: SparkSession, state_path: str) -> DataFrame:
+    """(t, v) experiment-unit table merged over every ingested batch —
+    SUM of per-user partials across batch partitions, then the md5-
+    parity arm; bit-identical to ``abstats._per_user_metric`` over the
+    union (pytest-pinned)."""
+    from ..operators.dedup import _md5_long
+
+    return (
+        spark.read.parquet(f"{state_path}/units")
+        .groupBy("user_id")
+        .agg(F.sum("v_partial").cast("bigint").alias("v"))
+        .select(
+            (_md5_long(F.col("user_id").cast("string"), 13) % 2)
+            .cast("int")
+            .alias("t"),
+            "v",
+        )
+    )
+
+
+def stream_mann_whitney(spark: SparkSession, state_path: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney readout over everything ingested so
+    far — identical to ``eval_mann_whitney_ab`` run as one batch."""
+    from ..operators.abstats import mann_whitney_u
+
+    return mann_whitney_u(stream_ab_units(spark, state_path))
+
+
+def stream_ks_two_sample(spark: SparkSession, state_path: str) -> DataFrame:
+    """Exact two-sample KS readout over everything ingested so far —
+    identical to ``eval_ks_two_sample`` run as one batch."""
+    from ..operators.abstats import ks_two_sample
+
+    return ks_two_sample(stream_ab_units(spark, state_path))
+
+
 def sink_stream_positional_layer(docs_stream: DataFrame, index_path: str, checkpoint: str):
     """Streaming ingest into the positional phrase layer of an inverted
     index (r13) — between batches the layer serves

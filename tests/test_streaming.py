@@ -1038,6 +1038,71 @@ def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert [repr(r) for r in jobs.stream_roc_auc(spark, state).collect()] == want_auc
 
 
+def test_stream_ab_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming A/B experiment monitor (r16): after draining three event
+    batches — with USERS SPANNING BATCHES, the case the per-user
+    SUM-merge exists for — the merged unit table, the Mann-Whitney row,
+    and the KS row must equal the one-shot batch operators over the
+    union EXACTLY; a full redelivery (fresh checkpoint, same input)
+    leaves all three bit-identical."""
+    import os
+
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import abstats
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt(2024, 4, 1)
+    eid = 0
+
+    def ev(minute, user, etype, value):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + timedelta(minutes=minute), user, etype, value, "{}")
+
+    # users 1..12; purchases split across batches so per-user totals only
+    # exist after the read-time merge; users 11/12 never purchase (zero
+    # units must still be counted)
+    batches = [
+        [ev(i, 1 + i % 6, "purchase", 3.25 + i) for i in range(8)]
+        + [ev(50 + i, 7 + i % 4, "click", 1.0) for i in range(4)],
+        [ev(100 + i, 1 + i % 6, "purchase", 7.5 + 2 * i) for i in range(6)]
+        + [ev(150, 11, "view", 0.0), ev(151, 12, "view", 0.0)],
+        [ev(200 + i, 4 + i % 8, "purchase", 0.99 * (i + 1)) for i in range(7)],
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    all_events = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema=jobs.EVENTS_SCHEMA
+    )
+
+    state = str(tmp_path / "ab_state")
+    stream = jobs.read_events_stream(spark, f"{input_dir}/*")
+    jobs.sink_stream_ab_units(stream, state, str(tmp_path / "ab_ck1")).awaitTermination(120)
+
+    want_units = sorted(map(repr, abstats._per_user_metric(all_events).collect()))
+    got_units = sorted(map(repr, jobs.stream_ab_units(spark, state).collect()))
+    assert got_units == want_units
+
+    want_mwu = [repr(r) for r in abstats.mann_whitney_u(abstats._per_user_metric(all_events)).collect()]
+    got_mwu = [repr(r) for r in jobs.stream_mann_whitney(spark, state).collect()]
+    assert got_mwu == want_mwu
+
+    want_ks = [repr(r) for r in abstats.ks_two_sample(abstats._per_user_metric(all_events)).collect()]
+    got_ks = [repr(r) for r in jobs.stream_ks_two_sample(spark, state).collect()]
+    assert got_ks == want_ks
+
+    # full redelivery: fresh checkpoint, same input — state bit-identical
+    stream2 = jobs.read_events_stream(spark, f"{input_dir}/*")
+    jobs.sink_stream_ab_units(stream2, state, str(tmp_path / "ab_ck2")).awaitTermination(120)
+    assert sorted(map(repr, jobs.stream_ab_units(spark, state).collect())) == want_units
+    assert [repr(r) for r in jobs.stream_mann_whitney(spark, state).collect()] == want_mwu
+
+
 def test_stream_embed_stats_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming embedding-statistics sink (r13): after draining three
     batches, the merged Gram/dim state must equal the one-shot batch
