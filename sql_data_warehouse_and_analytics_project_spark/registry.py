@@ -73,6 +73,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         etl_queries,
         evalmetrics,
         hashembed,
+        kcore,
         kmeans,
         lr,
         multimodal,
