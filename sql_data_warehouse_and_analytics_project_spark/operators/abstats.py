@@ -476,3 +476,140 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion of eval_mann_whitney_ab. DuckDB replays the ECDF steps,
     the sup, and the critical-value compare."""
     return ks_two_sample(_per_user_metric(tpch.load(spark, sf_dir, "events")))
+
+
+# --- Cochran-Mantel-Haenszel stratified A/B (r16) ------------------------------
+#
+# The MWU/KS/CUPED readouts compare arms MARGINALLY; when assignment is
+# confounded with a covariate (heavier users convert more AND skew into
+# one arm by chance), the standard fix is the Cochran-Mantel-Haenszel
+# test (Cochran 1954; Mantel & Haenszel 1959): per stratum i, the 2x2
+# conversion table contributes a_i − E_i (hypergeometric expectation)
+# and variance V_i, pooled as z = Σ(a_i − E_i)/sqrt(ΣV_i), plus the MH
+# common odds ratio Σ(a_i·d_i/N_i) / Σ(b_i·c_i/N_i).
+#
+# Strata here: the user's first-event epoch-DAY mod 7 (an integer
+# day-number arithmetic identical in both engines — NOT dayofweek(),
+# whose origin differs between Spark and DuckDB). Outcome: the user has
+# >= 1 purchase. All 2x2 cells are exact bigints; the <= 7-row stratum
+# table folds its float terms in a CUMULATIVE WINDOW ordered by stratum
+# (the logrank discipline); V_i is pinned 0 when N_i <= 1.
+
+
+def cmh_stratified_ab(events: DataFrame) -> DataFrame:
+    """One row (n_strata, n_treat, n_ctrl, o_minus_e, var_sum, z,
+    or_mh): CMH conversion test of the md5-parity arms stratified by
+    first-event day-of-week cohort."""
+    from .dedup import _md5_long
+
+    us = F.unix_micros("ts")
+    users = events.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    per_stratum = users.select(
+        F.expr("(first_us div 86400000000) % 7").cast("bigint").alias("stratum"),
+        (_md5_long(F.col("user_id").cast("string"), 13) % 2).cast("int").alias("t"),
+        "conv",
+    ).groupBy("stratum").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("t") == 1, 1 - F.col("conv")).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(F.col("t") == 0, 1 - F.col("conv")).otherwise(0)).cast("bigint").alias("d"),
+    )
+    dd = lambda x: x.cast("double")  # noqa: E731
+    n1 = F.col("a") + F.col("c")
+    n0 = F.col("b") + F.col("d")
+    ni = n1 + n0
+    m1 = F.col("a") + F.col("b")
+    e_i = dd(n1) * dd(m1) / dd(ni)
+    v_i = F.when(
+        ni > 1,
+        dd(n1) * dd(n0) * dd(m1) * dd(ni - m1) / (dd(ni) * dd(ni) * dd(ni - 1)),
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.orderBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    folded = (
+        per_stratum.withColumn("oe", F.sum(dd(F.col("a")) - e_i).over(w_cum))
+        .withColumn("v", F.sum(v_i).over(w_cum))
+        .withColumn("or_num", F.sum(dd(F.col("a")) * dd(F.col("d")) / dd(ni)).over(w_cum))
+        .withColumn("or_den", F.sum(dd(F.col("b")) * dd(F.col("c")) / dd(ni)).over(w_cum))
+        .withColumn("ns", F.count(F.lit(1)).over(w_cum))
+        .withColumn("nt", F.sum(n1).over(w_cum))
+        .withColumn("nc", F.sum(n0).over(w_cum))
+        .withColumn("mx", F.max("stratum").over(w_all))
+        .filter(F.col("stratum") == F.col("mx"))
+    )
+    return folded.select(
+        F.col("ns").cast("bigint").alias("n_strata"),
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round("oe", 6).alias("o_minus_e"),
+        F.round("v", 6).alias("var_sum"),
+        F.round(F.col("oe") / F.nullif(F.sqrt(F.col("v")), F.lit(0.0)), 6).alias("z"),
+        F.round(
+            F.col("or_num") / F.nullif(F.col("or_den"), F.lit(0.0)), 6
+        ).alias("or_mh"),
+    )
+
+
+_CMH_SQL = """
+WITH users AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+per_stratum AS (
+  SELECT (first_us // 86400000000) % 7 AS stratum,
+         CAST(SUM(CASE WHEN t = 1 THEN conv ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 - conv ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN t = 0 THEN conv ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+  FROM (
+    SELECT first_us, conv,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t
+    FROM users
+  ) GROUP BY 1
+),
+folded AS (
+  SELECT stratum,
+         SUM(CAST(a AS DOUBLE)
+             - CAST(a + c AS DOUBLE) * CAST(a + b AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+           OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS oe,
+         SUM(CASE WHEN a + b + c + d > 1
+                  THEN CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                       * CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                       / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+                          * CAST(a + b + c + d - 1 AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+           OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS or_num,
+         SUM(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+           OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS or_den,
+         COUNT(*) OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns,
+         SUM(a + c) OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+         SUM(b + d) OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
+         MAX(stratum) OVER () AS mx
+  FROM per_stratum
+)
+SELECT CAST(ns AS BIGINT) AS n_strata,
+       CAST(nt AS BIGINT) AS n_treat,
+       CAST(nc AS BIGINT) AS n_ctrl,
+       ROUND(oe, 6) AS o_minus_e,
+       ROUND(v, 6) AS var_sum,
+       ROUND(oe / NULLIF(SQRT(v), 0.0), 6) AS z,
+       ROUND(or_num / NULLIF(or_den, 0.0), 6) AS or_mh
+FROM folded WHERE stratum = mx
+"""
+
+
+@query("eval_cmh_stratified_ab", oracle=_CMH_SQL, defer=True)
+def eval_cmh_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel conversion test of the md5-parity arms
+    stratified by first-event day cohort — the confounder-controlled
+    sibling of eval_cuped_ab/eval_mann_whitney_ab. DuckDB replays the
+    user collapse, the 2x2 strata, and both window folds."""
+    return cmh_stratified_ab(tpch.load(spark, sf_dir, "events"))

@@ -205,3 +205,66 @@ def test_multitouch_total_credit_is_floor_bounded(spark):
     exact = 8 * vfp
     assert total <= exact
     assert exact - total < sum(k for k in range(1, 9))
+
+
+def _arm(u: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16) % 2
+
+
+def _cmh_events(spark, specs):
+    """specs: list of (stratum_day, arm, n_users, n_converters). Builds
+    one first-event per user pinned to the given epoch day (stratum =
+    day % 7) plus purchases for the converters."""
+    from datetime import datetime as dt, timedelta
+
+    t0 = dt(2024, 1, 1)  # epoch day 19723; (19723 + d) % 7 cycles with d
+    rows, eid, next_uid = [], 0, 0
+    arm_pool = {0: [], 1: []}
+    u = 0
+    while len(arm_pool[0]) < 4000 or len(arm_pool[1]) < 4000:
+        arm_pool[_arm(u)].append(u)
+        u += 1
+    for day, arm, n, conv in specs:
+        for i in range(n):
+            uid = arm_pool[arm].pop()
+            ts = t0 + timedelta(days=day, hours=1)
+            eid += 1
+            rows.append((eid, ts, uid, "view", 0.0, "{}"))
+            if i < conv:
+                eid += 1
+                rows.append((eid, ts + timedelta(hours=2), uid, "purchase", 5.0, "{}"))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, event_type string,"
+              " value double, props string")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cmh_zero_under_pure_confounding_and_detects_real_effect(spark):
+    """Pure confounding (within-stratum rates identical, arm composition
+    skewed across a high- and a low-converting stratum): the MARGINAL
+    rates differ but CMH's o_minus_e must be exactly 0.0 and or_mh 1.0.
+    A genuine within-stratum effect must clear |z| > 2."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        cmh_stratified_ab,
+    )
+
+    # stratum day0: 80% conversion, treat-heavy; day1: 20%, ctrl-heavy
+    confounded = [
+        (0, 1, 100, 80), (0, 0, 20, 16),
+        (1, 1, 20, 4), (1, 0, 100, 20),
+    ]
+    got = cmh_stratified_ab(_cmh_events(spark, confounded)).collect()[0]
+    assert got["n_strata"] == 2
+    assert got["o_minus_e"] == 0.0
+    assert got["or_mh"] == 1.0
+    # marginal rates really do differ (the trap CMH corrects):
+    # treat 84/120 = 0.70 vs ctrl 36/120 = 0.30
+
+    effect = [
+        (0, 1, 100, 60), (0, 0, 100, 30),
+        (1, 1, 100, 50), (1, 0, 100, 25),
+    ]
+    got2 = cmh_stratified_ab(_cmh_events(spark, effect)).collect()[0]
+    assert got2["z"] > 2
+    assert got2["or_mh"] > 2.0

@@ -898,3 +898,38 @@ def test_r15_query_plan_budgets(spark):
 
     plan = audit.executed_plan(er_fuzzy_customer_pairs(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r16_query_plan_budgets(spark):
+    """Plan pins for the r16 registered queries: no cartesian anywhere
+    (the BH/CUPED-style scalar crossJoins are broadcast 1-row frames, so
+    they compile to BroadcastNestedLoopJoin over a single row, never
+    CartesianProduct); the multi-touch path join is an equi join on
+    (user, horizon-bucket); MWU/KS collapse to the per-distinct-value
+    count table before any window."""
+    from conftest import SF_DIR
+
+    qs = all_queries()
+    for name in (
+        "er_fuzzy_pairs_t2",
+        "eval_mann_whitney_ab",
+        "eval_ks_two_sample",
+        "eval_bh_fdr_nations",
+        "events_multitouch_attribution",
+        "events_logrank_ab",
+        "graph_kcore_copurchase",
+    ):
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        plan = audit.executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+    # the multi-touch join must be hash-equi on (u, bucket) — a bare
+    # user-only join would be per-user all-pairs (hot-user quadratic)
+    from sql_data_warehouse_and_analytics_project_spark.operators.attribution import (
+        events_multitouch_attribution,
+    )
+
+    plan = audit.executed_plan(events_multitouch_attribution(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
