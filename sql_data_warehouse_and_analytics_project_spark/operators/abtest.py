@@ -210,3 +210,145 @@ def eval_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric — raw vs adjusted means/variances and the pooled theta,
     every float derived from exact decimal/HUGEINT sums."""
     return cuped_ab_readout(tpch.load(spark, sf_dir, "events"))
+
+
+# --- delta-method ratio metric readout (r16) -----------------------------------
+#
+# Ratio metrics (revenue per click, CTR, cost per conversion) are
+# ratios of SUMS across users, so the naive per-user-ratio variance is
+# wrong (users with zero denominators, unit weighting) — the standard
+# readout is the delta method on the ratio of means (Deng, Knoblich &
+# Lu, KDD 2018 "Applying the Delta Method in Metric Analytics"):
+#
+#     R = X̄/Ȳ,   Var(R) ≈ (σx² − 2R·σxy + R²·σy²) / (n·Ȳ²)
+#
+# per arm, with the A/B difference z = (R1 − R0)/sqrt(V1 + V0).
+#
+# Engine discipline: per-user (x = purchase value fixed-point, y =
+# click count) exact bigints; (Σx, Σy, Σx², Σxy, Σy²) in
+# decimal(38,0)/HUGEINT; every float derives from the exact sums via
+# one mirrored parenthesization (sqrt is IEEE-exact; no libm). Scale:
+# one corpus collapse to per-user rows, a 2-row arm rollup, nothing
+# else.
+
+
+def delta_ratio_ab(events: DataFrame) -> DataFrame:
+    """One row (n_treat, n_ctrl, ratio_treat, ratio_ctrl, diff,
+    se_diff, z): delta-method revenue-per-click readout of the
+    md5-parity arms (x = user purchase value, y = user click count)."""
+    from .dedup import _md5_long
+
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(float(_FP))).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        .select(
+            (_md5_long(F.col("user_id").cast("string"), 13) % 2)
+            .cast("int")
+            .alias("t"),
+            "x",
+            "y",
+        )
+    )
+    arm = per_user.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nm1 = d("n") * (d("n") - F.lit(1.0))
+    ratio = d("sx") / F.nullif(d("sy"), F.lit(0.0)) / F.lit(float(_FP))
+    var_x = (d("n") * d("sxx") - d("sx") * d("sx")) / nm1
+    cov_xy = (d("n") * d("sxy") - d("sx") * d("sy")) / nm1
+    var_y = (d("n") * d("syy") - d("sy") * d("sy")) / nm1
+    ybar = d("sy") / d("n")
+    r_fp = d("sx") / F.nullif(d("sy"), F.lit(0.0))
+    var_r = (
+        (var_x - F.lit(2.0) * r_fp * cov_xy + r_fp * r_fp * var_y)
+        / (d("n") * ybar * ybar)
+        / F.lit(float(_FP) * float(_FP))
+    )
+    per_arm = arm.select("t", "n", ratio.alias("r"), var_r.alias("v"))
+    t1 = per_arm.filter(F.col("t") == 1).select(
+        F.col("n").alias("n_treat"), F.col("r").alias("r1"), F.col("v").alias("v1")
+    )
+    t0 = per_arm.filter(F.col("t") == 0).select(
+        F.col("n").alias("n_ctrl"), F.col("r").alias("r0"), F.col("v").alias("v0")
+    )
+    return t1.crossJoin(t0).select(
+        "n_treat",
+        "n_ctrl",
+        F.round("r1", 6).alias("ratio_treat"),
+        F.round("r0", 6).alias("ratio_ctrl"),
+        F.round(F.col("r1") - F.col("r0"), 6).alias("diff"),
+        F.round(F.sqrt(F.col("v1") + F.col("v0")), 6).alias("se_diff"),
+        F.round(
+            (F.col("r1") - F.col("r0"))
+            / F.nullif(F.sqrt(F.col("v1") + F.col("v0")), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+_DELTA_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * {_FP}.0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS y
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM per_user GROUP BY t
+),
+stats AS (
+  SELECT t, n,
+         CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0) / {_FP}.0 AS r,
+         ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+          - 2.0 * (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
+            * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+          + (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
+            * (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
+            * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+         / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         / ({_FP}.0 * {_FP}.0) AS v
+  FROM arm
+)
+SELECT t1.n AS n_treat, t0.n AS n_ctrl,
+       ROUND(t1.r, 6) AS ratio_treat,
+       ROUND(t0.r, 6) AS ratio_ctrl,
+       ROUND(t1.r - t0.r, 6) AS diff,
+       ROUND(SQRT(t1.v + t0.v), 6) AS se_diff,
+       ROUND((t1.r - t0.r) / NULLIF(SQRT(t1.v + t0.v), 0.0), 6) AS z
+FROM (SELECT * FROM stats WHERE t = 1) t1, (SELECT * FROM stats WHERE t = 0) t0
+"""
+
+
+@query("eval_delta_ratio_ab", oracle=_DELTA_SQL, defer=True)
+def eval_delta_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method revenue-per-click A/B readout of the md5-parity
+    arms — the ratio-metric sibling of eval_cuped_ab. DuckDB replays the
+    per-user collapse, the exact second moments, and the mirrored
+    variance derivation."""
+    return delta_ratio_ab(tpch.load(spark, sf_dir, "events"))

@@ -268,3 +268,58 @@ def test_cmh_zero_under_pure_confounding_and_detects_real_effect(spark):
     got2 = cmh_stratified_ab(_cmh_events(spark, effect)).collect()[0]
     assert got2["z"] > 2
     assert got2["or_mh"] > 2.0
+
+
+def test_delta_ratio_matches_pure_python_reference(spark):
+    """Delta-method ratio readout vs a textbook computation on planted
+    per-user (purchase value, click count) data with arms planted via
+    the md5-parity helper."""
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.abtest import (
+        delta_ratio_ab,
+    )
+
+    treat = [u for u in range(300) if _arm(u) == 1][:25]
+    ctrl = [u for u in range(300) if _arm(u) == 0][:25]
+    # (value, clicks) per user — treatment earns more per click
+    data = {}
+    for i, u in enumerate(treat):
+        data[u] = (10.0 + 3.0 * (i % 5), 2 + i % 3)
+    for i, u in enumerate(ctrl):
+        data[u] = (4.0 + 2.0 * (i % 5), 2 + i % 3)
+
+    t0 = dt(2024, 6, 1)
+    rows, eid = [], 0
+    for u, (val, clicks) in data.items():
+        eid += 1
+        rows.append((eid, t0, u, "purchase", val, "{}"))
+        for c in range(clicks):
+            eid += 1
+            rows.append((eid, t0 + timedelta(minutes=c + 1), u, "click", 1.0, "{}"))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, event_type string,"
+              " value double, props string")
+    got = delta_ratio_ab(spark.createDataFrame(rows, schema)).collect()[0]
+
+    def ref(users):
+        import math
+
+        xs = [int(data[u][0] * 1_000_000) for u in users]  # engine's floor fp
+        ys = [data[u][1] for u in users]
+        n = len(users)
+        sx, sy = sum(xs), sum(ys)
+        r_fp = sx / sy
+        var_x = (n * sum(x * x for x in xs) - sx * sx) / (n * (n - 1))
+        cov = (n * sum(x * y for x, y in zip(xs, ys)) - sx * sy) / (n * (n - 1))
+        var_y = (n * sum(y * y for y in ys) - sy * sy) / (n * (n - 1))
+        ybar = sy / n
+        v = (var_x - 2 * r_fp * cov + r_fp * r_fp * var_y) / (n * ybar * ybar) / 1e12
+        return r_fp / 1e6, v
+
+    r1, v1 = ref(treat)
+    r0, v0 = ref(ctrl)
+    assert got["n_treat"] == 25 and got["n_ctrl"] == 25
+    assert abs(got["ratio_treat"] - r1) < 1e-6
+    assert abs(got["ratio_ctrl"] - r0) < 1e-6
+    assert abs(got["se_diff"] - (v1 + v0) ** 0.5) < 1e-6
+    assert got["z"] > 2  # the planted per-click uplift is real

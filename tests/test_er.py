@@ -125,6 +125,29 @@ def test_fuzzy_pairs_t2_equals_bruteforce(spark):
     assert got1 == {p for p, d in truth.items() if d <= 1}
 
 
+def test_fuzzy_pairs_t2_bucket_cap_drops_hot_clusters(spark):
+    """t=2 inherits the hot-cluster guard: a 40-way mass-duplicate
+    cluster blows past the cap on its (many) shared 2-deletion variants
+    and is excluded wholesale, while a genuine distance-2 pair
+    elsewhere survives."""
+    rows = [(i, "dup#x999") for i in range(40)] + [(100, "rare#12"), (101, "rare#34")]
+    got = {
+        (r["id_1"], r["id_2"]): r["dist"]
+        for r in fuzzy_pairs(
+            spark.createDataFrame(rows, "id bigint, name string"),
+            "id",
+            "name",
+            max_dist=2,
+            bucket_cap=10,
+        ).collect()
+    }
+    assert got == {(100, 101): 2}
+    uncapped = fuzzy_pairs(
+        spark.createDataFrame(rows, "id bigint, name string"), "id", "name", max_dist=2
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+
 def test_entity_clusters_planted_multicomponent_matches_duckdb(spark, duck):
     """VERDICT r15 ask #5: the er_entity_clusters oracle is infeasible at
     sf0.1 because the UNSALTED customer names form one degenerate
