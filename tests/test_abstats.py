@@ -323,3 +323,53 @@ def test_delta_ratio_matches_pure_python_reference(spark):
     assert abs(got["ratio_ctrl"] - r0) < 1e-6
     assert abs(got["se_diff"] - (v1 + v0) ** 0.5) < 1e-6
     assert got["z"] > 2  # the planted per-click uplift is real
+
+
+def test_mwu_and_ks_property_match_reference_on_random_samples(spark):
+    """Hypothesis sweep (bounded examples — each runs a real Spark job):
+    on arbitrary small integer samples with heavy ties, the engine's
+    MWU (u, z, effect) and KS (D) must match the pure-Python textbook
+    references to 6 dp."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        ks_two_sample,
+    )
+
+    sample = st.lists(st.integers(min_value=-5, max_value=5), min_size=2, max_size=12)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(a=sample, b=sample)
+    def run(a, b):
+        rows = [(1, v) for v in a] + [(0, v) for v in b]
+        df = spark.createDataFrame(rows, "t int, v bigint")
+
+        got = mann_whitney_u(df).collect()[0]
+        try:
+            u1, z, rb = _mwu_reference(a, b)
+        except ZeroDivisionError:
+            # all-tied pooled sample: variance 0 — the engine reports z NULL
+            assert got["z"] is None
+        else:
+            assert got["u_treat"] == round(u1, 6)
+            if got["z"] is not None:
+                assert abs(got["z"] - z) < 1e-6
+            assert abs(got["rank_biserial"] - rb) < 1e-6
+
+        vals = sorted(set(a) | set(b))
+        ref_d = max(
+            abs(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b)
+            )
+            for v in vals
+        )
+        ks = ks_two_sample(df).collect()[0]
+        assert ks["d_stat"] == round(ref_d, 6)
+
+    run()
