@@ -1618,3 +1618,121 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (p01/p99-clamped) vs raw mean value per event type —
     the robust-mean treatment beside the MAD/z-score detectors."""
     return winsorized_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Session Markov transition matrix (r16): P(next event type | current),
+# within the same 30-minute sessions as events_sessionize, with explicit
+# START/END states. The first-order behavioral model funnel dashboards and
+# Markov attribution build on — transition COUNTS are exact bigints off one
+# lag window (sharing the sessionize shuffle), probabilities are one
+# rounded division per row of the <= (k+1)^2-state matrix (k = distinct
+# event types), normalized per from_state over that KB-sized table.
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+stepped AS (
+  SELECT COALESCE(LAG(event_type) OVER w, '__START__') AS from_state,
+         event_type AS to_state,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts DESC, event_id DESC) AS rn_last,
+         event_type
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+),
+transitions AS (
+  SELECT from_state, to_state FROM stepped
+  UNION ALL
+  SELECT event_type, '__END__' FROM stepped WHERE rn_last = 1
+),
+counts AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM transitions GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE),
+             6) AS p
+FROM counts
+ORDER BY from_state, to_state
+"""
+
+
+def session_markov_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(from_state, to_state, n_transitions, p): first-order Markov
+    transition matrix over event types within inactivity-gap sessions,
+    with __START__/__END__ boundary states; p normalized per
+    from_state."""
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (gap > F.lit(gap_minutes * 60 * 1_000_000)),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    w_s_desc = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    stepped = sess.select(
+        F.coalesce(F.lag("event_type").over(w_s), F.lit("__START__")).alias(
+            "from_state"
+        ),
+        F.col("event_type").alias("to_state"),
+        F.row_number().over(w_s_desc).alias("rn_last"),
+        "event_type",
+    )
+    transitions = stepped.select("from_state", "to_state").unionAll(
+        stepped.filter(F.col("rn_last") == 1).select(
+            F.col("event_type").alias("from_state"),
+            F.lit("__END__").alias("to_state"),
+        )
+    )
+    counts = transitions.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    # (k+1)^2-row matrix only — the per-from_state normalization window
+    # never touches event rows
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("from_state", "to_state")
+
+
+@query("events_markov_transitions", oracle=_MARKOV_SQL, defer=True)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level Markov transition matrix of event types (START/END
+    bounded, 30-minute sessions) — the behavioral-model layer above
+    events_sessionize. DuckDB replays sessionization, the lag pairing,
+    and the normalization."""
+    return session_markov_transitions(_t(spark, sf_dir, "events"))

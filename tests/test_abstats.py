@@ -373,3 +373,55 @@ def test_mwu_and_ks_property_match_reference_on_random_samples(spark):
         assert ks["d_stat"] == round(ref_d, 6)
 
     run()
+
+
+def test_markov_transitions_planted_sessions(spark):
+    """Two planted sessions for one user (split by a >30 min gap) plus a
+    second user: transition counts match the hand enumeration including
+    __START__/__END__ boundary states, and each from_state's
+    probabilities sum to 1."""
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.analytics_extras import (
+        session_markov_transitions,
+    )
+
+    t0 = dt(2024, 7, 1, 9, 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, event_type string,"
+              " value double, props string")
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    rows = [
+        # user 1, session A: view -> click -> purchase
+        ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 10, 1, "purchase"),
+        # 40-minute gap -> session B: view -> view
+        ev(4, 50, 1, "view"), ev(5, 55, 1, "view"),
+        # user 2, one session: click
+        ev(6, 0, 2, "click"),
+    ]
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["p"])
+        for r in session_markov_transitions(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    want_counts = {
+        ("__START__", "view"): 2,
+        ("__START__", "click"): 1,
+        ("view", "click"): 1,
+        ("view", "view"): 1,
+        ("view", "__END__"): 1,
+        ("click", "purchase"): 1,
+        ("click", "__END__"): 1,
+        ("purchase", "__END__"): 1,
+    }
+    assert {k: v[0] for k, v in got.items()} == want_counts
+    assert got[("__START__", "view")][1] == round(2 / 3, 6)
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        by_from[f] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in by_from.values()), by_from
