@@ -613,3 +613,107 @@ def eval_cmh_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of eval_cuped_ab/eval_mann_whitney_ab. DuckDB replays the
     user collapse, the 2x2 strata, and both window folds."""
     return cmh_stratified_ab(tpch.load(spark, sf_dir, "events"))
+
+
+# --- quantile treatment effects (r16): WHERE in the distribution the lift is --
+#
+# A mean (or even rank) readout says nothing about WHERE an effect lives
+# — a treatment can lift the p90 while leaving the median untouched.
+# Quantile treatment effects (Doksum 1974; Koenker & Bassett 1978's
+# motivation) are the per-percentile differences of the two arms'
+# quantiles. Fully exact here: each arm's p-th quantile is the
+# ceil(p·n)-th order statistic taken from the per-distinct-value
+# cumulative count table (exact integer k, the conformal-coverage
+# discipline) — no interpolation, no floats anywhere except the output
+# ratio column. Scale shape: the MWU/KS collapse, then everything runs
+# on the KB-sized count table.
+
+_QTE_PCTS_PPM = [100_000, 250_000, 500_000, 750_000, 900_000]
+
+
+def quantile_treatment_effects(units: DataFrame) -> DataFrame:
+    """(pct_ppm, q_treat, q_ctrl, qte): per-percentile arm quantiles
+    (lower order statistic, exact integer k = ceil(p·n)) and their
+    difference, from a (t, v) unit table."""
+    counts = units.groupBy("v").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    stepped = counts.select(
+        "v",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c0").over(w_cum).alias("cum0"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c0").over(w_all).alias("n0"),
+    )
+    pcts = units.sparkSession.createDataFrame(
+        [(p,) for p in _QTE_PCTS_PPM], "pct_ppm bigint"
+    )
+    # k = ceil(p·n) in exact integers; the quantile is the smallest v
+    # whose cumulative count reaches k — a per-percentile MIN over the
+    # KB-scale count table (broadcast the 5-row percentile spine)
+    j = stepped.crossJoin(F.broadcast(pcts))
+    k1 = F.expr("(pct_ppm * n1 + 999999) div 1000000")
+    k0 = F.expr("(pct_ppm * n0 + 999999) div 1000000")
+    agg = j.groupBy("pct_ppm").agg(
+        F.min(F.when(F.col("cum1") >= k1, F.col("v"))).alias("q_treat"),
+        F.min(F.when(F.col("cum0") >= k0, F.col("v"))).alias("q_ctrl"),
+    )
+    return agg.select(
+        "pct_ppm",
+        F.col("q_treat").cast("bigint").alias("q_treat"),
+        F.col("q_ctrl").cast("bigint").alias("q_ctrl"),
+        (F.col("q_treat") - F.col("q_ctrl")).cast("bigint").alias("qte"),
+    ).orderBy("pct_ppm")
+
+
+_QTE_SQL = f"""
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * {float(_FP)}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM units GROUP BY v
+),
+stepped AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+         SUM(c1) OVER () AS n1,
+         SUM(c0) OVER () AS n0
+  FROM counts
+),
+pcts AS (SELECT UNNEST({_QTE_PCTS_PPM}) AS pct_ppm)
+SELECT CAST(p.pct_ppm AS BIGINT) AS pct_ppm,
+       CAST(MIN(CASE WHEN s.cum1 >= (p.pct_ppm * s.n1 + 999999) // 1000000
+                     THEN s.v END) AS BIGINT) AS q_treat,
+       CAST(MIN(CASE WHEN s.cum0 >= (p.pct_ppm * s.n0 + 999999) // 1000000
+                     THEN s.v END) AS BIGINT) AS q_ctrl,
+       CAST(MIN(CASE WHEN s.cum1 >= (p.pct_ppm * s.n1 + 999999) // 1000000
+                     THEN s.v END)
+            - MIN(CASE WHEN s.cum0 >= (p.pct_ppm * s.n0 + 999999) // 1000000
+                       THEN s.v END) AS BIGINT) AS qte
+FROM stepped s, pcts p
+GROUP BY p.pct_ppm
+ORDER BY pct_ppm
+"""
+
+
+@query("eval_qte_ab", oracle=_QTE_SQL, defer=True)
+def eval_qte_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (p10/p25/p50/p75/p90) of per-user
+    purchase value between the md5-parity arms — WHERE in the
+    distribution the lift lives; exact integer order statistics end to
+    end. DuckDB replays the collapse, cumulative counts, and the
+    ceil-k selection."""
+    return quantile_treatment_effects(
+        _per_user_metric(tpch.load(spark, sf_dir, "events"))
+    )

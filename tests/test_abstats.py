@@ -425,3 +425,33 @@ def test_markov_transitions_planted_sessions(spark):
     for (f, _), (_, p) in got.items():
         by_from[f] += p
     assert all(abs(s - 1.0) < 1e-5 for s in by_from.values()), by_from
+
+
+def test_qte_matches_numpy_style_order_statistics(spark):
+    """QTE quantiles equal the lower order statistic ceil(p*n) on planted
+    arms, and a planted tail-only effect shows qte = 0 at the median but
+    a large p90 lift."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        quantile_treatment_effects,
+    )
+
+    # arms share the bottom 80%: 1..80; treatment's top 20% is 10x
+    treat = list(range(1, 81)) + [1000 + i for i in range(20)]
+    ctrl = list(range(1, 81)) + [100 + i for i in range(20)]
+    rows = [(1, v) for v in treat] + [(0, v) for v in ctrl]
+    got = {
+        r["pct_ppm"]: (r["q_treat"], r["q_ctrl"], r["qte"])
+        for r in quantile_treatment_effects(
+            spark.createDataFrame(rows, "t int, v bigint")
+        ).collect()
+    }
+
+    def ref_q(xs, p_ppm):
+        xs = sorted(xs)
+        k = -(-(p_ppm * len(xs)) // 1_000_000)  # ceil, exact ints
+        return xs[k - 1]
+
+    for p in (100_000, 250_000, 500_000, 750_000, 900_000):
+        assert got[p] == (ref_q(treat, p), ref_q(ctrl, p), ref_q(treat, p) - ref_q(ctrl, p)), p
+    assert got[500_000][2] == 0      # median untouched
+    assert got[900_000][2] == 900    # tail lift: 1010 - 110
