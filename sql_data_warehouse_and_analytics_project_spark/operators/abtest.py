@@ -270,7 +270,11 @@ def delta_ratio_ab(events: DataFrame) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    nm1 = d("n") * (d("n") - F.lit(1.0))
+    # NULLIF-guard every denominator (ADVICE r16 #1): a degenerate arm
+    # (n = 1, or zero clicks so ybar = 0) must yield NULL in BOTH engines —
+    # unguarded, Spark's Divide nulls on zero while DuckDB's IEEE doubles
+    # produce ±inf/NaN, a cross-engine parity hazard
+    nm1 = F.nullif(d("n") * (d("n") - F.lit(1.0)), F.lit(0.0))
     ratio = d("sx") / F.nullif(d("sy"), F.lit(0.0)) / F.lit(float(_FP))
     var_x = (d("n") * d("sxx") - d("sx") * d("sx")) / nm1
     cov_xy = (d("n") * d("sxy") - d("sx") * d("sy")) / nm1
@@ -279,7 +283,7 @@ def delta_ratio_ab(events: DataFrame) -> DataFrame:
     r_fp = d("sx") / F.nullif(d("sy"), F.lit(0.0))
     var_r = (
         (var_x - F.lit(2.0) * r_fp * cov_xy + r_fp * r_fp * var_y)
-        / (d("n") * ybar * ybar)
+        / F.nullif(d("n") * ybar * ybar, F.lit(0.0))
         / F.lit(float(_FP) * float(_FP))
     )
     per_arm = arm.select("t", "n", ratio.alias("r"), var_r.alias("v"))
@@ -322,16 +326,16 @@ stats AS (
   SELECT t, n,
          CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0) / {_FP}.0 AS r,
          ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+            / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0)
           - 2.0 * (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
             * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0))
           + (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
             * (CAST(sx AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0))
             * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
-         / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0)))
+         / NULLIF(CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)
          / ({_FP}.0 * {_FP}.0) AS v
   FROM arm
 )

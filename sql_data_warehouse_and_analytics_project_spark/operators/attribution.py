@@ -8,6 +8,15 @@ position-based (a.k.a. U-shaped) model gives the first and last click
 40% each and splits the remaining 20% across the middle clicks
 (single-click paths take 100%, two-click paths 50/50).
 
+Dropped-mass invariant (ADVICE r16 #2, stated, not silent): a purchase
+with NO click in the horizon window contributes ZERO rows here — summed
+``attributed_usd`` reconciles against *attributable* purchase revenue
+(purchases with ≥1 horizon click), NOT total purchase revenue. The
+model intentionally scores touchpoints; untouched conversions have no
+touchpoint to credit. ``tests/test_abstats.py`` pins the invariant:
+attributed mass = Σ vfp over exactly the purchases with a horizon
+click, minus the documented integer-floor remainders.
+
 Engine discipline: purchase values are 1e6 fixed-point bigints and each
 click's credited amount is an exact INTEGER floor division of that
 fixed-point value (first/last: 2·v div 5; two-click: v div 2; middle:
@@ -128,6 +137,10 @@ clicks AS (
   FROM events WHERE event_type = 'click'
 ),
 path AS (
+  -- INNER join by design: a purchase with no click in the horizon has no
+  -- touchpoint to credit and contributes zero rows — attributed_usd
+  -- reconciles against ATTRIBUTABLE revenue only (module docstring,
+  -- ADVICE r16 #2)
   SELECT p.pid, p.pts, p.vfp, c.cid, c.cts,
          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn,
          COUNT(*) OVER (PARTITION BY p.pid) AS k

@@ -56,7 +56,16 @@ def kcore(edges: DataFrame, k: int = _K, max_rounds: int = _MAX_ROUNDS) -> DataF
     undirected simple graph ``edges`` (a < b) after at most
     ``max_rounds`` peel rounds, with each survivor's degree INSIDE the
     core; ``converged`` is true iff no further peel would remove
-    anything (always true when the loop broke early)."""
+    anything (always true when the loop broke early).
+
+    Fixpoint invariant (VERDICT r16 nit #3): the loop detects
+    convergence by edge-COUNT equality, which is sound ONLY because each
+    round's ``nxt`` is a FILTER of ``cur`` (two left-semi joins) — the
+    peel is monotone, nxt ⊆ cur, so |nxt| = |cur| ⟹ nxt = cur as sets.
+    Any edit that REBUILDS the edge list per round (rather than
+    filtering the previous one) breaks that implication and must switch
+    to a set-difference check; ``tests/test_kcore.py::
+    test_fixpoint_count_equality_requires_monotone_peel`` pins this."""
     cur = edges.select("a", "b").localCheckpoint(eager=True)
     for _ in range(max_rounds):
         good = _degrees(cur).filter(F.col("deg") >= k).select("node")

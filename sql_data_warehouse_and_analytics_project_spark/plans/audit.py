@@ -99,6 +99,21 @@ def physical_node_counts(df: DataFrame) -> dict[str, int]:
     return counts
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """WindowExec-family nodes with an EMPTY partitionSpec — each one moves
+    its WHOLE input through one task (Spark's own "Moving all data to a
+    single partition" warning), the scale-killer VERDICT r16 flagged in the
+    rank-statistics family. Model-scale inputs (≤ segment counts) are the
+    only place these are tolerable; corpus- or unit-cardinality inputs are
+    not."""
+    n = 0
+    for name, node in physical_tree(df):
+        if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                n += 1
+    return n
+
+
 def node_metrics(node) -> dict[str, int]:
     """SQLMetric values of one physical node (meaningful after an action has
     run the plan — e.g. ``numOutputRows`` of a partial HashAggregate)."""

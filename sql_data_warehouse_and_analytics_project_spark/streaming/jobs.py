@@ -1424,14 +1424,22 @@ def asof_attribution_apply_batch(
         wm_old = int(meta_row["wm_micros"])
         # Attempt-marker check (same discipline as every other sink): the
         # pointer flip is the commit point and it happens AFTER the output
-        # write, so committed batch_id == incoming batch_id means attempt 1
-        # fully committed — output for this batch_id is already on disk —
+        # write, so committed batch_id >= incoming batch_id means this
+        # batch_id fully committed — output for it is already on disk —
         # and foreachBatch merely redelivered before the streaming
         # checkpoint advanced. Recomputing here would run against the NEW
         # state (prior-batch pending already finalized and pruned,
         # keep_versions=1) and the idempotent overwrite of
-        # out/ingest_batch=<id> would silently drop those rows. Return.
-        if int(meta_row["batch_id"]) == int(batch_id):
+        # out/ingest_batch=<id> would silently drop those rows. ``<=``
+        # rather than ``==`` (ADVICE r16 #3): batch ids are monotone within
+        # one checkpoint lineage, so an incoming id at or below the
+        # committed one is always a replay of committed work — including a
+        # fresh-checkpoint restart (ids restart at 0) pointed at an
+        # existing state dir, which ``==`` would silently reprocess against
+        # the pruned keep_versions=1 state. Reusing a state_path with a
+        # fresh checkpoint is therefore a no-op until the new lineage's ids
+        # pass the committed high-water mark, not a corruption.
+        if int(batch_id) <= int(meta_row["batch_id"]):
             return
     else:
         clicks_st = spark.createDataFrame(

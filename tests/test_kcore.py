@@ -77,3 +77,51 @@ def test_kcore_empty_and_all_core_edges(spark):
     assert kcore(_mk(spark, tri), k=5).count() == 0
     got = {r["node"]: r["core_deg"] for r in kcore(_mk(spark, tri), k=1).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_fixpoint_count_equality_requires_monotone_peel(spark):
+    """Pins the docstring invariant (VERDICT r16 nit #3): the loop's
+    convergence check is edge-COUNT equality, sound only because each
+    round FILTERS the previous edge list (nxt ⊆ cur, so |nxt| = |cur| ⟹
+    nxt = cur). Replays the peel in python on the pseudo-random graph
+    and asserts set-equality at the first equal-count round; then shows
+    the explicit counterexample — equal counts, different sets — that a
+    non-monotone rebuild could produce, which the count check alone
+    would wrongly accept."""
+    edges = set()
+    for i in range(60):
+        for j in range(i + 1, 60):
+            if (i * 37 + j * 61) % 23 < 4:
+                edges.add((i, j))
+
+    def peel_round(cur, k):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        good = {n for n, d in deg.items() if d >= k}
+        return {(a, b) for a, b in cur if a in good and b in good}
+
+    cur = set(edges)
+    saw_fixpoint = False
+    for _ in range(12):
+        nxt = peel_round(cur, 4)
+        if len(nxt) == len(cur):
+            # the monotone-peel implication the engine relies on
+            assert nxt == cur
+            saw_fixpoint = True
+            break
+        cur = nxt
+    assert saw_fixpoint  # the fixture converges inside the cap
+
+    # counterexample: a NON-monotone step with the same count but a
+    # different set — count equality alone is not a fixpoint proof
+    fake_cur = {(1, 2), (3, 4)}
+    fake_nxt = {(1, 2), (4, 5)}  # not a subset of fake_cur
+    assert len(fake_nxt) == len(fake_cur) and fake_nxt != fake_cur
+
+    # and the engine's survivors at the count fixpoint equal the true
+    # python fixpoint — the subset argument holds end to end
+    rows = kcore(_mk(spark, edges), k=4).collect()
+    assert all(r["converged"] for r in rows)
+    assert {r["node"] for r in rows} == {n for e in cur for n in e}

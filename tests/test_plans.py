@@ -933,3 +933,32 @@ def test_r16_query_plan_budgets(spark):
 
     plan = audit.executed_plan(events_multitouch_attribution(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_stats_no_unpartitioned_window(spark):
+    """VERDICT r16 what's-wrong #1: the MWU/KS/QTE rank machinery must not
+    fold its per-distinct-value count table — unit-cardinality for a
+    continuous metric — through a global window (one task sorts the whole
+    table). After the r17 rework the cumulative sums run through
+    ``abstats._value_cumsums`` (range-partition → per-partition window →
+    broadcast prefix offsets) and the plans carry ZERO unpartitioned
+    WindowExec nodes."""
+    qs = all_queries()
+    for name in ("eval_mann_whitney_ab", "eval_ks_two_sample", "eval_qte_ab"):
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        assert audit.unpartitioned_window_count(df) == 0, name
+
+
+def test_bounded_window_queries_pinned_counts(spark):
+    """The remaining unpartitioned windows in the A/B tier run over tables
+    whose row counts are BOUNDED BY CONSTRUCTION, not by the corpus: BH
+    folds over the 25-nation segment table, CMH over the ≤7-row
+    day-of-week stratum table. Pin their exact unpartitioned-window counts
+    so a refactor that widens those inputs (or adds a corpus-scale global
+    window) fails loudly."""
+    qs = all_queries()
+    for name, expected in (("eval_bh_fdr_nations", 2), ("eval_cmh_stratified_ab", 7)):
+        df = qs[name].fn(spark, SF_DIR)
+        df.count()
+        assert audit.unpartitioned_window_count(df) == expected, name
