@@ -253,7 +253,7 @@ FROM agg
 """
 
 
-@query("eval_mann_whitney_ab", oracle=_MWU_SQL, defer=True)
+@query("eval_mann_whitney_ab", oracle=_MWU_SQL, headline=True)
 def eval_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Mann-Whitney rank-sum readout of per-user purchase
     value, treatment vs control by the md5-parity split — the
@@ -425,7 +425,7 @@ ORDER BY p_rank
 """
 
 
-@query("eval_bh_fdr_nations", oracle=_BH_SQL, defer=True)
+@query("eval_bh_fdr_nations", oracle=_BH_SQL)
 def eval_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR sweep over per-nation urgent-order-share
     z-tests — the multiple-comparison control a per-segment experiment
@@ -537,7 +537,7 @@ GROUP BY n1, n0, dmax
 """
 
 
-@query("eval_ks_two_sample", oracle=_KS_SQL, defer=True)
+@query("eval_ks_two_sample", oracle=_KS_SQL)
 def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance between the arms'
     per-user purchase-value distributions — the shape-sensitive
@@ -674,7 +674,7 @@ FROM folded WHERE stratum = mx
 """
 
 
-@query("eval_cmh_stratified_ab", oracle=_CMH_SQL, defer=True)
+@query("eval_cmh_stratified_ab", oracle=_CMH_SQL)
 def eval_cmh_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Mantel-Haenszel conversion test of the md5-parity arms
     stratified by first-event day cohort — the confounder-controlled
@@ -777,7 +777,7 @@ ORDER BY pct_ppm
 """
 
 
-@query("eval_qte_ab", oracle=_QTE_SQL, defer=True)
+@query("eval_qte_ab", oracle=_QTE_SQL)
 def eval_qte_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects (p10/p25/p50/p75/p90) of per-user
     purchase value between the md5-parity arms — WHERE in the

@@ -349,7 +349,7 @@ FROM (SELECT * FROM stats WHERE t = 1) t1, (SELECT * FROM stats WHERE t = 0) t0
 """
 
 
-@query("eval_delta_ratio_ab", oracle=_DELTA_SQL, defer=True)
+@query("eval_delta_ratio_ab", oracle=_DELTA_SQL)
 def eval_delta_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method revenue-per-click A/B readout of the md5-parity
     arms — the ratio-metric sibling of eval_cuped_ab. DuckDB replays the

@@ -203,7 +203,7 @@ ORDER BY stage
 """
 
 
-@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL)
+@query("events_funnel_latency", oracle=_FUNNEL_LAT_SQL, defer=True)
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage, n_converted, median_ms, p90_ms) per funnel transition among
     users who converted in order — positional median (both middles
@@ -1459,7 +1459,7 @@ ORDER BY event_type, hour_ts
 """
 
 
-@query("events_ewma_hourly", oracle=_ewma_sql())
+@query("events_ewma_hourly", oracle=_ewma_sql(), defer=True)
 def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 12-point EWMA (dyadic weights, exact-integer numerator
     and denominator) of the dense hourly value series per event type."""
@@ -1488,7 +1488,7 @@ ORDER BY segment, order_year
 """
 
 
-@query("olap_grouping_sets_segment_year", oracle=_GSETS_SQL)
+@query("olap_grouping_sets_segment_year", oracle=_GSETS_SQL, defer=True)
 def olap_grouping_sets_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((segment, year), (segment), ()) over orders
     enriched with the broadcast customer dimension — the explicit-subset
@@ -1729,7 +1729,7 @@ def session_markov_transitions(events: DataFrame, gap_minutes: int = 30) -> Data
     ).orderBy("from_state", "to_state")
 
 
-@query("events_markov_transitions", oracle=_MARKOV_SQL, defer=True)
+@query("events_markov_transitions", oracle=_MARKOV_SQL)
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level Markov transition matrix of event types (START/END
     bounded, 30-minute sessions) — the behavioral-model layer above

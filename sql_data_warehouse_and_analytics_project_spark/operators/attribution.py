@@ -169,7 +169,7 @@ ORDER BY day, position
 """
 
 
-@query("events_multitouch_attribution", oracle=_MTA_SQL, defer=True)
+@query("events_multitouch_attribution", oracle=_MTA_SQL)
 def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-based (U-shaped) multi-touch attribution of purchase
     value across the 3-day click path, rolled up per day × position —

@@ -487,7 +487,7 @@ ORDER BY source
 """
 
 
-@query("corpus_mass_concentration", oracle=_MASS_SQL)
+@query("corpus_mass_concentration", oracle=_MASS_SQL, defer=True)
 def corpus_mass_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-decile character-mass share — the export-shard skew
     report (a decile owning most bytes means stragglers; chunk first)."""

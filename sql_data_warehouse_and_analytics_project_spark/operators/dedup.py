@@ -1710,7 +1710,7 @@ JOIN gsplit gb ON gb.doc_id = p.doc_id_2
 """
 
 
-@query("split_leakage_audit", oracle=_LEAKAGE_AUDIT_SQL)
+@query("split_leakage_audit", oracle=_LEAKAGE_AUDIT_SQL, defer=True)
 def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-hygiene measurement: near-dup pairs torn across splits by a
     naive per-doc hash split vs the component-aware split (always 0)."""
@@ -2946,7 +2946,7 @@ FROM sij, sa, sb, tot
 """
 
 
-@query("dedup_methods_ari", oracle=_ARI_SQL)
+@query("dedup_methods_ari", oracle=_ARI_SQL, defer=True)
 def dedup_methods_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chance-corrected agreement (Adjusted Rand Index) between the
     MinHash/LSH and SimHash near-dup clusterings over the full corpus —

@@ -199,7 +199,7 @@ ORDER BY c_custkey_1, c_custkey_2
 """
 
 
-@query("er_fuzzy_pairs_t2", oracle=_ER_T2_SQL, defer=True)
+@query("er_fuzzy_pairs_t2", oracle=_ER_T2_SQL)
 def er_fuzzy_pairs_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All customer-name pairs within Levenshtein distance 2 via the t=2
     deletion neighborhood (VERDICT r15 ask #6) — DuckDB replays the

@@ -155,7 +155,7 @@ FROM ranked
 """
 
 
-@query("eval_roc_auc", oracle=_AUC_SQL, headline=True, defer=True)
+@query("eval_roc_auc", oracle=_AUC_SQL, defer=True)
 def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC of the stopword-density en detector —
     bigint Mann-Whitney over the per-distinct-score count table."""
@@ -404,7 +404,7 @@ ORDER BY decile
 """
 
 
-@query("eval_lift_deciles", oracle=_LIFT_SQL)
+@query("eval_lift_deciles", oracle=_LIFT_SQL, defer=True)
 def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift/gains table of the en detector — positive rate,
     cumulative gain, and lift over base rate per population decile,

@@ -145,7 +145,7 @@ _CO_EDGES_SQL = f"""
 _KCORE_SQL = _kcore_sql(_CO_EDGES_SQL, _K, _MAX_ROUNDS)
 
 
-@query("graph_kcore_copurchase", oracle=_KCORE_SQL, defer=True)
+@query("graph_kcore_copurchase", oracle=_KCORE_SQL)
 def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {k}-core of the part co-purchase graph (k = 3, <= 12 peel
     rounds with the honest converged flag) — the dense-subgraph filter

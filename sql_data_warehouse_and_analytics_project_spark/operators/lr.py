@@ -377,7 +377,7 @@ def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_lr(feats, w)
 
 
-@query("eval_calibration_bins", oracle=_CAL_BINS_SQL)
+@query("eval_calibration_bins", oracle=_CAL_BINS_SQL, defer=True)
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the trained LR en-classifier: mean
     predicted probability vs empirical positive rate per equal-width
@@ -432,7 +432,7 @@ FROM scored
 )
 
 
-@query("eval_brier_score", oracle=_BRIER_SQL)
+@query("eval_brier_score", oracle=_BRIER_SQL, defer=True)
 def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier score (mean squared probability error) of the trained LR
     en-classifier — the proper scoring rule beside the ECE diagnostic,

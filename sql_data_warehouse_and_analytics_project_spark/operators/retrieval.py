@@ -941,7 +941,7 @@ ORDER BY p0.doc_id
 _PHRASE_SQL = _phrase_sql()
 
 
-@query("retrieval_phrase_match", oracle=_PHRASE_SQL, headline=True)
+@query("retrieval_phrase_match", oracle=_PHRASE_SQL, headline=True, defer=True)
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search ("stream data", consecutive and in order) via
     positional-posting adjacency joins — the word-order capability the

@@ -141,7 +141,7 @@ LIMIT {topk}
 _ANN_RP_SQL = _rp_sql()
 
 
-@query("ann_rp_topk", oracle=_ANN_RP_SQL, headline=True)
+@query("ann_rp_topk", oracle=_ANN_RP_SQL, headline=True, defer=True)
 def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection ANN: dim-64 vectors JL-projected to 16 dims
     through the deterministic ±1 md5-sign matrix, exact int64 L2 top-10

@@ -365,7 +365,7 @@ FROM folded f, totals WHERE f.t = f.mx
 """
 
 
-@query("events_logrank_ab", oracle=_LOGRANK_SQL, defer=True)
+@query("events_logrank_ab", oracle=_LOGRANK_SQL)
 def events_logrank_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test of time-to-conversion between the md5-parity arms —
     the experiment companion of events_kaplan_meier. DuckDB replays the

@@ -76,6 +76,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         kcore,
         kmeans,
         lr,
+        msprt,
         multimodal,
         nb,
         olap_extras,
@@ -203,6 +204,32 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # (↔ events_winsorized_stats stays — percentile machinery). No
     # r15-window-debut key was deferred (the calibration family keeps
     # bins, ece AND brier).
+    # r17 rotated 11-for-11 (VERDICT r16 ask #1): promoted the eleven
+    # r16-generation keys (eval_mann_whitney_ab, eval_ks_two_sample,
+    # eval_bh_fdr_nations, eval_cmh_stratified_ab, eval_delta_ratio_ab,
+    # events_logrank_ab, events_multitouch_attribution, er_fuzzy_pairs_t2,
+    # graph_kcore_copurchase, events_markov_transitions, eval_qte_ab — all
+    # eleven sf0.01-parity-verified pre-flip, the three reworked rank keys
+    # additionally bit-identical-verified against their r16 outputs; the
+    # full 50-key window re-simulated post-flip), deferring eleven
+    # long-stable sibling-covered keys: events_funnel_latency (↔ promoted
+    # events_multitouch_attribution + events_markov_transitions keep the
+    # event-path family), events_ewma_hourly (↔ events_winsorized_stats +
+    # events_error_window_join stay — hourly event-window family),
+    # eval_calibration_bins + eval_brier_score (↔ eval_calibration_ece
+    # stays — same bin table / probability-scoring surface),
+    # eval_lift_deciles (↔ eval_roc_auc_by_source stays — score-ranking
+    # sweep family), dedup_methods_ari (↔ dedup_minhash_error +
+    # dedup_component_cohesion stay — dedup-method-comparison family),
+    # corpus_mass_concentration (↔ corpus_vocab_overlap stays — same
+    # vocab-count machinery), olap_grouping_sets_segment_year (↔
+    # olap_gini_revenue_by_nation + q11 part-to-whole + q05 grains stay),
+    # split_leakage_audit (↔ the md5-parity split machinery is exercised
+    # by all five promoted A/B keys; deferred sibling split_leakage_free
+    # stays suite-verified), ann_rp_topk (↔ ann_opq_recall stays — the
+    # strictest ANN recall audit), retrieval_phrase_match (↔ promoted
+    # retrieval_ndcg_bm25... stays from r16; phrase-index machinery keeps
+    # its pytest suite + deferred sibling retrieval_phrase_snippets).
     # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries

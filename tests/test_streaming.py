@@ -1468,3 +1468,67 @@ def test_stream_asof_state_stays_bounded_over_long_replay(spark, tmp_path):
         )
     )
     assert _rows(stream_asof_attributions(spark, state)) == expected
+
+
+def test_stream_msprt_monitor_matches_batch_twin_per_ingest_batch(spark, tmp_path):
+    """Sequential mSPRT monitor (r17, VERDICT r16 ask #6): after EVERY
+    ingest batch the streaming boundary — merged (hour, arm) partials
+    through the SAME msprt_boundary fold — must equal the eval_msprt_ab
+    batch twin over exactly the events ingested so far, row for row.
+    That per-look equality is the point: the p-value is always-valid, so
+    consulting the monitor at every batch is statistically safe. A full
+    redelivery (fresh checkpoint, same input) leaves the decision table
+    bit-identical."""
+    import os
+
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import msprt
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt(2024, 4, 1)
+    eid = 0
+
+    def ev(minute, user, etype, value):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + timedelta(minutes=minute), user, etype, value, "{}")
+
+    # events span 6 hours across 3 batches; hours straddle batch
+    # boundaries so the cumulative counts only exist after the merge
+    batches = [
+        [ev(7 * i, 1 + i % 9, "view", 0.0) for i in range(20)]
+        + [ev(9 * i, 1 + i % 5, "purchase", 2.5 + i) for i in range(6)],
+        [ev(120 + 7 * i, 3 + i % 9, "click", 1.0) for i in range(15)]
+        + [ev(130 + 11 * i, 2 + i % 7, "purchase", 1.25 * (i + 1)) for i in range(5)],
+        [ev(260 + 5 * i, 1 + i % 11, "view", 0.0) for i in range(18)]
+        + [ev(270 + 13 * i, 5 + i % 6, "purchase", 0.75 * (i + 1)) for i in range(4)],
+    ]
+
+    state = str(tmp_path / "msprt_state")
+    ck = str(tmp_path / "msprt_ck")
+    want = None
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+        jobs.sink_stream_msprt_counts(
+            jobs.read_events_stream(spark, f"{input_dir}/*"), state, ck
+        ).awaitTermination(120)
+        prefix = spark.createDataFrame(
+            [r for rs in batches[: bi + 1] for r in rs], schema=jobs.EVENTS_SCHEMA
+        )
+        want = [repr(r) for r in msprt.msprt_boundary(msprt.msprt_counts(prefix)).collect()]
+        got = [repr(r) for r in jobs.stream_msprt_monitor(spark, state).collect()]
+        assert got == want, f"batch {bi}: monitor != batch twin on the prefix"
+
+    # full redelivery: fresh checkpoint, same input, one file per trigger
+    # so batch ids land 0,1,2 on the same files — state bit-identical
+    jobs.sink_stream_msprt_counts(
+        jobs.read_events_stream(spark, f"{input_dir}/*", max_files_per_trigger=1),
+        state,
+        str(tmp_path / "msprt_ck2"),
+    ).awaitTermination(120)
+    assert [repr(r) for r in jobs.stream_msprt_monitor(spark, state).collect()] == want
