@@ -65,6 +65,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         composition,
         cooccur,
         curation,
+        cusum,
         datacard,
         dedup,
         drift,
