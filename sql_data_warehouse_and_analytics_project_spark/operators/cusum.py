@@ -47,6 +47,15 @@ def cusum_hourly(events: DataFrame) -> DataFrame:
         .groupBy("hr")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM fold from an (hr, x) hourly-count table — shared by the
+    batch query and the streaming monitor
+    (``streaming.jobs.stream_cusum_monitor``), whose merged per-batch
+    partials are a SUM monoid over exactly this shape; stream == batch
+    by construction (pytest-pinned)."""
     ref = F.broadcast(
         hourly.agg(
             F.expr("sum(x) div count(1)").cast("bigint").alias("k"),

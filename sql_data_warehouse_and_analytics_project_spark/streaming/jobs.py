@@ -1317,6 +1317,23 @@ def stream_msprt_monitor(spark: SparkSession, state_path: str) -> DataFrame:
     return msprt_boundary(merged)
 
 
+def stream_cusum_monitor(spark: SparkSession, state_path: str) -> DataFrame:
+    """Two-sided CUSUM level-shift decision table over everything
+    ingested so far — rides the SAME per-(hour, arm) state the mSPRT
+    sink lands (no extra sink: the hourly trial count summed over arms
+    IS the hourly event count), folded by the shared
+    ``operators.cusum.cusum_from_hourly``; stream == batch by
+    construction, pytest-pinned per ingest batch."""
+    from ..operators.cusum import cusum_from_hourly
+
+    hourly = (
+        spark.read.parquet(f"{state_path}/msprt")
+        .groupBy("hr")
+        .agg(F.sum("n").cast("bigint").alias("x"))
+    )
+    return cusum_from_hourly(hourly)
+
+
 def sink_stream_positional_layer(docs_stream: DataFrame, index_path: str, checkpoint: str):
     """Streaming ingest into the positional phrase layer of an inverted
     index (r13) — between batches the layer serves

@@ -1524,6 +1524,14 @@ def test_stream_msprt_monitor_matches_batch_twin_per_ingest_batch(spark, tmp_pat
         got = [repr(r) for r in jobs.stream_msprt_monitor(spark, state).collect()]
         assert got == want, f"batch {bi}: monitor != batch twin on the prefix"
 
+        # the CUSUM monitor rides the SAME state (hourly trials summed
+        # over arms = hourly event count) — also exact per ingest batch
+        from sql_data_warehouse_and_analytics_project_spark.operators import cusum
+
+        want_cu = [repr(r) for r in cusum.cusum_hourly(prefix).collect()]
+        got_cu = [repr(r) for r in jobs.stream_cusum_monitor(spark, state).collect()]
+        assert got_cu == want_cu, f"batch {bi}: cusum monitor != batch twin"
+
     # full redelivery: fresh checkpoint, same input, one file per trigger
     # so batch ids land 0,1,2 on the same files — state bit-identical
     jobs.sink_stream_msprt_counts(
