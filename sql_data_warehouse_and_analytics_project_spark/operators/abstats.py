@@ -787,3 +787,84 @@ def eval_qte_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_treatment_effects(
         _per_user_metric(tpch.load(spark, sf_dir, "events"))
     )
+
+
+# --- sample-ratio mismatch (r17): the experiment HEALTH check ------------------
+#
+# Every readout above assumes the randomizer worked; a sample-ratio
+# mismatch (arm sizes off the designed 50/50) is the canonical symptom of
+# broken assignment/logging and invalidates all of them (Fabijan et al.,
+# "Diagnosing Sample Ratio Mismatch", KDD 2019 — public method). The test
+# is a 1-df chi-square of the observed unit counts against the even
+# split: chi2 = (n1 - n0)^2 / (n1 + n0), z = sqrt(chi2), p from the
+# SHARED A&S 7.1.26 erf twin (_p_two_sided / _sql_p_two_sided — the BH
+# machinery, same libm tolerance class). Counts are exact bigints; the
+# standard SRM alarm threshold p < 0.001 is mirrored in both engines.
+# Scale shape: one distinct-user collapse, then a 2-row rollup — nothing
+# downstream sees corpus rows.
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """One row (n_treat, n_ctrl, ratio, chi2, z, p_value, srm_alarm):
+    sample-ratio-mismatch chi-square of the md5-parity unit counts
+    against the designed 50/50 split."""
+    from .dedup import _md5_long
+
+    units = events.select("user_id").distinct().select(
+        (_md5_long(F.col("user_id").cast("string"), 13) % 2).cast("int").alias("t")
+    )
+    agg = units.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    chi2 = (
+        (d("n1") - d("n0"))
+        * (d("n1") - d("n0"))
+        / F.nullif(d("n1") + d("n0"), F.lit(0.0))
+    )
+    z = F.sqrt(chi2)
+    p = _p_two_sided(z)
+    return agg.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.round(d("n1") / F.nullif(d("n1") + d("n0"), F.lit(0.0)), 6).alias("ratio"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.coalesce(p < F.lit(0.001), F.lit(False)).alias("srm_alarm"),
+    )
+
+
+_SRM_SQL = f"""
+WITH units AS (
+  SELECT DISTINCT user_id FROM events
+),
+arms AS (
+  SELECT CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t
+    FROM units
+  )
+)
+SELECT n1 AS n_treat,
+       n0 AS n_ctrl,
+       ROUND(CAST(n1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0), 6) AS ratio,
+       ROUND((CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) * (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE))
+             / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0), 6) AS chi2,
+       ROUND(SQRT((CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) * (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE))
+             / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0)), 6) AS z,
+       ROUND({_sql_p_two_sided("SQRT((CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) * (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))")}, 6) AS p_value,
+       COALESCE({_sql_p_two_sided("SQRT((CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) * (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))")} < 0.001, FALSE) AS srm_alarm
+FROM arms
+"""
+
+
+@query("eval_srm_check", oracle=_SRM_SQL, defer=True)
+def eval_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square of the md5-parity arm sizes —
+    the randomization health check that gates every other readout in
+    this tier. DuckDB replays the distinct-unit collapse, the 1-df
+    chi-square, and the shared A&S p-value."""
+    return srm_check(tpch.load(spark, sf_dir, "events"))

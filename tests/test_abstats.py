@@ -455,3 +455,104 @@ def test_qte_matches_numpy_style_order_statistics(spark):
         assert got[p] == (ref_q(treat, p), ref_q(ctrl, p), ref_q(treat, p) - ref_q(ctrl, p)), p
     assert got[500_000][2] == 0      # median untouched
     assert got[900_000][2] == 900    # tail lift: 1010 - 110
+
+
+def test_value_cumsums_equals_python_fold_across_partitionings(spark):
+    """_value_cumsums (the two-pass range-partitioned exact cumsum behind
+    MWU/KS/QTE/IV) must equal the driver-side python prefix sum for any
+    table and ANY shuffle-partition count — 1 (everything in one range
+    partition), 3 (offsets load-bearing), and the session default. Also
+    pins the returned grand totals."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        _value_cumsums,
+    )
+
+    vals = [((i * 37) % 101 - 50, (i * 13) % 7, (i * 29) % 5) for i in range(200)]
+    # distinct v (groupBy-shaped input), pseudo-random counts incl. zeros
+    rows = sorted({v: (a, b) for v, a, b in vals}.items())
+    data = [(v, a, b) for v, (a, b) in rows]
+    want_cum, run_a, run_b = [], 0, 0
+    for v, a, b in data:
+        run_a += a
+        run_b += b
+        want_cum.append((v, run_a, run_b))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "3", prev):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = spark.createDataFrame(data, "v long, c1 long, c0 long")
+            stepped, tot = _value_cumsums(df, ["c1", "c0"])
+            got = sorted(
+                (r["v"], int(r["cum_c1"]), int(r["cum_c0"]))
+                for r in stepped.collect()
+            )
+            assert got == want_cum, f"shuffle.partitions={parts}"
+            assert (tot["c1"], tot["c0"]) == (run_a, run_b)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_dist_ntile_equals_spark_ntile_for_all_shapes(spark):
+    """_dist_ntile must reproduce F.ntile bit-for-bit for every shape
+    class: n < k (each row its own tile), n = k, n not divisible by k
+    (first r tiles one larger), ties broken by the id column, and
+    descending sort order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.olap_extras import (
+        _dist_ntile,
+    )
+
+    for n, k in ((3, 5), (5, 5), (17, 4), (100, 7)):
+        data = [(i, (i * 31) % 10) for i in range(n)]  # heavy ties in s
+        df = spark.createDataFrame(data, "id long, s long")
+        want = {
+            (r["id"],): r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy(F.desc("s"), "id"))
+            ).collect()
+        }
+        got = {
+            (r["id"],): r["t"]
+            for r in _dist_ntile(df, [F.desc("s"), F.col("id")], k, "t").collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_srm_check_balanced_and_planted_mismatch(spark):
+    """SRM: a (hash-)balanced population must not alarm; a planted 80/20
+    mismatch must (chi2 = (n1-n0)^2/n far past the p<0.001 bar); the
+    chi-square matches the closed form on exact counts."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.abstats import (
+        srm_check,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt(2024, 8, 1)
+
+    balanced = spark.createDataFrame(
+        [(u, t0, u, "view", 0.0, "{}") for u in range(1, 2001)], schema
+    )
+    r = srm_check(balanced).collect()[0]
+    assert r["n_treat"] + r["n_ctrl"] == 2000
+    exp_chi2 = round((r["n_treat"] - r["n_ctrl"]) ** 2 / 2000, 6)
+    assert r["chi2"] == exp_chi2
+    assert r["srm_alarm"] is False  # md5 parity is unbiased
+
+    # planted mismatch: keep every arm-0 user, every 4th arm-1 user
+    rows = []
+    for u in range(1, 4001):
+        if _arm(u) == 0 or u % 4 == 0:
+            rows.append((u, t0, u, "view", 0.0, "{}"))
+    skewed = srm_check(spark.createDataFrame(rows, schema)).collect()[0]
+    assert skewed["srm_alarm"] is True
+    assert skewed["p_value"] < 0.001
