@@ -356,3 +356,103 @@ def eval_delta_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user collapse, the exact second moments, and the mirrored
     variance derivation."""
     return delta_ratio_ab(tpch.load(spark, sf_dir, "events"))
+
+
+# --- post-hoc minimum detectable effect (r17) ----------------------------------
+#
+# The SRM check says whether the randomizer worked; the MDE says whether
+# the experiment was big enough to SEE anything — a null readout on an
+# underpowered test is "we couldn't tell", not "no effect". Standard
+# two-proportion closed form (public: any power-analysis text):
+#
+#   MDE_abs = (z_{1−α/2} + z_{power}) · sqrt( p̂(1−p̂)·(1/n1 + 1/n0) )
+#
+# at α = 0.05 two-sided and 80% power, i.e. z constants 1.959964 and
+# 0.841621 (fixed literals in BOTH engines — no quantile function, no
+# libm beyond sqrt). Unit counts and conversions are exact bigints from
+# one distinct-user collapse; everything downstream is a 1-row rollup.
+
+_Z_ALPHA = 1.959964  # Φ⁻¹(0.975)
+_Z_POWER = 0.841621  # Φ⁻¹(0.80)
+
+
+def power_mde(events: DataFrame) -> DataFrame:
+    """One row (n_treat, n_ctrl, conv_treat, conv_ctrl, pooled_rate, se,
+    mde_abs, mde_rel): post-hoc minimum detectable absolute/relative
+    conversion lift at alpha=0.05 / power=0.8 for the md5-parity split."""
+    from .dedup import _md5_long
+
+    units = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select(
+        (_md5_long(F.col("user_id").cast("string"), 13) % 2).cast("int").alias("t"),
+        "conv",
+    )
+    agg = units.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("x0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pooled = (d("x1") + d("x0")) / F.nullif(d("n1") + d("n0"), F.lit(0.0))
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.nullif(d("n1"), F.lit(0.0))
+           + F.lit(1.0) / F.nullif(d("n0"), F.lit(0.0)))
+    )
+    mde = F.lit(_Z_ALPHA + _Z_POWER) * se
+    return agg.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.col("x1").alias("conv_treat"),
+        F.col("x0").alias("conv_ctrl"),
+        F.round(pooled, 6).alias("pooled_rate"),
+        F.round(se, 6).alias("se"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.nullif(pooled, F.lit(0.0)), 6).alias("mde_rel"),
+    )
+
+
+_MDE_SQL = f"""
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN t = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0
+  FROM units
+)
+SELECT n1 AS n_treat, n0 AS n_ctrl, x1 AS conv_treat, x0 AS conv_ctrl,
+       ROUND((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))
+             / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0), 6) AS pooled_rate,
+       ROUND(SQRT(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                  * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                  * (1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0) + 1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0))), 6) AS se,
+       ROUND({_Z_ALPHA + _Z_POWER}
+             * SQRT(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                    * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                    * (1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0) + 1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0))), 6) AS mde_abs,
+       ROUND({_Z_ALPHA + _Z_POWER}
+             * SQRT(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                    * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0))
+                    * (1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0) + 1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0)))
+             / NULLIF((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))
+                      / NULLIF(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE), 0.0), 0.0), 6) AS mde_rel
+FROM agg
+"""
+
+
+@query("eval_power_mde", oracle=_MDE_SQL, defer=True)
+def eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc minimum detectable conversion lift at alpha=0.05 /
+    power=0.8 — the experiment-design companion of eval_srm_check: a
+    null A/B readout only means something if the observed MDE is below
+    the effect size the team cares about. DuckDB replays the collapse
+    and the closed form."""
+    return power_mde(tpch.load(spark, sf_dir, "events"))

@@ -1736,3 +1736,110 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_sessionize. DuckDB replays sessionization, the lag pairing,
     and the normalization."""
     return session_markov_transitions(_t(spark, sf_dir, "events"))
+
+
+# --- weekly seasonality profile (r17) ------------------------------------------
+#
+# The events tier has trend tools (EWMA, Theil-Sen, CUSUM) but no
+# SEASONALITY readout — the hour-of-week profile every capacity plan and
+# anomaly baseline starts from. Exact-integer discipline: hourly counts
+# (the survival.py hour-bucket) group by hour-of-week = hr % 168 (epoch
+# arithmetic, identical in both engines — NOT dayofweek(), whose origin
+# differs); per-bucket Σx and Σx² stay exact bigints, and the seasonal
+# strength 1 − SS_within/SS_total derives from those exact sums through
+# one mirrored parenthesization. Every fold input is bounded: the hourly
+# table by the observation span, the profile by 168 rows.
+
+_WEEK_HOURS = 168
+
+
+def weekly_seasonality(events: DataFrame) -> DataFrame:
+    """(how, n_hours, n_events, rate_mean, rate_index, seasonal_strength):
+    hour-of-week activity profile with the variance-decomposition
+    seasonal strength (shared across rows)."""
+    hour_us = 3_600_000_000
+    hourly = (
+        events.select(F.expr(f"unix_micros(ts) div {hour_us}").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    prof = hourly.groupBy((F.col("hr") % _WEEK_HOURS).alias("how")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    tot = F.broadcast(
+        prof.agg(
+            F.sum("n_hours").cast("bigint").alias("h"),
+            F.sum("sx").cast("bigint").alias("tx"),
+            F.sum("sxx").cast("bigint").alias("txx"),
+            # SS_within = Σ_g (sxx_g − sx_g²/n_g); fold the per-group float
+            # terms here so the 168-row profile is the only window input
+            F.sum(
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / F.col("n_hours").cast("double")
+            ).alias("ss_within"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ss_total = d("txx") - d("tx") * d("tx") / d("h")
+    strength = F.lit(1.0) - F.col("ss_within") / F.nullif(ss_total, F.lit(0.0))
+    return (
+        prof.crossJoin(tot)
+        .select(
+            F.col("how").cast("bigint").alias("how"),
+            "n_hours",
+            F.col("sx").alias("n_events"),
+            F.round(d("sx") / d("n_hours"), 6).alias("rate_mean"),
+            F.round(
+                (d("sx") / d("n_hours")) / F.nullif(d("tx") / d("h"), F.lit(0.0)), 6
+            ).alias("rate_index"),
+            F.round(strength, 6).alias("seasonal_strength"),
+        )
+        .orderBy("how")
+    )
+
+
+_SEASON_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY hr
+),
+prof AS (
+  SELECT hr % {_WEEK_HOURS} AS how,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM hourly GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_hours) AS BIGINT) AS h,
+         CAST(SUM(sx) AS BIGINT) AS tx,
+         CAST(SUM(sxx) AS BIGINT) AS txx,
+         SUM(CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS ss_within
+  FROM prof
+)
+SELECT CAST(p.how AS BIGINT) AS how,
+       p.n_hours,
+       p.sx AS n_events,
+       ROUND(CAST(p.sx AS DOUBLE) / CAST(p.n_hours AS DOUBLE), 6) AS rate_mean,
+       ROUND((CAST(p.sx AS DOUBLE) / CAST(p.n_hours AS DOUBLE))
+             / NULLIF(CAST(t.tx AS DOUBLE) / CAST(t.h AS DOUBLE), 0.0), 6) AS rate_index,
+       ROUND(1.0 - t.ss_within
+             / NULLIF(CAST(t.txx AS DOUBLE)
+                      - CAST(t.tx AS DOUBLE) * CAST(t.tx AS DOUBLE) / CAST(t.h AS DOUBLE), 0.0), 6)
+         AS seasonal_strength
+FROM prof p, tot t
+ORDER BY how
+"""
+
+
+@query("events_weekly_seasonality", oracle=_SEASON_SQL, defer=True)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity profile with variance-decomposition seasonal
+    strength — the seasonality baseline beside EWMA/Theil-Sen/CUSUM.
+    DuckDB replays the hour buckets, the 168-row profile, and the SS
+    decomposition."""
+    return weekly_seasonality(tpch.load(spark, sf_dir, "events"))

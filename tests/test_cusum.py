@@ -76,3 +76,65 @@ def test_cusum_planted_shift_alarms_after_onset_and_flat_stream_never(spark):
 
     flat = cusum_hourly(_mk(spark, [10] * 24)).collect()
     assert not any(r["alarm_up"] or r["alarm_down"] for r in flat)
+
+
+def test_weekly_seasonality_planted_pattern_and_python_reference(spark):
+    """A planted hour-of-week pattern (30/hour on the first day-of-week,
+    10/hour elsewhere, two full weeks) must put rate_index high exactly on
+    the planted hours and match a python variance-decomposition replay."""
+    from sql_data_warehouse_and_analytics_project_spark.operators.analytics_extras import (
+        weekly_seasonality,
+    )
+
+    counts = {}
+    for week in range(2):
+        for how in range(168):
+            counts[week * 168 + how] = 30 if how < 24 else 10
+    rows, eid = [], 0
+    for hr, n in counts.items():
+        for i in range(n):
+            eid += 1
+            rows.append((eid, T0 + timedelta(hours=hr, minutes=i % 59), 1, "view", 0.0, "{}"))
+    # T0 is midnight; hr buckets align with epoch hours so how = hr0 + how
+    got = weekly_seasonality(spark.createDataFrame(rows, SCHEMA)).collect()
+    assert len(got) == 168
+    hi = {r["how"] for r in got if r["rate_mean"] == 30.0}
+    lo = {r["how"] for r in got if r["rate_mean"] == 10.0}
+    assert len(hi) == 24 and len(lo) == 144 and hi.isdisjoint(lo)
+    assert all(r["rate_index"] > 2.0 for r in got if r["how"] in hi)
+
+    # python replay of the strength: groups are exact-constant here, so
+    # SS_within = 0 and strength = 1 exactly
+    assert all(r["seasonal_strength"] == 1.0 for r in got)
+
+
+def test_power_mde_matches_closed_form(spark):
+    """MDE equals the python closed form on exact counts, and shrinks
+    with sample size (4x the users → half the MDE, same rates)."""
+    import hashlib
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.abtest import (
+        power_mde,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16) % 2
+
+    def mk(n_users):
+        rows = []
+        for u in range(1, n_users + 1):
+            etype = "purchase" if u % 5 == 0 else "view"
+            rows.append((u, T0, u, etype, 1.0, "{}"))
+        return spark.createDataFrame(rows, SCHEMA)
+
+    r = power_mde(mk(1000)).collect()[0]
+    n1 = sum(1 for u in range(1, 1001) if arm(u) == 1)
+    x1 = sum(1 for u in range(1, 1001) if arm(u) == 1 and u % 5 == 0)
+    n0, x0 = 1000 - n1, 200 - x1
+    assert (r["n_treat"], r["n_ctrl"], r["conv_treat"], r["conv_ctrl"]) == (n1, n0, x1, x0)
+    p = (x1 + x0) / 1000
+    se = math.sqrt(p * (1 - p) * (1 / n1 + 1 / n0))
+    assert r["mde_abs"] == round((1.959964 + 0.841621) * se, 6)
+
+    r4 = power_mde(mk(4000)).collect()[0]
+    assert r4["mde_abs"] < 0.6 * r["mde_abs"]  # ~half, same rates
