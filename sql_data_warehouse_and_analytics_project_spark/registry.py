@@ -68,6 +68,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         cusum,
         datacard,
         dedup,
+        degstats,
         drift,
         dsir,
         er,
