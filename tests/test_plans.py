@@ -974,6 +974,16 @@ def test_bounded_window_queries_pinned_counts(spark):
         # the iv_total fold over the ≤11-row decile rollup (the
         # corpus-cardinality cumsum upstream is _value_cumsums now)
         ("eval_information_value", 1),
+        # the r17 sequential monitors fold per-HOUR tables (bounded by
+        # observation span): cumulative counts + running-min p (mSPRT),
+        # prefix sum + prefix min/max (CUSUM)
+        ("eval_msprt_ab", 2),
+        ("events_cusum_hourly", 2),
+        # and the other r17 keys carry none at all
+        ("events_weekly_seasonality", 0),
+        ("eval_srm_check", 0),
+        ("eval_power_mde", 0),
+        ("graph_degree_stats", 0),
     ):
         df = qs[name].fn(spark, SF_DIR)
         df.count()
