@@ -302,3 +302,102 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive CTE over MATERIALIZED stages)."""
     cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return entity_clusters(cust, "c_custkey", "c_name").orderBy("entity_id")
+
+
+# --- blocking-quality audit (r17) ----------------------------------------------
+#
+# The fuzzy-ER keys trust the deletion-neighborhood BLOCKING; this audit
+# measures it with the two standard blocking metrics (public: Christen,
+# "A Survey of Indexing Techniques for Scalable Record Linkage", TKDE
+# 2012): REDUCTION RATIO (how much of the n·(n−1)/2 pair space the
+# blocking prunes) and PAIRS QUALITY (what fraction of surviving
+# candidates verify as true matches). Pair completeness (recall) is 1 by
+# construction for lev <= t — the FastSS zero-false-negative property
+# proven brute-force in tests/test_er.py — so it is not recomputed here.
+# All counts are exact bigints over the keys-only candidate join (the
+# r16 shuffle discipline); possible_pairs uses decimal(38,0) so n² can't
+# overflow at any population.
+
+
+def blocking_quality(names: DataFrame, key: str, name: str) -> DataFrame:
+    """One row (n_names, possible_pairs, candidate_pairs, matched_pairs,
+    reduction_ratio, pair_quality) for t=1 deletion-neighborhood
+    blocking over ``names``."""
+    n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
+    v = n.select("_k", F.explode(deletion_variants("_s")).alias("_v"))
+    a = v.select(F.col("_k").alias("k1"), "_v")
+    b = v.select(F.col("_k").alias("k2"), "_v")
+    cand = (
+        a.join(b, "_v").filter(F.col("k1") < F.col("k2")).select("k1", "k2").distinct()
+    )
+    n1 = n.select(F.col("_k").alias("k1"), F.col("_s").alias("s1"))
+    n2 = n.select(F.col("_k").alias("k2"), F.col("_s").alias("s2"))
+    verified = (
+        cand.join(n1, "k1").join(n2, "k2")
+        .filter(F.levenshtein("s1", "s2") <= 1)
+    )
+    counts = F.broadcast(n.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn")))
+    c_cand = F.broadcast(cand.agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
+    c_match = F.broadcast(verified.agg(F.count(F.lit(1)).cast("bigint").alias("nm")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    possible = (F.col("nn") * (F.col("nn") - 1) / 2).cast("decimal(38,0)")
+    return (
+        counts.crossJoin(c_cand)
+        .crossJoin(c_match)
+        .select(
+            F.col("nn").cast("bigint").alias("n_names"),
+            possible.cast("bigint").alias("possible_pairs"),
+            F.col("nc").alias("candidate_pairs"),
+            F.col("nm").alias("matched_pairs"),
+            F.round(
+                F.lit(1.0) - d("nc") / F.nullif(possible.cast("double"), F.lit(0.0)), 6
+            ).alias("reduction_ratio"),
+            F.round(d("nm") / F.nullif(d("nc"), F.lit(0.0)), 6).alias("pair_quality"),
+        )
+    )
+
+
+_BLOCKING_SQL = """
+WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
+vars AS (
+  SELECT k,
+         UNNEST(list_append(
+           [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+           s)) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.k AS k1, b.k AS k2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+),
+verified AS (
+  SELECT c.k1, c.k2
+  FROM cand c JOIN names x ON c.k1 = x.k JOIN names y ON c.k2 = y.k
+  WHERE levenshtein(x.s, y.s) <= 1
+),
+counts AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM names
+),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM verified)
+SELECT CAST(nn AS BIGINT) AS n_names,
+       CAST(nn * (nn - 1) // 2 AS BIGINT) AS possible_pairs,
+       nc AS candidate_pairs,
+       nm AS matched_pairs,
+       ROUND(1.0 - CAST(nc AS DOUBLE)
+             / NULLIF(CAST(nn * (nn - 1) // 2 AS DOUBLE), 0.0), 6) AS reduction_ratio,
+       ROUND(CAST(nm AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0), 6) AS pair_quality
+FROM counts, cc, cm
+"""
+
+
+@query("er_blocking_quality", oracle=_BLOCKING_SQL, defer=True)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction-ratio / pairs-quality audit of the t=1
+    deletion-neighborhood blocking on customer names — the standard
+    blocking-scheme report card (completeness is 1 by the FastSS
+    zero-false-negative property, brute-force-proven in tests).
+    DuckDB replays the variant generation, the candidate join, and the
+    verify."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return blocking_quality(cust, "c_custkey", "c_name")

@@ -265,3 +265,59 @@ def test_entity_clusters_equal_union_find_truth(spark):
         assert got[root] == (
             len(members), min(members), max(members), names_by_key[root]
         )
+
+
+def test_blocking_quality_matches_bruteforce_reference(spark):
+    """Reduction ratio / pairs quality replayed brute-force in python on
+    a planted name set: candidates = pairs sharing a 1-deletion variant,
+    matches = pairs at lev <= 1; completeness is 1 by FastSS (every
+    lev<=1 pair must appear among the candidates — asserted too)."""
+    import itertools
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        blocking_quality,
+    )
+
+    names = ["car", "cat", "cart", "dog", "dig", "dog", "zebra", "zebr", "ca"]
+    # unique keys; duplicate string 'dog' on two keys is intentional
+    rows = [(i + 1, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+
+    def dels(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    cand = {
+        (k1, k2)
+        for (k1, s1), (k2, s2) in itertools.combinations(rows, 2)
+        if dels(s1) & dels(s2)
+    }
+    matched = {
+        (k1, k2)
+        for (k1, s1), (k2, s2) in itertools.combinations(rows, 2)
+        if lev(s1, s2) <= 1
+    }
+    assert matched <= cand  # FastSS completeness on the fixture
+
+    r = blocking_quality(df, "k", "s").collect()[0]
+    n = len(rows)
+    assert r["n_names"] == n
+    assert r["possible_pairs"] == n * (n - 1) // 2
+    assert r["candidate_pairs"] == len(cand)
+    assert r["matched_pairs"] == len(matched)
+    assert r["reduction_ratio"] == round(1 - len(cand) / (n * (n - 1) / 2), 6)
+    assert r["pair_quality"] == round(len(matched) / len(cand), 6)
