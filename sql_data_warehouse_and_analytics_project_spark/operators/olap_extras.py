@@ -771,3 +771,127 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-ordered part pairs with support/confidence/lift — the
     association-rule affinity surface over order baskets."""
     return basket_affinity(_t(spark, sf_dir, "lineitem"))
+
+
+# --- ABC (Pareto) revenue classification (r17) ---------------------------------
+#
+# The inventory-analytics classic: rank parts by revenue, class A = every
+# part that starts before the 80% cumulative-revenue boundary, B before
+# 95%, C the tail. The per-part revenue table is CORPUS-CARDINALITY, so
+# the cumulative fold reuses ``abstats._value_cumsums`` (the two-pass
+# range-partitioned exact cumsum — its first reuse outside the
+# experimentation tier) over the per-DISTINCT-revenue group table with
+# v = −revenue_fp (ascending v = descending revenue; ties share a group
+# and therefore a class, which is what makes the classification
+# deterministic cross-engine). Class boundaries compare exact integers
+# (cum_before·100 < total·80 in decimal(38,0)) — no floats anywhere in
+# classification; only the reported shares are doubles.
+
+_ABC_FP = 10_000  # revenue fixed-point (1e-4 currency units)
+
+
+def abc_parts(lineitem: DataFrame) -> DataFrame:
+    """(abc_class, n_parts, revenue, revenue_share, parts_share): Pareto
+    classification of parts by exact fixed-point revenue."""
+    from .abstats import _value_cumsums
+
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(float(_ABC_FP))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_fp")
+    )
+    groups = per_part.groupBy((-F.col("rev_fp")).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    ).withColumn(
+        "grev", (F.lit(-1) * F.col("v")).cast("decimal(38,0)") * F.col("n_parts")
+    )
+    cum, tot = _value_cumsums(groups, ["grev"])
+    total = int(tot["grev"])
+    cum_before = F.col("cum_grev") - F.col("grev")
+    klass = (
+        F.when(cum_before * 100 < F.lit(total).cast("decimal(38,0)") * 80, "A")
+        .when(cum_before * 100 < F.lit(total).cast("decimal(38,0)") * 95, "B")
+        .otherwise("C")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rolled = (
+        cum.withColumn("abc_class", klass)
+        .groupBy("abc_class")
+        .agg(
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            F.sum("grev").cast("decimal(38,0)").alias("rev"),
+        )
+    )
+    nall = F.broadcast(
+        rolled.agg(F.sum("n_parts").cast("bigint").alias("np_all"))
+    )
+    return (
+        rolled.crossJoin(nall)
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(d("rev") / F.lit(float(_ABC_FP)), 2).alias("revenue"),
+            F.round(d("rev") / F.lit(float(total)), 6).alias("revenue_share"),
+            F.round(d("n_parts") / d("np_all"), 6).alias("parts_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * {float(_ABC_FP)}) AS BIGINT)) AS BIGINT) AS rev_fp
+  FROM lineitem GROUP BY l_partkey
+),
+groups AS (
+  SELECT -rev_fp AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(-(-rev_fp) AS HUGEINT) * COUNT(*) AS grev
+  FROM per_part GROUP BY 1
+),
+cum AS (
+  SELECT v, n_parts, grev,
+         SUM(grev) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_grev,
+         SUM(grev) OVER () AS total
+  FROM groups
+),
+classed AS (
+  SELECT CASE WHEN (cum_grev - grev) * 100 < total * 80 THEN 'A'
+              WHEN (cum_grev - grev) * 100 < total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         n_parts, grev, total
+  FROM cum
+),
+rolled AS (
+  SELECT abc_class,
+         CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+         SUM(grev) AS rev,
+         MAX(total) AS total
+  FROM classed GROUP BY abc_class
+)
+SELECT abc_class,
+       n_parts,
+       ROUND(CAST(rev AS DOUBLE) / {float(_ABC_FP)}, 2) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS revenue_share,
+       ROUND(CAST(n_parts AS DOUBLE)
+             / CAST(SUM(n_parts) OVER () AS DOUBLE), 6) AS parts_share
+FROM rolled
+ORDER BY abc_class
+"""
+
+
+@query("olap_abc_parts", oracle=_ABC_SQL, defer=True)
+def olap_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by exact fixed-point revenue —
+    class boundaries decided on exact integers, ties share a class, the
+    corpus-cardinality cumulative fold rides _value_cumsums. DuckDB
+    replays the revenue collapse, the distinct-revenue groups, the
+    cumulative fold, and the integer boundary compares."""
+    return abc_parts(tpch.load(spark, sf_dir, "lineitem"))
