@@ -861,7 +861,7 @@ FROM arms
 """
 
 
-@query("eval_srm_check", oracle=_SRM_SQL, defer=True)
+@query("eval_srm_check", oracle=_SRM_SQL)
 def eval_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch chi-square of the md5-parity arm sizes —
     the randomization health check that gates every other readout in

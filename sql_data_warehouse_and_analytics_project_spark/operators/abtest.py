@@ -448,7 +448,7 @@ FROM agg
 """
 
 
-@query("eval_power_mde", oracle=_MDE_SQL, defer=True)
+@query("eval_power_mde", oracle=_MDE_SQL)
 def eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-hoc minimum detectable conversion lift at alpha=0.05 /
     power=0.8 — the experiment-design companion of eval_srm_check: a

@@ -1836,7 +1836,7 @@ ORDER BY how
 """
 
 
-@query("events_weekly_seasonality", oracle=_SEASON_SQL, defer=True)
+@query("events_weekly_seasonality", oracle=_SEASON_SQL)
 def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-week activity profile with variance-decomposition seasonal
     strength — the seasonality baseline beside EWMA/Theil-Sen/CUSUM.

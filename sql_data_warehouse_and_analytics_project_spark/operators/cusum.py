@@ -118,7 +118,7 @@ ORDER BY hr
 """
 
 
-@query("events_cusum_hourly", oracle=_CUSUM_SQL, defer=True)
+@query("events_cusum_hourly", oracle=_CUSUM_SQL)
 def events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM level-shift monitor on the hourly event rate —
     the sequential change-point sibling of events_zscore_outliers/EWMA.

@@ -112,7 +112,7 @@ ORDER BY deg
 """
 
 
-@query("graph_degree_stats", oracle=_DEGSTATS_SQL, defer=True)
+@query("graph_degree_stats", oracle=_DEGSTATS_SQL)
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact degree histogram of the part co-purchase graph with the
     Hill power-law tail exponent — the hub-heaviness readout beside

@@ -319,12 +319,64 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overflow at any population.
 
 
-def blocking_quality(names: DataFrame, key: str, name: str) -> DataFrame:
+def blocking_quality(
+    names: DataFrame,
+    key: str,
+    name: str,
+    max_dist: int = 1,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """One row (n_names, possible_pairs, candidate_pairs, matched_pairs,
-    reduction_ratio, pair_quality) for t=1 deletion-neighborhood
-    blocking over ``names``."""
+    reduction_ratio, pair_quality) for t=``max_dist``
+    deletion-neighborhood blocking over ``names``.
+
+    COST BOUND (by design): the uncapped audit materializes the exact
+    DISTINCT candidate-pair set — its cost IS the candidate count it
+    reports, quadratic in the largest variant group. Exactness is the
+    point of a report card: the metric that would flag a pathological
+    hot variant is computed by joining through that same hot variant.
+    For corpus-scale use pass ``bucket_cap`` (the LSH cap-with-audit
+    discipline): variant groups are deterministically trimmed to the
+    ``bucket_cap`` smallest keys BEFORE candidate generation — the
+    WindowGroupLimit pushdown pre-trims hot groups map-side, so no
+    reducer ever sees an uncapped group — and two extra exact columns
+    (``capped_variants``, ``dropped_variant_rows``) report how much
+    blocking mass the cap excluded, so a capped audit can never silently
+    pass for a full one. The capped path de-duplicates (key, variant)
+    rows first (repeated characters make deletion positions collide)
+    so group size means DISTINCT keys and the kept set is
+    order-deterministic — the DuckDB oracle replays it bit-for-bit via
+    QUALIFY row_number."""
+    if max_dist not in (1, 2):
+        raise ValueError("deletion-neighborhood blocking supports max_dist in {1, 2}")
+    variants = deletion_variants if max_dist == 1 else deletion_variants2
     n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
-    v = n.select("_k", F.explode(deletion_variants("_s")).alias("_v"))
+    v = n.select("_k", F.explode(variants("_s")).alias("_v"))
+    extra_counts = []
+    if bucket_cap is not None:
+        v = v.distinct()
+        w = Window.partitionBy("_v").orderBy("_k")
+        kept = (
+            v.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+        over = (
+            v.groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_gs"))
+            .filter(F.col("_gs") > bucket_cap)
+        )
+        extra_counts.append(
+            F.broadcast(
+                over.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("nv_capped"),
+                    F.coalesce(
+                        F.sum(F.col("_gs") - F.lit(bucket_cap)), F.lit(0)
+                    ).cast("bigint").alias("n_dropped"),
+                )
+            )
+        )
+        v = kept
     a = v.select(F.col("_k").alias("k1"), "_v")
     b = v.select(F.col("_k").alias("k2"), "_v")
     cand = (
@@ -334,27 +386,32 @@ def blocking_quality(names: DataFrame, key: str, name: str) -> DataFrame:
     n2 = n.select(F.col("_k").alias("k2"), F.col("_s").alias("s2"))
     verified = (
         cand.join(n1, "k1").join(n2, "k2")
-        .filter(F.levenshtein("s1", "s2") <= 1)
+        .filter(F.levenshtein("s1", "s2") <= max_dist)
     )
     counts = F.broadcast(n.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn")))
     c_cand = F.broadcast(cand.agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
     c_match = F.broadcast(verified.agg(F.count(F.lit(1)).cast("bigint").alias("nm")))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     possible = (F.col("nn") * (F.col("nn") - 1) / 2).cast("decimal(38,0)")
-    return (
-        counts.crossJoin(c_cand)
-        .crossJoin(c_match)
-        .select(
-            F.col("nn").cast("bigint").alias("n_names"),
-            possible.cast("bigint").alias("possible_pairs"),
-            F.col("nc").alias("candidate_pairs"),
-            F.col("nm").alias("matched_pairs"),
-            F.round(
-                F.lit(1.0) - d("nc") / F.nullif(possible.cast("double"), F.lit(0.0)), 6
-            ).alias("reduction_ratio"),
-            F.round(d("nm") / F.nullif(d("nc"), F.lit(0.0)), 6).alias("pair_quality"),
-        )
-    )
+    out = counts.crossJoin(c_cand).crossJoin(c_match)
+    for ec in extra_counts:
+        out = out.crossJoin(ec)
+    cols = [
+        F.col("nn").cast("bigint").alias("n_names"),
+        possible.cast("bigint").alias("possible_pairs"),
+        F.col("nc").alias("candidate_pairs"),
+        F.col("nm").alias("matched_pairs"),
+        F.round(
+            F.lit(1.0) - d("nc") / F.nullif(possible.cast("double"), F.lit(0.0)), 6
+        ).alias("reduction_ratio"),
+        F.round(d("nm") / F.nullif(d("nc"), F.lit(0.0)), 6).alias("pair_quality"),
+    ]
+    if extra_counts:
+        cols += [
+            F.col("nv_capped").alias("capped_variants"),
+            F.col("n_dropped").alias("dropped_variant_rows"),
+        ]
+    return out.select(*cols)
 
 
 _BLOCKING_SQL = """
@@ -391,13 +448,126 @@ FROM counts, cc, cm
 """
 
 
-@query("er_blocking_quality", oracle=_BLOCKING_SQL, defer=True)
+@query("er_blocking_quality", oracle=_BLOCKING_SQL)
 def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reduction-ratio / pairs-quality audit of the t=1
     deletion-neighborhood blocking on customer names — the standard
     blocking-scheme report card (completeness is 1 by the FastSS
     zero-false-negative property, brute-force-proven in tests).
     DuckDB replays the variant generation, the candidate join, and the
-    verify."""
+    verify. Audit cost = the exact candidate count it reports, by design
+    (see ``blocking_quality``); the corpus-scale sibling is
+    ``er_blocking_quality_capped``."""
     cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return blocking_quality(cust, "c_custkey", "c_name")
+
+
+_BLOCKING_CAP = 8
+
+_BLOCKING_CAPPED_SQL = f"""
+WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
+vars AS MATERIALIZED (
+  SELECT DISTINCT k, v FROM (
+    SELECT k,
+           UNNEST(list_append(
+             [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+             s)) AS v
+    FROM names)
+),
+kept AS MATERIALIZED (
+  SELECT k, v FROM vars
+  QUALIFY row_number() OVER (PARTITION BY v ORDER BY k) <= {_BLOCKING_CAP}
+),
+over_groups AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv_capped,
+         CAST(COALESCE(SUM(gs - {_BLOCKING_CAP}), 0) AS BIGINT) AS n_dropped
+  FROM (SELECT v, COUNT(*) AS gs FROM vars GROUP BY v)
+  WHERE gs > {_BLOCKING_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.k AS k1, b.k AS k2
+  FROM kept a JOIN kept b ON a.v = b.v AND a.k < b.k
+),
+verified AS (
+  SELECT c.k1, c.k2
+  FROM cand c JOIN names x ON c.k1 = x.k JOIN names y ON c.k2 = y.k
+  WHERE levenshtein(x.s, y.s) <= 1
+),
+counts AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM names),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM verified)
+SELECT CAST(nn AS BIGINT) AS n_names,
+       CAST(nn * (nn - 1) // 2 AS BIGINT) AS possible_pairs,
+       nc AS candidate_pairs,
+       nm AS matched_pairs,
+       ROUND(1.0 - CAST(nc AS DOUBLE)
+             / NULLIF(CAST(nn * (nn - 1) // 2 AS DOUBLE), 0.0), 6) AS reduction_ratio,
+       ROUND(CAST(nm AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0), 6) AS pair_quality,
+       nv_capped AS capped_variants,
+       n_dropped AS dropped_variant_rows
+FROM counts, cc, cm, over_groups
+"""
+
+
+@query("er_blocking_quality_capped", oracle=_BLOCKING_CAPPED_SQL, defer=True)
+def er_blocking_quality_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale sibling of ``er_blocking_quality`` (VERDICT r17
+    What's-wrong #2): variant groups are deterministically trimmed to the
+    8 smallest keys before candidate generation — the LSH cap-with-audit
+    discipline — and the two extra exact columns report the excluded
+    blocking mass (``capped_variants`` hot groups, ``dropped_variant_rows``
+    rows over the cap), so a capped audit is loudly distinguishable from
+    a full one. DuckDB replays the deterministic trim via QUALIFY
+    row_number bit-for-bit."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return blocking_quality(
+        cust, "c_custkey", "c_name", bucket_cap=_BLOCKING_CAP
+    )
+
+
+_BLOCKING_T2_SQL = """
+WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
+vars AS MATERIALIZED (
+  SELECT k, UNNEST(list_distinct(list_append(
+    flatten([[substr(s, 1, i-1) || substr(s, i+1, j-i-1) || substr(s, j+1)
+              FOR j IN range(i+1, length(s)+1)]
+             FOR i IN range(1, length(s))])
+    || [substr(s, 1, i-1) || substr(s, i+1) FOR i IN range(1, length(s)+1)],
+    s))) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.k AS k1, b.k AS k2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+),
+verified AS (
+  SELECT c.k1, c.k2
+  FROM cand c JOIN names x ON c.k1 = x.k JOIN names y ON c.k2 = y.k
+  WHERE levenshtein(x.s, y.s) <= 2
+),
+counts AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM names),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM verified)
+SELECT CAST(nn AS BIGINT) AS n_names,
+       CAST(nn * (nn - 1) // 2 AS BIGINT) AS possible_pairs,
+       nc AS candidate_pairs,
+       nm AS matched_pairs,
+       ROUND(1.0 - CAST(nc AS DOUBLE)
+             / NULLIF(CAST(nn * (nn - 1) // 2 AS DOUBLE), 0.0), 6) AS reduction_ratio,
+       ROUND(CAST(nm AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0), 6) AS pair_quality
+FROM counts, cc, cm
+"""
+
+
+@query("er_blocking_quality_t2", oracle=_BLOCKING_T2_SQL, defer=True)
+def er_blocking_quality_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t=2 blocking report card (VERDICT r17 ask #4): same
+    reduction-ratio / pairs-quality metrics over the 2-deletion
+    neighborhood — completeness for lev<=2 is provable by the same FastSS
+    alignment argument (proven brute-force at t=2 in tests/test_er.py).
+    The wider neighborhood trades key volume (1 + |s| + C(|s|,2) keys
+    per row) for recall at t=2; this audit quantifies what that buys:
+    candidate volume up, pair quality down, reduction ratio still
+    near 1. Same uncapped cost bound as ``er_blocking_quality``."""
+    cust = tpch.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return blocking_quality(cust, "c_custkey", "c_name", max_dist=2)

@@ -485,7 +485,7 @@ FROM j
 """
 
 
-@query("eval_cohens_kappa", oracle=_KAPPA_SQL)
+@query("eval_cohens_kappa", oracle=_KAPPA_SQL, defer=True)
 def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chance-corrected agreement of the thresholded en detector with the
     lang labels — confusion cells exact, one rounded kappa."""
@@ -607,7 +607,7 @@ FROM cov, qhat q, kk
 """
 
 
-@query("eval_conformal_coverage", oracle=_CONF_SQL)
+@query("eval_conformal_coverage", oracle=_CONF_SQL, defer=True)
 def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal coverage audit of the en-detector nonconformity:
     the md5-parity calibration split, the exact-integer order-statistic

@@ -204,7 +204,7 @@ ORDER BY hr
 """
 
 
-@query("eval_msprt_ab", oracle=_MSPRT_SQL, defer=True)
+@query("eval_msprt_ab", oracle=_MSPRT_SQL)
 def eval_msprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mSPRT always-valid sequential monitor of purchase conversion,
     treatment vs control by the md5-parity split, one decision row per

@@ -887,7 +887,7 @@ ORDER BY abc_class
 """
 
 
-@query("olap_abc_parts", oracle=_ABC_SQL, defer=True)
+@query("olap_abc_parts", oracle=_ABC_SQL, headline=True)
 def olap_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC/Pareto classification of parts by exact fixed-point revenue —
     class boundaries decided on exact integers, ties share a class, the

@@ -114,7 +114,7 @@ ORDER BY i, j
 """
 
 
-@query("embed_gram_matrix", oracle=_GRAM_SQL)
+@query("embed_gram_matrix", oracle=_GRAM_SQL, defer=True)
 def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact upper-triangle Gram matrix of the quantized embedding corpus —
     the distributed statistics pass behind the learned PCA projection."""

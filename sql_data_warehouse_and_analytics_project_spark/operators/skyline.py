@@ -157,7 +157,7 @@ ORDER BY a.doc_id
 """
 
 
-@query("curation_pareto_front", oracle=_PARETO_SQL)
+@query("curation_pareto_front", oracle=_PARETO_SQL, defer=True)
 def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pareto-optimal shortlist of the documents table under
     (length↑, vocabulary breadth↑, top-token repetition↓) — the DuckDB

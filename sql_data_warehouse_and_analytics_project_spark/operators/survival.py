@@ -174,7 +174,7 @@ ORDER BY t_hours
 """
 
 
-@query("events_kaplan_meier", oracle=_KM_SQL)
+@query("events_kaplan_meier", oracle=_KM_SQL, defer=True)
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-conversion survival curve (first click → first subsequent
     purchase, right-censored at observation end) — DuckDB replays the

@@ -459,7 +459,7 @@ ORDER BY p.event_id
 """
 
 
-@query("events_asof_next_click", oracle=_ASOF_NEXT_SQL)
+@query("events_asof_next_click", oracle=_ASOF_NEXT_SQL, defer=True)
 def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-purchase behavior: each purchase joined AS-OF forward to the
     user's earliest click at-or-after it — the reaction-time mirror of

@@ -159,7 +159,7 @@ FROM agg a, ecnt e, tri t
 """
 
 
-@query("graph_triangle_count", oracle=_TRI_SQL)
+@query("graph_triangle_count", oracle=_TRI_SQL, defer=True)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (support >= 2):
     node/edge/wedge counts, the degree-oriented exact triangle count,

@@ -552,7 +552,7 @@ ORDER BY new_doc_id, indexed_doc_id
 _WINNOW_INDEX_SQL = _winnow_index_sql()
 
 
-@query("dedup_winnow_index_hits", oracle=_WINNOW_INDEX_SQL, headline=True)
+@query("dedup_winnow_index_hits", oracle=_WINNOW_INDEX_SQL, defer=True)
 def dedup_winnow_index_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing: an arriving batch (doc_id % 5 == 0) checked
     for verbatim-run overlap against the stored corpus (the rest) through

@@ -232,6 +232,30 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # strictest ANN recall audit), retrieval_phrase_match (↔ promoted
     # retrieval_ndcg_bm25... stays from r16; phrase-index machinery keeps
     # its pytest suite + deferred sibling retrieval_phrase_snippets).
+    # r18 rotated 8-for-8 (VERDICT r17 ask #1): promoted the eight
+    # r17-generation keys (eval_msprt_ab, events_cusum_hourly,
+    # eval_srm_check, eval_power_mde, events_weekly_seasonality,
+    # graph_degree_stats, er_blocking_quality, olap_abc_parts — all eight
+    # sf0.01-parity-verified pre-flip in one batch; the full 50-key window
+    # re-simulated post-flip), deferring eight long-stable sibling-covered
+    # keys: events_asof_next_click (↔ events_asof_last_click stays — same
+    # as-of window machinery, opposite direction), events_kaplan_meier
+    # (↔ events_logrank_ab stays — the log-rank test is built on the same
+    # per-time risk-set table), graph_triangle_count (↔ promoted
+    # graph_degree_stats + graph_kcore_copurchase stay — graph family),
+    # eval_conformal_coverage (↔ eval_calibration_ece stays —
+    # probability-coverage family; conformal also keeps its span-bound
+    # pytest), eval_cohens_kappa (↔ eval_cmh_stratified_ab stays — same
+    # contingency-table machinery), curation_pareto_front (↔
+    # curation_dsir_select stays — curation family; skyline keeps its
+    # dominance pytests), embed_gram_matrix (↔ ann_opq_recall stays — the
+    # strictest consumer of the embedding statistics pass),
+    # dedup_winnow_index_hits (↔ dedup_minhash_error +
+    # dedup_component_cohesion stay — fingerprint-dedup family; winnowing
+    # keeps its pytest suite + deferred oracle-parity siblings). The same
+    # commit swapped the bench headliner slot dedup_winnow_index_hits →
+    # olap_abc_parts (VERDICT r17 ask #5) so the second _value_cumsums
+    # consumer carries a per-round perf signal.
     # Deferred queries keep their oracle and stay cross-engine-verified in
     # tests/test_oracle_parity.py. After the
     # deferred group come the rows-only-by-design entries

@@ -321,3 +321,132 @@ def test_blocking_quality_matches_bruteforce_reference(spark):
     assert r["matched_pairs"] == len(matched)
     assert r["reduction_ratio"] == round(1 - len(cand) / (n * (n - 1) / 2), 6)
     assert r["pair_quality"] == round(len(matched) / len(cand), 6)
+
+
+def _lev(a, b):
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def test_blocking_quality_t2_matches_bruteforce(spark):
+    """The t=2 report card replayed brute-force: candidates = pairs whose
+    2-deletion neighborhoods intersect, matches = pairs at lev <= 2;
+    completeness at t=2 (matched ⊆ candidates) asserted — the same FastSS
+    alignment property the pair generator proves."""
+    import itertools
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        blocking_quality,
+    )
+
+    names = ["cart", "cat", "ct", "carts", "dog", "dig", "dg", "zebra", "zb"]
+    rows = [(i + 1, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+
+    def dels2(s):
+        out = {s}
+        for i in range(len(s)):
+            d1 = s[:i] + s[i + 1:]
+            out.add(d1)
+            for j in range(len(d1)):
+                out.add(d1[:j] + d1[j + 1:])
+        return out
+
+    cand = {
+        (k1, k2)
+        for (k1, s1), (k2, s2) in itertools.combinations(rows, 2)
+        if dels2(s1) & dels2(s2)
+    }
+    matched = {
+        (k1, k2)
+        for (k1, s1), (k2, s2) in itertools.combinations(rows, 2)
+        if _lev(s1, s2) <= 2
+    }
+    assert matched <= cand  # FastSS completeness at t=2 on the fixture
+
+    r = blocking_quality(df, "k", "s", max_dist=2).collect()[0]
+    n = len(rows)
+    assert r["n_names"] == n
+    assert r["possible_pairs"] == n * (n - 1) // 2
+    assert r["candidate_pairs"] == len(cand)
+    assert r["matched_pairs"] == len(matched)
+    assert r["pair_quality"] == round(len(matched) / len(cand), 6)
+
+
+def test_blocking_quality_capped_hot_variant_audit(spark):
+    """A planted mass-duplicate cluster (50 ids sharing one name) blows
+    past the cap: the capped audit must (a) trim every hot variant group
+    to the cap smallest keys before candidate generation, (b) report the
+    excluded mass exactly in capped_variants / dropped_variant_rows, and
+    (c) leave the corpus-level columns (n_names, possible_pairs)
+    untouched. Replayed brute-force in python including the deterministic
+    smallest-keys trim."""
+    import itertools
+    from collections import defaultdict
+
+    from sql_data_warehouse_and_analytics_project_spark.operators.er import (
+        blocking_quality,
+    )
+
+    cap = 3
+    rows = [(i, "dup#x") for i in range(1, 51)] + [
+        (100, "rare#1"),
+        (101, "rare#2"),
+        (102, "other"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+
+    def dels(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    groups = defaultdict(set)
+    for k, s in rows:
+        for v in dels(s):
+            groups[v].add(k)
+    capped_variants = sum(1 for ks in groups.values() if len(ks) > cap)
+    dropped = sum(len(ks) - cap for ks in groups.values() if len(ks) > cap)
+    kept = {v: sorted(ks)[:cap] for v, ks in groups.items()}
+    cand = {
+        (a, b)
+        for ks in kept.values()
+        for a, b in itertools.combinations(sorted(ks), 2)
+    }
+    by_key = dict(rows)
+    matched = {(a, b) for a, b in cand if _lev(by_key[a], by_key[b]) <= 1}
+
+    r = blocking_quality(df, "k", "s", bucket_cap=cap).collect()[0]
+    n = len(rows)
+    assert r["n_names"] == n
+    assert r["possible_pairs"] == n * (n - 1) // 2
+    assert r["candidate_pairs"] == len(cand)
+    assert r["matched_pairs"] == len(matched)
+    assert r["capped_variants"] == capped_variants
+    assert r["dropped_variant_rows"] == dropped
+    # hot-cluster candidates are capped: C(3,2)=3 from the dup cluster,
+    # plus the rare#1/rare#2 pair — never C(50,2)
+    assert (1, 2) in cand and (100, 101) in matched
+
+    # a cap that never binds reports zeros and equals the uncapped audit
+    r2 = blocking_quality(df, "k", "s", bucket_cap=10_000).collect()[0]
+    full = blocking_quality(df, "k", "s").collect()[0]
+    assert r2["capped_variants"] == 0 and r2["dropped_variant_rows"] == 0
+    for c in (
+        "n_names",
+        "possible_pairs",
+        "candidate_pairs",
+        "matched_pairs",
+        "reduction_ratio",
+        "pair_quality",
+    ):
+        assert r2[c] == full[c], c

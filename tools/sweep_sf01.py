@@ -1,30 +1,38 @@
-"""sf0.1 parity sweep with an O(n) order-independent compare:
-count + per-row md5 multiset hash (sum mod 2^127) — same guarantee as the
-sorted-multiset compare, near-zero compare cost (VERDICT r16 ask #8)."""
-import sys, math, time, hashlib
+"""Parity sweep with an O(n) order-independent compare: count + per-row md5
+multiset hash (sum mod 2^127) — same guarantee as the sorted-multiset
+compare, near-zero compare cost (VERDICT r16 ask #8).
+
+Both engines' rows go through ONE shared normalizer (ADVICE r17 #3: the old
+split ns/nd pair tagged Spark Decimals as ('decimal', str) but floated DuckDB
+Decimals, so decimal-typed outputs could never hash-match). Decimals are
+canonicalized exactly — fixed-point string, trailing zeros stripped — with no
+float round-trip on either side.
+
+SF dir comes from $SWEEP_SF_DIR (default /root/testdata/sf0.1)."""
+import sys, math, time, hashlib, os
 sys.path.insert(0, "/root/repo")
 from sql_data_warehouse_and_analytics_project_spark.session import get_spark
 spark = get_spark("sweep")
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 import duckdb
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.1")
 con = duckdb.connect()
 con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
 for t in ("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-def ns(v):
+def norm(v):
+    """Shared Spark/DuckDB row-value normalizer (exact; no float round-trip
+    for decimals on either side)."""
     tn = type(v).__name__
     if v is None: return None
     if isinstance(v, float): return "NaN" if math.isnan(v) else v
-    if tn == "Decimal": return ("decimal", str(v))
-    if tn in ("date","datetime","Timestamp"): return str(v)
-    return v
-def nd(v):
-    tn = type(v).__name__
-    if v is None: return None
-    if isinstance(v, float): return "NaN" if math.isnan(v) else v
-    if tn == "Decimal": return float(v)
+    if tn == "Decimal":
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("", "-0"): s = "0"
+        return ("decimal", s)
     if tn in ("date","datetime","Timestamp"): return str(v)
     return v
 M = (1 << 127) - 1
@@ -39,7 +47,7 @@ for name in sys.argv[1:]:
     t0 = time.time()
     sdf = q[name](spark, SF)
     sc = sorted(sdf.columns)
-    sn, sh = mhash(tuple(ns(r[c]) for c in sc) for r in sdf.toLocalIterator())
+    sn, sh = mhash(tuple(norm(r[c]) for c in sc) for r in sdf.toLocalIterator())
     t1 = time.time()
     res = con.execute(o[name])
     dc = [d[0] for d in res.description]
@@ -50,7 +58,7 @@ for name in sys.argv[1:]:
             chunk = res.fetchmany(100_000)
             if not chunk: break
             for r in chunk:
-                yield tuple(nd(r[i]) for i in order)
+                yield tuple(norm(r[i]) for i in order)
     dn, dh = mhash(drows())
     t2 = time.time()
     ok = (sn, sh) == (dn, dh)
