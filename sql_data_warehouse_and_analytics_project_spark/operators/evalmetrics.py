@@ -122,9 +122,15 @@ def auc_from_counts(counts: DataFrame) -> DataFrame:
     """AUC from a (score_key, p, q) count table — the shared math behind
     the batch query and the streaming monitor's SUM-merged state
     (``streaming.jobs.stream_roc_auc``): counts are a SUM-merge monoid,
-    so shard- or batch-partial tables merge losslessly before this."""
-    w = Window.orderBy("score_key")  # compact count table only — see module doc
-    ranked = counts.withColumn("cum_q", F.sum("q").over(w))
+    so shard- or batch-partial tables merge losslessly before this.
+    The cumulative negative count rides ``abstats._value_cumsums``
+    (range-partition → per-partition window → broadcast prefix offsets;
+    VERDICT r17 ask #6) — exact integer addition is associative, so the
+    fold is bit-identical to the single-task ``Window.orderBy`` it
+    replaced while the ppm-domain table never funnels into one task."""
+    from .abstats import _value_cumsums
+
+    ranked, _tot = _value_cumsums(counts.withColumnRenamed("score_key", "v"), ["q"])
     num2 = F.sum(F.col("p") * (2 * F.col("cum_q") - F.col("q")))
     return ranked.agg(
         F.sum("p").cast("bigint").alias("n_pos"),
@@ -173,13 +179,21 @@ def pr_curve(docs: DataFrame) -> DataFrame:
 
 def pr_from_counts(counts: DataFrame) -> DataFrame:
     """PR sweep from a (score_key, p, q) count table — shared with the
-    streaming monitor (see :func:`auc_from_counts`)."""
-    w_desc = Window.orderBy(F.col("score_key").desc())  # compact table only
-    swept = counts.select(
-        F.col("score_key").alias("threshold_ppm"),
-        F.sum("p").over(w_desc).alias("tp"),
-        F.sum("q").over(w_desc).alias("fp"),
-        (F.sum(F.col("p")).over(Window.partitionBy()) - F.sum("p").over(w_desc)).alias("fn"),
+    streaming monitor (see :func:`auc_from_counts`). The descending
+    cumulative counts come from the ascending ``_value_cumsums`` fold and
+    its exact grand totals (desc-inclusive = total − asc-inclusive + own):
+    bit-identical integers, no single-task window, and the grand-total
+    window disappears into the fold's exact Python-int totals."""
+    from .abstats import _value_cumsums
+
+    stepped, tot = _value_cumsums(
+        counts.withColumnRenamed("score_key", "v"), ["p", "q"]
+    )
+    swept = stepped.select(
+        F.col("v").alias("threshold_ppm"),
+        (F.lit(int(tot["p"])) - F.col("cum_p") + F.col("p")).cast("bigint").alias("tp"),
+        (F.lit(int(tot["q"])) - F.col("cum_q") + F.col("q")).cast("bigint").alias("fp"),
+        (F.col("cum_p") - F.col("p")).cast("bigint").alias("fn"),
     )
     return swept.select(
         "threshold_ppm",
@@ -330,29 +344,39 @@ def lift_deciles(docs: DataFrame) -> DataFrame:
 
 def lift_from_counts(counts: DataFrame) -> DataFrame:
     """Lift table from a (score_key, p, q) count table — SUM-merge
-    monoid input, same contract as :func:`auc_from_counts`."""
-    w_desc = Window.orderBy(F.col("score_key").desc())  # compact table only
-    w_all = Window.partitionBy()
-    ranked = counts.select(
-        "p",
-        (F.col("p") + F.col("q")).alias("n"),
-        F.sum(F.col("p") + F.col("q")).over(w_desc).alias("cum_n"),
-        F.sum(F.col("p") + F.col("q")).over(w_all).alias("total"),
-        F.sum("p").over(w_all).alias("total_p"),
-    ).select(
-        F.expr("((cum_n - 1) * 10) div total").cast("int").alias("decile"),
+    monoid input, same contract as :func:`auc_from_counts`. The
+    descending population cumsum and both grand totals ride
+    ``_value_cumsums`` (VERDICT r17 ask #6): bit-identical integers, no
+    single-task window; only the ≤10-row decile fold keeps a bounded
+    unpartitioned window."""
+    from .abstats import _value_cumsums
+
+    stepped, tot = _value_cumsums(
+        counts.select(
+            F.col("score_key").alias("v"), "p", (F.col("p") + F.col("q")).alias("n")
+        ),
+        ["n", "p"],
+    )
+    total, total_p = int(tot["n"]), int(tot["p"])
+    ranked = stepped.select(
         "p",
         "n",
-        "total",
-        "total_p",
+        # desc-inclusive population rank of the group's LAST row
+        (F.lit(total) - F.col("cum_n") + F.col("n")).cast("bigint").alias("cum_n"),
+    ).select(
+        F.expr(f"((cum_n - 1) * 10) div {total}").cast("int").alias("decile"),
+        "p",
+        "n",
     )
-    by_dec = ranked.groupBy("decile", "total", "total_p").agg(
+    by_dec = ranked.groupBy("decile").agg(
         F.sum("n").cast("bigint").alias("n_rows"),
         F.sum("p").cast("bigint").alias("n_pos"),
     )
     w_dec = Window.orderBy("decile")  # ≤10 rows
     return (
         by_dec.withColumn("cum_pos", F.sum("n_pos").over(w_dec).cast("bigint"))
+        .withColumn("total", F.lit(total).cast("bigint"))
+        .withColumn("total_p", F.lit(total_p).cast("bigint"))
         .select(
             "decile",
             "n_rows",
@@ -534,19 +558,22 @@ def conformal_coverage(docs: DataFrame, alpha_ppm: int = _CONF_ALPHA_PPM) -> Dat
     )
     cal = scored.filter("is_cal")
     test = scored.filter(~F.col("is_cal"))
-    counts = cal.groupBy("alpha").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = Window.orderBy("alpha").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_cal = cal.count()
+    counts = cal.groupBy(F.col("alpha").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # the order statistic folds the distinct-nonconformity count table
+    # through _value_cumsums (VERDICT r17 ask #6) — no single-task window;
+    # n_cal falls out of the fold's exact totals, saving the extra pass
+    from .abstats import _value_cumsums
+
+    stepped, tot = _value_cumsums(counts, ["c"])
+    n_cal = int(tot["c"])
     k = -(-((n_cal + 1) * (1_000_000 - alpha_ppm)) // 1_000_000)  # ceil, exact ints
     k = min(k, n_cal) if n_cal else 0
     qhat_rows = (
-        counts.withColumn("cum", F.sum("c").over(w))
-        .filter(F.col("cum") >= k)
-        .orderBy("alpha")
-        .limit(1)
-        .collect()
+        stepped.filter(F.col("cum_c") >= k).orderBy("v").limit(1).collect()
     )
-    qhat = int(qhat_rows[0]["alpha"]) if qhat_rows else 0
+    qhat = int(qhat_rows[0]["v"]) if qhat_rows else 0
     cov = test.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.sum((F.col("alpha") <= qhat).cast("int")).cast("bigint").alias("n_covered"),

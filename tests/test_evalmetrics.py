@@ -81,19 +81,42 @@ def test_pr_curve_confusion_cells(spark):
     assert got[0] == (2, 2, 0, 0.5, 1.0, 0.666667)
 
 
-def test_window_runs_on_compact_counts_not_corpus(spark):
-    """The rank cumsum must sit ABOVE the groupBy(score_key) aggregate —
-    the single-partition window only ever sees the distinct-score count
-    table, never corpus rows (top-down plan listing: Window before
-    HashAggregate)."""
-    df = ev.roc_auc(_docs(spark, [(1, "en", "the and"), (2, "de", "x y")]))
-    plan = audit.formatted_plan(df)
-    assert "Window" in plan and "partial_sum(label" in plan
-    # the one SinglePartition exchange feeds the window the aggregated
-    # (score_key, p, q) rows, not corpus rows
-    before = plan.split("Arguments: SinglePartition")[0]
-    input_line = before.rsplit("Input [3]: [", 1)[1].split("]")[0]
-    assert "p#" in input_line and "q#" in input_line and "score_key" in input_line
+def test_rank_folds_ride_value_cumsums_no_unpartitioned_window(spark):
+    """VERDICT r17 ask #6: the AUC / PR / conformal cumsum folds no longer
+    run a single-task ``Window.orderBy`` at all — the ppm-domain count
+    table rides ``abstats._value_cumsums`` (range-partition →
+    per-partition window → broadcast prefix offsets), so the executed
+    plans carry ZERO unpartitioned WindowExec nodes; lift keeps exactly
+    ONE, the ≤10-row decile fold. The label collapse still pushes a
+    partial_sum map-side before any shuffle (the compact-counts
+    discipline)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "the and"),
+            (2, "de", "x y"),
+            (3, "en", "the of x"),
+            (4, "de", "und der"),
+        ],
+    )
+    df = ev.roc_auc(docs)
+    df.collect()
+    assert audit.unpartitioned_window_count(df) == 0
+    # the label collapse itself (upstream of the fold's localCheckpoint,
+    # so asserted on the counts stage) still partial-sums map-side
+    counts = ev._score_counts(ev.score_label(docs))
+    assert "partial_sum(label" in audit.formatted_plan(counts)
+    pr = ev.pr_curve(docs)
+    pr.collect()
+    assert audit.unpartitioned_window_count(pr) == 0
+    lift = ev.lift_from_counts(
+        ev._score_counts(ev.score_label(docs))
+    )
+    lift.collect()
+    assert audit.unpartitioned_window_count(lift) == 1  # ≤10-row decile fold
+    conf = ev.conformal_coverage(docs)
+    conf.collect()
+    assert audit.unpartitioned_window_count(conf) == 0
 
 
 def test_sliced_auc_per_facet_and_partitioned_window(spark):
