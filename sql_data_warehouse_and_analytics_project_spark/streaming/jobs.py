@@ -1273,19 +1273,89 @@ def stream_ks_two_sample(spark: SparkSession, state_path: str) -> DataFrame:
     return ks_two_sample(stream_ab_units(spark, state_path))
 
 
+def checkpoint_lineage_id(checkpoint: str) -> str:
+    """The durable identity of a checkpoint lineage: the streaming query
+    id Spark writes to ``<checkpoint>/metadata`` at query start (a fresh
+    checkpoint directory mints a new uuid even at the same path). Falls
+    back to the checkpoint path string when the file is absent — e.g. a
+    test driving an apply function directly, or a non-local checkpoint
+    filesystem this local sandbox never uses."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(checkpoint, "metadata")) as f:
+            return str(_json.load(f)["id"])
+    except Exception:
+        return checkpoint
+
+
+def msprt_apply_batch(
+    batch: DataFrame, batch_id: int, state_path: str, lineage_id: str
+) -> None:
+    """One microbatch of the mSPRT/CUSUM monitor sink — module-level so
+    the redelivery/crash tests can drive it directly.
+
+    Per-batch_id overwrite is idempotent only for IDENTICAL batch
+    boundaries: a fresh checkpoint lineage re-reads the whole source but
+    may group files differently (e.g. everything in batch 0), which
+    would overwrite only ``batch_id=0`` and leave stale higher-id
+    partials double-counting events (ADVICE r17 #2). The sink therefore
+    persists the committed lineage id + high-water batch_id in
+    ``<state_path>/msprt_meta``; an incoming batch from a DIFFERENT
+    lineage clears the partial dirs and rebuilds from scratch — loud
+    (warning) and convergent, because the new lineage re-reads every
+    input file from its own batch 0.
+
+    Crash windows: a crash after the partial write but before the meta
+    write leaves meta stale — the streaming checkpoint has not advanced
+    either, so the same (lineage, batch_id) is redelivered and both
+    writes are idempotent overwrites. A crash between the
+    lineage-mismatch clear and the first new-lineage write loses only
+    partials the new lineage will regenerate from scratch."""
+    import os as _os
+    import shutil as _shutil
+    import warnings as _warnings
+
+    from ..operators.msprt import msprt_counts
+
+    spark = batch.sparkSession
+    meta_dir = f"{state_path}/msprt_meta"
+    committed_lineage = None
+    if _os.path.isdir(meta_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(meta_dir)
+    ):
+        committed_lineage = spark.read.parquet(meta_dir).collect()[0]["lineage_id"]
+    if committed_lineage is not None and committed_lineage != lineage_id:
+        _warnings.warn(
+            f"msprt sink at {state_path}: fresh checkpoint lineage "
+            f"{lineage_id!r} over state committed by {committed_lineage!r}; "
+            "clearing partial dirs and rebuilding from the new lineage's "
+            "re-read (per-batch overwrite is only idempotent for identical "
+            "batch boundaries)",
+            stacklevel=2,
+        )
+        _shutil.rmtree(f"{state_path}/msprt", ignore_errors=True)
+        _shutil.rmtree(meta_dir, ignore_errors=True)
+    msprt_counts(batch).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/msprt/batch_id={batch_id}"
+    )
+    spark.createDataFrame(
+        [(str(lineage_id), int(batch_id))], "lineage_id string, batch_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+
+
 def sink_stream_msprt_counts(events_stream: DataFrame, state_path: str, checkpoint: str):
     """Streaming mSPRT monitor sink (r17): per micro-batch, the
     per-(hour, arm) trial/success partial counts land under
     ``<state_path>/msprt/batch_id=N`` — a sum-merge monoid under the
-    CMS-family per-batch_id idempotent-overwrite discipline. State is
-    bounded by (observation hours × 2 arms) per batch, never by event
-    volume."""
+    CMS-family per-batch_id idempotent-overwrite discipline, guarded by
+    the lineage meta (see :func:`msprt_apply_batch`). State is bounded
+    by (observation hours × 2 arms) per batch, never by event volume."""
 
     def _sink_batch(batch: DataFrame, batch_id: int) -> None:
-        from ..operators.msprt import msprt_counts
-
-        msprt_counts(batch).coalesce(1).write.mode("overwrite").parquet(
-            f"{state_path}/msprt/batch_id={batch_id}"
+        msprt_apply_batch(
+            batch, batch_id, state_path, checkpoint_lineage_id(checkpoint)
         )
 
     return (
@@ -1471,12 +1541,14 @@ def asof_attribution_apply_batch(
     state_path: str,
     horizon_minutes: int = 60,
     lateness_minutes: int = 60,
+    lineage_id: str | None = None,
 ) -> None:
     """One microbatch of the as-of attribution sink — module-level so the
     redelivery/crash tests can drive it directly (foreachBatch is
     at-least-once: a batch may re-run with the SAME batch_id after a
     crash anywhere in this function, and must converge)."""
     import os as _os
+    import warnings as _warnings
 
     from ..warehouse import commit as _commit
 
@@ -1490,6 +1562,7 @@ def asof_attribution_apply_batch(
         pending_st = spark.read.parquet(_os.path.join(vdir, "pending"))
         meta_row = spark.read.parquet(_os.path.join(vdir, "meta")).collect()[0]
         wm_old = int(meta_row["wm_micros"])
+        committed_lineage = meta_row.asDict().get("lineage_id")
         # Attempt-marker check (same discipline as every other sink): the
         # pointer flip is the commit point and it happens AFTER the output
         # write, so committed batch_id >= incoming batch_id means this
@@ -1506,8 +1579,46 @@ def asof_attribution_apply_batch(
         # existing state dir, which ``==`` would silently reprocess against
         # the pruned keep_versions=1 state. Reusing a state_path with a
         # fresh checkpoint is therefore a no-op until the new lineage's ids
-        # pass the committed high-water mark, not a corruption.
+        # pass the committed high-water mark, not a corruption. But a
+        # silent multi-batch gap is operationally indistinguishable from
+        # a healthy idle stream (VERDICT r17 what's-wrong #1), so a skip
+        # that is NOT plain redelivery — strict batch_id < committed
+        # (within one lineage only the last committed id redelivers), or
+        # a recorded lineage id that differs from the incoming one — is
+        # made loud: a warning plus an append-only marker row under
+        # <state_path>/lineage_mismatch that monitoring can alert on.
         if int(batch_id) <= int(meta_row["batch_id"]):
+            lineage_differs = (
+                lineage_id is not None
+                and committed_lineage is not None
+                and str(lineage_id) != str(committed_lineage)
+            )
+            if int(batch_id) < int(meta_row["batch_id"]) or lineage_differs:
+                _warnings.warn(
+                    f"asof sink at {state_path}: skipping batch_id={batch_id} "
+                    f"(lineage {lineage_id!r}) below committed high-water "
+                    f"{int(meta_row['batch_id'])} (lineage "
+                    f"{committed_lineage!r}) — a fresh-checkpoint lineage "
+                    "over reused state is a no-op until its ids pass the "
+                    "committed mark; if the new lineage's source gained "
+                    "files, those events are NOT ingested by these skipped "
+                    "batches (marker row written)",
+                    stacklevel=2,
+                )
+                spark.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            int(meta_row["batch_id"]),
+                            str(lineage_id),
+                            str(committed_lineage),
+                        )
+                    ],
+                    "skipped_batch_id bigint, committed_batch_id bigint, "
+                    "incoming_lineage string, committed_lineage string",
+                ).coalesce(1).write.mode("append").parquet(
+                    f"{state_path}/lineage_mismatch"
+                )
             return
     else:
         clicks_st = spark.createDataFrame(
@@ -1559,7 +1670,8 @@ def asof_attribution_apply_batch(
         clicks_new.write.parquet(_os.path.join(vdir, "clicks"))
         pend_new.write.parquet(_os.path.join(vdir, "pending"))
         spark.createDataFrame(
-            [(int(wm_new), int(batch_id))], "wm_micros bigint, batch_id bigint"
+            [(int(wm_new), int(batch_id), str(lineage_id))],
+            "wm_micros bigint, batch_id bigint, lineage_id string",
         ).coalesce(1).write.parquet(_os.path.join(vdir, "meta"))
 
     _commit.publish(state_dir, _write_state, keep_versions=1)
@@ -1580,7 +1692,12 @@ def sink_stream_asof_attribution(
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
         asof_attribution_apply_batch(
-            batch, batch_id, state_path, horizon_minutes, lateness_minutes
+            batch,
+            batch_id,
+            state_path,
+            horizon_minutes,
+            lateness_minutes,
+            lineage_id=checkpoint_lineage_id(checkpoint),
         )
 
     return (

@@ -1540,3 +1540,190 @@ def test_stream_msprt_monitor_matches_batch_twin_per_ingest_batch(spark, tmp_pat
         str(tmp_path / "msprt_ck2"),
     ).awaitTermination(120)
     assert [repr(r) for r in jobs.stream_msprt_monitor(spark, state).collect()] == want
+
+
+def test_stream_asof_fresh_checkpoint_reused_state_is_loud(spark, tmp_path):
+    """VERDICT r17 what's-wrong #1 / ADVICE r17 #1: a fresh checkpoint
+    lineage (batch ids restart at 0) pointed at an existing as-of state
+    dir must NOT be a silent no-op — the skip emits a warning plus an
+    append-only marker row under <state_path>/lineage_mismatch recording
+    both lineages and both batch ids, while plain same-lineage
+    redelivery (batch_id == committed) stays silent and markerless."""
+    import os
+    import warnings as pywarnings
+
+    from datetime import datetime as dt
+
+    from sql_data_warehouse_and_analytics_project_spark.streaming.jobs import (
+        asof_attribution_apply_batch,
+        stream_asof_attributions,
+    )
+
+    state = str(tmp_path / "state")
+
+    def ev(eid, minute, user, etype, value=1.0):
+        return (eid, dt(2024, 3, 1, 10 + minute // 60, minute % 60), user, etype, value, "{}")
+
+    b0 = spark.createDataFrame(
+        [ev(1, 0, 7, "click", 3.5), ev(2, 10, 7, "purchase"), ev(3, 200, 8, "view")],
+        schema=jobs.EVENTS_SCHEMA,
+    )
+    b1 = spark.createDataFrame([ev(4, 210, 8, "view")], schema=jobs.EVENTS_SCHEMA)
+    asof_attribution_apply_batch(b0, 0, state, lineage_id="L1")
+    asof_attribution_apply_batch(b1, 1, state, lineage_id="L1")
+    committed = _rows(stream_asof_attributions(spark, state))
+
+    # same-lineage redelivery of the last committed id: silent, no marker
+    with pywarnings.catch_warnings():
+        pywarnings.simplefilter("error")
+        asof_attribution_apply_batch(b1, 1, state, lineage_id="L1")
+    assert not os.path.exists(f"{state}/lineage_mismatch")
+
+    # fresh-checkpoint lineage replays from 0 against the reused state:
+    # skipped, but LOUD — warning + marker row
+    with pytest.warns(UserWarning, match="fresh-checkpoint lineage"):
+        asof_attribution_apply_batch(b0, 0, state, lineage_id="L2")
+    marks = spark.read.parquet(f"{state}/lineage_mismatch").collect()
+    assert [
+        (m["skipped_batch_id"], m["committed_batch_id"], m["incoming_lineage"], m["committed_lineage"])
+        for m in marks
+    ] == [(0, 1, "L2", "L1")]
+    # committed output untouched by the skipped batch
+    assert _rows(stream_asof_attributions(spark, state)) == committed
+
+    # strict id regression WITHIN a lineage is also marked (ids are
+    # monotone in one lineage, so below-committed means lineage trouble
+    # even if the id string matches)
+    with pytest.warns(UserWarning):
+        asof_attribution_apply_batch(b0, 0, state, lineage_id="L1")
+    assert spark.read.parquet(f"{state}/lineage_mismatch").count() == 2
+
+
+def test_stream_msprt_fresh_checkpoint_different_grouping_converges(spark, tmp_path):
+    """ADVICE r17 #2: per-batch_id overwrite is idempotent only for
+    identical batch boundaries. A fresh checkpoint that groups the SAME
+    files differently (here: all files in one batch 0, vs one file per
+    batch originally) must not double-count — the sink detects the
+    lineage change via msprt_meta, clears the stale partials, and both
+    decision tables still equal their batch twins."""
+    import os
+
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import cusum, msprt
+    from sql_data_warehouse_and_analytics_project_spark.streaming import jobs as J
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt(2024, 4, 1)
+    eid = 0
+
+    def ev(minute, user, etype, value):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + timedelta(minutes=minute), user, etype, value, "{}")
+
+    batches = [
+        [ev(7 * i, 1 + i % 9, "view", 0.0) for i in range(12)]
+        + [ev(9 * i, 1 + i % 5, "purchase", 2.5 + i) for i in range(4)],
+        [ev(120 + 7 * i, 3 + i % 9, "click", 1.0) for i in range(9)]
+        + [ev(130 + 11 * i, 2 + i % 7, "purchase", 1.25 * (i + 1)) for i in range(3)],
+        [ev(260 + 5 * i, 1 + i % 11, "view", 0.0) for i in range(10)],
+    ]
+    state = str(tmp_path / "msprt_state")
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=J.EVENTS_SCHEMA).coalesce(1).write.parquet(
+            f"{input_dir}/b{bi}.parquet"
+        )
+    # original lineage: one file per trigger -> batch ids 0, 1, 2
+    J.sink_stream_msprt_counts(
+        J.read_events_stream(spark, f"{input_dir}/*", max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+    every = spark.createDataFrame(
+        [r for rs in batches for r in rs], schema=J.EVENTS_SCHEMA
+    )
+    want = [repr(r) for r in msprt.msprt_boundary(msprt.msprt_counts(every)).collect()]
+    want_cu = [repr(r) for r in cusum.cusum_hourly(every).collect()]
+    assert [repr(r) for r in J.stream_msprt_monitor(spark, state).collect()] == want
+    partial_dirs = sorted(
+        d for d in os.listdir(f"{state}/msprt") if d.startswith("batch_id")
+    )
+    assert partial_dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    # fresh checkpoint, DIFFERENT grouping: all three files in one batch.
+    # Without the lineage guard this overwrites only batch_id=0 and the
+    # stale batch_id=1,2 partials double-count.
+    J.sink_stream_msprt_counts(
+        J.read_events_stream(spark, f"{input_dir}/*"),
+        state,
+        str(tmp_path / "ck2"),
+    ).awaitTermination(120)
+    assert sorted(
+        d for d in os.listdir(f"{state}/msprt") if d.startswith("batch_id")
+    ) == ["batch_id=0"]
+    assert [repr(r) for r in J.stream_msprt_monitor(spark, state).collect()] == want
+    assert [repr(r) for r in J.stream_cusum_monitor(spark, state).collect()] == want_cu
+
+
+def test_stream_msprt_crash_redelivery_converges_to_batch_twins(spark, tmp_path):
+    """VERDICT r17 ask #7: the mSPRT/CUSUM sink's kill-and-resume story,
+    driven through the module-level apply (the as-of tests' discipline).
+    A crash between the partial write and the meta write (meta stale),
+    and a crash before the streaming checkpoint advances (same batch
+    redelivered), must both converge: after resume BOTH decision tables
+    equal their batch twins over everything ingested."""
+    import shutil
+
+    from datetime import datetime as dt, timedelta
+
+    from sql_data_warehouse_and_analytics_project_spark.operators import cusum, msprt
+    from sql_data_warehouse_and_analytics_project_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        msprt_apply_batch,
+        stream_cusum_monitor,
+        stream_msprt_monitor,
+    )
+
+    t0 = dt(2024, 4, 1)
+    eid = 0
+
+    def ev(minute, user, etype, value):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + timedelta(minutes=minute), user, etype, value, "{}")
+
+    rows0 = [ev(5 * i, 1 + i % 7, "view", 0.0) for i in range(12)] + [
+        ev(11 * i, 1 + i % 4, "purchase", 1.5 * (i + 1)) for i in range(4)
+    ]
+    rows1 = [ev(130 + 7 * i, 2 + i % 6, "click", 1.0) for i in range(8)] + [
+        ev(140 + 13 * i, 3 + i % 5, "purchase", 2.25 * (i + 1)) for i in range(3)
+    ]
+    b0 = spark.createDataFrame(rows0, schema=EVENTS_SCHEMA)
+    b1 = spark.createDataFrame(rows1, schema=EVENTS_SCHEMA)
+    state = str(tmp_path / "st")
+
+    msprt_apply_batch(b0, 0, state, lineage_id="L1")
+
+    # crash window 1: batch 1's partial landed but the process died
+    # before the meta write — meta still says batch 0. The streaming
+    # checkpoint did not advance either, so batch 1 is redelivered.
+    msprt_apply_batch(b1, 1, state, lineage_id="L1")
+    shutil.rmtree(f"{state}/msprt_meta")
+    spark.createDataFrame(
+        [("L1", 0)], "lineage_id string, batch_id bigint"
+    ).coalesce(1).write.parquet(f"{state}/msprt_meta")
+    msprt_apply_batch(b1, 1, state, lineage_id="L1")  # resume: redelivery
+
+    every = spark.createDataFrame(rows0 + rows1, schema=EVENTS_SCHEMA)
+    want = [repr(r) for r in msprt.msprt_boundary(msprt.msprt_counts(every)).collect()]
+    want_cu = [repr(r) for r in cusum.cusum_hourly(every).collect()]
+    assert [repr(r) for r in stream_msprt_monitor(spark, state).collect()] == want
+    assert [repr(r) for r in stream_cusum_monitor(spark, state).collect()] == want_cu
+
+    # crash window 2: plain redelivery of the last committed batch
+    # (crash after meta write, before checkpoint commit) — idempotent
+    msprt_apply_batch(b1, 1, state, lineage_id="L1")
+    assert [repr(r) for r in stream_msprt_monitor(spark, state).collect()] == want
+    assert [repr(r) for r in stream_cusum_monitor(spark, state).collect()] == want_cu
