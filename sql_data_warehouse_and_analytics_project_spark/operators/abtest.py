@@ -456,3 +456,135 @@ def eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     the effect size the team cares about. DuckDB replays the collapse
     and the closed form."""
     return power_mde(tpch.load(spark, sf_dir, "events"))
+
+
+# --- TOST equivalence (r18) ----------------------------------------------------
+#
+# The flip side of the MDE readout: shipping a refactor needs "the arms
+# are the SAME to within a margin", and a non-significant difference
+# test does not establish that. The standard instrument is TOST — two
+# one-sided tests (Schuirmann 1987): declare equivalence at level alpha
+# iff BOTH H01: d <= -delta and H02: d >= +delta are rejected, i.e.
+# p_tost = max(p_lower, p_upper) < alpha. Normal-approximation z tests
+# on the conversion-rate difference with the unpooled SE; the one-sided
+# tail probabilities ride the SAME shared A&S 7.1.26 erf fold as the
+# rest of the tier (abstats._p_two_sided), Horner order mirrored in the
+# SQL twin, so both engines compute identical doubles before the 6-dp
+# round. Counts are exact bigints; everything else is model-sized.
+
+_TOST_DELTA = 0.02  # equivalence margin: ±2pp absolute conversion lift
+_TOST_ALPHA = 0.05
+
+
+def _p_upper(z):
+    """One-sided upper-tail 1 − Φ(z) for SIGNED z from the shared
+    two-sided A&S fold: 1 − Φ(z) = p2(|z|)/2 for z ≥ 0, else
+    1 − p2(|z|)/2."""
+    from .abstats import _p_two_sided
+
+    half = _p_two_sided(F.abs(z)) / F.lit(2.0)
+    return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
+
+
+def _sql_p_upper(z: str) -> str:
+    from .abstats import _sql_p_two_sided
+
+    half = f"({_sql_p_two_sided(f'ABS({z})')} / 2.0)"
+    return f"(CASE WHEN ({z}) >= 0 THEN {half} ELSE 1.0 - {half} END)"
+
+
+def tost_equivalence(
+    events: DataFrame, delta: float = _TOST_DELTA, alpha: float = _TOST_ALPHA
+) -> DataFrame:
+    """One row (n_treat, n_ctrl, rate_treat, rate_ctrl, diff, se,
+    z_lower, z_upper, p_tost, equivalent): TOST equivalence of the
+    md5-parity arms' conversion rates at margin ±delta."""
+    from .dedup import _md5_long
+
+    units = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select(
+        (_md5_long(F.col("user_id").cast("string"), 13) % 2).cast("int").alias("t"),
+        "conv",
+    )
+    agg = units.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("x0"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p1 = d("x1") / F.nullif(d("n1"), F.lit(0.0))
+    p0 = d("x0") / F.nullif(d("n0"), F.lit(0.0))
+    diff = p1 - p0
+    se = F.sqrt(
+        p1 * (F.lit(1.0) - p1) / F.nullif(d("n1"), F.lit(0.0))
+        + p0 * (F.lit(1.0) - p0) / F.nullif(d("n0"), F.lit(0.0))
+    )
+    z_lo = (diff + F.lit(delta)) / F.nullif(se, F.lit(0.0))
+    z_up = (diff - F.lit(delta)) / F.nullif(se, F.lit(0.0))
+    # reject H01 (d <= -delta) when z_lo is LARGE: p_lower = 1 - Φ(z_lo);
+    # reject H02 (d >= +delta) when z_up is SMALL: p_upper = Φ(z_up)
+    p_lower = _p_upper(z_lo)
+    p_upper = F.lit(1.0) - _p_upper(z_up)
+    p_tost = F.greatest(p_lower, p_upper)
+    return agg.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round(p0, 6).alias("rate_ctrl"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z_lo, 6).alias("z_lower"),
+        F.round(z_up, 6).alias("z_upper"),
+        F.round(p_tost, 6).alias("p_tost"),
+        F.coalesce(p_tost < F.lit(alpha), F.lit(False)).alias("equivalent"),
+    )
+
+
+def _tost_sql() -> str:
+    p1 = "(CAST(x1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0))"
+    p0 = "(CAST(x0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0))"
+    diff = f"({p1} - {p0})"
+    se = (
+        f"SQRT({p1} * (1.0 - {p1}) / NULLIF(CAST(n1 AS DOUBLE), 0.0)"
+        f" + {p0} * (1.0 - {p0}) / NULLIF(CAST(n0 AS DOUBLE), 0.0))"
+    )
+    z_lo = f"(({diff} + {_TOST_DELTA}) / NULLIF({se}, 0.0))"
+    z_up = f"(({diff} - {_TOST_DELTA}) / NULLIF({se}, 0.0))"
+    p_tost = f"GREATEST({_sql_p_upper(z_lo)}, 1.0 - {_sql_p_upper(z_up)})"
+    return f"""
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN t = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0
+  FROM units
+)
+SELECT n1 AS n_treat, n0 AS n_ctrl,
+       ROUND({p1}, 6) AS rate_treat,
+       ROUND({p0}, 6) AS rate_ctrl,
+       ROUND({diff}, 6) AS diff,
+       ROUND({se}, 6) AS se,
+       ROUND({z_lo}, 6) AS z_lower,
+       ROUND({z_up}, 6) AS z_upper,
+       ROUND({p_tost}, 6) AS p_tost,
+       COALESCE({p_tost} < {_TOST_ALPHA}, FALSE) AS equivalent
+FROM agg
+"""
+
+
+@query("eval_tost_equivalence_ab", oracle=_tost_sql(), defer=True)
+def eval_tost_equivalence_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence readout of the md5-parity arms' conversion rates
+    at margin ±2pp (Schuirmann 1987) — the ship-the-refactor companion
+    of eval_power_mde: a null difference test never establishes
+    sameness; two rejected one-sided tests do. DuckDB replays the
+    unit collapse, both one-sided z tests, and the shared A&S erf
+    p-values."""
+    return tost_equivalence(tpch.load(spark, sf_dir, "events"))

@@ -1843,3 +1843,103 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays the hour buckets, the 168-row profile, and the SS
     decomposition."""
     return weekly_seasonality(tpch.load(spark, sf_dir, "events"))
+
+
+# --- burstiness (r18) ----------------------------------------------------------
+#
+# Goh & Barabási 2008: the burstiness coefficient B = (σ−μ)/(σ+μ) of
+# inter-event times separates Poisson-like traffic (B ≈ 0) from bursty
+# human/bot activity (B → 1) and clockwork producers (B → −1) — the
+# standard first look at whether an event stream's timing is organic,
+# and a cheap bot/replay signal for a training-data pipeline.
+#
+# Scale shape: gaps come from a lag over Window.partitionBy(user_id,
+# event_type) — per-user-stream cardinality, never a global sort — and
+# everything after is one exact-integer groupBy: gaps in micros are
+# bigints, their squares accumulate in decimal(38,0) (a 60-day span in
+# micros squared is ~2.7e31, past int64), and the closed form
+# σ² = (n·Σx² − (Σx)²)/n² touches doubles only in the final division.
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """(event_type, n_gaps, mean_gap_s, std_gap_s, burstiness): the
+    Goh-Barabási coefficient of within-user inter-event times, per
+    event type."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n_gaps")
+    mean = d("s1") / F.nullif(n, F.lit(0.0))
+    var = (n * d("s2") - d("s1") * d("s1")) / F.nullif(n * n, F.lit(0.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = (std - mean) / F.nullif(std + mean, F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean / F.lit(1e6), 6).alias("mean_gap_s"),
+        F.round(std / F.lit(1e6), 6).alias("std_gap_s"),
+        F.round(b, 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+_BURST_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_us) AS HUGEINT) AS s1,
+         SUM(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       ROUND((CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0)) / 1e6, 6) AS mean_gap_s,
+       ROUND(SQRT(GREATEST(
+               (CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / NULLIF(CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE), 0.0),
+               0.0)) / 1e6, 6) AS std_gap_s,
+       ROUND((SQRT(GREATEST(
+                (CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / NULLIF(CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE), 0.0),
+                0.0))
+              - CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0))
+             / NULLIF(SQRT(GREATEST(
+                (CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / NULLIF(CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE), 0.0),
+                0.0))
+              + CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0), 0.0), 6) AS burstiness
+FROM agg
+ORDER BY event_type
+"""
+
+
+@query("events_burstiness", oracle=_BURST_SQL, defer=True)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of within-user inter-event times per
+    event type — Poisson-like traffic reads ≈0, bursty organic/bot
+    activity → 1, clockwork producers → −1. DuckDB replays the keyed
+    lag, the exact-integer moment sums, and the closed form."""
+    return burstiness(tpch.load(spark, sf_dir, "events"))

@@ -123,3 +123,107 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(
         copurchase_edges(tpch.load(spark, sf_dir, "lineitem"), _MIN_SUPPORT)
     )
+
+
+# --- degree assortativity (r18) ------------------------------------------------
+#
+# Newman 2002 (PRL 89.208701): the Pearson correlation of the degrees at
+# the two ends of an edge. Positive = hubs link to hubs (social-style),
+# negative = hub-and-spoke (technological/catalog-style) — together with
+# the Hill exponent this pins down WHERE the heavy tail sits in the
+# topology, which decides whether hot-key mitigation needs per-hub
+# caps (disassortative) or whole-community salting (assortative).
+#
+# Exactness: with undirected edges counted once, r derives from four
+# exact sums over the degree-joined edge list — M, Σjk, Σ(j+k),
+# Σ(j²+k²) (products in decimal(38,0)) — and doubles appear only in the
+# final closed form, so both engines compute identical values with no
+# libm at all. Two broadcast-joinable degree lookups + one aggregate.
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, mean_deg, assortativity) from an
+    (a, b) undirected edge list (each edge once, a < b)."""
+    degrees = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = degrees.select(F.col("node").alias("a"), F.col("deg").alias("ja"))
+    db = degrees.select(F.col("node").alias("b"), F.col("deg").alias("jb"))
+    j = edges.join(da, "a").join(db, "b")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(dec("ja") * F.col("jb")).alias("s_jk"),
+        F.sum(F.col("ja") + F.col("jb")).cast("decimal(38,0)").alias("s_sum"),
+        F.sum(dec("ja") * F.col("ja") + dec("jb") * F.col("jb")).alias("s_sq"),
+    )
+    nodes = degrees.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("deg").cast("bigint").alias("deg_total"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d("s_sum") / (F.lit(2.0) * d("m"))
+    num = d("s_jk") / d("m") - mu * mu
+    den = d("s_sq") / (F.lit(2.0) * d("m")) - mu * mu
+    return (
+        F.broadcast(nodes)
+        .crossJoin(agg)
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            F.round(d("deg_total") / F.nullif(d("n_nodes"), F.lit(0.0)), 6).alias(
+                "mean_deg"
+            ),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+        )
+    )
+
+
+_ASSORT_SQL = f"""
+WITH edges AS ({_CO_EDGES_SQL}),
+degrees AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY node
+),
+joined AS (
+  SELECT da.deg AS ja, db.deg AS jb
+  FROM edges e JOIN degrees da ON e.a = da.node JOIN degrees db ON e.b = db.node
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(CAST(ja AS HUGEINT) * jb) AS s_jk,
+         CAST(SUM(ja + jb) AS HUGEINT) AS s_sum,
+         SUM(CAST(ja AS HUGEINT) * ja + CAST(jb AS HUGEINT) * jb) AS s_sq
+  FROM joined
+),
+nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) AS BIGINT) AS deg_total
+  FROM degrees
+)
+SELECT n_nodes, m AS n_edges,
+       ROUND(CAST(deg_total AS DOUBLE) / NULLIF(CAST(n_nodes AS DOUBLE), 0.0), 6) AS mean_deg,
+       ROUND((CAST(s_jk AS DOUBLE) / CAST(m AS DOUBLE)
+              - (CAST(s_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                * (CAST(s_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+             / NULLIF(CAST(s_sq AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))
+              - (CAST(s_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                * (CAST(s_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 0.0), 6) AS assortativity
+FROM nodes, agg
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_SQL, defer=True)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase graph
+    — hubs-to-hubs vs hub-and-spoke, the topology readout beside the
+    Hill tail. Exact integer sums, zero libm. DuckDB replays the edge
+    build, the degree joins, and the closed form."""
+    from .triangles import copurchase_edges
+
+    return assortativity(
+        copurchase_edges(tpch.load(spark, sf_dir, "lineitem"), _MIN_SUPPORT)
+    )

@@ -895,3 +895,200 @@ def olap_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the revenue collapse, the distinct-revenue groups, the
     cumulative fold, and the integer boundary compares."""
     return abc_parts(tpch.load(spark, sf_dir, "lineitem"))
+
+
+# --- HHI supplier concentration (r18) ------------------------------------------
+#
+# The antitrust-standard Herfindahl-Hirschman index, applied to supplier
+# revenue within each supplier nation: HHI = Σ share_i² ∈ (0, 1], with
+# 1/HHI the "effective number" of equally-sized suppliers. Complements
+# the Gini/ABC inequality views: Gini ranks the whole distribution, ABC
+# cuts it at fixed mass boundaries, HHI is the single concentration
+# scalar procurement dashboards alert on. Exactness discipline: per-line
+# revenue lands as exact cents (FLOOR(100·extprice·(1−disc)) — the
+# gini_by_group convention), per-supplier cents and their SQUARES
+# accumulate in bigint / decimal(38,0), and doubles appear only in the
+# final share division. One keyed groupBy + a 25-row nation rollup.
+
+
+def hhi_by_nation(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """(nation, n_suppliers, total_cents, hhi, effective_suppliers) per
+    supplier nation."""
+    per_supp = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(100.0)
+                    * F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    agg = per_supp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sum_sq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    hhi = d("sum_sq") / F.nullif(d("total") * d("total"), F.lit(0.0))
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / F.nullif(hhi, F.lit(0.0)), 6).alias("effective_suppliers"),
+    ).orderBy("nation")
+
+
+_HHI_SQL = """
+WITH per_supp AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         CAST(SUM(CAST(FLOOR(100.0 * l.l_extendedprice * (1.0 - l.l_discount)) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+),
+agg AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS HUGEINT) AS total,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sum_sq
+  FROM per_supp GROUP BY nation
+)
+SELECT nation, n_suppliers,
+       CAST(total AS BIGINT) AS total_cents,
+       ROUND(CAST(sum_sq AS DOUBLE)
+             / NULLIF(CAST(total AS DOUBLE) * CAST(total AS DOUBLE), 0.0), 6) AS hhi,
+       ROUND(1.0 / NULLIF(CAST(sum_sq AS DOUBLE)
+             / NULLIF(CAST(total AS DOUBLE) * CAST(total AS DOUBLE), 0.0), 0.0), 6) AS effective_suppliers
+FROM agg
+ORDER BY nation
+"""
+
+
+@query("olap_hhi_suppliers", oracle=_HHI_SQL, defer=True)
+def olap_hhi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier revenue concentration per supplier
+    nation, with the 1/HHI effective-supplier count — exact-integer
+    cores, doubles only in the final shares. DuckDB replays the cent
+    collapse and both rollups."""
+    return hhi_by_nation(
+        tpch.load(spark, sf_dir, "lineitem"),
+        tpch.load(spark, sf_dir, "supplier"),
+        tpch.load(spark, sf_dir, "nation"),
+    )
+
+
+# --- Theil T inequality (r18) --------------------------------------------------
+#
+# The decomposable inequality index (Theil 1967): T = (1/n)·Σ (x/μ)·ln(x/μ)
+# over per-customer revenue within each nation — 0 at perfect equality,
+# ln(n) at total concentration. Beside Gini (rank-based, bounded [0,1))
+# the Theil index is the one that decomposes additively across segments,
+# which is why inequality dashboards carry both. Float discipline: the
+# per-customer term is quantized to decimal(18,6) BEFORE the sum (the
+# text-tier logprob convention) so the cross-nation fold is exact
+# decimal addition — order-independent, and the ≤1-ULP JVM-vs-DuckDB
+# libm ln() difference is invisible at the 6-dp quantization. Customers
+# are revenue > 0 by construction (cents from positive order totals).
+
+
+def theil_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """(nation, n_customers, total_cents, theil_t) per customer nation."""
+    per_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey"))
+        .agg(
+            F.sum(F.floor(F.lit(100.0) * F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    totals = per_cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+    )
+    joined = per_cust.join(F.broadcast(totals), "nation")
+    ratio = (
+        F.col("cents").cast("double")
+        * F.col("n").cast("double")
+        / F.col("total").cast("double")
+    )
+    term = (ratio * F.log(ratio)).cast("decimal(18,6)")
+    return (
+        joined.groupBy("nation", "n", "total")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "nation",
+            F.col("n").alias("n_customers"),
+            F.col("total").cast("bigint").alias("total_cents"),
+            F.round(
+                F.col("s").cast("double") / F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("theil_t"),
+        )
+        .orderBy("nation")
+    )
+
+
+_THEIL_SQL = """
+WITH per_cust AS (
+  SELECT n.n_name AS nation, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(100.0 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_custkey
+),
+totals AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS total
+  FROM per_cust GROUP BY nation
+),
+terms AS (
+  SELECT p.nation, t.n, t.total,
+         CAST((CAST(p.cents AS DOUBLE) * CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+              * ln(CAST(p.cents AS DOUBLE) * CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+              AS DECIMAL(18,6)) AS term
+  FROM per_cust p JOIN totals t ON p.nation = t.nation
+)
+SELECT nation, n AS n_customers,
+       CAST(total AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(term) AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0), 6) AS theil_t
+FROM terms
+GROUP BY nation, n, total
+ORDER BY nation
+"""
+
+
+@query("olap_theil_revenue", oracle=_THEIL_SQL, defer=True)
+def olap_theil_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-customer order revenue within each
+    nation — the additively decomposable companion of the Gini report.
+    DuckDB replays the cent collapse, the quantized-term fold, and the
+    closed form."""
+    return theil_by_nation(
+        tpch.load(spark, sf_dir, "orders"),
+        tpch.load(spark, sf_dir, "customer"),
+        tpch.load(spark, sf_dir, "nation"),
+    )

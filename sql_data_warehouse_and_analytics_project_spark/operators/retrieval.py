@@ -1397,3 +1397,119 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = docs.join(cands.select("doc_id"), "doc_id", "left_semi")
     vecs = hash_embeddings(cand_docs)
     return mmr_rerank(cands, vecs, k=10, lam=0.7)
+
+
+# --- Dirichlet query likelihood (r18) ------------------------------------------
+#
+# The language-modeling retrieval baseline (Ponte & Croft 1998; Zhai &
+# Lafferty 2001 Dirichlet smoothing): score(q, d) = Σ_t ln((tf_td + μ·p_t)
+# / (dl_d + μ)) with p_t the collection unigram probability. BM25's
+# standard sparring partner — ranking-eval reports quote both, and the
+# two disagree exactly where document-length normalization matters, so a
+# corpus-quality dashboard wants the pair. Same physical shape as
+# ``bm25_topk``: per-term tf as array-filter projections (one corpus
+# scan, no explode), collection stats as ONE broadcast aggregate row,
+# ordered-LIMIT cut (TakeOrderedAndProject). The per-doc score sums a
+# FIXED term order (query-term index), so the doubles are deterministic
+# cross-engine before the defensive 6-dp round — the bm25 discipline.
+
+_QL_MU = 2000.0  # Dirichlet smoothing mass (Zhai & Lafferty's default)
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _BM25_K,
+    mu: float = _QL_MU,
+) -> DataFrame:
+    """(doc_id, ql) top-k Dirichlet query-likelihood scores for
+    ``terms`` (natural-log scale; higher = better)."""
+    toks = tokens_col(F.col("text"))
+    freq = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: F.lower(x) == F.lit(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = F.broadcast(
+        freq.agg(
+            F.sum("dl").cast("bigint").alias("c_len"),
+            *[
+                F.sum(f"tf_{i}").cast("bigint").alias(f"cf_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+    scored = freq.crossJoin(stats)
+    parts = []
+    for i in range(len(terms)):
+        p_t = F.col(f"cf_{i}").cast("double") / F.col("c_len").cast("double")
+        parts.append(
+            F.log(
+                (F.col(f"tf_{i}").cast("double") + F.lit(mu) * p_t)
+                / (F.col("dl").cast("double") + F.lit(mu))
+            )
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    # docs where some query term has zero COLLECTION frequency would hit
+    # ln(0); smoothing keeps p_t > 0 whenever the term occurs anywhere,
+    # and terms absent from the whole corpus zero every score equally —
+    # drop them from the sum by requiring cf > 0 (mirrored in SQL)
+    guards = [F.col(f"cf_{i}") > 0 for i in range(len(terms))]
+    for i, g in enumerate(guards):
+        parts[i] = F.when(g, parts[i]).otherwise(F.lit(0.0))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("ql"))
+        .orderBy(F.desc("ql"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _ql_sql(terms: tuple[str, ...], k: int, mu: float) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({SQL_TOKENS}, x -> lower(x) = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_cols = ", ".join(
+        f"CAST(SUM(tf_{i}) AS BIGINT) AS cf_{i}" for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(CASE WHEN s.cf_{i} > 0 THEN ln((CAST(f.tf_{i} AS DOUBLE) + {mu} * "
+        f"(CAST(s.cf_{i} AS DOUBLE) / CAST(s.c_len AS DOUBLE)))"
+        f" / (CAST(f.dl AS DOUBLE) + {mu})) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH freq AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS dl,
+         {tf_cols}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS c_len, {cf_cols} FROM freq
+)
+SELECT f.doc_id, ROUND({parts}, 6) AS ql
+FROM freq f, stats s
+ORDER BY ql DESC, doc_id
+LIMIT {k}
+"""
+
+
+@query(
+    "retrieval_query_likelihood",
+    oracle=_ql_sql(_BM25_TERMS, _BM25_K, _QL_MU),
+    defer=True,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Dirichlet-smoothed query likelihood for the
+    fixed query (spark, join, vector) — the LM retrieval baseline beside
+    BM25 (same scan shape, one broadcast stats row, ordered-LIMIT cut).
+    DuckDB replays the tf projections, the smoothing, and the cut."""
+    return query_likelihood_topk(_docs(spark, sf_dir))

@@ -64,6 +64,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         bpe,
         composition,
         cooccur,
+        corpusstats,
         curation,
         cusum,
         datacard,
