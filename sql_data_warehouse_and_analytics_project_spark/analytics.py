@@ -220,21 +220,47 @@ def q05_magnitude_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue magnitude by customer nation — the flagship query.
 
     Reference operator mix: fact LEFT JOIN dims + multi-agg GROUP BY
-    (ref: 05_magnitude_analysis.sql:48-55, J4+A2+A5+O1). nation is
-    broadcast; lineitem⨝orders shuffles once on orderkey.
+    (ref: 05_magnitude_analysis.sql:48-55, J4+A2+A5+O1).
+
+    r18 two-level plan: the flat GROUP BY carried TWO COUNT(DISTINCT)s, so
+    Catalyst planned an Expand that tripled every joined fact row through
+    the aggregation exchange (guide §2.3: shuffle fewer bytes). Both
+    distincts collapse to plain counts under the key hierarchy
+    l_orderkey → o_custkey → nation: lineitem partial-aggregates to order
+    grain first (map-side combine; the orderkey shuffle carries one narrow
+    row per order), orders→customer attaches the hierarchy, and the
+    per-customer rollup makes n_orders a SUM and n_customers a COUNT of
+    already-unique rows. Decimal sums are exact, so regrouping is
+    bit-identical; LEFT-join null groups flow through the o_custkey=NULL /
+    n_name=NULL rows exactly as the flat plan's (COUNT(DISTINCT) and
+    COUNT(col) both skip NULLs). No Expand node, no tripled shuffle —
+    plan-pinned in tests/test_plans.py.
     """
-    base = sales_base(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = tpch.dim(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev_col()).alias("_rev"), F.sum(qty_col()).alias("_qty")
+    )
+    per_cust = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("_rev").alias("_rev"),
+            F.sum("_qty").alias("_qty"),
+            F.count("l_orderkey").alias("_n_orders"),
+        )
+    )
     return (
-        base.join(customer, base.o_custkey == customer.c_custkey, "left")
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey, "left")
         .join(nation, customer.c_nationkey == nation.n_nationkey, "left")
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(rev_col()).cast("double").alias("total_revenue"),
-            F.sum(qty_col()).cast("double").alias("total_quantity"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_qty").cast("double").alias("total_quantity"),
+            F.sum("_n_orders").alias("n_orders"),
+            F.count("c_custkey").alias("n_customers"),
         )
         .orderBy(F.desc("total_revenue"))
     )
@@ -253,16 +279,27 @@ ORDER BY total_order_value DESC
 
 
 def q05_magnitude_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order value by market segment (ref: 05_magnitude_analysis.sql:16-45, A2/A3)."""
+    """Order value by market segment (ref: 05_magnitude_analysis.sql:16-45, A2/A3).
+
+    r18 two-level plan (same rationale as the nation leg): pre-aggregate
+    orders to customer grain — o_orderkey is unique in orders and
+    customer is unique per o_custkey, so COUNT(DISTINCT o_orderkey) is an
+    exact SUM of per-customer order counts and COUNT(DISTINCT c_custkey)
+    an exact COUNT of the already-unique joined rows. Removes the Expand
+    that tripled the orders shuffle."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("_tp"),
+        F.count("o_orderkey").alias("_n_orders"),
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey, "left")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.sum(money("o_totalprice")).cast("double").alias("total_order_value"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum("_tp").cast("double").alias("total_order_value"),
+            F.sum("_n_orders").alias("n_orders"),
+            F.count("c_custkey").alias("n_customers"),
         )
         .orderBy(F.desc("total_order_value"))
     )
@@ -281,16 +318,26 @@ ORDER BY total_revenue DESC
 
 
 def q05_magnitude_by_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key GROUP BY over fact⨝product dim (ref: 05_magnitude_analysis.sql:59-71, A3)."""
+    """Multi-key GROUP BY over fact⨝product dim (ref: 05_magnitude_analysis.sql:59-71, A3).
+
+    r18 two-level plan (same rationale as the nation leg): lineitem
+    partial-aggregates to part grain first — p_partkey is unique per
+    l_partkey, so COUNT(DISTINCT p_partkey) is an exact COUNT over the
+    per-part rows — and the brand/type rollup runs over dim-sized rows.
+    Removes the Expand that doubled the fact shuffle; decimal sums are
+    exact under regrouping."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev_col()).alias("_rev"), F.sum(qty_col()).alias("_qty")
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey, "left")
+        per_part.join(part, per_part.l_partkey == part.p_partkey, "left")
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
         .agg(
-            F.sum(rev_col()).cast("double").alias("total_revenue"),
-            F.sum(qty_col()).cast("double").alias("total_quantity"),
-            F.countDistinct("p_partkey").alias("n_parts"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_qty").cast("double").alias("total_quantity"),
+            F.count("p_partkey").alias("n_parts"),
         )
         .orderBy(F.desc("total_revenue"))
     )

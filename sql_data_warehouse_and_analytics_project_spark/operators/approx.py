@@ -989,7 +989,11 @@ def active_users_sketch(events: DataFrame) -> DataFrame:
     dau = ev.distinct().groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau_exact")
     )
-    regs = _day_regs(ev)
+    # r18: the register table feeds BOTH window expansions, whose stages
+    # launch concurrently and would each re-run the md5-hash + register
+    # aggregation over the full events scan; the eager checkpoint bounds
+    # that to one pass (registers are KB-scale: days × 2^p rows max)
+    regs = _day_regs(ev).localCheckpoint(eager=True)
     wau = _window_estimate(regs, 7, "wau_hll")
     mau = _window_estimate(regs, 28, "mau_hll")
     return (

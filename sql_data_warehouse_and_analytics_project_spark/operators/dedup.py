@@ -712,6 +712,77 @@ def _candidate_shared_counts(
     )
 
 
+def _candidate_shared_arrays(
+    reps: DataFrame, candidates: DataFrame, _caches: list | None = None
+) -> DataFrame:
+    """(doc_id_1, doc_id_2, shared, n1, n2): EXACT distinct-shingle overlap
+    and per-doc distinct-shingle counts for every candidate pair, via
+    per-doc shingle ARRAYS instead of a shingle-keyed self-join (r18).
+
+    The r13–r17 verify leg re-exploded candidate docs to shingle rows,
+    self-joined them on the shingle key (with the df-cut hot-shingle
+    guard), partial-aggregated shared counts, and joined sizes back — five
+    shuffles plus a checkpoint. But the candidate pair list ALREADY exists
+    here (LSH-bounded), so overlap needs no join by shingle at all: build
+    each candidate doc's distinct-shingle array once (the same projection
+    the signature pass runs, no explode), attach both docs' arrays to each
+    pair by doc_id — a unique key, so no reducer is ever hot — and fold
+    ``size(array_intersect(...))`` per pair (hash-set intersection,
+    O(|a|+|b|) per pair). Bit-identical to the guarded self-join (both
+    count distinct shared shingles; pinned against it and a pure-Python
+    oracle in tests/test_hot_shingle_guard.py), with NO shingle-keyed
+    shuffle anywhere — the hot-boilerplate reducer blow-up the df-cut
+    guard existed to contain simply has no join key to land on.
+
+    Scale shape: each doc's array crosses the shuffle once per candidate
+    pair it appears in (bounded by the band × bucket-cap discipline), and
+    per-pair work is linear in the two docs' shingle counts — the same
+    bytes the exploded form shuffled through its rare-join legs, in a
+    quarter of the stages."""
+    toks = tokens_col(F.col("text"))
+    cand_docs = (
+        candidates.select(F.col("doc_id_1").alias("doc_id"))
+        .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    arr = (
+        reps.join(cand_docs, "doc_id", "left_semi")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", shingles_col(F.col("text")).alias("_sh"))
+        .select("doc_id", "_sh", F.size("_sh").cast("bigint").alias("_n"))
+        # two consumers (the pair join's both sides) whose stages launch
+        # concurrently — an EAGER checkpoint runs the candidate-doc shingle
+        # projection exactly once AND sequentially materializes the
+        # upstream mem/candidates caches before the final join job reads
+        # them from several branches at once (a lazy .cache() here would
+        # let those branches race and duplicate the signature pipeline)
+        .localCheckpoint(eager=True)
+    )
+    if _caches is not None:
+        _caches.append(arr)
+    a1 = arr.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("_sh").alias("_sh1"),
+        F.col("_n").alias("n1"),
+    )
+    a2 = arr.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("_sh").alias("_sh2"),
+        F.col("_n").alias("n2"),
+    )
+    return (
+        candidates.join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("bigint").alias("shared"),
+            "n1",
+            "n2",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = _NEARDUP_THRESHOLD,
@@ -755,34 +826,18 @@ def minhash_lsh_pairs(
     )
     if _caches is not None:
         _caches.append(candidates)
-    # verify candidates with exact Jaccard (join-aggregate over shingles,
-    # restricted to candidate docs). The semi join runs BEFORE the shingle
-    # explode: Catalyst cannot push a join below a Generate, so filtering
-    # the exploded rows would re-explode the whole corpus just to discard
-    # ~all of it — pruning the docs first means the verification explode
-    # touches only candidate docs (LSH-bounded, tiny at any scale).
-    cand_docs = (
-        candidates.select(F.col("doc_id_1").alias("doc_id"))
-        .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
-        .distinct()
-    )
-    sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi")).cache()
-    if _caches is not None:
-        _caches.append(sh_c)
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # exact shared counts through the hot-shingle df-cut guard — a
-    # boilerplate shingle in ~all candidate docs no longer fans out
-    # quadratically on one reducer key (see _candidate_shared_counts)
-    shared = _candidate_shared_counts(sh_c, candidates)
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
+    # verify candidates with exact Jaccard over per-doc shingle ARRAYS
+    # (r18, see _candidate_shared_arrays): the semi join prunes to
+    # candidate docs BEFORE the shingle projection, overlap + sizes come
+    # from one array-intersect pair join — no shingle-keyed shuffle, no
+    # hot-shingle guard needed, five shuffles and a checkpoint fewer than
+    # the exploded self-join it replaces (output bit-identical, pinned in
+    # tests/test_hot_shingle_guard.py).
+    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches)
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))
-    rep_pairs = (
-        shared.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
-        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    rep_pairs = shared.select(
+        "doc_id_1", "doc_id_2", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
     out = _expand_member_pairs(
         rep_pairs, members, intra_cols=[F.lit(1.0).alias("jaccard")], carry=["jaccard"]
     )
@@ -813,7 +868,11 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     population of ``docs``."""
     mem = token_dedup_members(docs)
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = minhash_signatures(reps, spread=False)
+    # three consumers (band table + both sides of the agreement join);
+    # uncached, each re-runs the 64-hash signature projection (r18)
+    sigs = minhash_signatures(reps, spread=False).cache()
+    if _caches is not None:
+        _caches.append(sigs)
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, _LSH_BUCKET_CAP)
     a, b = capped.alias("a"), capped.alias("b")
@@ -842,24 +901,14 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
         .join(sb, F.col("doc_id_2") == F.col("sb.doc_id"))
         .select("doc_id_1", "doc_id_2", matches.alias("matches"))
     )
-    cand_docs = (
-        candidates.select(F.col("doc_id_1").alias("doc_id"))
-        .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
-        .distinct()
-    )
-    sh_c = _shingle_rows(reps.join(cand_docs, "doc_id", "left_semi"))
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # same hot-shingle df-cut guard as the pipeline's verify leg
-    shared = _candidate_shared_counts(sh_c, candidates)
-    paired = (
-        est.join(shared, ["doc_id_1", "doc_id_2"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1")
-        .join(sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")), "doc_id_2")
-        .select(
-            "matches",
-            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
-            (F.col("n1") + F.col("n2") - F.coalesce(F.col("shared"), F.lit(0))).alias("u"),
-        )
+    # exact shared counts + sizes via the array-intersect pair join (r18,
+    # see _candidate_shared_arrays) — same rework as the pipeline's verify
+    # leg; every candidate pair gets exactly one row, shared may be 0
+    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches)
+    paired = est.join(shared, ["doc_id_1", "doc_id_2"]).select(
+        "matches",
+        F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+        (F.col("n1") + F.col("n2") - F.coalesce(F.col("shared"), F.lit(0))).alias("u"),
     )
     errs = paired.select(
         F.expr(
@@ -2402,9 +2451,24 @@ def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_M
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
 
-    def is_bnd(i):
-        win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
-        return _md5_long(win, 13) % modulus == 0
+    # md5_13hex(win) % modulus == 0, evaluated without the 13-hex-digit
+    # conv()+bigint-mod per position: 16 ≡ 0 (mod 2^m) for m <= 4, so the
+    # value of the 13-char prefix mod a power-of-two modulus <= 16 equals
+    # the 13th hex digit's value mod it — one substring + a tiny IN list
+    # per position instead of a 13-char base conversion (bit-identical
+    # boundaries; the md5 itself is unchanged and still the dominant cost).
+    if modulus in (2, 4, 8, 16):
+        ok_digits = [h for h in "0123456789abcdef" if int(h, 16) % modulus == 0]
+
+        def is_bnd(i):
+            win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+            return F.substring(F.md5(win), 13, 1).isin(*ok_digits)
+
+    else:
+
+        def is_bnd(i):
+            win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+            return _md5_long(win, 13) % modulus == 0
 
     raw = F.when(
         n >= window, F.filter(F.sequence(F.lit(window), n), is_bnd)
@@ -2478,14 +2542,23 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     # materialize once: the rolling-md5 chunk projection feeds BOTH the
     # occurrence count and the join side; without the checkpoint Spark
     # recomputes it per consumer (measured 2x the projection cost at
-    # sf0.1 — the quality_perplexity_buckets discipline)
-    chunks = cdc_chunks(docs).localCheckpoint(eager=True)
-    occ = chunks.groupBy("chunk_text").agg(
+    # sf0.1 — the quality_perplexity_buckets discipline).
+    # r18: the occurrence groupBy and the rejoin carry a 16-byte
+    # unhex(md5(chunk_text)) key, never the chunk text itself — the same
+    # exact-key convention token_dedup_members already rests on — so the
+    # checkpoint holds (doc_id, key) rows and chunk bytes never cross a
+    # shuffle (guide §2.3: shuffle keys, not payloads).
+    chunks = (
+        cdc_chunks(docs)
+        .select("doc_id", F.unhex(F.md5(F.col("chunk_text"))).alias("ck"))
+        .localCheckpoint(eager=True)
+    )
+    occ = chunks.groupBy("ck").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     dup = F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0))
     return (
-        chunks.join(occ, "chunk_text")
+        chunks.join(occ, "ck")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

@@ -81,6 +81,20 @@ def deletion_variants2(col_name: str) -> Column:
     return F.array_distinct(F.concat(F.array(F.col(c)), one, two))
 
 
+def _spread_names(n: DataFrame) -> DataFrame:
+    """Row-wise-projection parallelism guard (the dedup._spread_rows
+    discipline): the deletion-variant explode and its shuffle write inherit
+    the SCAN's partitioning, and a single-file names table runs the whole
+    O(|s|·rows) neighborhood expansion in ONE task (profiled r18: a 1.8 s
+    single-task stage dominating er_fuzzy_customer_pairs). Repartition up
+    to core count only when the input arrives narrower — a no-op on any
+    many-split table, so nothing extra shuffles at 100 TB."""
+    want = n.sparkSession.sparkContext.defaultParallelism
+    if n.rdd.getNumPartitions() < want:
+        return n.repartition(want, "_k")
+    return n
+
+
 def fuzzy_pairs(
     names: DataFrame,
     key: str,
@@ -104,7 +118,7 @@ def fuzzy_pairs(
     if max_dist not in (1, 2):
         raise ValueError("deletion-neighborhood blocking supports max_dist in {1, 2}")
     variants = deletion_variants if max_dist == 1 else deletion_variants2
-    n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
+    n = _spread_names(names.select(F.col(key).alias("_k"), F.col(name).alias("_s")))
     # the variant join and the candidate DISTINCT carry ONLY (key, variant)
     # — never the name strings: shuffling 16-byte key pairs instead of
     # string payloads through both stages measured 2.2x faster at sf0.1
@@ -350,7 +364,7 @@ def blocking_quality(
     if max_dist not in (1, 2):
         raise ValueError("deletion-neighborhood blocking supports max_dist in {1, 2}")
     variants = deletion_variants if max_dist == 1 else deletion_variants2
-    n = names.select(F.col(key).alias("_k"), F.col(name).alias("_s"))
+    n = _spread_names(names.select(F.col(key).alias("_k"), F.col(name).alias("_s")))
     v = n.select("_k", F.explode(variants("_s")).alias("_v"))
     extra_counts = []
     if bucket_cap is not None:

@@ -839,6 +839,8 @@ def _hamming_band_pairs(
     band_bits: int,
     hamming_max: int,
     cap: int | None = None,
+    _caches: list | None = None,
+    _sorted: bool = True,
 ) -> DataFrame:
     """Near-duplicate (media_id_1, media_id_2, hamming) pairs from a
     (media_id, <sig_col>) integer-signature frame — the one Hamming-band
@@ -854,7 +856,26 @@ def _hamming_band_pairs(
 
     if cap is None:
         cap = _LSH_BUCKET_CAP
-    rep_min = sigs.groupBy(sig_col).agg(F.min("media_id").alias("rep_id"))
+    # the signature frame feeds FOUR consumers (the rep_min collapse, the
+    # members rejoin, and both sides of the Hamming confirm) and rep_min
+    # feeds three more (members, bands, confirm) — uncached, every branch
+    # re-runs the upstream Python-side decode+hash pass: the r18 phash
+    # before-plan carried 12 separate MapInPandas nodes, i.e. 12 full
+    # codec round trips over the corpus for one query. A plain .cache()
+    # is NOT enough: the consumers' stages launch concurrently inside one
+    # job and each computes the still-unmaterialized cache independently
+    # (profiled r18: six 57 KiB-input Python stages despite the cache).
+    # EAGER localCheckpoint is the ordering point — the decode+hash pass
+    # runs exactly once in its own job, every consumer reads the blocks.
+    # rep_min stays a lazy .cache(): its recompute from the checkpoint is
+    # one narrow partial-agg (concurrent first-use duplication costs what
+    # the lazy plan pays anyway), while an eager checkpoint here would
+    # serialize the whole downstream skeleton behind an extra job —
+    # measured 0.5 s slower at sf0.1 for zero scale benefit.
+    sigs = sigs.localCheckpoint(eager=True)
+    rep_min = sigs.groupBy(sig_col).agg(F.min("media_id").alias("rep_id")).cache()
+    if _caches is not None:
+        _caches.extend([sigs, rep_min])
     members = sigs.join(rep_min, sig_col).select(
         F.col("media_id").alias("doc_id"), F.col("rep_id")
     )
@@ -896,28 +917,37 @@ def _hamming_band_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
-    return (
-        _expand_member_pairs(
-            rep_pairs,
-            members,
-            intra_cols=[F.lit(0).cast("bigint").alias("hamming")],
-            carry=["hamming"],
-        )
-        .select(
-            F.col("doc_id_1").alias("media_id_1"),
-            F.col("doc_id_2").alias("media_id_2"),
-            "hamming",
-        )
-        .orderBy("media_id_1", "media_id_2")
+    out = _expand_member_pairs(
+        rep_pairs,
+        members,
+        intra_cols=[F.lit(0).cast("bigint").alias("hamming")],
+        carry=["hamming"],
+    ).select(
+        F.col("doc_id_1").alias("media_id_1"),
+        F.col("doc_id_2").alias("media_id_2"),
+        "hamming",
     )
+    return out.orderBy("media_id_1", "media_id_2") if _sorted else out
 
 
-def phash_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
+def phash_pairs(
+    sigs: DataFrame,
+    cap: int | None = None,
+    _caches: list | None = None,
+    _sorted: bool = True,
+) -> DataFrame:
     """Near-duplicate image pairs from (media_id, phash) signatures —
     the shared Hamming-band skeleton at the image constants (8 bands ×
     7 bits, confirm ≤ 7; pigeonhole-complete for the confirm threshold)."""
     return _hamming_band_pairs(
-        sigs, "phash", _PHASH_N_BANDS, _PHASH_BAND_BITS, _PHASH_HAMMING_MAX, cap
+        sigs,
+        "phash",
+        _PHASH_N_BANDS,
+        _PHASH_BAND_BITS,
+        _PHASH_HAMMING_MAX,
+        cap,
+        _caches=_caches,
+        _sorted=_sorted,
     )
 
 
@@ -1017,6 +1047,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-backed r4/r5 keys keep their stable slots; see COVERAGE.md) —
     the cross-engine hash proof for this query runs in
     tests/test_oracle_parity.py instead."""
+    # lazy return: the one eager job inside (the signature checkpoint)
+    # runs the Python decode exactly once; the rest of the skeleton keeps
+    # its concurrent-stage overlap (an end-to-end _materialized wrapper
+    # measured 0.5 s slower at sf0.1 by serializing it)
     return phash_pairs(phash_signatures(spark, sf_dir))
 
 
@@ -1094,11 +1128,23 @@ def afp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def afp_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
+def afp_pairs(
+    sigs: DataFrame,
+    cap: int | None = None,
+    _caches: list | None = None,
+    _sorted: bool = True,
+) -> DataFrame:
     """Near-duplicate audio pairs — the shared Hamming-band skeleton at the
     audio constants (8 bands × 6 bits, confirm ≤ 6)."""
     return _hamming_band_pairs(
-        sigs, "afp", _AFP_N_BANDS, _AFP_BAND_BITS, _AFP_HAMMING_MAX, cap
+        sigs,
+        "afp",
+        _AFP_N_BANDS,
+        _AFP_BAND_BITS,
+        _AFP_HAMMING_MAX,
+        cap,
+        _caches=_caches,
+        _sorted=_sorted,
     )
 
 
@@ -1175,6 +1221,8 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 6 — executor-generated WAVs through the real codec round trip, with
     the whole pipeline (closed-form PCM → envelope quantization → banding
     → confirm) replayed in DuckDB."""
+    # lazy return — the signature checkpoint inside bounds the WAV decode
+    # to one pass; see dedup_image_phash
     return afp_pairs(afp_signatures(spark, sf_dir))
 
 
@@ -1231,7 +1279,10 @@ def video_frame_signatures(media: DataFrame, n_frames: int = _VFP_FRAMES) -> Dat
 
 
 def video_phash_pairs(
-    sigs: DataFrame, match_min: int = _VFP_MATCH_MIN, cap: int | None = None
+    sigs: DataFrame,
+    match_min: int = _VFP_MATCH_MIN,
+    cap: int | None = None,
+    _caches: list | None = None,
 ) -> DataFrame:
     """(media_id_1, media_id_2, n_frames_matched, avg_hamming) video
     near-dup pairs: frame signatures ride the image Hamming-band skeleton
@@ -1242,7 +1293,14 @@ def video_phash_pairs(
         F.col("fhash"),
     )
     fp = _hamming_band_pairs(
-        ent, "fhash", _PHASH_N_BANDS, _PHASH_BAND_BITS, _PHASH_HAMMING_MAX, cap
+        ent,
+        "fhash",
+        _PHASH_N_BANDS,
+        _PHASH_BAND_BITS,
+        _PHASH_HAMMING_MAX,
+        cap,
+        _caches=_caches,
+        _sorted=False,  # rolled up by video below; the pair sort would be dropped anyway
     )
     aligned = fp.filter(
         F.col("media_id_1") % _VFP_SLOT == F.col("media_id_2") % _VFP_SLOT
@@ -1299,4 +1357,6 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = vids.filter(F.col("media_id") % 5 == 2).mapInPandas(
         brighten, schema="media_id bigint, media_type string, payload binary"
     )
+    # lazy return — the signature checkpoint inside bounds the AVI decode
+    # to one pass; see dedup_image_phash
     return video_phash_pairs(video_frame_signatures(vids.unionByName(copies)))

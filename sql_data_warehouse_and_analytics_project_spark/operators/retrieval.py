@@ -433,7 +433,27 @@ def bm25_postings_topk(
     (pytest-pinned) but supports arbitrary term sets without one
     array-filter column per term."""
     lowered = sorted({t.lower() for t in terms})
-    posts = doc_postings(docs).filter(F.col("term").isin(lowered))
+    # r18: filter tokens BEFORE the explode — the Generate fans out only
+    # query-term occurrences (a handful per doc) instead of every token in
+    # the corpus, and the (doc, term) aggregate runs over matching rows
+    # only (guide §2.3: don't compute rows you immediately discard; the
+    # old post-explode isin() dropped ~99% of the exploded rows). tf/df
+    # are unchanged — pre-filtering removes exactly the rows the old
+    # filter dropped. dl stays the FULL document length. The eager
+    # checkpoint bounds the corpus pass to one: posts feeds both the df
+    # broadcast and the scoring join, whose stages otherwise race and
+    # re-tokenize the corpus once each.
+    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    posts = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(F.filter(toks, lambda x: x.isin(*lowered))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = F.broadcast(
         posts.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )

@@ -128,3 +128,39 @@ def test_rare_self_join_input_shrinks(spark):
     rare = sh.join(common, "shingle", "left_anti").count()
     # boilerplate shingles (df=40) dominate: >80% of join input removed
     assert rare < 0.2 * total
+
+
+def test_candidate_shared_arrays_matches_guarded_counts(spark):
+    """r18 verify-leg rework: ``_candidate_shared_arrays`` (per-doc shingle
+    arrays + array_intersect, no shingle-keyed join) must reproduce the
+    guarded self-join's shared counts bit-for-bit AND carry the exact
+    per-doc distinct-shingle sizes, on the planted boilerplate corpus
+    where hot shingles dominate."""
+    docs = _docs(spark, _planted_rows())
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(sorted(ids), 2)],
+        "doc_id_1 bigint, doc_id_2 bigint",
+    )
+    sh = dedup._shingle_rows(docs)
+    old = {
+        (r["doc_id_1"], r["doc_id_2"]): r["shared"]
+        for r in dedup._candidate_shared_counts(sh, cand).collect()
+    }
+    caches: list = []
+    new = {
+        (r["doc_id_1"], r["doc_id_2"]): (r["shared"], r["n1"], r["n2"])
+        for r in dedup._candidate_shared_arrays(docs, cand, _caches=caches).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    sizes = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(new) == set(old)
+    for k, (shared, n1, n2) in new.items():
+        assert shared == old[k], k
+        assert n1 == sizes[k[0]] and n2 == sizes[k[1]], k
+    # python recomputation as the independent oracle
+    texts = {i: t for i, _, t in _planted_rows()}
+    for (a, b), (shared, n1, n2) in new.items():
+        assert shared == len(_shingle_set(texts[a]) & _shingle_set(texts[b]))
+        assert n1 == len(_shingle_set(texts[a])) and n2 == len(_shingle_set(texts[b]))

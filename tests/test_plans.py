@@ -54,9 +54,14 @@ def test_q08_shuffle_budget(spark):
 
 
 def test_q05_shuffle_budget(spark):
-    """Aggregate + distinct-expand + final sort — at most 3 data shuffles."""
+    """r18 two-level plan: order-grain agg + customer rollup + nation agg
+    + final sort — at most 4 data shuffles, each carrying one narrow row
+    per key, and NO Expand (the old flat plan's two COUNT(DISTINCT)s
+    tripled every joined fact row through its aggregation exchange)."""
     df = analytics.q05_magnitude_by_nation(spark, SF_DIR)
-    assert audit.data_shuffle_count(audit.executed_plan(df)) <= 3
+    plan = audit.executed_plan(df)
+    assert audit.data_shuffle_count(plan) <= 4
+    assert "Expand" not in plan
 
 
 def test_gold_surrogate_scale_mode_no_single_partition_exchange(spark):
