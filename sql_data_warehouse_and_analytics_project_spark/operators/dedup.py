@@ -72,16 +72,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shingles (shared by Jaccard + MinHash) --------------------------------
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (built-in higher-order
-    functions — no Python UDF)."""
-    toks = tokens_col(text)
+def shingles_from(tcol: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (built-in higher-order functions — no Python UDF).
+
+    ``tcol`` must be a bound column, not a tokenizer expression: HOF
+    lambdas are interpreted, so a lambda body that references an
+    expression re-evaluates it PER ELEMENT — ``slice(split(text), …)``
+    inside this transform re-tokenized the whole document once per
+    shingle position, O(|tokens|²) per doc (r18 profile: the CDC variant
+    of the same bug burned 114 CPU-seconds on a 0.3 CPU-second boundary
+    scan). Callers stage ``tokens_col(text)`` into a column first (the
+    winnow_fingerprints discipline); multi-use of a non-cheap alias
+    keeps CollapseProject from re-inlining it."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.size(tcol) - n),
+            lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, n)),
         )
     )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text expression — convenience form for
+    row-at-a-time tests; pipeline code stages tokens first and calls
+    :func:`shingles_from` (see its warning)."""
+    return shingles_from(tokens_col(text), n)
 
 
 def _spread(docs: DataFrame, spread: bool) -> DataFrame:
@@ -113,7 +129,6 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     group on doc_id, so hash-distributing here lets Catalyst elide their
     exchange — the shuffle moves the short raw texts, not the exploded
     shingles."""
-    toks = tokens_col(F.col("text"))
     # Explicit partition count: AQE coalesces a column-only repartition()
     # back down by shuffle BYTES, and the pre-explode docs are tiny compared
     # to the CPU the explode fans out — column-only form measured 5×
@@ -121,8 +136,11 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.repartition(n_parts, F.col("doc_id"))
-        .filter(F.size(toks) >= 3)
-        .select("doc_id", "lang", F.explode(shingles_col(F.col("text"))).alias("shingle"))
+        # stage tokens as a column so the shingle lambda doesn't
+        # re-tokenize per element (see shingles_from)
+        .select("doc_id", "lang", tokens_col(F.col("text")).alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", "lang", F.explode(shingles_from(F.col("_t"))).alias("shingle"))
     )
 
 
@@ -473,10 +491,6 @@ def minhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     source scan is narrower than the core count. The base hash is
     md5-derived (not xxhash64) so the DuckDB oracle can replay the exact
     signature pipeline."""
-    toks = tokens_col(F.col("text"))
-    base_arr = F.transform(
-        shingles_col(F.col("text")), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))
-    )
     sigs = [
         F.array_min(
             F.transform(F.col("_base"), lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)))
@@ -485,8 +499,17 @@ def minhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     ]
     return (
         _spread(docs, spread)
-        .filter(F.size(toks) >= 3)
-        .select("doc_id", base_arr.alias("_base"))
+        # stage tokens as a column so the shingle lambda doesn't
+        # re-tokenize per element (see shingles_from; measured 1.6×
+        # on this pass at sf0.1, bit-identical output)
+        .select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_from(F.col("_t")), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))
+            ).alias("_base"),
+        )
         .select("doc_id", *sigs)
     )
 
@@ -739,7 +762,6 @@ def _candidate_shared_arrays(
     per-pair work is linear in the two docs' shingle counts — the same
     bytes the exploded form shuffled through its rare-join legs, in a
     quarter of the stages."""
-    toks = tokens_col(F.col("text"))
     cand_docs = (
         candidates.select(F.col("doc_id_1").alias("doc_id"))
         .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
@@ -747,8 +769,10 @@ def _candidate_shared_arrays(
     )
     arr = (
         reps.join(cand_docs, "doc_id", "left_semi")
-        .filter(F.size(toks) >= 3)
-        .select("doc_id", shingles_col(F.col("text")).alias("_sh"))
+        # staged token column — see shingles_from
+        .select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
         .select("doc_id", "_sh", F.size("_sh").cast("bigint").alias("_n"))
         # two consumers (the pair join's both sides) whose stages launch
         # concurrently — an EAGER checkpoint runs the candidate-doc shingle
@@ -803,7 +827,13 @@ def minhash_lsh_pairs(
         _caches.append(mem)
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = minhash_signatures(reps, spread=False)
+    # eager checkpoint: the band self-join's two sides otherwise each
+    # re-run the 64-hash signature projection (no runtime exchange reuse
+    # observed across the aliased sides); one sequential job bounds the
+    # signature pass to exactly one execution and materializes the mem
+    # cache before the concurrent downstream branches read it (r18 — the
+    # simhash/phash discipline)
+    sigs = minhash_signatures(reps, spread=False).localCheckpoint(eager=True)
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
@@ -868,9 +898,10 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     population of ``docs``."""
     mem = token_dedup_members(docs)
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    # three consumers (band table + both sides of the agreement join);
-    # uncached, each re-runs the 64-hash signature projection (r18)
-    sigs = minhash_signatures(reps, spread=False).cache()
+    # three consumers (band table + both sides of the agreement join)
+    # whose stages race a lazy cache — eager checkpoint bounds the
+    # 64-hash signature projection to one execution (r18)
+    sigs = minhash_signatures(reps, spread=False).localCheckpoint(eager=True)
     if _caches is not None:
         _caches.append(sigs)
     bands = minhash_band_table(sigs)
@@ -1014,8 +1045,7 @@ def simhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     Features are shingles, not tokens: with a small shared vocabulary,
     token-level bit votes correlate across unrelated documents and hamming
     distances collapse; shingles are high-cardinality and doc-specific."""
-    toks = tokens_col(F.col("text"))
-    base_arr = F.transform(shingles_col(F.col("text")), lambda s: _md5_long(s, 12))
+    base_arr = F.transform(shingles_from(F.col("_t")), lambda s: _md5_long(s, 12))
     powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(_SIMHASH_BITS)])
     zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(_SIMHASH_BITS)])
     votes = F.aggregate(
@@ -1041,7 +1071,9 @@ def simhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     )
     return (
         _spread(docs, spread)
-        .filter(F.size(toks) >= 3)
+        # staged token column — see shingles_from
+        .select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .filter(F.size("_t") >= 3)
         .select("doc_id", base_arr.alias("_base"))
         .select("doc_id", sim.alias("simhash"))
     )
@@ -1126,7 +1158,13 @@ def simhash_pairs(
     mem = token_dedup_members(docs).cache()
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    sigs = simhash_signatures(reps, spread=False).cache()
+    # three consumers (band table + both confirm sides) sit in separate
+    # subtrees with no shared exchange below them, so a lazy .cache()
+    # lets their stages race and each re-runs the 48-bit vote projection
+    # (the pipeline's CPU peak); the EAGER checkpoint bounds it to one
+    # pass and sequentially materializes the mem cache it reads (r18 —
+    # the phash discipline)
+    sigs = simhash_signatures(reps, spread=False).localCheckpoint(eager=True)
     if _caches is not None:
         _caches.extend([mem, sigs])
     band_structs = [
@@ -2448,32 +2486,46 @@ def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_M
     dominant cost and is pure row-wise projection — spread across cores
     before computing (see :func:`_spread_rows`)."""
     docs = _spread_rows(docs)
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
+    # STAGED COLUMNS (r18): HOF lambdas are interpreted, so a lambda body
+    # that references an enclosing EXPRESSION re-evaluates it per element.
+    # The old single-projection form paid that twice over: the boundary
+    # filter's lambda re-tokenized the document per position, and the
+    # chunk rebuild's element_at(ends, j) re-ran the whole
+    # tokenize+rolling-md5 boundary chain per chunk — profiled at 114
+    # executor-CPU-seconds for a 0.3 s boundary scan at sf0.1 (O(n²) per
+    # doc). Tokens and ends are now materialized columns (multi-use,
+    # non-cheap aliases — CollapseProject keeps them staged), so each is
+    # computed once per row; output is bit-identical.
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
 
     # md5_13hex(win) % modulus == 0, evaluated without the 13-hex-digit
     # conv()+bigint-mod per position: 16 ≡ 0 (mod 2^m) for m <= 4, so the
     # value of the 13-char prefix mod a power-of-two modulus <= 16 equals
     # the 13th hex digit's value mod it — one substring + a tiny IN list
     # per position instead of a 13-char base conversion (bit-identical
-    # boundaries; the md5 itself is unchanged and still the dominant cost).
+    # boundaries).
     if modulus in (2, 4, 8, 16):
         ok_digits = [h for h in "0123456789abcdef" if int(h, 16) % modulus == 0]
 
         def is_bnd(i):
-            win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+            win = F.concat_ws(" ", F.slice(t, i - window + 1, window))
             return F.substring(F.md5(win), 13, 1).isin(*ok_digits)
 
     else:
 
         def is_bnd(i):
-            win = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+            win = F.concat_ws(" ", F.slice(t, i - window + 1, window))
             return _md5_long(win, 13) % modulus == 0
 
     raw = F.when(
         n >= window, F.filter(F.sequence(F.lit(window), n), is_bnd)
     ).otherwise(F.array().cast("array<int>"))
-    ends = F.array_sort(F.array_distinct(F.concat(raw, F.array(n))))
+    withe = base.select(
+        "doc_id", "_t", F.array_sort(F.array_distinct(F.concat(raw, F.array(n)))).alias("_ends")
+    )
+    ends = F.col("_ends")
     chunks = F.transform(
         ends,
         lambda e, j: F.struct(
@@ -2481,7 +2533,7 @@ def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_M
             F.concat_ws(
                 " ",
                 F.slice(
-                    toks,
+                    t,
                     F.when(j == 0, F.lit(1)).otherwise(F.element_at(ends, j) + 1),
                     e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)),
                 ),
@@ -2489,7 +2541,7 @@ def cdc_chunks(docs: DataFrame, window: int = _CDC_WINDOW, modulus: int = _CDC_M
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        withe.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk_text").alias("chunk_text"))
     )
 
