@@ -110,6 +110,15 @@ def _value_cumsums(counts: DataFrame, cols: list[str]):
     ``cum_<col>`` column per input col; ``totals`` maps each col to its
     exact grand total.
     """
+    # checkpoint the count table BEFORE range-partitioning (r18): the
+    # range exchange's boundary-sampling pass and the ranged checkpoint
+    # each executed the full upstream collapse otherwise — one corpus
+    # pass wasted per fold (profiled: two identical 6-CPU-s map stages
+    # under olap_abc_parts). The ranged frame keeps its own checkpoint:
+    # boundary sampling is per-execution, so the subtotal pass and the
+    # stepped window MUST read one materialized partition assignment or
+    # the broadcast offsets would not line up.
+    counts = counts.localCheckpoint(eager=True)
     ranged = (
         counts.repartitionByRange(F.col("v"))
         .withColumn("_pid", F.spark_partition_id())

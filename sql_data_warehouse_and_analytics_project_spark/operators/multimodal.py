@@ -867,15 +867,15 @@ def _hamming_band_pairs(
     # (profiled r18: six 57 KiB-input Python stages despite the cache).
     # EAGER localCheckpoint is the ordering point — the decode+hash pass
     # runs exactly once in its own job, every consumer reads the blocks.
-    # rep_min stays a lazy .cache(): its recompute from the checkpoint is
-    # one narrow partial-agg (concurrent first-use duplication costs what
-    # the lazy plan pays anyway), while an eager checkpoint here would
-    # serialize the whole downstream skeleton behind an extra job —
-    # measured 0.5 s slower at sf0.1 for zero scale benefit.
+    # rep_min stays LAZY — .cache() here measured ~1.7× SLOWER end to end
+    # (an InMemoryRelation has no size estimate, so the members/confirm
+    # joins lose their broadcast planning), and its recompute is one
+    # narrow agg over the checkpoint whose shuffle map side the scheduler
+    # dedupes across consumers within a job anyway.
     sigs = sigs.localCheckpoint(eager=True)
-    rep_min = sigs.groupBy(sig_col).agg(F.min("media_id").alias("rep_id")).cache()
+    rep_min = sigs.groupBy(sig_col).agg(F.min("media_id").alias("rep_id"))
     if _caches is not None:
-        _caches.extend([sigs, rep_min])
+        _caches.append(sigs)
     members = sigs.join(rep_min, sig_col).select(
         F.col("media_id").alias("doc_id"), F.col("rep_id")
     )
