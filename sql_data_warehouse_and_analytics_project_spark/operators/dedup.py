@@ -478,6 +478,41 @@ def _expand_member_pairs(
     return cross.unionAll(intra)
 
 
+def _rep_shingle_frame(reps: DataFrame) -> DataFrame:
+    """(doc_id, _sh): per-rep distinct-shingle arrays, eager-checkpointed —
+    the ONE tokenize+shingle pass that BOTH the signature projection and the
+    array-intersect verify leg read (r19; in r18 each re-projected shingles
+    from text: two tokenize+shingle passes per pipeline run).
+
+    ``reps`` must already be filtered to >=3 tokens (token_dedup_members
+    guarantees it), so no size filter here — a ``size(tokens)`` filter above
+    the staged token projection re-tokenizes every row a second time:
+    PushDownPredicates substitutes the alias into the pushed Filter, and
+    whole-stage codegen does not share subexpressions across the
+    Filter/Project boundary (verified on the executed plan)."""
+    return (
+        reps.select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """64 min-hashes per doc from a materialized (doc_id, _sh) shingle-array
+    frame — the shared-frame twin of :func:`minhash_signatures` (identical
+    hash chain, same output)."""
+    sigs = [
+        F.array_min(
+            F.transform(F.col("_base"), lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)))
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_HASH_AB)
+    ]
+    return sh.select(
+        "doc_id",
+        F.transform(F.col("_sh"), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))).alias("_base"),
+    ).select("doc_id", *sigs)
+
+
 def minhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}): k min-hashes per doc, computed SHUFFLE-FREE
     as higher-order-function projections over the per-doc shingle array —
@@ -736,7 +771,10 @@ def _candidate_shared_counts(
 
 
 def _candidate_shared_arrays(
-    reps: DataFrame, candidates: DataFrame, _caches: list | None = None
+    reps: DataFrame,
+    candidates: DataFrame,
+    _caches: list | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id_1, doc_id_2, shared, n1, n2): EXACT distinct-shingle overlap
     and per-doc distinct-shingle counts for every candidate pair, via
@@ -767,13 +805,21 @@ def _candidate_shared_arrays(
         .unionAll(candidates.select(F.col("doc_id_2").alias("doc_id")))
         .distinct()
     )
+    if sh is not None:
+        # shared-frame path (r19): the shingle arrays were already
+        # materialized once for the signature pass — just prune to
+        # candidate docs, no second tokenize+shingle pass
+        src = sh.join(cand_docs, "doc_id", "left_semi")
+    else:
+        src = (
+            reps.join(cand_docs, "doc_id", "left_semi")
+            # staged token column — see shingles_from
+            .select("doc_id", tokens_col(F.col("text")).alias("_t"))
+            .filter(F.size("_t") >= 3)
+            .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
+        )
     arr = (
-        reps.join(cand_docs, "doc_id", "left_semi")
-        # staged token column — see shingles_from
-        .select("doc_id", tokens_col(F.col("text")).alias("_t"))
-        .filter(F.size("_t") >= 3)
-        .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
-        .select("doc_id", "_sh", F.size("_sh").cast("bigint").alias("_n"))
+        src.select("doc_id", "_sh", F.size("_sh").cast("bigint").alias("_n"))
         # two consumers (the pair join's both sides) whose stages launch
         # concurrently — an EAGER checkpoint runs the candidate-doc shingle
         # projection exactly once AND sequentially materializes the
@@ -827,13 +873,19 @@ def minhash_lsh_pairs(
         _caches.append(mem)
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    # ONE tokenize+shingle pass shared by the signature projection and the
+    # verify leg (r19 — each re-projected it from text in r18); the eager
+    # checkpoint also materializes the mem cache sequentially before the
+    # concurrent downstream branches read it
+    sh = _rep_shingle_frame(reps)
+    if _caches is not None:
+        _caches.append(sh)
     # eager checkpoint: the band self-join's two sides otherwise each
     # re-run the 64-hash signature projection (no runtime exchange reuse
     # observed across the aliased sides); one sequential job bounds the
-    # signature pass to exactly one execution and materializes the mem
-    # cache before the concurrent downstream branches read it (r18 — the
-    # simhash/phash discipline)
-    sigs = minhash_signatures(reps, spread=False).localCheckpoint(eager=True)
+    # signature pass to exactly one execution (r18 — the simhash/phash
+    # discipline)
+    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
@@ -858,12 +910,13 @@ def minhash_lsh_pairs(
         _caches.append(candidates)
     # verify candidates with exact Jaccard over per-doc shingle ARRAYS
     # (r18, see _candidate_shared_arrays): the semi join prunes to
-    # candidate docs BEFORE the shingle projection, overlap + sizes come
-    # from one array-intersect pair join — no shingle-keyed shuffle, no
-    # hot-shingle guard needed, five shuffles and a checkpoint fewer than
-    # the exploded self-join it replaces (output bit-identical, pinned in
-    # tests/test_hot_shingle_guard.py).
-    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches)
+    # candidate docs, overlap + sizes come from one array-intersect pair
+    # join — no shingle-keyed shuffle, no hot-shingle guard needed, five
+    # shuffles and a checkpoint fewer than the exploded self-join it
+    # replaces (output bit-identical, pinned in
+    # tests/test_hot_shingle_guard.py). r19: reads the shared shingle
+    # frame instead of re-projecting shingles from text.
+    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches, sh=sh)
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))
     rep_pairs = shared.select(
         "doc_id_1", "doc_id_2", jac.alias("jaccard")
@@ -898,12 +951,14 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     population of ``docs``."""
     mem = token_dedup_members(docs)
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
+    # ONE tokenize+shingle pass shared by signatures and the exact leg (r19)
+    sh = _rep_shingle_frame(reps)
     # three consumers (band table + both sides of the agreement join)
     # whose stages race a lazy cache — eager checkpoint bounds the
     # 64-hash signature projection to one execution (r18)
-    sigs = minhash_signatures(reps, spread=False).localCheckpoint(eager=True)
+    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
     if _caches is not None:
-        _caches.append(sigs)
+        _caches.extend([sh, sigs])
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, _LSH_BUCKET_CAP)
     a, b = capped.alias("a"), capped.alias("b")
@@ -934,8 +989,9 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     )
     # exact shared counts + sizes via the array-intersect pair join (r18,
     # see _candidate_shared_arrays) — same rework as the pipeline's verify
-    # leg; every candidate pair gets exactly one row, shared may be 0
-    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches)
+    # leg; every candidate pair gets exactly one row, shared may be 0.
+    # r19: reads the shared shingle frame.
+    shared = _candidate_shared_arrays(reps, candidates, _caches=_caches, sh=sh)
     paired = est.join(shared, ["doc_id_1", "doc_id_2"]).select(
         "matches",
         F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
@@ -1032,7 +1088,9 @@ _SIMHASH_BAND_BITS = 6
 _SIMHASH_HAMMING_MAX = 7
 
 
-def simhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, spread: bool = True, prefiltered: bool = False
+) -> DataFrame:
     """(doc_id, simhash): majority vote per bit over 3-gram shingle hashes,
     computed SHUFFLE-FREE per doc — one ``aggregate`` over the per-doc
     shingle-hash array keeps a 48-long vote accumulator (zip_with add of the
@@ -1069,13 +1127,19 @@ def simhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return (
-        _spread(docs, spread)
+    out = _spread(docs, spread).select(
         # staged token column — see shingles_from
-        .select("doc_id", tokens_col(F.col("text")).alias("_t"))
-        .filter(F.size("_t") >= 3)
-        .select("doc_id", base_arr.alias("_base"))
-        .select("doc_id", sim.alias("simhash"))
+        "doc_id",
+        tokens_col(F.col("text")).alias("_t"),
+    )
+    if not prefiltered:
+        # the pushed-down Filter re-tokenizes (alias substitution), so
+        # callers whose input is already >=3-token-filtered
+        # (token_dedup_members output) pass prefiltered=True and skip a
+        # full tokenize pass (r19)
+        out = out.filter(F.size("_t") >= 3)
+    return out.select("doc_id", base_arr.alias("_base")).select(
+        "doc_id", sim.alias("simhash")
     )
 
 
@@ -1164,7 +1228,9 @@ def simhash_pairs(
     # (the pipeline's CPU peak); the EAGER checkpoint bounds it to one
     # pass and sequentially materializes the mem cache it reads (r18 —
     # the phash discipline)
-    sigs = simhash_signatures(reps, spread=False).localCheckpoint(eager=True)
+    sigs = simhash_signatures(reps, spread=False, prefiltered=True).localCheckpoint(
+        eager=True
+    )
     if _caches is not None:
         _caches.extend([mem, sigs])
     band_structs = [

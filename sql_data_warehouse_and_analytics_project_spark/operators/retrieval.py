@@ -435,29 +435,43 @@ def bm25_postings_topk(
     lowered = sorted({t.lower() for t in terms})
     # r18: filter tokens BEFORE the explode — the Generate fans out only
     # query-term occurrences (a handful per doc) instead of every token in
-    # the corpus, and the (doc, term) aggregate runs over matching rows
-    # only (guide §2.3: don't compute rows you immediately discard; the
-    # old post-explode isin() dropped ~99% of the exploded rows). tf/df
-    # are unchanged — pre-filtering removes exactly the rows the old
-    # filter dropped. dl stays the FULL document length. The eager
-    # checkpoint bounds the corpus pass to one: posts feeds both the df
-    # broadcast and the scoring join, whose stages otherwise race and
-    # re-tokenize the corpus once each.
-    toks = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
-    posts = (
+    # the corpus (guide §2.3: don't compute rows you immediately discard;
+    # the old post-explode isin() dropped ~99% of the exploded rows).
+    # r19: ONE tokenize pass for the whole query. The r18 form tokenized
+    # the corpus three times per run — size(toks) and filter(toks) were
+    # separate expressions in one projection (each re-ran the split), and
+    # _corpus_stats(docs) ran its own full pass for n_docs/avgdl. Now a
+    # single staged projection emits (doc_id, dl, query-term hits) and is
+    # eager-checkpointed; BOTH the corpus stats and the postings aggregate
+    # read it (dl == size of the full token array either way — lower()
+    # preserves length). posts/dfreq recompute only narrow aggregates over
+    # the checkpoint blocks.
+    pre = (
         docs.select(
             "doc_id",
-            F.size(toks).alias("dl"),
-            F.explode(F.filter(toks, lambda x: x.isin(*lowered))).alias("term"),
+            F.transform(tokens_col(F.col("text")), lambda x: F.lower(x)).alias("_t"),
         )
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            F.filter(F.col("_t"), lambda x: x.isin(*lowered)).alias("_qt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = pre.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    posts = (
+        pre.select("doc_id", "dl", F.explode("_qt").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint(eager=True)
     )
     dfreq = F.broadcast(
         posts.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
-    matched = posts.join(dfreq, "term").crossJoin(F.broadcast(_corpus_stats(docs)))
+    matched = posts.join(dfreq, "term").crossJoin(F.broadcast(stats))
     return _score_postings(matched, k=k, k1=k1, b=b)
 
 

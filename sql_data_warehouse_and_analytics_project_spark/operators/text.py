@@ -438,11 +438,30 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_col(F.col("text"))
     base = docs.filter(F.size(toks) >= 2).select("doc_id", toks.alias("t"))
     n = F.size("t")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("t"),
-            lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)),
-        )
+    # top-word count as ONE run-length fold over a sorted copy — O(n log n)
+    # sort + O(n) fold, replacing the r4 nested HOF (count each distinct
+    # token by filtering the whole array: O(distinct·n), quadratic on
+    # high-TTR docs). max multiplicity == longest equal-run in the sorted
+    # array. The "" sentinel is safe even when "" IS a token (tab-led
+    # text survives trim): run starts at 0, so the first element yields
+    # run 1 through either branch. Bit-identity pinned in
+    # tests/test_training_data_ops.py.
+    run_next = lambda acc, x: (
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+    )
+    top_cnt = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     bigrams = F.transform(
         F.sequence(F.lit(0), n - 2),
