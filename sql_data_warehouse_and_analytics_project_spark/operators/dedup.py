@@ -134,13 +134,19 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     # to the CPU the explode fans out — column-only form measured 5×
     # slower here (everything downstream inherited ~1 partition).
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # r19: the >=3-token gate lives INSIDE the shingle expression (short
+    # docs shingle to an empty array, which explode drops) — a separate
+    # Filter would be pushed below the token projection with the alias
+    # substituted, re-tokenizing every row a second time.
+    guarded = F.when(F.size("_t") >= 3, shingles_from(F.col("_t"))).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         docs.repartition(n_parts, F.col("doc_id"))
         # stage tokens as a column so the shingle lambda doesn't
         # re-tokenize per element (see shingles_from)
         .select("doc_id", "lang", tokens_col(F.col("text")).alias("_t"))
-        .filter(F.size("_t") >= 3)
-        .select("doc_id", "lang", F.explode(shingles_from(F.col("_t"))).alias("shingle"))
+        .select("doc_id", "lang", F.explode(guarded).alias("shingle"))
     )
 
 

@@ -528,10 +528,17 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 4)),
         )
     )
-    base = (
-        docs.filter(F.size(toks) >= 4)
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.explode(grams4).alias("g"))
+    # r19: the old ``filter(size(toks) >= 4)`` existed only to keep the
+    # gram ``sequence`` from stepping backward on short docs, but the
+    # pushed-down Filter re-tokenized every row (alias substitution).
+    # Guarding the gram array with ``when(... >= 4)`` instead lets the
+    # explode drop short docs for free — identical rows out, ONE tokenize
+    # per row instead of two.
+    grams4_guarded = F.when(F.size(F.col("t")) >= 4, grams4).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.explode(grams4_guarded).alias("g")
     )
     bench = base.filter(is_eval_doc(F.col("doc_id"))).select("g").distinct()
     return (

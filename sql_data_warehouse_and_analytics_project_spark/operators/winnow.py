@@ -61,9 +61,7 @@ def winnow_fingerprints(docs: DataFrame, spread: bool = True) -> DataFrame:
     if spread:
         docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", t.alias("t")).filter(
-        (F.size("t") >= _K + _W - 1) & (F.size("t") < _POS_MOD + _K - 1)
-    )
+    base = docs.select("doc_id", t.alias("t"))
     n_grams = F.size("t") - (_K - 1)
     grams = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
@@ -74,7 +72,18 @@ def winnow_fingerprints(docs: DataFrame, spread: bool = True) -> DataFrame:
         lambda g, p: _md5_long(g, _HEX) * F.lit(_POS_MOD)
         + (F.lit(_POS_MOD - 1) - p),
     )
-    withe = base.select("doc_id", encs.alias("encs"))
+    # r19: the eligibility gate lives INSIDE the encoding expression
+    # (ineligible docs encode to an empty array, which the final explode
+    # drops) — the old separate Filter was pushed below the token
+    # projection with the alias substituted, re-tokenizing every row a
+    # second time. The md5 cascade still runs only on eligible docs (the
+    # `when` short-circuits), and the sels/hs window math is guarded on
+    # size(encs) so the backward-sequence hazard never evaluates.
+    eligible = (F.size("t") >= _K + _W - 1) & (F.size("t") < _POS_MOD + _K - 1)
+    withe = base.select(
+        "doc_id",
+        F.when(eligible, encs).otherwise(F.array().cast("array<bigint>")).alias("encs"),
+    )
     sels = F.array_distinct(
         F.transform(
             F.sequence(F.lit(_W - 1), F.size("encs") - 1),
@@ -84,7 +93,10 @@ def winnow_fingerprints(docs: DataFrame, spread: bool = True) -> DataFrame:
     # shiftright, not division: e reaches 2^60 and would lose bits in a
     # double round-trip
     hs = F.array_distinct(F.transform(sels, lambda e: F.shiftright(e, _POS_BITS)))
-    return withe.select("doc_id", F.explode(hs).alias("h"))
+    hs_guarded = F.when(F.size("encs") >= _W, hs).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return withe.select("doc_id", F.explode(hs_guarded).alias("h"))
 
 
 def winnow_pairs(
