@@ -484,39 +484,41 @@ def _expand_member_pairs(
     return cross.unionAll(intra)
 
 
-def _rep_shingle_frame(reps: DataFrame) -> DataFrame:
-    """(doc_id, _sh): per-rep distinct-shingle arrays, eager-checkpointed —
-    the ONE tokenize+shingle pass that BOTH the signature projection and the
-    array-intersect verify leg read (r19; in r18 each re-projected shingles
-    from text: two tokenize+shingle passes per pipeline run).
+def _rep_shingle_sigs(reps: DataFrame) -> DataFrame:
+    """(doc_id, _sh, sig_0..sig_63): per-rep distinct-shingle arrays AND
+    their 64 min-hash signatures in ONE eager checkpoint — the single
+    tokenize+shingle+hash pass that the band table, the Hamming-free verify
+    leg, and the signature joins all read (r19; in r18 the verify leg
+    re-tokenized + re-shingled candidate docs from text, and the first r19
+    cut still paid two sequential checkpoint jobs — shingles, then
+    signatures — where one materialization serves both).
 
     ``reps`` must already be filtered to >=3 tokens (token_dedup_members
     guarantees it), so no size filter here — a ``size(tokens)`` filter above
     the staged token projection re-tokenizes every row a second time:
     PushDownPredicates substitutes the alias into the pushed Filter, and
     whole-stage codegen does not share subexpressions across the
-    Filter/Project boundary (verified on the executed plan)."""
-    return (
-        reps.select("doc_id", tokens_col(F.col("text")).alias("_t"))
-        .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
-        .localCheckpoint(eager=True)
-    )
-
-
-def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    """64 min-hashes per doc from a materialized (doc_id, _sh) shingle-array
-    frame — the shared-frame twin of :func:`minhash_signatures` (identical
-    hash chain, same output)."""
+    Filter/Project boundary (verified on the executed plan). The hash chain
+    is exactly :func:`minhash_signatures`'s (md5-derived, oracle-replayed)."""
     sigs = [
         F.array_min(
             F.transform(F.col("_base"), lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)))
         ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_HASH_AB)
     ]
-    return sh.select(
-        "doc_id",
-        F.transform(F.col("_sh"), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))).alias("_base"),
-    ).select("doc_id", *sigs)
+    return (
+        reps.select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .select("doc_id", shingles_from(F.col("_t")).alias("_sh"))
+        .select(
+            "doc_id",
+            "_sh",
+            F.transform(F.col("_sh"), lambda s: F.pmod(_md5_long(s, 15), F.lit(_P))).alias(
+                "_base"
+            ),
+        )
+        .select("doc_id", "_sh", *sigs)
+        .localCheckpoint(eager=True)
+    )
 
 
 def minhash_signatures(docs: DataFrame, spread: bool = True) -> DataFrame:
@@ -879,19 +881,21 @@ def minhash_lsh_pairs(
         _caches.append(mem)
     members = mem.select("doc_id", "rep_id")
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    # ONE tokenize+shingle pass shared by the signature projection and the
-    # verify leg (r19 — each re-projected it from text in r18); the eager
+    # ONE tokenize+shingle+hash checkpoint shared by the band table, the
+    # signature joins, and the verify leg (r19 — in r18 the verify leg
+    # re-projected shingles from text, and the band self-join's sides would
+    # re-run the 64-hash projection without an ordering point); the eager
     # checkpoint also materializes the mem cache sequentially before the
     # concurrent downstream branches read it
-    sh = _rep_shingle_frame(reps)
+    sh = _rep_shingle_sigs(reps)
+    # narrow signature copy, re-checkpointed: the band table and both
+    # confirm joins read these blocks several times, and a localCheckpoint
+    # does NOT column-prune — without the copy every downstream scan
+    # deserializes the full shingle arrays it never uses (profiled: the
+    # band-side stages tripled their executor CPU reading the wide blocks)
+    sigs = sh.drop("_sh").localCheckpoint(eager=True)
     if _caches is not None:
-        _caches.append(sh)
-    # eager checkpoint: the band self-join's two sides otherwise each
-    # re-run the 64-hash signature projection (no runtime exchange reuse
-    # observed across the aliased sides); one sequential job bounds the
-    # signature pass to exactly one execution (r18 — the simhash/phash
-    # discipline)
-    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
+        _caches.extend([sh, sigs])
     bands = minhash_band_table(sigs)
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
@@ -957,12 +961,11 @@ def minhash_estimator_error(docs: DataFrame, _caches: list | None = None) -> Dat
     population of ``docs``."""
     mem = token_dedup_members(docs)
     reps = mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "lang", "text")
-    # ONE tokenize+shingle pass shared by signatures and the exact leg (r19)
-    sh = _rep_shingle_frame(reps)
-    # three consumers (band table + both sides of the agreement join)
-    # whose stages race a lazy cache — eager checkpoint bounds the
-    # 64-hash signature projection to one execution (r18)
-    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
+    # ONE tokenize+shingle+hash checkpoint shared by the band table, both
+    # sides of the agreement join, and the exact leg (r19); narrow sig copy
+    # re-checkpointed for the three sig consumers (see minhash_lsh_pairs)
+    sh = _rep_shingle_sigs(reps)
+    sigs = sh.drop("_sh").localCheckpoint(eager=True)
     if _caches is not None:
         _caches.extend([sh, sigs])
     bands = minhash_band_table(sigs)

@@ -1257,17 +1257,30 @@ def tfidf_keywords(docs: DataFrame, k: int = _TFIDF_K) -> DataFrame:
     # one-row-group scan partitioning (no-op on a many-split corpus)
     docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    per_term = F.transform(
-        F.array_distinct(F.col("t")),
-        lambda w: F.struct(
-            w.alias("term"),
-            F.size(F.filter(F.col("t"), lambda x: x == w))
-            .cast("bigint")
-            .alias("tf"),
+    # r19: (term, tf) pairs via run-length encoding over a SORTED copy —
+    # O(n log n) sort + O(n) boundary scan, replacing the O(distinct·n)
+    # per-distinct-term array filter (quadratic on high-TTR docs). Run
+    # starts are positions whose token differs from the previous one; each
+    # run's tf is the distance to the next start. Same (term, tf) set —
+    # the downstream groupBy/joins are order-independent.
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_s") - 1),
+        lambda i: (i == 0) | (F.element_at("_s", i + 1) != F.element_at("_s", i)),
+    )
+    ends = F.concat(
+        F.slice(F.col("_b"), 2, F.size("_b") - 1), F.array(F.size("_s"))
+    )
+    per_term = F.zip_with(
+        F.col("_b"),
+        ends,
+        lambda s, e: F.struct(
+            F.element_at("_s", s + 1).alias("term"), (e - s).cast("bigint").alias("tf")
         ),
     )
     tf = (
         docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.array_sort("t").alias("_s"))
+        .select("doc_id", "_s", starts.alias("_b"))
         .select("doc_id", F.explode(per_term).alias("p"))
         .select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
     )

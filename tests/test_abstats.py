@@ -3,7 +3,10 @@ against a pure-Python reference (midranks, tie correction), BH step-up
 against a hand-run of the procedure, and position-based multi-touch
 credits against hand-computed splits."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from datetime import datetime as dt, timedelta
 
@@ -43,6 +46,7 @@ def _mwu_reference(treat: list[int], ctrl: list[int]):
     return u1, z, 2.0 * u1 / (n1 * n0) - 1.0
 
 
+@pytest.mark.slow
 def test_mann_whitney_matches_pure_python_reference(spark):
     treat = [5, 7, 7, 9, 12, 12, 12, 30]
     ctrl = [1, 3, 5, 7, 8, 12, 2, 2]
@@ -325,6 +329,7 @@ def test_delta_ratio_matches_pure_python_reference(spark):
     assert got["z"] > 2  # the planted per-click uplift is real
 
 
+@pytest.mark.slow
 def test_mwu_and_ks_property_match_reference_on_random_samples(spark):
     """Hypothesis sweep (bounded examples — each runs a real Spark job):
     on arbitrary small integer samples with heavy ties, the engine's

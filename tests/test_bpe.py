@@ -8,6 +8,8 @@ cross-implementation check.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -146,6 +148,7 @@ def test_bpe_encode_plan_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+@pytest.mark.slow
 def test_batched_training_parity_adversarial(spark):
     """_select_merge_batch (r11): batched rounds must be bit-identical to
     one-at-a-time training even on corpora BUILT to interact — chained

@@ -10,9 +10,10 @@ kills the publish at the exact boundary of interest.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from sql_data_warehouse_and_analytics_project_spark.warehouse import Catalog, commit
@@ -174,6 +175,7 @@ def test_rollup_refresh_crash_keeps_old_state(spark, tmp_path, monkeypatch):
     ]
 
 
+@pytest.mark.slow
 def test_pipeline_kill_mid_gold_finalizes_failed_no_torn_state(spark, tmp_path, monkeypatch):
     """Batch-finalize semantics (ref: init_load_all.sql:78-107): a pipeline
     killed INSIDE the gold fact commit must (a) finalize the reserved MASTER

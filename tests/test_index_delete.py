@@ -6,7 +6,10 @@ and clears the sidecar without changing answers, and append-after-delete
 is lossless (the re-ingested id is searchable again).
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 from conftest import SF_DIR
 from pyspark.sql import functions as F
@@ -66,6 +69,7 @@ def test_ivf_delete_purge_and_readd(spark, tmp_path):
     assert victim in got and after[0] not in got
 
 
+@pytest.mark.slow
 def test_ivfpq_and_flat_pq_delete(spark, tmp_path):
     emb = _emb(spark).filter(F.col("vec_id") != 0)
     qv = _qvec(spark)
@@ -96,6 +100,7 @@ def test_ivfpq_and_flat_pq_delete(spark, tmp_path):
     assert _ids(pq.pq_search(spark, flat, qv, k=5)) == after_f
 
 
+@pytest.mark.slow
 def test_ivfsq_delete_and_purge(spark, tmp_path):
     emb = _emb(spark).filter(F.col("vec_id") != 0)
     qv = _qvec(spark)
@@ -117,6 +122,7 @@ def test_ivfsq_delete_and_purge(spark, tmp_path):
 _TERMS = ("merge", "stream", "filter")
 
 
+@pytest.mark.slow
 def test_inverted_index_delete_purge_equals_fresh_build(spark, tmp_path):
     docs = tpch.load(spark, SF_DIR, "documents")
     path = str(tmp_path / "inv")
@@ -192,6 +198,7 @@ def test_inverted_index_delete_then_readd_without_purge(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_minhash_index_delete_purge_readd(spark, tmp_path):
     """Deletion for the signature index: masking members removes a doc
     from every answer; a content group whose members are ALL deleted

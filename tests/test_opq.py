@@ -8,7 +8,10 @@ and recall@10 ≥ flat PQ on both the planted clustered corpus
 deterministic anisotropic corpus where the rotation's win is large.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 
@@ -113,6 +116,7 @@ def test_rotation_preserves_exact_neighbors(spark):
         assert t_raw == t_rot, qid
 
 
+@pytest.mark.slow
 def test_opq_recall_beats_flat_pq_on_anisotropic_corpus(spark):
     """The headline guarantee: on the decaying-variance mixed corpus the
     learned rotation must deliver a LARGE recall gap (measured ~0.35 vs
@@ -137,6 +141,7 @@ def test_opq_recall_not_below_flat_pq_on_planted_clusters(spark):
     assert rec_opq >= rec_pq, (rec_pq, rec_opq)
 
 
+@pytest.mark.slow
 def test_ann_opq_topk_shape_and_determinism(spark):
     """The registered rows-only key: 10 rows, stable schema, deterministic
     across two runs, and its neighbor set differs from naive ADC only by

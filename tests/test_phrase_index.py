@@ -1,7 +1,10 @@
 """Persisted positional layer: indexed phrase serving ≡ corpus-scan path,
 bucket pruning, shared-tombstone masking, append ≡ rebuild."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -55,6 +58,7 @@ def test_delete_masks_phrase_results(spark, tmp_path):
     assert after == before - {victim}
 
 
+@pytest.mark.slow
 def test_append_equals_fresh_build(spark, tmp_path):
     docs = _docs(spark)
     old = docs.filter(F.col("doc_id") % 2 == 0)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pytest
 
+
 from sql_data_warehouse_and_analytics_project_spark import analytics
 from sql_data_warehouse_and_analytics_project_spark.plans import audit
 from sql_data_warehouse_and_analytics_project_spark.registry import all_queries

@@ -4,7 +4,10 @@ Oracle parity for ``ann_pq_topk`` (training + encoding + ADC replayed in
 DuckDB) runs in tests/test_oracle_parity.py like every registered query.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 from conftest import SF_DIR
 from pyspark.sql import functions as F
@@ -69,6 +72,7 @@ def test_pq_training_deterministic(spark):
     assert all(len(cw) == pq._PQ_DSUB for m in a for cw in m)
 
 
+@pytest.mark.slow
 def test_pq_index_roundtrip_and_scan_shape(spark, tmp_path):
     """Persisted index answers identically to the in-memory path, and the
     query-time scan is the plan PQ exists for: zero data shuffles, a
@@ -96,6 +100,7 @@ def test_pq_index_roundtrip_and_scan_shape(spark, tmp_path):
         assert "embedding" not in cols, fplan
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_pruning_and_full_probe_exactness(spark, tmp_path):
     """The composed layout: a full-width probe must answer exactly like the
     flat PQ scan (the coarse partitioning is pure layout, not a second
@@ -125,6 +130,7 @@ def test_ivfpq_probe_pruning_and_full_probe_exactness(spark, tmp_path):
     assert narrow.count() == 11
 
 
+@pytest.mark.slow
 def test_ivfpq_append_is_lossless_under_stored_models(spark, tmp_path):
     """Appending encodes against the STORED models, so an appended index
     must answer a full-width probe exactly like encoding the whole corpus
@@ -174,6 +180,7 @@ def test_pq_empty_corpus(spark, tmp_path):
     assert out.count() == 0
 
 
+@pytest.mark.slow
 def test_ivfpq_codes_compaction_preserves_answers(spark, tmp_path):
     """Three appends accumulate one file set per batch in each codes
     list dir; compact_ivf_index(table="codes") rewrites to one file per

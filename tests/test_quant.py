@@ -2,7 +2,10 @@
 half-step error bound, constant-dimension degenerate case. Cross-engine
 parity for the registered query runs in test_oracle_parity.py."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from sql_data_warehouse_and_analytics_project_spark.operators import quant
 
@@ -100,6 +103,7 @@ def test_sq_topk_recall_vs_exact(spark):
     assert recall >= 0.8, (recall, got, exact)
 
 
+@pytest.mark.slow
 def test_ivfsq_layout_probe_and_append(spark, tmp_path):
     """The composed IVF-SQ8 layout: a full-width probe answers exactly like
     the flat SQ scan (coarse partitioning is pure layout); a narrow probe

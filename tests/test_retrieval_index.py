@@ -7,7 +7,10 @@ against the persisted layout prunes to the query terms' bucket
 partitions (PartitionFilters), never scanning the whole postings table.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import os
 
@@ -137,6 +140,7 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path):
     assert not os.path.exists(f"{p_inc}/_terms_stage")
 
 
+@pytest.mark.slow
 def test_two_appends_compose(spark, tmp_path):
     """Append is associative over batches: two sequential appends land on
     the same index state as one append of their union."""
@@ -162,6 +166,7 @@ def test_two_appends_compose(spark, tmp_path):
     assert tuple(s_two) == tuple(s_one)
 
 
+@pytest.mark.slow
 def test_compaction_shrinks_files_and_preserves_answers(spark, tmp_path):
     """Three appends accumulate one file set per batch inside the touched
     bucket dirs; compaction rewrites to one file per bucket and the served

@@ -6,6 +6,7 @@ custom stateful operator."""
 from __future__ import annotations
 
 import pytest
+
 from pyspark.sql import functions as F
 
 from sql_data_warehouse_and_analytics_project_spark.sources import tpch
@@ -46,6 +47,7 @@ def test_hourly_stream_equals_batch(spark, events_batches):
     assert _rows(got) == _rows(expected)
 
 
+@pytest.mark.slow
 def test_incremental_resume_from_checkpoint(spark, events_batches):
     """Second file batch lands; resuming from the same checkpoint processes
     only the new files yet the complete-mode result covers all input —
@@ -61,6 +63,7 @@ def test_incremental_resume_from_checkpoint(spark, events_batches):
     assert _rows(got) == _rows(expected)
 
 
+@pytest.mark.slow
 def test_sliding_window_stream_equals_batch(spark, events_batches):
     b = events_batches
     stream = jobs.read_events_stream(spark, b["input"])
@@ -242,6 +245,7 @@ def test_stream_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert got.count() == got.select("user_id").distinct().count()
 
 
+@pytest.mark.slow
 def test_stream_neardedup_redelivery_exact_confirm_compaction(spark, tmp_path):
     """r7 (VERDICT r6 asks #3/#4 + ADVICE): three sink behaviors on one
     two-batch stream —
@@ -314,6 +318,7 @@ def test_stream_neardedup_redelivery_exact_confirm_compaction(spark, tmp_path):
     assert len(sig_files) > 1, sig_files
 
 
+@pytest.mark.slow
 def test_stream_embeddings_ingest_builds_queryable_ivf(spark, tmp_path):
     """sink_stream_embeddings (r7): the first microbatch trains and builds
     the IVF index, later batches append against the stored centroids, and
@@ -383,6 +388,7 @@ def test_stream_embeddings_ingest_builds_queryable_ivf(spark, tmp_path):
             assert len(files) == 1, (d, files)
 
 
+@pytest.mark.slow
 def test_stream_neardedup_across_batches(spark, tmp_path):
     """sink_stream_neardedup (r6): two file deliveries are near-dedup'd
     within each microbatch AND against the growing signature index — for
@@ -452,6 +458,7 @@ def test_stream_neardedup_across_batches(spark, tmp_path):
     assert not missing, f"non-duplicate docs were dropped: {sorted(missing)[:10]}"
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     """attribute_purchases: the stream-stream interval join over replayed
     file batches produces exactly the rows of the batch interval join, and
@@ -506,6 +513,7 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         assert 0 <= delta <= 3600
 
 
+@pytest.mark.slow
 def test_stream_inverted_index_ingest_serves_bm25(spark, tmp_path):
     """sink_stream_inverted_index (r11): the first microbatch builds the
     persisted index, later batches fold in incrementally, and the
@@ -567,6 +575,7 @@ def test_stream_inverted_index_ingest_serves_bm25(spark, tmp_path):
 
 
 @pytest.mark.parametrize("crash_state", ["sidecar_only", "postings_too", "full_append"])
+@pytest.mark.slow
 def test_stream_inverted_index_retry_heals_partial_append(spark, tmp_path, crash_state):
     """ADVICE r11 (medium): a crash between the ingested-sidecar write and
     the index append used to PERMANENTLY lose the batch — the retry
@@ -638,6 +647,7 @@ def test_stream_inverted_index_retry_heals_partial_append(spark, tmp_path, crash
 
 
 @pytest.mark.parametrize("crash_state", ["sidecar_only", "half_appended"])
+@pytest.mark.slow
 def test_stream_embeddings_retry_heals_partial_append(spark, tmp_path, crash_state):
     """Same ADVICE r11 bug class in the vector sink: vec_ids recorded in
     the sidecar by a dead attempt must not be anti-joined away on the
@@ -689,6 +699,7 @@ def test_stream_embeddings_retry_heals_partial_append(spark, tmp_path, crash_sta
 
 
 @pytest.mark.parametrize("crash_state", ["sig_only", "sig_bands"])
+@pytest.mark.slow
 def test_stream_neardedup_retry_heals_partial_component_append(
     spark, tmp_path, crash_state
 ):
@@ -768,6 +779,7 @@ def test_stream_neardedup_retry_heals_partial_component_append(
     assert hits_c == hits_t, crash_state
 
 
+@pytest.mark.slow
 def test_stream_corpus_sketch_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming md5-HLL sink (r12): after draining three batches the
     committed register state must equal the ONE-SHOT batch sketch over
@@ -819,6 +831,7 @@ def test_stream_corpus_sketch_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert again == want, (again, want)
 
 
+@pytest.mark.slow
 def test_stream_winnow_index_sink_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming winnow-index ingest (r13): after draining three batches
     (with a mid-stream compaction at batch 2) the index must answer a
@@ -896,6 +909,7 @@ def test_stream_winnow_index_sink_equals_batch_and_replay_is_noop(spark, tmp_pat
     )
 
 
+@pytest.mark.slow
 def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming CMS + histogram sinks (r13): after draining three batches
     the merged state must equal the ONE-SHOT batch sketch over the union
@@ -981,6 +995,7 @@ def test_stream_cms_and_hist_sinks_equal_batch_and_replay_is_noop(spark, tmp_pat
     )
 
 
+@pytest.mark.slow
 def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming classifier-eval monitor (r13): after draining three
     labeled batches, the merged (score_key, p, q) state, the AUC row and
@@ -1038,6 +1053,7 @@ def test_stream_eval_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert [repr(r) for r in jobs.stream_roc_auc(spark, state).collect()] == want_auc
 
 
+@pytest.mark.slow
 def test_stream_ab_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming A/B experiment monitor (r16): after draining three event
     batches — with USERS SPANNING BATCHES, the case the per-user
@@ -1103,6 +1119,7 @@ def test_stream_ab_monitor_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert [repr(r) for r in jobs.stream_mann_whitney(spark, state).collect()] == want_mwu
 
 
+@pytest.mark.slow
 def test_stream_embed_stats_equals_batch_and_replay_is_noop(spark, tmp_path):
     """Streaming embedding-statistics sink (r13): after draining three
     batches, the merged Gram/dim state must equal the one-shot batch
@@ -1152,6 +1169,7 @@ def test_stream_embed_stats_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert sorted(map(repr, jobs.stream_dim_stats(spark, state).collect())) == want_dims
 
 
+@pytest.mark.slow
 def test_stream_asof_attribution_equals_batch(spark, tmp_path):
     """sink_stream_asof_attribution (r15): replaying the events stream in
     file batches emits, for every finalized purchase, exactly the rows of
@@ -1190,6 +1208,7 @@ def test_stream_asof_attribution_equals_batch(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_purch
 
 
+@pytest.mark.slow
 def test_stream_asof_late_click_attributed(spark, tmp_path):
     """The late-click scenario an eager per-batch join gets wrong: the
     purchase arrives in batch 1, its matching click only in batch 2 (late
@@ -1240,6 +1259,7 @@ def test_stream_asof_late_click_attributed(spark, tmp_path):
     assert jobs.stream_asof_pending(spark, state).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_asof_replay_is_noop_and_state_bounded(spark, tmp_path):
     """Re-running the sink over the same checkpoint is a no-op (no new
     output dirs, same rows), and the committed click state never retains
@@ -1283,6 +1303,7 @@ def test_stream_asof_replay_is_noop_and_state_bounded(spark, tmp_path):
     assert [c["ts"] for c in clicks] == [dt(2024, 3, 1, 15, 0)]
 
 
+@pytest.mark.slow
 def test_stream_asof_redelivery_same_batch_converges(spark, tmp_path):
     """foreachBatch is at-least-once: re-applying the SAME microbatch
     (same batch_id — the crash-retry path) must converge: output
@@ -1338,6 +1359,7 @@ def test_stream_asof_redelivery_same_batch_converges(spark, tmp_path):
     assert sorted(batch_dirs) == ["ingest_batch=0", "ingest_batch=1"]
 
 
+@pytest.mark.slow
 def test_stream_asof_redelivery_after_commit_keeps_prior_pending_rows(
     spark, tmp_path
 ):
@@ -1393,6 +1415,7 @@ def test_stream_asof_redelivery_after_commit_keeps_prior_pending_rows(
     assert _rows(stream_asof_attributions(spark, state)) == committed
 
 
+@pytest.mark.slow
 def test_stream_asof_state_stays_bounded_over_long_replay(spark, tmp_path):
     """VERDICT r15 ask #7: the committed state (clicks + pending) must
     stay O(horizon + lateness window) across a LONG multi-batch run —
@@ -1470,6 +1493,7 @@ def test_stream_asof_state_stays_bounded_over_long_replay(spark, tmp_path):
     assert _rows(stream_asof_attributions(spark, state)) == expected
 
 
+@pytest.mark.slow
 def test_stream_msprt_monitor_matches_batch_twin_per_ingest_batch(spark, tmp_path):
     """Sequential mSPRT monitor (r17, VERDICT r16 ask #6): after EVERY
     ingest batch the streaming boundary — merged (hour, arm) partials
@@ -1542,6 +1566,7 @@ def test_stream_msprt_monitor_matches_batch_twin_per_ingest_batch(spark, tmp_pat
     assert [repr(r) for r in jobs.stream_msprt_monitor(spark, state).collect()] == want
 
 
+@pytest.mark.slow
 def test_stream_asof_fresh_checkpoint_reused_state_is_loud(spark, tmp_path):
     """VERDICT r17 what's-wrong #1 / ADVICE r17 #1: a fresh checkpoint
     lineage (batch ids restart at 0) pointed at an existing as-of state
@@ -1599,6 +1624,7 @@ def test_stream_asof_fresh_checkpoint_reused_state_is_loud(spark, tmp_path):
     assert spark.read.parquet(f"{state}/lineage_mismatch").count() == 2
 
 
+@pytest.mark.slow
 def test_stream_msprt_fresh_checkpoint_different_grouping_converges(spark, tmp_path):
     """ADVICE r17 #2: per-batch_id overwrite is idempotent only for
     identical batch boundaries. A fresh checkpoint that groups the SAME
@@ -1667,6 +1693,7 @@ def test_stream_msprt_fresh_checkpoint_different_grouping_converges(spark, tmp_p
     assert [repr(r) for r in J.stream_cusum_monitor(spark, state).collect()] == want_cu
 
 
+@pytest.mark.slow
 def test_stream_msprt_crash_redelivery_converges_to_batch_twins(spark, tmp_path):
     """VERDICT r17 ask #7: the mSPRT/CUSUM sink's kill-and-resume story,
     driven through the module-level apply (the as-of tests' discipline).

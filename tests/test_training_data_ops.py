@@ -4,6 +4,8 @@ and IVF must recall the exact ANN baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_DIR
 
 from sql_data_warehouse_and_analytics_project_spark.registry import all_queries
@@ -164,6 +166,7 @@ def test_ivf_index_partitioned_layout_and_recall(spark, tmp_path):
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
 
 
+@pytest.mark.slow
 def test_ivf_append_and_staleness(spark, tmp_path):
     """r7 (VERDICT r6 ask #6): append_ivf_index assigns new vectors against
     the STORED centroids (no retrain) and partition-appends them. After two
@@ -319,6 +322,7 @@ def test_ivf_kmeanspp_seeding_deterministic_and_spreads_planted_clusters(spark):
     assert d_pp < d_fn / 10, f"k-means++ init {d_pp} not ≪ first-n init {d_fn}"
 
 
+@pytest.mark.slow
 def test_curation_pipeline_end_to_end(spark):
     """The composed curation pipeline (quality → decontaminate → exact dedup
     → near dedup → split): stage counts monotonically decrease, the
@@ -422,6 +426,7 @@ def test_curation_prefix_matches_duckdb(spark, duck):
     assert len(spark_ids) == rep.n_after_exact_dedup
 
 
+@pytest.mark.slow
 def test_ivf_auto_sizing_recall_at_two_corpus_sizes(spark, tmp_path):
     """n_lists=None auto-sizes to ~sqrt(n) from one cheap count (VERDICT r05
     #8): verified at two corpus sizes — the full embeddings table and a
@@ -665,6 +670,7 @@ def test_sequence_packing_lane_span_auto_sizes(spark):
     assert len({r["bucket"] for r in rows32}) == _PACK_MIN_BUCKETS
 
 
+@pytest.mark.slow
 def test_incremental_minhash_index_cross_batch(spark, tmp_path):
     """build/append/query_minhash_index (r6): near-dedup an ARRIVING batch
     against the stored corpus without re-scanning it. Recall: every
@@ -724,6 +730,7 @@ def test_incremental_minhash_index_cross_batch(spark, tmp_path):
     assert got == got_fresh
 
 
+@pytest.mark.slow
 def test_minhash_index_compaction_recaps_hot_buckets(spark, tmp_path):
     """r7 (VERDICT r6 ask #3): per-append bucket caps erode across appends —
     K appends of a hot corpus can grow a stored (band, bucket) group to
@@ -902,6 +909,7 @@ def test_contrastive_triplets_planted_geometry(spark):
     assert [tuple(r) for r in contrastive_triplets(emb).collect()] == [tuple(r) for r in out]
 
 
+@pytest.mark.slow
 def test_export_training_shards_deterministic_manifest(spark, tmp_path):
     """export_training_shards (r7): the shard layout is partitioned by the
     packing lane, the manifest reconciles exactly with the written rows
@@ -1222,6 +1230,7 @@ def test_semantic_cluster_sizes_audit(spark):
     assert all(n > 0 for n in sizes.values())
 
 
+@pytest.mark.slow
 def test_minhash_index_compaction_preserves_answers(spark, tmp_path):
     """compact_minhash_index: three appends accumulate per-append file sets;
     compaction shrinks the file count and the compacted index answers a
@@ -1589,6 +1598,7 @@ def test_knn_join_exact_and_ivf_recall(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+@pytest.mark.slow
 def test_export_training_shards_jsonl_equals_parquet(spark, tmp_path):
     """export_training_shards(fmt='jsonl'): the JSON-lines layout carries
     exactly the parquet export's rows (same manifest, same doc set), and
@@ -1717,6 +1727,7 @@ def test_span_dedup_strips_repeated_blocks(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0  # doc 1 owns it
 
 
+@pytest.mark.slow
 def test_composition_pipeline_end_to_end(spark):
     """The r7 composition operators chain into a coherent dataset-assembly
     pass: source-cap → length-decile filter → leakage-free split → mix
@@ -2226,6 +2237,7 @@ def test_md5_hll_accuracy_and_mergeability(spark):
     assert got == est, (got, est)
 
 
+@pytest.mark.slow
 def test_drop_reasons_consistent_with_curation_report(spark):
     """The per-doc lineage and the per-stage counts are two views of the
     SAME pipeline: every reason count must equal the corresponding
@@ -2559,6 +2571,7 @@ def test_tfidf_keywords_topk_semantics(spark):
     assert d1["rare1"] > d1["common"], d1
 
 
+@pytest.mark.slow
 def test_weighted_priority_sample_proportionality(spark):
     """E-S weighted sampling (r12): for k=1 over two items the inclusion
     probability is exactly w_i/sum(w) — with weights 1:9, the heavy item

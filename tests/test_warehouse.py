@@ -10,11 +10,12 @@ delta appends.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import filecmp
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from sql_data_warehouse_and_analytics_project_spark.warehouse import Catalog, RunContext, run_pipeline

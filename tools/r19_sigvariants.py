@@ -35,14 +35,11 @@ from sql_data_warehouse_and_analytics_project_spark.session import get_spark
 
 def minhash_v1(docs):
     """aggregate-fold form of minhash_signatures (no transform array per sig)."""
+    def fold(a, b):
+        return lambda acc, x: F.least(acc, F.pmod(F.lit(a) * x + F.lit(b), F.lit(D._P)))
+
     sigs = [
-        F.aggregate(
-            F.col("_base"),
-            F.lit(D._P).cast("bigint"),
-            lambda acc, x, a=a, b=b: F.least(
-                acc, F.pmod(F.lit(a) * x + F.lit(b), F.lit(D._P))
-            ),
-        ).alias(f"sig_{i}")
+        F.aggregate(F.col("_base"), F.lit(D._P).cast("bigint"), fold(a, b)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(D._HASH_AB)
     ]
     return (
@@ -62,12 +59,11 @@ def simhash_s1(docs):
     """48 ones-count folds; bit i set iff 2*ones_i > n (== vote sum > 0)."""
     bits = D._SIMHASH_BITS
     n = F.size("_base").cast("bigint")
+    def onesfold(i):
+        return lambda acc, x: acc + F.shiftright(x, i).bitwiseAND(F.lit(1).cast("bigint"))
+
     ones = [
-        F.aggregate(
-            F.col("_base"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x, i=i: acc + F.shiftright(x, i).bitwiseAND(F.lit(1).cast("bigint")),
-        )
+        F.aggregate(F.col("_base"), F.lit(0).cast("bigint"), onesfold(i))
         for i in range(bits)
     ]
     sim = None
