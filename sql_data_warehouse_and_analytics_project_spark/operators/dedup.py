@@ -406,13 +406,26 @@ def token_dedup_members(docs: DataFrame) -> DataFrame:
     one extra corpus scan vs the window form; scans parallelize, hot keys
     don't."""
     toks = tokens_col(F.col("text"))
-    filtered = docs.filter(F.size(toks) >= 3)
-    narrow = filtered.select(
-        "doc_id", F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("tkey")
+    # r19: ONE tokenize pass for the whole collapse (was five over three
+    # corpus scans). The size guard and the key share one split via
+    # codegen subexpression elimination — valid ONLY because both live in
+    # the SAME projection (a separate Filter re-evaluates it, measured
+    # +33%); short docs get a NULL tkey and are dropped AFTER the narrow
+    # checkpoint, which is a pushdown barrier. The text reattachment needs
+    # no filter at all: the mapping's doc_ids are exactly the >=3-token
+    # docs, so the inner join drops short docs for free and the text scan
+    # never tokenizes.
+    narrow = (
+        docs.select(
+            "doc_id",
+            F.when(F.size(toks) >= 3, F.md5(F.concat_ws(" ", toks))).alias("tkey"),
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.col("tkey").isNotNull())
     )
     reps = narrow.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
     mapping = narrow.join(reps, "tkey").select("doc_id", "rep_id")
-    return filtered.select("doc_id", "lang", "text").join(mapping, "doc_id")
+    return docs.select("doc_id", "lang", "text").join(mapping, "doc_id")
 
 
 def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:
