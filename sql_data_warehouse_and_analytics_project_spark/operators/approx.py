@@ -986,20 +986,19 @@ def active_users_sketch(events: DataFrame) -> DataFrame:
     activity — trailing 7- and 28-day distinct users via sketch
     expansion; see the section note."""
     ev = events.select(F.col("ts").cast("date").alias("day"), "user_id")
-    # r19: ONE events pass. The exact-DAU distinct and the HLL register
-    # hash each ran their own full events scan; both now read the same
-    # materialized (day, user) distinct — dau counts it, and feeding
-    # _day_regs distinct rows is exact (register MAX is idempotent under
-    # duplicates, so only the redundant per-duplicate md5 work is removed).
-    # The distinct frame is bounded by day × active-user cardinality, far
-    # below the raw event count.
-    dd = ev.distinct().localCheckpoint(eager=True)
-    dau = dd.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau_exact"))
+    # r19 note: sharing one materialized (day, user) distinct between the
+    # exact-DAU count and the register hash was A/B'd and REJECTED — the
+    # extra checkpoint job measured 0.98 vs 0.86 s interleaved at sf0.1,
+    # and at scale the checkpoint write of day x active-user rows costs
+    # about what the saved second events scan does.
+    dau = ev.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau_exact")
+    )
     # r18: the register table feeds BOTH window expansions, whose stages
     # launch concurrently and would each re-run the md5-hash + register
-    # aggregation; the eager checkpoint bounds that to one pass
-    # (registers are KB-scale: days × 2^p rows max)
-    regs = _day_regs(dd).localCheckpoint(eager=True)
+    # aggregation over the full events scan; the eager checkpoint bounds
+    # that to one pass (registers are KB-scale: days × 2^p rows max)
+    regs = _day_regs(ev).localCheckpoint(eager=True)
     wau = _window_estimate(regs, 7, "wau_hll")
     mau = _window_estimate(regs, 28, "mau_hll")
     return (
