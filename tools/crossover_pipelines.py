@@ -87,7 +87,7 @@ def _checksum(df):
 
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*df.columns)).alias("h"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return [int(row["n"]), int(row["h"] or 0)]
 
