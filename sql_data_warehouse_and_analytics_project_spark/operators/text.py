@@ -1641,10 +1641,13 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 4)),
         )
     )
-    base = (
-        docs.filter(F.size(toks) >= 4)
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.explode(grams4).alias("g"))
+    # r19: gate folded into the gram expression (see text_decontaminate) —
+    # a pushed-down size Filter re-tokenizes every row
+    grams4_guarded = F.when(F.size(F.col("t")) >= 4, grams4).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.explode(grams4_guarded).alias("g")
     )
     bench = base.filter(is_eval_doc(F.col("doc_id"))).select("g").distinct()
     positions = bench.select(

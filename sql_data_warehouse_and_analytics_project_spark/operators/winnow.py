@@ -205,14 +205,20 @@ def winnow_verified(docs: DataFrame, min_containment: float = _CONTAIN_MIN) -> D
 
     docs = _spread_rows(docs)
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= _K)
+    base = docs.select("doc_id", t.alias("t"))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("t") - _K),
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, _K)),
         )
     )
-    gram_rows = base.select("doc_id", F.explode(grams).alias("g"))
+    # r19: gate folded into the gram expression (see winnow_fingerprints) —
+    # a pushed-down size Filter re-tokenizes every row; explode drops the
+    # empty arrays of short docs
+    grams_guarded = F.when(F.size("t") >= _K, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    gram_rows = base.select("doc_id", F.explode(grams_guarded).alias("g"))
     n_grams = gram_rows.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("ng")
     )
