@@ -1267,30 +1267,39 @@ def simhash_pairs(
         )
         for band in range(_SIMHASH_BITS // _SIMHASH_BAND_BITS)
     ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # the signature rides THROUGH the band explode and the cap window
+    # (+8 bytes per band row), so the Hamming confirm folds INTO the band
+    # self-join (r19): 6-bit buckets are coarse — at sf0.1 the raw band
+    # join emits ~1M candidate rows, and the old shape shuffled ALL of
+    # them through a DISTINCT and then joined signatures back twice.
+    # Confirm-in-join flips the order: the per-pair bit_count filter runs
+    # where the pair is born, and the distinct dedupes SURVIVORS only
+    # (band-duplicate survivors ≤ 8× a small set). Same output set by
+    # construction — distinct commutes with a deterministic per-pair
+    # filter; hamming is functional on the pair.
+    bands = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
     b = capped.alias("b")
-    candidates = (
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= _SIMHASH_HAMMING_MAX),
         )
-        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            ham.cast("bigint").alias("hamming"),
+        )
         .distinct()
-    )
-    s1 = sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("h1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("h2"))
-    rep_pairs = (
-        candidates.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
-        .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint"))
-        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
-        .select("doc_id_1", "doc_id_2", "hamming")
     )
     out = _expand_member_pairs(
         rep_pairs,

@@ -892,30 +892,35 @@ def _hamming_band_pairs(
         )
         for band in range(n_bands)
     ]
-    bands = reps.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # the signature rides through the band explode and the cap window so
+    # the Hamming confirm folds INTO the band self-join (r19, the
+    # dedup.simhash_pairs rework): the per-pair bit_count filter runs
+    # where the pair is born, and the distinct dedupes survivors only —
+    # no candidate-wide distinct exchange, no signature re-joins. Same
+    # output set: distinct commutes with a deterministic per-pair filter.
+    bands = reps.select(
+        "doc_id", sig_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", sig_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     capped = _cap_buckets(bands, cap)
     a = capped.alias("a")
     b = capped.alias("b")
-    candidates = (
+    ham = F.bit_count(F.expr(f"a.{sig_col} ^ b.{sig_col}"))
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= hamming_max),
         )
-        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            ham.cast("bigint").alias("hamming"),
+        )
         .distinct()
-    )
-    h1 = reps.select(F.col("doc_id").alias("doc_id_1"), F.col(sig_col).alias("h1"))
-    h2 = reps.select(F.col("doc_id").alias("doc_id_2"), F.col(sig_col).alias("h2"))
-    rep_pairs = (
-        candidates.join(h1, "doc_id_1")
-        .join(h2, "doc_id_2")
-        .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("bigint"))
-        .filter(F.col("hamming") <= hamming_max)
-        .select("doc_id_1", "doc_id_2", "hamming")
     )
     out = _expand_member_pairs(
         rep_pairs,
